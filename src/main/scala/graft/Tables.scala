@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Fixture-table access (TESTDATA.md / FIXTURES.md).
+  *
+  * All engine queries read the driver-generated parquet fixtures through this
+  * single entry point so schema expectations live in one place. Reads are plain
+  * `spark.read.parquet` — Spark's vectorized reader + Catalyst column pruning /
+  * predicate pushdown do the heavy lifting (SURVEY §4.2).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is ns-precision parquet; Spark has no ns timestamp, so read
+      // the raw int64 and truncate to µs (matching DuckDB's ns→µs truncation).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      normalizeEvents(spark.read.parquet(s"$dir/$name.parquet"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** ns-int64 `ts` → µs TimestampType (floor division, exact on int64 —
+    * going through double would lose precision above 2^53 ns). */
+  def normalizeEvents(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+
+  /** Register every fixture as a temp view (for spark.sql users / tests). */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,24 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared query: a named DataFrame program plus (when SQL-expressible)
+  * the equivalent ANSI SQL the DuckDB oracle runs over the same parquet
+  * fixtures (SURVEY §2.9). Queries with no oracle get a weaker rows-only
+  * check from the driver (seeded-model ops like LSH).
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String]) {
+  def run(spark: SparkSession, sfDir: String): DataFrame = fn(spark, sfDir)
+}
+
+object Q {
+  def apply(name: String, oracle: String)(
+      fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, Some(oracle))
+
+  def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, None)
+}

@@ -1,0 +1,157 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.queries.Q
+
+/** Streaming contract Q23–Q25 (SURVEY §2.8/§2.9, B37–B44).
+  *
+  * Each query has two renderings with identical semantics:
+  *  - a *batch* DataFrame (what `Verify` dumps; DuckDB-oracle checked);
+  *  - a *streaming* run over the same events table replayed through
+  *    `readStream` with `Trigger.AvailableNow`, whose closed result must equal
+  *    the batch result (asserted in `StreamingParitySpec`).
+  *
+  * The batch↔stream equality is exactly Structured Streaming's contract: a
+  * streaming query is the incrementalized execution of the same logical plan.
+  * Watermarks make state bounded at scale — at 100 TB/day of events the
+  * windowed aggregations keep only open windows in the state store.
+  */
+object StreamingQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
+
+  /** Shared transform: tumbling 1h window per event_type (B39). */
+  private def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(dec(col("value"))), 2).cast("double").as("sum_value"))
+      .select(
+        col("w.start").cast("timestamp_ntz").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Shared transform: sliding 1h/30m window per event_type (B40). */
+  private def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(dec(col("value"))), 2).cast("double").as("sum_value"))
+      .select(
+        col("w.start").cast("timestamp_ntz").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  // ---------------------------------------------------------------- Q23
+  val q23 = Q(
+    "q23_tumbling_window",
+    """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+      |       event_type, count(*) AS cnt,
+      |       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+    tumbling(Tables(s, dir, "events")).orderBy("window_start", "event_type")
+  }
+
+  // ---------------------------------------------------------------- Q24
+  // Sliding 1h/30m: every event falls in exactly two 30m-aligned windows; the
+  // oracle materializes both via time_bucket and its 30m-shifted twin.
+  val q24 = Q(
+    "q24_sliding_window",
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+      |w AS (
+      |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type, value FROM e
+      |  UNION ALL
+      |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type, value FROM e
+      |)
+      |SELECT window_start, event_type, count(*) AS cnt,
+      |       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+      |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+    sliding(Tables(s, dir, "events")).orderBy("window_start", "event_type")
+  }
+
+  // ---------------------------------------------------------------- Q25
+  val q25 = Q(
+    "q25_stream_dedup",
+    "SELECT count(DISTINCT event_id) AS n_distinct FROM events") { (s, dir) =>
+    Tables(s, dir, "events")
+      .select("event_id").distinct()
+      .agg(count(lit(1)).as("n_distinct"))
+  }
+
+  val all: Seq[Q] = Seq(q23, q24, q25)
+
+  // ------------------------------------------------------------------------
+  // Streaming runners (exercised by StreamingParitySpec; Trigger.AvailableNow
+  // processes all available input then stops — deterministic, closed result).
+  // ------------------------------------------------------------------------
+
+  /** Read the events fixture as a bounded file stream with the batch schema
+    * (raw ns-int64 `ts` normalized to µs TimestampType, as in batch). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    Tables.normalizeEvents(
+      spark.readStream.schema(raw).parquet(s"$dir/events.parquet"))
+  }
+
+  private def runToTable(df: DataFrame, name: String, checkpoint: String): Unit = {
+    val q = df.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private def runAppendToTable(df: DataFrame, name: String, checkpoint: String): Unit = {
+    val q = df.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Q23 as a real stream: tumbling windows with a watermark (B38/B39). */
+  def q23Streaming(spark: SparkSession, dir: String, checkpoint: String): DataFrame = {
+    val agg = tumbling(eventsStream(spark, dir).withWatermark("ts", "10 minutes"))
+    runToTable(agg, "q23_stream", checkpoint)
+    spark.table("q23_stream").orderBy("window_start", "event_type")
+  }
+
+  /** Q24 as a real stream: sliding windows (B40). */
+  def q24Streaming(spark: SparkSession, dir: String, checkpoint: String): DataFrame = {
+    val agg = sliding(eventsStream(spark, dir).withWatermark("ts", "10 minutes"))
+    runToTable(agg, "q24_stream", checkpoint)
+    spark.table("q24_stream").orderBy("window_start", "event_type")
+  }
+
+  /** Q25 as a real stream: stateful dedup within watermark (B38/B42). */
+  def q25Streaming(spark: SparkSession, dir: String, checkpoint: String): DataFrame = {
+    val deduped = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id")
+    runAppendToTable(deduped, "q25_stream", checkpoint)
+    spark.table("q25_stream")
+      .agg(count(lit(1)).as("n_distinct"))
+  }
+
+  /** Session windows per user (B41; spec-tested, not oracle-checked — DuckDB
+    * has no session_window equivalent). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"))
+}
