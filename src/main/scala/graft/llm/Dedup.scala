@@ -1,0 +1,98 @@
+package graft.llm
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for LLM training-data pipelines (B31/B32).
+  *
+  *  - exact: content-hash groupBy — one shuffle on the 64-hex digest; at
+  *    100 TB this is the cheapest possible dedup (hash is computed scan-side,
+  *    only (digest, id) pairs shuffle, never the document bodies).
+  *  - MinHash+LSH: shingle → binary HashingTF → seeded MinHash band-join —
+  *    near-dup candidates meet in buckets, avoiding the O(n²) pair space.
+  *  - SimHash: 64-bit sign-of-weighted-bits fingerprint; near-dups differ in
+  *    few bits, so banding on fingerprint prefixes scales.
+  *  - n-gram Jaccard: exact similarity on the shingle sets for candidate
+  *    pairs that share ≥1 shingle (the verification step after LSH).
+  */
+object Dedup {
+
+  /** Exact dedup: one survivor (min id) per distinct content hash. */
+  def exactSurvivors(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  /** 64-bit SimHash over whitespace tokens (xxhash64 token hashes; bit i of
+    * the fingerprint = sign of Σ_tokens (2·bit_i(h(t)) − 1)).
+    *
+    * Pure-Column nested higher-order functions; `call_function` reaches the
+    * shift builtins whose Scala wrappers only take Int literals. The bit-OR
+    * fold (not a sum) packs bit 63 without ANSI overflow. */
+  def simhash64(text: Column): Column = {
+    val ts = array_distinct(TextAnalysis.tokens(text))
+    val bitBalance = (i: Column) =>
+      aggregate(ts, lit(0L), (acc, t) =>
+        acc + when(call_function("shiftright", xxhash64(t), i).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L))
+    aggregate(
+      transform(sequence(lit(0), lit(63)),
+        i => when(bitBalance(i) > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("int")
+
+  /** MinHash-LSH near-duplicate candidate pairs over `k`-word shingles.
+    * Seeded → deterministic; `distCol` is the exact Jaccard *distance* on the
+    * hashed shingle space. Output (id_a, id_b, jaccard_dist), id_a < id_b. */
+  def minhashPairs(
+      docs: DataFrame,
+      maxJaccardDist: Double = 0.6,
+      numHashTables: Int = 5,
+      seed: Long = 42L): DataFrame = {
+    val shingled = docs
+      .select(col("doc_id"), TextAnalysis.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val tf = new HashingTF()
+      .setInputCol("sh").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val feats = tf.transform(shingled)
+    val lsh = new MinHashLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numHashTables).setSeed(seed)
+    val model = lsh.fit(feats)
+    model.approxSimilarityJoin(feats, feats, maxJaccardDist, "jaccard_dist")
+      .select(
+        col("datasetA.doc_id").as("id_a"),
+        col("datasetB.doc_id").as("id_b"),
+        round(col("jaccard_dist"), 4).as("jaccard_dist"))
+      .filter(col("id_a") < col("id_b"))
+  }
+
+  /** Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
+    * Shuffle profile at scale: explode to (shingle, id), one shuffle on
+    * shingle (skew-prone on stop-shingles — cap or salt in production), then
+    * an aggregation keyed on the pair. */
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(TextAnalysis.shingles(col("text"))).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val j = col("inter").cast("double") /
+      (col("sa.n") + col("sb.n") - col("inter"))
+    pairs
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(j >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
+  }
+}

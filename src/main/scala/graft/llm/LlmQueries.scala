@@ -1,9 +1,164 @@
 package graft.llm
 
+import org.apache.spark.sql.functions._
+
+import graft.Tables
 import graft.queries.Q
 
-/** LLM-data-pipeline query registry (B31–B36). Populated incrementally;
-  * see Dedup / Similarity / TextAnalysis / Multimodal. */
+/** LLM-data-pipeline query contract (B31–B36): deduplication, similarity
+  * search, text analysis, multimodal columns — declared alongside Q01–Q25 so
+  * the driver hash-checks the deterministic ones against DuckDB and
+  * rows-only-checks the seeded-model ones (MinHash/SimHash/ANN; those get
+  * property specs instead, SURVEY §5.2.4).
+  */
 object LlmQueries {
-  def all: Seq[Q] = Seq.empty
+
+  private val stop = Seq("the", "a", "and", "of")
+
+  // ---------------------------------------------------------------- q26
+  val q26 = Q(
+    "q26_cosine_topk",
+    """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 3),
+      |c AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings),
+      |s AS (SELECT q_id, vec_id,
+      |             round(list_dot_product(qe, ce)
+      |                   / sqrt(list_dot_product(qe, qe) * list_dot_product(ce, ce)), 4) AS sim
+      |      FROM q JOIN c ON vec_id <> q_id),
+      |r AS (SELECT q_id, vec_id, sim,
+      |             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rk
+      |      FROM s)
+      |SELECT q_id, CAST(rk AS INT) AS rk, vec_id, sim
+      |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir, "embeddings")
+    Similarity.cosineTopK(e, e.filter(col("vec_id") < 3), k = 5)
+      .orderBy("q_id", "rk")
+  }
+
+  // ---------------------------------------------------------------- q27
+  val q27 = Q(
+    "q27_exact_dedup_survivors",
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin) { (s, dir) =>
+    Dedup.exactSurvivors(Tables(s, dir, "documents")).orderBy("keep_id")
+  }
+
+  // ---------------------------------------------------------------- q28
+  val q28 = Q(
+    "q28_text_stats",
+    s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents)
+       |SELECT doc_id,
+       |       len(ts) AS n_tokens,
+       |       round(len(list_filter(ts, t -> t IN (${stop.map("'" + _ + "'").mkString(",")})))
+       |             / len(ts), 4) AS stop_ratio
+       |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        round(TextAnalysis.stopwordRatio(col("text"), stop), 4).as("stop_ratio"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q29
+  private val langCaseSql = {
+    val score = TextAnalysis.langProfiles.map { case (lang, ws) =>
+      lang -> s"len(list_filter(ts, t -> t IN (${ws.map("'" + _ + "'").mkString(",")})))"
+    }.toMap
+    val cases = TextAnalysis.langProfiles.map(_._1).map { l =>
+      val others = TextAnalysis.langProfiles.map(_._1).filter(_ != l)
+      s"WHEN ${score(l)} > 0 AND ${others.map(o => s"${score(l)} > ${score(o)}").mkString(" AND ")} THEN '$l'"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE 'unk' END"
+  }
+
+  val q29 = Q(
+    "q29_langid",
+    s"""WITH d AS (SELECT lang, string_split_regex(trim(text), '\\s+') AS ts FROM documents)
+       |SELECT lang, $langCaseSql AS pred, count(*) AS n
+       |FROM d GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .groupBy(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred")
+  }
+
+  // ---------------------------------------------------------------- q30
+  val q30 = Q(
+    "q30_fingerprint",
+    """SELECT doc_id,
+      |       sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q31
+  // Seeded MinHash-LSH — model-dependent bucketing, so rows-only check here;
+  // recall-vs-brute-force is property-tested (DedupSpec).
+  val q31 = Q.noOracle("q31_minhash_neardup") { (s, dir) =>
+    Dedup.minhashPairs(
+        Tables(s, dir, "documents").filter(col("doc_id") < 2000))
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---------------------------------------------------------------- q32
+  // xxhash64-based fingerprints aren't replicable in DuckDB → rows-only;
+  // exact-duplicate-⇒-equal-fingerprint is property-tested.
+  val q32 = Q.noOracle("q32_simhash") { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q33
+  val q33 = Q(
+    "q33_ngram_jaccard",
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      |           FROM documents WHERE doc_id < 1000),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(ts)-2),
+      |                i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]))) AS shingle
+      |       FROM d WHERE len(ts) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    Dedup.ngramJaccardPairs(
+        Tables(s, dir, "documents").filter(col("doc_id") < 1000),
+        minJaccard = 0.2)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------- q34
+  val q34 = Q(
+    "q34_multimodal_decode",
+    """SELECT doc_id,
+      |       CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |       CAST(unicode(text[1]) AS BIGINT) AS first_byte,
+      |       CAST(unicode(text[-1]) AS BIGINT) AS last_byte,
+      |       CAST(list_sum(list_transform(range(strlen(text)),
+      |                i -> unicode(text[i+1]))) AS BIGINT) AS byte_sum
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Multimodal.decode(Multimodal.asBlobs(Tables(s, dir, "documents")))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q35
+  // Seeded random-hyperplane LSH — rows-only; recall property in SimilaritySpec.
+  val q35 = Q.noOracle("q35_ann_lsh") { (s, dir) =>
+    Similarity.annCandidates(
+        Tables(s, dir, "embeddings").filter(col("vec_id") < 2000),
+        threshold = 1.0)
+      .orderBy("id_a", "id_b")
+  }
+
+  def all: Seq[Q] = Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35)
 }

@@ -1,0 +1,93 @@
+package graft.llm
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (B33).
+  *
+  * Two tiers, per the scale playbook:
+  *  - [[cosineTopK]]: exact brute force — broadcast the (small) query set
+  *    against the corpus, so the corpus never shuffles; the scan + score +
+  *    per-query top-k is one pass. Right answer when |queries| is small, at
+  *    any corpus size.
+  *  - [[annCandidates]]: seeded random-hyperplane LSH (MLlib
+  *    BucketedRandomProjectionLSH) — the scale path when both sides are
+  *    large: candidates meet in hash buckets instead of a full cross join.
+  *
+  * Vector math is pure `Column` higher-order functions (zip_with/aggregate):
+  * no UDF boxing, and floats are widened to double *before* multiply so the
+  * result is bit-identical to the DuckDB oracle's double arithmetic.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, p) => acc + p)
+
+  def sqNorm(a: Column): Column = dot(a, a)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(sqNorm(a) * sqNorm(b))
+
+  /** Exact top-k cosine neighbors for each query row.
+    *
+    * @param corpus  (id, embedding) — arbitrarily large
+    * @param queries (id, embedding) — small; broadcast
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    val scored = corpus
+      .join(q, col("vec_id") =!= col("q_id"))
+      .select(
+        col("q_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 4).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("sim"))
+  }
+
+  /** LSH candidate pairs within `threshold` L2 distance (seeded, hence
+    * reproducible; recall vs brute force is property-tested, not
+    * oracle-checked). Output: (id_a, id_b, dist) with id_a < id_b. */
+  def annCandidates(
+      embeddings: DataFrame,
+      threshold: Double,
+      numHashTables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val vecs = embeddings.select(
+      col("vec_id"),
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(2.0).setNumHashTables(numHashTables).setSeed(seed)
+    val model = lsh.fit(vecs)
+    model.approxSimilarityJoin(vecs, vecs, threshold, "dist")
+      .select(
+        col("datasetA.vec_id").as("id_a"),
+        col("datasetB.vec_id").as("id_b"),
+        round(col("dist"), 4).as("dist"))
+      .filter(col("id_a") < col("id_b"))
+  }
+
+  /** Exact L2 pairs within threshold (brute force; recall baseline for
+    * [[annCandidates]] in tests — O(n²), test scale only). */
+  def exactL2Pairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val d2 = aggregate(
+      zip_with(col("emb_a"), col("emb_b"),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, p) => acc + p)
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), sqrt(d2).as("dist"))
+      .filter(col("dist") <= threshold)
+  }
+}

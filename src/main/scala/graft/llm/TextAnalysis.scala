@@ -1,0 +1,60 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for LLM data pipelines (B34/B36).
+  *
+  * All pure `Column` expressions — they stay inside Catalyst, vectorize over
+  * the parquet scan, and never leave whole-stage codegen (the difference
+  * between "works on 60k docs" and "works on 100 TB of docs": a Scala UDF
+  * here would serialize every row through a boxed lambda).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the BPE-ish baseline regex split). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Fraction of tokens found in `stop` (quality-scoring signal). */
+  def stopwordRatio(text: Column, stop: Seq[String]): Column = {
+    val ts = tokens(text)
+    size(filter(ts, t => t.isin(stop.map(x => x: Any): _*))) / size(ts)
+  }
+
+  /** Language-ID by disjoint marker-word profiles: argmax of profile hits,
+    * 'unk' on ties/zero. Deterministic and SQL-replicable (oracle-checkable);
+    * a production profile would be larger but identical in shape. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "es" -> Seq("el", "los", "de"),
+    "fr" -> Seq("le", "et", "dans"))
+
+  def langId(text: Column): Column = {
+    val ts = tokens(text)
+    val scores = langProfiles.map { case (lang, words) =>
+      lang -> size(filter(ts, t => t.isin(words.map(x => x: Any): _*)))
+    }
+    scores.foldLeft(lit("unk")) { case (acc, (lang, score)) =>
+      val others = scores.filter(_._1 != lang).map(_._2)
+      when(others.foldLeft(score > 0)((c, o) => c && score > o), lang).otherwise(acc)
+    }
+  }
+
+  /** Canonical-text fingerprint: lowercase, collapse whitespace, SHA-256.
+    * Rolling/locality-sensitive variants live in [[Dedup]] (SimHash). */
+  def fingerprint(text: Column): Column =
+    sha2(regexp_replace(lower(trim(text)), "\\s+", " "), 256)
+
+  /** `k`-word shingles (distinct), the unit for Jaccard/MinHash dedup.
+    * Guarded: `sequence(0, n-k)` would run *descending* for n < k. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val ts = tokens(text)
+    when(size(ts) >= k,
+      array_distinct(
+        transform(sequence(lit(0), size(ts) - k),
+          i => concat_ws(" ", slice(ts, i + 1, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+  }
+}

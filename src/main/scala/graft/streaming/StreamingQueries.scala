@@ -91,12 +91,21 @@ object StreamingQueries {
   // ------------------------------------------------------------------------
 
   /** Read the events fixture as a bounded file stream with the batch schema
-    * (raw ns-int64 `ts` normalized to µs TimestampType, as in batch). */
+    * (raw ns-int64 `ts` normalized to µs TimestampType, as in batch).
+    *
+    * The file streaming source lists a *directory*, so the single fixture
+    * file is staged into a temp dir (hardlink when possible — zero copy). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = Paths.get(s"$dir/events.parquet")
+    val streamDir = Files.createTempDirectory("graft-events-stream-")
+    val dst = streamDir.resolve("events.parquet")
+    try Files.createLink(dst, src)
+    catch { case _: Exception => Files.copy(src, dst) }
+    val raw = spark.read.parquet(src.toString).schema
     Tables.normalizeEvents(
-      spark.readStream.schema(raw).parquet(s"$dir/events.parquet"))
+      spark.readStream.schema(raw).parquet(streamDir.toString))
   }
 
   private def runToTable(df: DataFrame, name: String, checkpoint: String): Unit = {

@@ -1,0 +1,61 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Property tests for the approximate dedup family (SURVEY §5.2.3/§5.2.4):
+  * seeded-model ops aren't oracle-hashable, so they're bounded by recall and
+  * algebraic properties instead. */
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables(spark, sf0001, "documents")
+
+  test("exact dedup: survivors + duplicate count are consistent") {
+    val survivors = Dedup.exactSurvivors(docs)
+    val total = docs.count()
+    val agg = survivors.agg(sum("n_copies"), count(lit(1))).collect().head
+    assert(agg.getLong(0) == total)       // every doc accounted for
+    assert(agg.getLong(1) <= total)       // at most one survivor per doc
+  }
+
+  test("minhash LSH recalls >= 90% of true near-dup pairs (jaccard >= 0.5)") {
+    val truth = Dedup.ngramJaccardPairs(docs, minJaccard = 0.5)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+    val candidates = Dedup.minhashPairs(docs, maxJaccardDist = 0.6)
+      .select("id_a", "id_b")
+    val nTruth = truth.count()
+    assert(nTruth > 0, "fixture should contain near-duplicate documents")
+    val found = truth.intersect(candidates).count()
+    assert(found.toDouble / nTruth >= 0.9,
+      s"recall ${found.toDouble / nTruth} below 0.9 ($found/$nTruth)")
+  }
+
+  test("simhash: identical texts get identical fingerprints") {
+    val fps = docs.select(col("text"), Dedup.simhash64(col("text")).as("fp"))
+      .groupBy("text").agg(countDistinct("fp").as("n"))
+    assert(fps.filter(col("n") =!= 1).count() == 0)
+  }
+
+  test("simhash: near-identical docs are close in hamming distance") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again for testing"
+    val nearDup = base + " extra"
+    val far = "completely different words about spark catalyst optimizer internals here"
+    val df = Seq((1L, base), (2L, nearDup), (3L, far)).toDF("id", "text")
+      .select(col("id"), Dedup.simhash64(col("text")).as("fp"))
+    val fps = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(1L), fps(2L)) < ham(fps(1L), fps(3L)),
+      "near-dup must be closer than unrelated text")
+    assert(ham(fps(1L), fps(2L)) <= 12)
+  }
+
+  test("ngram jaccard: exact duplicates score 1.0") {
+    val dupPairs = Dedup.ngramJaccardPairs(docs, minJaccard = 0.999)
+    val hashes = docs.groupBy(sha2(col("text"), 256)).agg(count(lit(1)).as("n"))
+    val nDupDocs = hashes.filter(col("n") > 1).count()
+    if (nDupDocs > 0) assert(dupPairs.count() > 0)
+    assert(dupPairs.filter(col("jaccard") < 1.0).count() == 0)
+  }
+}
