@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{Concept, Network}
+
+/** The reference's self-test roundtrip protocol (A24/A25), asserted instead
+  * of merely logged (SURVEY §5.1: the reference only logs values).
+  *
+  * Per concept: encode the embedded test input → write 32 copies
+  * (concept.py:80: num_examples=32) → read back with the declared schema →
+  * inference → assert row count and non-null vectors. Per network: same plus
+  * feature/target split and a fit/eval cycle when a target exists
+  * (network.py:218-275).
+  *
+  * Discovery is an explicit registry, not reflection (SURVEY A24: JVM
+  * reflection over subclasses is brittle; the registry is the Scala idiom).
+  */
+object SelfTest {
+
+  val NumExamples = 32
+
+  /** Registered concept instances (`Concept.get_children` stand-in). */
+  def registry: Seq[Concept] = Seq(graft.core.CandidateConcept())
+
+  def testConcept(spark: SparkSession, c: Concept): Unit = {
+    val net = new Network(Seq("origin" -> c))
+    testNetwork(spark, net)
+  }
+
+  def testNetwork(spark: SparkSession, net: Network): Unit = {
+    import spark.implicits._
+    val inputs = net.concepts.map(_._2.testInput)
+    // every concept encodes the same raw line in the reference roundtrip
+    // (minimal_network.py:20-23 uses one xml line for origin and target)
+    val raw = Seq.fill(NumExamples)(inputs.head).toDF("value")
+    val dir = Files.createTempDirectory("graft-selftest-").toString
+
+    val out = Preprocess.run(net, raw, dir)
+    val back = Preprocess.readEncoded(spark, net, out)
+    assert(back.count() == NumExamples, s"roundtrip lost rows for ${net.repr}")
+    // names+types are the contract; parquet read-back relaxes nullability
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      net.featdef.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"schema drift for ${net.repr}")
+
+    val (features, targets) = net.split(back)
+    assert(features.columns.sameElements(net.featureNames))
+    targets.foreach(t => assert(t.columns.sameElements(net.targetNames)))
+
+    val vecs = net.inferenceVectors(back)
+    val vecCols = net.concepts.filterNot(_._2.target).map { case (n, _) => s"${n}_vec" }
+    assert(vecs.select(vecCols.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      .na.drop().count() == NumExamples, s"null inference vectors for ${net.repr}")
+
+    if (net.targetNames.nonEmpty) {
+      val model = Train.fit(net, back)
+      val mse = Train.evaluateMse(model, net, back)
+      assert(!mse.isNaN, s"loss not computable for ${net.repr}")
+    }
+  }
+
+  /** Gate stage (runner.py:41-47): all registered concepts + the network. */
+  def runAll(spark: SparkSession, net: Network): Unit = {
+    registry.foreach(testConcept(spark, _))
+    testNetwork(spark, net)
+  }
+}
