@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line {"metric","value","unit","queries","sf"}.
+  *
+  * Env knobs: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_ONLY (csv of query
+  * names, for iteration), SPARK_GRAFT_WARMUP (default 1 — run a small
+  * representative set untimed first so steady-state numbers aren't dominated
+  * by JIT/codegen warmup of the first query).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,14 +20,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val queries = SparkEntry.allQueries
+      .filter(q => only.forall(_.contains(q.name)))
+
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {
+      // warm codegen/parquet-reader/shuffle paths once, untimed
+      val warm = Set("q01_filter_project", "q03_revenue_by_nation", "q23_tumbling_window")
+      SparkEntry.allQueries.filter(q => warm(q.name))
+        .foreach(q => try q.fn(spark, sfDir).count() catch { case _: Throwable => () })
+    }
+
+    val results = queries.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      q.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -61,7 +61,9 @@ object Dedup {
     val tf = new HashingTF()
       .setInputCol("sh").setOutputCol("features")
       .setNumFeatures(1 << 18).setBinary(true)
-    val feats = tf.transform(shingled)
+    // cache: the self-join evaluates this subtree once per side per hash
+    // stage; without it the shingle+TF pipeline recomputes several times
+    val feats = tf.transform(shingled).cache()
     val lsh = new MinHashLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setSeed(seed)

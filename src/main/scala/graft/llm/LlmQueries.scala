@@ -156,7 +156,7 @@ object LlmQueries {
   val q35 = Q.noOracle("q35_ann_lsh") { (s, dir) =>
     Similarity.annCandidates(
         Tables(s, dir, "embeddings").filter(col("vec_id") < 2000),
-        threshold = 1.0)
+        threshold = 1.0, numHashTables = 2)
       .orderBy("id_a", "id_b")
   }
 

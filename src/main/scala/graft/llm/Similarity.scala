@@ -65,9 +65,14 @@ object Similarity {
     val vecs = embeddings.select(
       col("vec_id"),
       array_to_vector(col("embedding").cast("array<double>")).as("features"))
+      .cache()
+    // bucketLength: projections of unit vectors are ~N(0,1), so 2.0 puts
+    // everything in two buckets (all pairs collide in every table — O(n²)
+    // candidates). 0.75 gives ~5-6 populated buckets per table; the
+    // numHashTables OR-amplification keeps recall up (property-tested).
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("hashes")
-      .setBucketLength(2.0).setNumHashTables(numHashTables).setSeed(seed)
+      .setBucketLength(0.75).setNumHashTables(numHashTables).setSeed(seed)
     val model = lsh.fit(vecs)
     model.approxSimilarityJoin(vecs, vecs, threshold, "dist")
       .select(
