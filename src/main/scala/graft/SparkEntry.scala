@@ -13,9 +13,11 @@ import graft.streaming.StreamingQueries
   */
 object SparkEntry {
 
-  /** Full declared-query registry (batch + streaming-batch-equivalent + LLM). */
+  /** Full declared-query registry (batch + streaming-batch-equivalent + LLM
+    * + coverage extensions). */
   def allQueries: Seq[Q] =
-    BatchQueries.all ++ StreamingQueries.all ++ graft.llm.LlmQueries.all
+    BatchQueries.all ++ StreamingQueries.all ++ graft.llm.LlmQueries.all ++
+      graft.queries.ExtendedQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,19 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Spark extensions entry point: configure
+  * `spark.sql.extensions=graft.functions.GraftExtensions` to get the graft
+  * function family registered at session build time (the cluster-deploy
+  * path; [[GraftFunctions.register]] is the equivalent imperative path for
+  * sessions we don't build). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.VectorDotName),
+      new ExpressionInfo(classOf[VectorDot].getName, GraftFunctions.VectorDotName),
+      (exprs: Seq[Expression]) => VectorDot(exprs.head, exprs(1))))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Codegen'd dot product over two float-array columns (SURVEY §4.2's
+  * perf-only custom expression: semantics identical to the higher-order
+  * `aggregate(zip_with(a,b,(x,y)->double(x)*double(y)),0.0,+)` but compiled
+  * into a tight primitive loop inside whole-stage codegen — no per-element
+  * lambda dispatch, no boxing. The HOF form in [[graft.llm.Similarity.dot]]
+  * stays as the semantic reference; this is the hot-path form for brute-force
+  * similarity over large corpora.
+  *
+  * Null semantics mirror the HOF form: null array, length mismatch, or any
+  * null element → null result.
+  */
+case class VectorDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vector_dot expects (array<float>, array<float>), got " +
+            s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      sum += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      val bad = ctx.freshName("bad")
+      s"""
+         |final int $n = $a.numElements();
+         |boolean $bad = $n != $b.numElements();
+         |double $sum = 0.0;
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    $sum += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $sum; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDot =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vector_dot"
+}
+
+/** Session-scoped registration — idempotent, so query functions can call it
+  * defensively before building plans (the driver may hand us an arbitrary
+  * SparkSession without our SparkSessionExtensions configured). */
+object GraftFunctions {
+  val VectorDotName = "vector_dot"
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(FunctionIdentifier(VectorDotName))) {
+      registry.registerFunction(
+        FunctionIdentifier(VectorDotName),
+        new ExpressionInfo(classOf[VectorDot].getName, VectorDotName),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2, s"$VectorDotName takes 2 arguments")
+          VectorDot(exprs.head, exprs(1))
+        })
+    }
+  }
+}

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.operators.AsOf
+
+/** Coverage-extension contract q36–q41: operator families declared in SURVEY
+  * §2.5 that Q01–Q25 didn't reach — as-of join (B9), collect_list/set (B14),
+  * exact percentiles (B13's exact sibling), lead/first_value frames (B16),
+  * map/JSON functions (B27/B28), deterministic systematic sampling (B30's
+  * reproducible variant — `sample()` is seeded-engine-specific, so the
+  * hash-checkable form is key-mod selection).
+  */
+object ExtendedQueries {
+
+  // ---------------------------------------------------------------- q36
+  // As-of self-join: for each event, the previous event of the same user
+  // (strictly earlier ts). The oracle is DuckDB's native ASOF LEFT JOIN.
+  val q36 = Q(
+    "q36_asof_join",
+    """SELECT e.event_id,
+      |       CAST(epoch_us(e.ts) - epoch_us(p.ts) AS BIGINT) AS gap_us,
+      |       p.value AS prev_value
+      |FROM events e ASOF LEFT JOIN events p
+      |  ON e.user_id = p.user_id AND e.ts > p.ts
+      |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+    val events = Tables(s, dir, "events")
+    AsOf.join(
+        left = events.select("event_id", "user_id", "ts"),
+        right = events.select("user_id", "ts", "value"),
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        payload = Seq("value"), strict = true)
+      .select(
+        col("event_id"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"),
+        col("asof_value").as("prev_value"))
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------- q37
+  val q37 = Q(
+    "q37_collect_set",
+    """SELECT o_orderpriority,
+      |       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+      |       count(DISTINCT o_orderstatus) AS n_statuses
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"))
+      .orderBy("o_orderpriority")
+  }
+
+  // ---------------------------------------------------------------- q38
+  // Exact percentiles (interpolating): Spark `percentile` vs DuckDB
+  // quantile_cont — both exact, both linear interpolation.
+  val q38 = Q(
+    "q38_percentiles",
+    """SELECT l_returnflag,
+      |       round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+      |       round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+      |       round(quantile_cont(l_quantity, 0.75), 4) AS p75
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.25)), 4).as("p25"),
+        round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("l_quantity"), lit(0.75)), 4).as("p75"))
+      .orderBy("l_returnflag")
+  }
+
+  // ---------------------------------------------------------------- q39
+  // Map functions over parsed JSON (B27+B28): props → map<string,long>.
+  val q39 = Q(
+    "q39_map_fns",
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(max(len(json_keys(props))) AS BIGINT) AS max_keys
+      |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .select(from_json(col("props"),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")).as("m"))
+      .select(
+        (element_at(col("m"), "k") % 10).as("k_mod"),
+        size(map_keys(col("m"))).cast("long").as("n_keys"))
+      .groupBy("k_mod")
+      .agg(count(lit(1)).as("cnt"), max(col("n_keys")).as("max_keys"))
+      .orderBy("k_mod")
+  }
+
+  // ---------------------------------------------------------------- q40
+  // Deterministic systematic sample: every 20th order key.
+  val q40 = Q(
+    "q40_systematic_sample",
+    """SELECT count(*) AS n,
+      |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
+      |FROM lineitem WHERE l_orderkey % 20 = 0""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 20 === 0)
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice").cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_price"))
+  }
+
+  // ---------------------------------------------------------------- q41
+  // Window frames beyond Q10: lead, lead-by-2, first_value over the full
+  // ordered partition (raw doubles pass through untouched → hash-stable).
+  val q41 = Q(
+    "q41_lead_frames",
+    """SELECT o_custkey, o_orderkey,
+      |       lead(o_totalprice) OVER w AS next_price,
+      |       lead(o_totalprice, 2) OVER w AS next2_price,
+      |       first_value(o_totalprice) OVER w AS first_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        lead("o_totalprice", 2).over(w).as("next2_price"),
+        first("o_totalprice").over(w).as("first_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q41)
+}
