@@ -1,0 +1,74 @@
+package graft.llm
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** IVF (inverted-file) approximate nearest neighbor — the other scale path
+  * for B33 next to LSH: seeded k-means partitions the corpus into coarse
+  * cells; a query probes only its `nProbe` nearest cells and exact-reranks
+  * inside them.
+  *
+  * Scale shape: the corpus is written *clustered by cell* (one shuffle at
+  * index build, amortized over all queries); each query's candidate scan
+  * touches nProbe/k of the corpus. The probe fan-out and the rerank both run
+  * through the codegen [[graft.functions.VectorDot]].
+  */
+object Ivf {
+
+  final case class Model(centroids: DataFrame, indexed: DataFrame)
+
+  /** Build the index: seeded k-means cells + cell assignment. */
+  def fit(embeddings: DataFrame, k: Int = 16, seed: Long = 42L): Model = {
+    val spark = embeddings.sparkSession
+    GraftFunctions.register(spark)
+    val vecs = embeddings.select(
+      col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val km = new KMeans().setK(k).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(vecs)
+
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toDF("cell", "centroid")
+
+    // at scale: .repartition(col("cell")) + write bucketed — cell-local scans
+    val indexed = model.transform(vecs).select("vec_id", "embedding", "cell").cache()
+    Model(centroids, indexed)
+  }
+
+  /** Top-k cosine neighbors per query, probing `nProbe` cells. */
+  def search(model: Model, queries: DataFrame, topK: Int, nProbe: Int): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+    // probe assignment: nProbe nearest centroids per query (centroids are k
+    // rows — broadcast; distance via codegen dot)
+    val d2 = Similarity.dotFast(col("q_emb"), col("q_emb")) -
+      lit(2.0) * Similarity.dotFast(col("q_emb"), col("centroid")) +
+      Similarity.dotFast(col("centroid"), col("centroid"))
+    val wProbe = Window.partitionBy("q_id").orderBy(col("cd2").asc, col("cell"))
+    val probes = q.crossJoin(broadcast(model.centroids))
+      .select(col("q_id"), col("q_emb"), col("cell"), d2.as("cd2"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select("q_id", "q_emb", "cell")
+
+    // candidate scan restricted to probed cells + exact cosine rerank
+    val wRank = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    probes.join(model.indexed, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(
+        col("q_id"), col("vec_id"),
+        round(Similarity.cosineFast(col("q_emb"), col("embedding")), 4).as("sim"))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= topK)
+      .select("q_id", "rk", "vec_id", "sim")
+  }
+}

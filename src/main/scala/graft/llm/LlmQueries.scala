@@ -160,5 +160,15 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
-  def all: Seq[Q] = Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35)
+  // ---------------------------------------------------------------- q42
+  // IVF ANN (seeded k-means cells + probed exact rerank) — rows-only; recall
+  // vs exact brute force is property-tested (IvfSpec).
+  val q42 = Q.noOracle("q42_ivf_topk") { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val model = Ivf.fit(emb, k = 12, seed = 42L)
+    Ivf.search(model, emb.filter(col("vec_id") < 3), topK = 5, nProbe = 6)
+      .orderBy("q_id", "rk")
+  }
+
+  def all: Seq[Q] = Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42)
 }

