@@ -31,6 +31,22 @@ object Sources {
   def parseJson(c: Column, schema: StructType): Column =
     from_json(c, schema)
 
+  /** Corrupt-tolerant JSON-lines read: malformed rows land in
+    * `_corrupt_record` instead of failing the job — at ingest scale some
+    * fraction of a 100 TB drop is always malformed, and a pipeline that
+    * dies on row 40-billion is not a pipeline. Callers split on
+    * `_corrupt_record IS NULL` into clean/quarantine sinks. */
+  def readJsonPermissive(
+      spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      // Spark requires caching/materializing before filtering on the
+      // corrupt-record column alone; select it alongside data columns
+  }
+
   /** Hive-style partitioned write — the layout that makes partition pruning
     * work: a reader filtering on a partition column must only open that
     * partition's files (asserted in SourcesSpec). */
