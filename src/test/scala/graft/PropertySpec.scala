@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.core.{CandidateConcept, Network}
+
+/** ScalaCheck property suite (SURVEY §5.2.3): algebraic laws the engine
+  * must hold for *arbitrary* inputs, not just fixtures. The
+  * scalatest↔scalacheck bridge isn't in the offline dependency cache, so
+  * properties sample `Gen` directly with fixed seeds (deterministic runs). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic forAll: N seeded samples per property. */
+  private def forAll[A](gen: Gen[A], n: Int = 15)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  private val net = new Network(Seq("origin" -> CandidateConcept()))
+
+  private val genderGen: Gen[String] =
+    Gen.oneOf("m", "M", "male", "Male", "f", "F", "female", "Female", "x", "", "zzz")
+  private val rowGen: Gen[(Int, String)] =
+    Gen.zip(Gen.chooseNum(0, 1000000), genderGen)
+
+  test("encode is total and NA-closed for arbitrary csv inputs") {
+    forAll(Gen.listOfN(20, rowGen)) { rows =>
+      whenever(rows.nonEmpty) {
+        val raw = rows.map { case (id, g) => s"$id,$g" }.toDF("value")
+        val out = net.preprocess(raw).collect()
+        assert(out.length == rows.length)
+        // ids roundtrip exactly; gender is always one of {0,1,NA}
+        assert(out.map(_.getFloat(0)).toSeq == rows.map(_._1.toFloat))
+        assert(out.forall(r => Set(0f, 1f, -1f).contains(r.getFloat(1))))
+      }
+    }
+  }
+
+  test("prefix-union then prefix-select is identity (A11 ∘ A12 = id)") {
+    forAll(Gen.listOfN(10, rowGen)) { rows =>
+      whenever(rows.nonEmpty) {
+        val raw = rows.map { case (id, g) => s"$id,$g" }.toDF("value")
+        val encoded = net.preprocess(raw)
+        val selected = net.selectConcept(encoded, "origin")
+        assert(selected.columns.toSeq == Seq("candidate_id", "gender"))
+        assert(selected.collect().toSeq == encoded.collect().toSeq.map(r =>
+          org.apache.spark.sql.Row(r.get(0), r.get(1))))
+      }
+    }
+  }
+
+  test("exact dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    forAll(Gen.listOfN(30, Gen.oneOf("a", "b", "c", "dd", "ee"))) { texts =>
+      whenever(texts.nonEmpty) {
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val once = graft.llm.Dedup.exactSurvivors(docs)
+        val twice = graft.llm.Dedup.exactSurvivors(
+          once.join(docs, once("keep_id") === docs("doc_id"))
+            .select(col("keep_id").as("doc_id"), col("text")))
+        assert(once.select("keep_id").collect().toSet ==
+          twice.select("keep_id").collect().toSet)
+      }
+    }
+  }
+
+  test("set-op algebra: (A except B) union (A intersect B) == distinct A") {
+    forAll(Gen.zip(Gen.listOf(Gen.chooseNum(0, 30)), Gen.listOf(Gen.chooseNum(0, 30)))) {
+      case (as, bs) =>
+        whenever(as.nonEmpty) {
+          val a = as.toDF("v")
+          val b = bs.toDF("v")
+          val lhs = a.except(b).union(a.intersect(b))
+          assert(lhs.collect().map(_.getInt(0)).sorted.toSeq ==
+            as.distinct.sorted)
+        }
+    }
+  }
+
+  test("simhash of identical token multisets is equal regardless of spacing") {
+    forAll(Gen.listOfN(8, Gen.identifier)) { words =>
+      whenever(words.nonEmpty) {
+        val t1 = words.mkString(" ")
+        val t2 = words.mkString("  ") + " "
+        val fps = Seq(t1, t2).toDF("text")
+          .select(graft.llm.Dedup.simhash64(col("text"))).collect()
+        assert(fps(0).getLong(0) == fps(1).getLong(0))
+      }
+    }
+  }
+}
