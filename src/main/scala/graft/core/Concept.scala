@@ -37,9 +37,11 @@ trait Concept {
     * `featdef` field names. */
   def preprocess(raw: Column): Seq[(String, Column)]
 
-  /** Identity-default per-concept transform (concept.py:48-51), applied to
-    * the concept's prefix-selected columns. */
-  def featureEngineering(df: DataFrame): DataFrame = df
+  /** Identity-default per-concept transform (concept.py:48-51). `inputCols`
+    * are this concept's columns under their *network-prefixed* names in
+    * `featdef` order (same convention as [[inference]]) — overrides address
+    * their columns through it and must not touch other columns. */
+  def featureEngineering(df: DataFrame, inputCols: Seq[String]): DataFrame = df
 
   /** Embed this concept's engineered columns into one vector column named
     * `outputCol` (concept.py:53-58). `inputCols` are the concept's columns in

@@ -56,11 +56,15 @@ final class Network(
     raw.select(cols: _*)
   }
 
-  /** Prefix-filtered selection with prefix stripped (network.py:37-43). */
+  /** Prefix-filtered selection with prefix stripped (network.py:37-43).
+    * Matches against the concept's declared featdef names exactly — a bare
+    * string-prefix filter would also catch another concept whose name
+    * extends this one (e.g. "a" vs "a_b"). */
   def selectConcept(df: DataFrame, conceptKey: String): DataFrame = {
-    val prefix = s"${conceptKey}_"
-    val picked = df.columns.filter(_.startsWith(prefix))
-    df.select(picked.map(c => col(c).as(c.stripPrefix(prefix))).toIndexedSeq: _*)
+    val c = concepts.collectFirst { case (n, cc) if n == conceptKey => cc }
+      .getOrElse(throw new IllegalArgumentException(s"unknown concept '$conceptKey'"))
+    val cols = c.featdef.fieldNames.toSeq
+    df.select(cols.map(f => col(s"${conceptKey}_$f").as(f)): _*)
   }
 
   /** Feature/target name partition (network.py:18-35). */
@@ -91,7 +95,7 @@ final class Network(
     val active = concepts.filter { case (_, c) => includeTargets || !c.target }
     active.foldLeft(df) { case (acc, (cname, c)) =>
       val inputCols = c.featdef.fieldNames.map(f => s"${cname}_$f").toSeq
-      c.inference(c.featureEngineering(acc), inputCols, s"${cname}_vec")
+      c.inference(c.featureEngineering(acc, inputCols), inputCols, s"${cname}_vec")
     }
   }
 

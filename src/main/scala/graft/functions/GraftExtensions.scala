@@ -14,6 +14,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier(GraftFunctions.VectorDotName),
       new ExpressionInfo(classOf[VectorDot].getName, GraftFunctions.VectorDotName),
-      (exprs: Seq[Expression]) => VectorDot(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"${GraftFunctions.VectorDotName} takes 2 arguments, got ${exprs.length}")
+        VectorDot(exprs.head, exprs(1))
+      }))
   }
 }

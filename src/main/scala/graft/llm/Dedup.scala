@@ -68,12 +68,16 @@ object Dedup {
       .setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setSeed(seed)
     val model = lsh.fit(feats)
-    model.approxSimilarityJoin(feats, feats, maxJaccardDist, "jaccard_dist")
+    val pairs = model.approxSimilarityJoin(feats, feats, maxJaccardDist, "jaccard_dist")
       .select(
         col("datasetA.doc_id").as("id_a"),
         col("datasetB.doc_id").as("id_b"),
         round(col("jaccard_dist"), 4).as("jaccard_dist"))
       .filter(col("id_a") < col("id_b"))
+      .cache()
+    pairs.count() // materialize the (small) pair set, then release the big intermediate
+    feats.unpersist()
+    pairs
   }
 
   /** Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.

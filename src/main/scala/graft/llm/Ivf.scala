@@ -20,7 +20,10 @@ import graft.functions.GraftFunctions
   */
 object Ivf {
 
-  final case class Model(centroids: DataFrame, indexed: DataFrame)
+  final case class Model(centroids: DataFrame, indexed: DataFrame) {
+    /** Release the cached cell index when the model is done serving. */
+    def unpersist(): Unit = indexed.unpersist()
+  }
 
   /** Build the index: seeded k-means cells + cell assignment. */
   def fit(embeddings: DataFrame, k: Int = 16, seed: Long = 42L): Model = {
@@ -35,8 +38,11 @@ object Ivf {
 
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
-      .toDF("cell", "centroid")
+      .map { case (c, i) =>
+        val arr = c.toArray.map(_.toFloat)
+        (i, arr, arr.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      }
+      .toDF("cell", "centroid", "centroid_n")
 
     // at scale: .repartition(col("cell")) + write bucketed — cell-local scans
     val indexed = model.transform(vecs).select("vec_id", "embedding", "cell").cache()
@@ -49,10 +55,10 @@ object Ivf {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
     // probe assignment: nProbe nearest centroids per query (centroids are k
-    // rows — broadcast; distance via codegen dot)
-    val d2 = Similarity.dotFast(col("q_emb"), col("q_emb")) -
-      lit(2.0) * Similarity.dotFast(col("q_emb"), col("centroid")) +
-      Similarity.dotFast(col("centroid"), col("centroid"))
+    // rows — broadcast; centroid norms precomputed at fit; the query norm
+    // is constant per query so it can't change the per-query ordering)
+    val d2 = lit(-2.0) * Similarity.dotFast(col("q_emb"), col("centroid")) +
+      col("centroid_n")
     val wProbe = Window.partitionBy("q_id").orderBy(col("cd2").asc, col("cell"))
     val probes = q.crossJoin(broadcast(model.centroids))
       .select(col("q_id"), col("q_emb"), col("cell"), d2.as("cd2"))

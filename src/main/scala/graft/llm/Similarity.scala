@@ -51,13 +51,19 @@ object Similarity {
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // precompute each side's norm once (N + Q dot products) instead of per
+    // pair (3·N·Q): at 4M pairs that removes ~2/3 of the dot-product work
     val q = broadcast(queries
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
-    val scored = corpus
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        dotFast(col("embedding"), col("embedding")).as("q_n")))
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      dotFast(col("embedding"), col("embedding")).as("c_n"))
+    val scored = c
       .join(q, col("vec_id") =!= col("q_id"))
       .select(
         col("q_id"), col("vec_id"),
-        round(cosineFast(col("q_emb"), col("embedding")), 4).as("sim"))
+        round(dotFast(col("q_emb"), col("embedding")) / sqrt(col("q_n") * col("c_n")), 4)
+          .as("sim"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
     scored
       .withColumn("rk", row_number().over(w))
@@ -85,12 +91,16 @@ object Similarity {
       .setInputCol("features").setOutputCol("hashes")
       .setBucketLength(0.75).setNumHashTables(numHashTables).setSeed(seed)
     val model = lsh.fit(vecs)
-    model.approxSimilarityJoin(vecs, vecs, threshold, "dist")
+    val pairs = model.approxSimilarityJoin(vecs, vecs, threshold, "dist")
       .select(
         col("datasetA.vec_id").as("id_a"),
         col("datasetB.vec_id").as("id_b"),
         round(col("dist"), 4).as("dist"))
       .filter(col("id_a") < col("id_b"))
+      .cache()
+    pairs.count() // materialize the (small) pair set, then release the vectors
+    vecs.unpersist()
+    pairs
   }
 
   /** Exact L2 pairs within threshold (brute force; recall baseline for

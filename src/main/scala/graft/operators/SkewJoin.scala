@@ -21,8 +21,13 @@ object SkewJoin {
       key: String,
       factor: Int = 8): DataFrame = {
     require(factor > 0)
+    // per-ROW salt, not a row-content hash: a hot key is usually hot with
+    // *identical* rows, which would all hash to one salt and defeat the
+    // spread. monotonically_increasing_id is unique per row; any salt value
+    // is correct (the other side carries every salt), so determinism of the
+    // salt assignment is not required for join correctness.
     val salted = skewed.withColumn("__salt",
-      pmod(xxhash64(skewed.columns.map(col).toIndexedSeq: _*), lit(factor)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(factor)).cast("int"))
     val replicated = other.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** Arbitrary stateful streaming (B43): a per-key running aggregate via
   * `mapGroupsWithState` — the escape hatch when windowed built-ins can't
@@ -37,21 +37,20 @@ object Stateful {
     * final per-user stats (update-mode memory sink keeps the latest row per
     * key emitted in the last batch that touched it). */
   def runToCompletion(events: DataFrame, name: String, checkpoint: String): DataFrame = {
-    val q = runningUserStats(events).writeStream
-      .outputMode(OutputMode.Update())
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StreamingQueries.runToTable(runningUserStats(events).toDF(), name, checkpoint, "update")
     val spark = events.sparkSession
     // AvailableNow may split input into several micro-batches; the memory
-    // sink then holds one row per (key, batch) — keep each key's latest.
+    // sink then holds one row per (key, batch) — keep each key's LATEST
+    // state. n_events is strictly monotonic per key, so it orders the
+    // batches; max_by keeps sum_value from the same (latest) row — a bare
+    // max(sum_value) would return a stale intermediate when later batches
+    // add negative values.
     spark.table(name)
       .groupBy("user_id")
       .agg(
         org.apache.spark.sql.functions.max("n_events").as("n_events"),
-        org.apache.spark.sql.functions.max("sum_value").as("sum_value"))
+        org.apache.spark.sql.functions.max_by(
+          org.apache.spark.sql.functions.col("sum_value"),
+          org.apache.spark.sql.functions.col("n_events")).as("sum_value"))
   }
 }

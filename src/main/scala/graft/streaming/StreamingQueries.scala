@@ -101,27 +101,21 @@ object StreamingQueries {
     val src = Paths.get(s"$dir/events.parquet")
     val streamDir = Files.createTempDirectory("graft-events-stream-")
     val dst = streamDir.resolve("events.parquet")
+    streamDir.toFile.deleteOnExit()
     try Files.createLink(dst, src)
     catch { case _: Exception => Files.copy(src, dst) }
+    dst.toFile.deleteOnExit()
     val raw = spark.read.parquet(src.toString).schema
     Tables.normalizeEvents(
       spark.readStream.schema(raw).parquet(streamDir.toString))
   }
 
-  private def runToTable(df: DataFrame, name: String, checkpoint: String): Unit = {
+  /** Shared bounded-run memory-sink runner (single definition — trigger /
+    * checkpoint / sink handling changes in one place). */
+  private[streaming] def runToTable(
+      df: DataFrame, name: String, checkpoint: String, mode: String): Unit = {
     val q = df.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
-
-  private def runAppendToTable(df: DataFrame, name: String, checkpoint: String): Unit = {
-    val q = df.writeStream
-      .outputMode("append")
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .option("checkpointLocation", checkpoint)
@@ -133,24 +127,30 @@ object StreamingQueries {
   /** Q23 as a real stream: tumbling windows with a watermark (B38/B39). */
   def q23Streaming(spark: SparkSession, dir: String, checkpoint: String): DataFrame = {
     val agg = tumbling(eventsStream(spark, dir).withWatermark("ts", "10 minutes"))
-    runToTable(agg, "q23_stream", checkpoint)
+    runToTable(agg, "q23_stream", checkpoint, "complete")
     spark.table("q23_stream").orderBy("window_start", "event_type")
   }
 
   /** Q24 as a real stream: sliding windows (B40). */
   def q24Streaming(spark: SparkSession, dir: String, checkpoint: String): DataFrame = {
     val agg = sliding(eventsStream(spark, dir).withWatermark("ts", "10 minutes"))
-    runToTable(agg, "q24_stream", checkpoint)
+    runToTable(agg, "q24_stream", checkpoint, "complete")
     spark.table("q24_stream").orderBy("window_start", "event_type")
   }
 
-  /** Q25 as a real stream: stateful dedup within watermark (B38/B42). */
+  /** Q25 as a real stream: stateful dedup within watermark (B38/B42).
+    *
+    * Deliberate semantic bound: `dropDuplicatesWithinWatermark` only dedups
+    * re-deliveries arriving within the watermark horizon — duplicates more
+    * than 1h of event-time apart would count twice vs the batch
+    * `count(DISTINCT)`. That IS the streaming dedup contract (state must be
+    * droppable); size the watermark to the real re-delivery window. */
   def q25Streaming(spark: SparkSession, dir: String, checkpoint: String): DataFrame = {
     val deduped = eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .select("event_id")
-    runAppendToTable(deduped, "q25_stream", checkpoint)
+    runToTable(deduped, "q25_stream", checkpoint, "append")
     spark.table("q25_stream")
       .agg(count(lit(1)).as("n_distinct"))
   }

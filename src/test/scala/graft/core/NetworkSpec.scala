@@ -42,6 +42,34 @@ class NetworkSpec extends SparkSpec {
     assert(t.get.columns.toSeq == Seq("target_candidate_id", "target_gender"))
   }
 
+  test("featureEngineering override sees its prefixed columns and runs in the network") {
+    val base = CandidateConcept()
+    val doubling = new Concept {
+      val version = base.version
+      val featdef = base.featdef
+      def preprocess(raw: org.apache.spark.sql.Column) = base.preprocess(raw)
+      val testInput = base.testInput
+      override def featureEngineering(
+          df: org.apache.spark.sql.DataFrame, inputCols: Seq[String]) =
+        df.withColumn(inputCols.head, col(inputCols.head) * 2)
+    }
+    val n2 = new Network(Seq("o" -> doubling))
+    val vecs = n2.inferenceVectors(n2.preprocess(Seq("21,m").toDF("value")))
+    val v = vecs.select("o_vec").head().getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(v(0) == 42.0 && v(1) == 0.0)
+  }
+
+  test("selectConcept is exact when one concept name prefixes another") {
+    val n2 = new Network(Seq("a" -> CandidateConcept(), "a_b" -> CandidateConcept()))
+    val enc = n2.preprocess(Seq("7,f").toDF("value"))
+    val a = n2.selectConcept(enc, "a")
+    assert(a.columns.toSeq == Seq("candidate_id", "gender"))
+    val ab = n2.selectConcept(enc, "a_b")
+    assert(ab.columns.toSeq == Seq("candidate_id", "gender"))
+    assert(a.head() == ab.head()) // same raw line; but neither leaked extra cols
+    intercept[IllegalArgumentException](n2.selectConcept(enc, "nope"))
+  }
+
   test("target and checkpointPath are mutually exclusive") {
     intercept[IllegalArgumentException] {
       new Network(Seq("bad" ->

@@ -8,6 +8,24 @@ import graft.{SparkSpec, Tables}
 
 class StatefulSpec extends SparkSpec {
 
+  test("multi-batch state with negative values keeps the latest sum, not the max") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-neg-").toString
+    // three files -> maxFilesPerTrigger=1 forces three micro-batches; the
+    // later batches DECREASE user 1's running sum
+    Seq((1L, 10.0), (2L, 5.0)).toDF("user_id", "value").write.parquet(s"$dir/f1")
+    Seq((1L, -4.0)).toDF("user_id", "value").write.parquet(s"$dir/f2")
+    Seq((1L, -3.0)).toDF("user_id", "value").write.parquet(s"$dir/f3")
+    val schema = spark.read.parquet(s"$dir/f1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/f*")
+    val res = Stateful.runToCompletion(stream, "neg_stats",
+        java.nio.file.Files.createTempDirectory("graft-neg-ckpt-").toString)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(res(1L) == ((3L, 3.0)), s"latest state expected (3, 3.0), got ${res(1L)}")
+    assert(res(2L) == ((1L, 5.0)))
+  }
+
   test("mapGroupsWithState running stats equal the batch aggregate") {
     val stream = StreamingQueries.eventsStream(spark, sf0001)
     val res = Stateful.runToCompletion(
