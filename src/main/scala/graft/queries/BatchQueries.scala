@@ -171,16 +171,22 @@ object BatchQueries {
   // *property* (within 5% of exact) plus an exact count(distinct) column.
   val q08 = Q(
     "q08_approx_distinct",
-    """SELECT 1 AS apx_ok, count(DISTINCT l_suppkey) AS n_supp
+    """SELECT 1 AS apx_ok, 1 AS apx_q_ok, count(DISTINCT l_suppkey) AS n_supp
       |FROM lineitem""".stripMargin) { (s, dir) =>
+    // approx sketches are engine-specific (HLL / KLL impls differ), so the
+    // hash-checked contract is the tolerance property, emitted as a flag
     t(s, dir, "lineitem")
       .agg(
         approx_count_distinct("l_partkey").as("apx"),
         countDistinct(col("l_partkey")).as("exact_pk"),
-        countDistinct(col("l_suppkey")).as("n_supp"))
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("apx_med"),
+        percentile(col("l_quantity"), lit(0.5)).as("exact_med"))
       .select(
         when(abs(col("apx") - col("exact_pk")) <= col("exact_pk") * 0.05, lit(1))
           .otherwise(lit(0)).cast("int").as("apx_ok"),
+        when(abs(col("apx_med") - col("exact_med")) <= greatest(col("exact_med") * 0.05, lit(1.0)),
+          lit(1)).otherwise(lit(0)).cast("int").as("apx_q_ok"),
         col("n_supp"))
   }
 
@@ -372,12 +378,16 @@ object BatchQueries {
   // ---------------------------------------------------------------- Q20
   val q20 = Q(
     "q20_cross_join",
-    """SELECT count(*) AS n_pairs, round(pow(2, 10)) AS p
+    """SELECT count(*) AS n_pairs, round(pow(2, 10)) AS p,
+      |       floor(ln(exp(3.0))) AS lnexp, ceil(sqrt(16.25)) AS rt
       |FROM region CROSS JOIN nation""".stripMargin) { (s, dir) =>
     t(s, dir, "region")
       .crossJoin(t(s, dir, "nation"))
       .agg(count(lit(1)).as("n_pairs"))
-      .select(col("n_pairs"), round(pow(lit(2), lit(10))).as("p"))
+      .select(
+        col("n_pairs"), round(pow(lit(2), lit(10))).as("p"),
+        floor(log(exp(lit(3.0)))).as("lnexp"),
+        ceil(sqrt(lit(16.25))).as("rt"))
   }
 
   // ---------------------------------------------------------------- Q21
