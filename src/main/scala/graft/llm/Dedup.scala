@@ -53,7 +53,7 @@ object Dedup {
   def minhashPairs(
       docs: DataFrame,
       maxJaccardDist: Double = 0.6,
-      numHashTables: Int = 5,
+      numHashTables: Int = 3,
       seed: Long = 42L): DataFrame = {
     val shingled = docs
       .select(col("doc_id"), TextAnalysis.shingles(col("text")).as("sh"))

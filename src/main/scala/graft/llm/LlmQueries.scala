@@ -170,5 +170,16 @@ object LlmQueries {
       .orderBy("q_id", "rk")
   }
 
-  def all: Seq[Q] = Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42)
+  // ---------------------------------------------------------------- q43
+  // Full corpus-prep composite (quality → exact dedup → near-dup → enrich) —
+  // rows-only (seeded MinHash inside); invariants property-tested
+  // (CorpusPrepSpec).
+  val q43 = Q.noOracle("q43_corpus_prep") { (s, dir) =>
+    CorpusPrep.prepare(Tables(s, dir, "documents"))
+      .select("doc_id", "lang", "pred_lang", "n_tokens", "stop_ratio", "fingerprint")
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[Q] =
+    Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43)
 }
