@@ -180,6 +180,23 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q44
+  // Embedding-cosine near-dup pairs (exact, oracle-checked): the filter is
+  // on the ROUNDED similarity in both engines so the threshold cut agrees.
+  val q44 = Q(
+    "q44_cosine_neardup",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |                  list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n
+      |           FROM embeddings),
+      |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |             round(list_dot_product(a.v, b.v) / sqrt(a.n * b.n), 4) AS cos_sim
+      |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, cos_sim FROM p
+      |WHERE cos_sim >= 0.5 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    Similarity.cosineNearDupPairs(Tables(s, dir, "embeddings"), minCosine = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
   def all: Seq[Q] =
-    Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43)
+    Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q44)
 }

@@ -71,6 +71,22 @@ object Similarity {
       .select(col("q_id"), col("rk"), col("vec_id"), col("sim"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: exact brute force over the
+    * pair space (norms precomputed once per side; codegen dot per pair).
+    * The dedup-by-embedding variant of [[Dedup]]'s text family — at corpus
+    * scale, run it per LSH/IVF candidate bucket instead of globally. */
+  def cosineNearDupPairs(embeddings: DataFrame, minCosine: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      dotFast(col("embedding"), col("embedding")).as("n_a"))
+    val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      dotFast(col("embedding"), col("embedding")).as("n_b"))
+    val sim = dotFast(col("emb_a"), col("emb_b")) / sqrt(col("n_a") * col("n_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(sim, 4).as("cos_sim"))
+      .filter(col("cos_sim") >= minCosine)
+  }
+
   /** LSH candidate pairs within `threshold` L2 distance (seeded, hence
     * reproducible; recall vs brute force is property-tested, not
     * oracle-checked). Output: (id_a, id_b, dist) with id_a < id_b. */
