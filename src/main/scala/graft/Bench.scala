@@ -21,13 +21,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // composites re-run operators that are individually timed; keep them in
-    // the correctness contract but out of the headline timing
-    val composites = Set("q43_corpus_prep")
+    // non-headline queries (composites of individually-timed operators) stay
+    // in the correctness contract but out of the default timing set
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.allQueries
       .filter(q => only.forall(_.contains(q.name)))
-      .filterNot(q => only.isEmpty && composites(q.name))
+      .filter(q => only.nonEmpty || q.headline)
 
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {
       // warm codegen/parquet-reader/shuffle paths once, untimed

@@ -25,7 +25,7 @@ object CorpusPrep {
       minChars: Long = 100,
       allowedLangs: Seq[String] = Seq("en", "es", "fr", "de", "zh"),
       nearDupMaxJaccardDist: Double = 0.2,
-      stop: Seq[String] = Seq("the", "a", "and", "of"))
+      stop: Seq[String] = TextAnalysis.DefaultStopwords)
 
   /** Quality gate (B36): scan-side predicates only. */
   def qualityFilter(docs: DataFrame, cfg: Config): DataFrame =
@@ -41,10 +41,15 @@ object CorpusPrep {
   }
 
   /** Near-dup dedup (B32): drop the higher-id member of each seeded
-    * MinHash candidate pair within the distance bound. */
+    * MinHash candidate pair within the distance bound. The loser-id set is
+    * materialized eagerly (it's the small side — near-dup losers) so the
+    * pair DataFrame cached inside minhashPairs can be released immediately
+    * rather than leaking for the session lifetime. */
   def nearDedup(docs: DataFrame, cfg: Config): DataFrame = {
-    val losers = Dedup.minhashPairs(docs, cfg.nearDupMaxJaccardDist)
-      .select(col("id_b").as("doc_id")).distinct()
+    val pairs = Dedup.minhashPairs(docs, cfg.nearDupMaxJaccardDist)
+    val losers = pairs.select(col("id_b").as("doc_id")).distinct().cache()
+    losers.count()
+    pairs.unpersist()
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 

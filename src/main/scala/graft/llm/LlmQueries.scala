@@ -13,7 +13,7 @@ import graft.queries.Q
   */
 object LlmQueries {
 
-  private val stop = Seq("the", "a", "and", "of")
+  private val stop = TextAnalysis.DefaultStopwords
 
   // ---------------------------------------------------------------- q26
   val q26 = Q(
@@ -174,7 +174,7 @@ object LlmQueries {
   // Full corpus-prep composite (quality → exact dedup → near-dup → enrich) —
   // rows-only (seeded MinHash inside); invariants property-tested
   // (CorpusPrepSpec).
-  val q43 = Q.noOracle("q43_corpus_prep") { (s, dir) =>
+  val q43 = Q.composite("q43_corpus_prep") { (s, dir) =>
     CorpusPrep.prepare(Tables(s, dir, "documents"))
       .select("doc_id", "lang", "pred_lang", "n_tokens", "stop_ratio", "fingerprint")
       .orderBy("doc_id")
@@ -183,6 +183,10 @@ object LlmQueries {
   // ---------------------------------------------------------------- q44
   // Embedding-cosine near-dup pairs (exact, oracle-checked): the filter is
   // on the ROUNDED similarity in both engines so the threshold cut agrees.
+  // Threshold 0.3 so the check is non-vacuous at every SF (at 0.5 the
+  // sf0.001 fixture has zero qualifying pairs — empty-vs-empty proves
+  // nothing; 0.3 ≈ 2.4σ of random 64-d cosine keeps the result set small
+  // but populated).
   val q44 = Q(
     "q44_cosine_neardup",
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -192,8 +196,8 @@ object LlmQueries {
       |             round(list_dot_product(a.v, b.v) / sqrt(a.n * b.n), 4) AS cos_sim
       |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
       |SELECT id_a, id_b, cos_sim FROM p
-      |WHERE cos_sim >= 0.5 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-    Similarity.cosineNearDupPairs(Tables(s, dir, "embeddings"), minCosine = 0.5)
+      |WHERE cos_sim >= 0.3 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    Similarity.cosineNearDupPairs(Tables(s, dir, "embeddings"), minCosine = 0.3)
       .orderBy("id_a", "id_b")
   }
 

@@ -12,6 +12,11 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Shared default stopword list — single source for q28's oracle SQL, the
+    * corpus-prep enrichment, and quality scoring (keep in sync by reference,
+    * not by copy). */
+  val DefaultStopwords: Seq[String] = Seq("the", "a", "and", "of")
+
   /** Whitespace tokenization (the BPE-ish baseline regex split). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 

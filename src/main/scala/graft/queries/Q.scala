@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String]) {
+    oracle: Option[String],
+    headline: Boolean = true) {
   def run(spark: SparkSession, sfDir: String): DataFrame = fn(spark, sfDir)
 }
 
@@ -21,4 +22,9 @@ object Q {
 
   def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, None)
+
+  /** Composite of individually-timed operators: registered for correctness,
+    * excluded from the default bench headline set. */
+  def composite(name: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, None, headline = false)
 }

@@ -20,6 +20,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("cosine near-dup pairs: each-direction-once, threshold exact, values match topk scoring") {
+    val pairs = Similarity.cosineNearDupPairs(emb, minCosine = 0.2).collect()
+    assert(pairs.nonEmpty)
+    // strictly ordered ids — no symmetric duplicates, no self-pairs
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(_.getDouble(2) >= 0.2))
+    // cross-check one pair's similarity against the independent HOF scoring
+    val r = pairs.head
+    def vec(id: Long): Seq[Double] =
+      emb.filter(col("vec_id") === id).head().getSeq[Float](1).map(_.toDouble)
+    val a = vec(r.getLong(0))
+    val b = vec(r.getLong(1))
+    val cos = a.zip(b).map { case (x, y) => x * y }.sum /
+      math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    assert(math.abs(BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble -
+      r.getDouble(2)) <= 1e-9)
+  }
+
   test("ANN LSH recalls >= 90% of exact L2 pairs within threshold") {
     val threshold = 1.3
     val exact = Similarity.exactL2Pairs(emb, threshold).select("id_a", "id_b")
