@@ -29,8 +29,12 @@ object Bench {
       .filter(q => only.nonEmpty || q.headline)
 
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {
-      // warm codegen/parquet-reader/shuffle paths once, untimed
-      val warm = Set("q01_filter_project", "q03_revenue_by_nation", "q23_tumbling_window")
+      // warm codegen/parquet-reader/shuffle paths AND the MLlib model-fit/
+      // LSH machinery once, untimed (the LSH family shows ±40% first-run
+      // JIT jitter otherwise)
+      val warm = Set(
+        "q01_filter_project", "q03_revenue_by_nation", "q23_tumbling_window",
+        "q35_ann_lsh")
       SparkEntry.allQueries.filter(q => warm(q.name))
         .foreach(q => try q.fn(spark, sfDir).count() catch { case _: Throwable => () })
     }
