@@ -129,5 +129,49 @@ object ExtendedQueries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
-  val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q41)
+  // ---------------------------------------------------------------- q45
+  // String-function corner not covered by Q14: substring, concat_ws, trim,
+  // LIKE, translate.
+  val q45 = Q(
+    "q45_string_fns2",
+    """SELECT p_partkey,
+      |       substr(p_name, 1, 5) AS name5,
+      |       concat_ws('|', p_brand, p_type) AS brand_type,
+      |       trim(p_name) AS name_t,
+      |       p_type LIKE '%BRASS%' AS is_brass,
+      |       translate(p_brand, '#', '-') AS brand_dash
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        substring(col("p_name"), 1, 5).as("name5"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        trim(col("p_name")).as("name_t"),
+        col("p_type").like("%BRASS%").as("is_brass"),
+        translate(col("p_brand"), "#", "-").as("brand_dash"))
+      .orderBy("p_partkey")
+  }
+
+  // ---------------------------------------------------------------- q46
+  // Date arithmetic not covered by Q15: datediff from an epoch anchor,
+  // date_add, to_date, unix seconds.
+  val q46 = Q(
+    "q46_date_arith",
+    """SELECT o_orderkey,
+      |       date_diff('day', DATE '2000-01-01', o_orderdate) AS days_since,
+      |       CAST(o_orderdate AS DATE) + 30 AS plus30,
+      |       CAST(o_orderdate AS DATE) AS od,
+      |       CAST(epoch(o_orderdate) AS BIGINT) AS unix_s
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("2000-01-01")).cast("long").as("days_since"),
+        date_add(col("o_orderdate"), 30).as("plus30"),
+        to_date(col("o_orderdate")).as("od"),
+        unix_timestamp(col("o_orderdate")).as("unix_s"))
+      .orderBy("o_orderkey")
+  }
+
+  val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q41, q45, q46)
 }
