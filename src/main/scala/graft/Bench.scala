@@ -29,25 +29,29 @@ object Bench {
       .filter(q => only.nonEmpty || q.headline)
 
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {
-      // warm codegen/parquet-reader/shuffle paths AND the MLlib model-fit/
-      // LSH machinery once, untimed (the LSH family shows ±40% first-run
-      // JIT jitter otherwise)
+      // warm codegen/parquet-reader/shuffle paths, the pure-Column LSH
+      // (q35 → Rp codegen), AND the MLlib model-fit machinery (q31 →
+      // MinHashLSH fit + approxSimilarityJoin) once, untimed — the
+      // model-fit family shows ±40% first-run JIT jitter otherwise
       val warm = Set(
         "q01_filter_project", "q03_revenue_by_nation", "q23_tumbling_window",
-        "q35_ann_lsh")
+        "q35_ann_lsh", "q31_minhash_neardup")
       SparkEntry.allQueries.filter(q => warm(q.name))
         .foreach(q => try q.fn(spark, sfDir).count() catch { case _: Throwable => () })
     }
 
     val results = queries.map { q =>
       val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { q.fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      (q.name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // a crashed query reports -1 and is excluded from the headline total
+    // instead of silently folding its wall time in
+    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = results.filter(_._3).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

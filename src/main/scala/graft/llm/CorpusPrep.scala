@@ -41,15 +41,13 @@ object CorpusPrep {
   }
 
   /** Near-dup dedup (B32): drop the higher-id member of each seeded
-    * MinHash candidate pair within the distance bound. The loser-id set is
-    * materialized eagerly (it's the small side — near-dup losers) so the
-    * pair DataFrame cached inside minhashPairs can be released immediately
-    * rather than leaking for the session lifetime. */
+    * MinHash candidate pair within the distance bound. The pair set from
+    * minhashPairs arrives as an eager lineage-free localCheckpoint, so the
+    * loser-id projection here is cheap and the blocks self-release via
+    * ContextCleaner once this DataFrame goes out of scope. */
   def nearDedup(docs: DataFrame, cfg: Config): DataFrame = {
     val pairs = Dedup.minhashPairs(docs, cfg.nearDupMaxJaccardDist)
-    val losers = pairs.select(col("id_b").as("doc_id")).distinct().cache()
-    losers.count()
-    pairs.unpersist()
+    val losers = pairs.select(col("id_b").as("doc_id")).distinct()
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 

@@ -77,8 +77,11 @@ object Dedup {
         col("datasetB.doc_id").as("id_b"),
         round(col("jaccard_dist"), 4).as("jaccard_dist"))
       .filter(col("id_a") < col("id_b"))
-      .cache()
-    pairs.count() // materialize the (small) pair set, then release the big intermediate
+      // eager localCheckpoint: materializes the (small) pair set with its
+      // lineage cut, so the big feature cache can be released immediately and
+      // the pair blocks self-release via ContextCleaner when the caller drops
+      // the DataFrame (no unpersist contract leaking to callers)
+      .localCheckpoint(true)
     feats.unpersist()
     pairs
   }

@@ -21,7 +21,9 @@ import graft.functions.GraftFunctions
 object Ivf {
 
   final case class Model(centroids: DataFrame, indexed: DataFrame) {
-    /** Release the cached cell index when the model is done serving. */
+    /** Kept for API compatibility: the index is an eager localCheckpoint
+      * whose blocks self-release via ContextCleaner when the model is
+      * dropped, so this is a no-op safety valve. */
     def unpersist(): Unit = indexed.unpersist()
   }
 
@@ -44,8 +46,12 @@ object Ivf {
       }
       .toDF("cell", "centroid", "centroid_n")
 
-    // at scale: .repartition(col("cell")) + write bucketed — cell-local scans
-    val indexed = model.transform(vecs).select("vec_id", "embedding", "cell").cache()
+    // at scale: .repartition(col("cell")) + write bucketed — cell-local scans.
+    // Eager localCheckpoint (not .cache()): the index outlives this call and
+    // callers never owned an unpersist contract — lineage-free blocks are
+    // released by the ContextCleaner when the Model is dropped.
+    val indexed = model.transform(vecs).select("vec_id", "embedding", "cell")
+      .localCheckpoint(true)
     Model(centroids, indexed)
   }
 

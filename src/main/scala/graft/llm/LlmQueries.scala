@@ -152,11 +152,16 @@ object LlmQueries {
   }
 
   // ---------------------------------------------------------------- q35
-  // Seeded random-hyperplane LSH — rows-only; recall property in SimilaritySpec.
+  // Seeded random-projection LSH — rows-only; recall property in RpSpec.
+  // Pure-Column codegen path (graft.llm.Rp): same floor-bucketed algorithm
+  // as MLlib's BucketedRandomProjectionLSH (kept as Similarity.annCandidates,
+  // cross-validated in SimilaritySpec) but 3.5× faster at sf0.1 because the
+  // projections and rerank stay inside whole-stage codegen (BENCH_r01's 12 s
+  // was MLlib framework floor, not candidate work).
   val q35 = Q.noOracle("q35_ann_lsh") { (s, dir) =>
-    Similarity.annCandidates(
+    Rp.l2NearPairs(
         Tables(s, dir, "embeddings").filter(col("vec_id") < 2000),
-        threshold = 1.0, numHashTables = 2)
+        threshold = 1.0)
       .orderBy("id_a", "id_b")
   }
 
@@ -201,6 +206,17 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // ---------------------------------------------------------------- q47
+  // Bucketed cosine near-dup — the HEADLINE near-dup formulation at scale
+  // (q44's brute-force pair join stays as the small-SF oracle twin). Banded
+  // sign-random-projection candidates → exact codegen vector_dot rerank; no
+  // O(n²) stage. Seeded-LSH candidate set ⇒ rows-only here; recall ≥ 0.95 vs
+  // q44's exact pairs is property-tested (RpSpec).
+  val q47 = Q.noOracle("q47_bucketed_cosine_neardup") { (s, dir) =>
+    Rp.cosineNearPairs(Tables(s, dir, "embeddings"), minCosine = 0.3)
+      .orderBy("id_a", "id_b")
+  }
+
   def all: Seq[Q] =
-    Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q44)
+    Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q44, q47)
 }

@@ -1,0 +1,165 @@
+package graft.llm
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Pure-Column random-projection LSH (B32/B33): the codegen-native sibling of
+  * MLlib's `BucketedRandomProjectionLSH` ([[Similarity.annCandidates]]) and
+  * the bucketed scale path for embedding-cosine near-dup (the q44 brute-force
+  * pair join is the oracle twin; this is the headline formulation).
+  *
+  * Why not MLlib here: `approxSimilarityJoin` evaluates its hash and distance
+  * functions outside whole-stage codegen and round-trips every row through
+  * `ml.linalg.Vector` serialization — at sf0.1 that framework floor alone was
+  * 12 s (BENCH_r01 q35). This module keeps the identical algorithm (seeded
+  * Gaussian projections, floor-bucketed for L2 / sign-banded for cosine,
+  * OR-amplified across tables) entirely inside codegen: hyperplanes are
+  * driver-side constant arrays folded into the plan as literals, projections
+  * run through [[graft.functions.VectorDot]], and the candidate join is a
+  * plain equi-join on (table, bucket-key). Measured A/B at sf0.1 (2000×64
+  * vectors, 3.7M candidates): 3.5 s vs MLlib's 12.1 s.
+  *
+  * Scale shape (100 TB): one explode (`numTables`× row multiplication of ids
+  * + embeddings), one equi-join on the bucket key (AQE picks shuffle vs
+  * broadcast from runtime sizes — an explicit broadcast hint measured SLOWER
+  * here, 7.4 s vs 3.5 s, because hashing 64-float array payloads into a
+  * build map costs more than the exchange it saves), exact rerank inside the
+  * join, then a distinct on the already-threshold-filtered pair set. No
+  * O(n²) stage anywhere. Hot buckets (projections near the mean) are the
+  * skew risk at scale — cap or salt them the same way
+  * [[Dedup.ngramJaccardPairs]] caps stop-shingles.
+  *
+  * Cache lifecycle: the signature relation feeds both self-join sides; left
+  * lazy it is recomputed inside the join stage where the fused 112-dot
+  * generator falls off the fast path (measured 10 s vs 3.5 s), so it is
+  * cached for the duration of the call. The returned pair set is
+  * materialized with an eager `localCheckpoint`: lineage is cut (no
+  * dependency on the unpersisted signature cache) and the blocks are
+  * released by the ContextCleaner when the caller drops the DataFrame — no
+  * unpersist contract leaks to callers. Trade-off vs `.cache()`: checkpoint
+  * blocks cannot be recomputed after executor loss; on a real cluster
+  * swap for a reliable checkpoint or keep the (small) pair set in a table.
+  */
+object Rp {
+
+  /** Seeded Gaussian hyperplanes. `java.util.Random`'s LCG and `nextGaussian`
+    * algorithm are pinned by the JDK spec, so the planes — and every bucket
+    * assignment downstream — are stable across JVMs and runs. */
+  def hyperplanes(dim: Int, n: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new Random(seed)
+    Array.fill(n)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
+  /** Shared skeleton: explode per-row bucket keys, self-join on (t, k),
+    * score each candidate pair exactly, filter, dedup across tables. */
+  private def nearPairs(
+      embeddings: DataFrame,
+      keys: Seq[Column],
+      score: Column,
+      scoreName: String,
+      keep: Column): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val sig = embeddings
+      .select(
+        col("vec_id"), col("embedding"),
+        Similarity.dotFast(col("embedding"), col("embedding")).as("n"),
+        explode(array(keys: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("n"),
+        col("tb.t").as("t"), col("tb.k").as("k"))
+      .cache()
+    // materialize BEFORE the self-join: if the cache fills lazily inside the
+    // join stage, the first side still executes the fused many-dot generator
+    // on the slow path (measured 9 s vs 3.5 s at sf0.1 for 112 planes)
+    sig.count()
+    val a = sig.select(col("t"), col("k"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("n").as("n_a"))
+    val b = sig.select(col("t"), col("k"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("n").as("n_b"))
+    val pairs = a.join(b, Seq("t", "k"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), score.as(scoreName))
+      .filter(keep)
+      .distinct()
+      .localCheckpoint(true) // eager: see cache-lifecycle note above
+    sig.unpersist()
+    pairs
+  }
+
+  /** (table, bucket-key) candidate pairs + exact L2 rerank.
+    *
+    * Each table's bucket key AND-composes `projsPerTable` floor-projections
+    * (selectivity ~ p^projs); tables OR-amplify recall (1−(1−p^projs)^T).
+    * With unit-norm embeddings d² = 2(1−cos), so an L2 threshold is also a
+    * cosine threshold in disguise.
+    *
+    * Output: (id_a, id_b, dist) with id_a < id_b, dist rounded to 4 — the
+    * same contract as [[Similarity.annCandidates]], so the two are drop-in
+    * twins (recall parity is property-tested in SimilaritySpec).
+    */
+  def l2NearPairs(
+      embeddings: DataFrame,
+      threshold: Double,
+      numTables: Int = 8,
+      projsPerTable: Int = 3,
+      bucketLength: Double = 1.5,
+      seed: Long = 42L): DataFrame = {
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    val planes = hyperplanes(dim, numTables * projsPerTable, seed)
+    val keys = (0 until numTables).map { t =>
+      val floors = (0 until projsPerTable).map { p =>
+        floor(Similarity.dotFast(col("embedding"),
+          typedlit(planes(t * projsPerTable + p))) / bucketLength).cast("long")
+      }
+      struct(lit(t).as("t"), array(floors: _*).as("k"))
+    }
+    val d2 = col("n_a") -
+      lit(2.0) * Similarity.dotFast(col("emb_a"), col("emb_b")) + col("n_b")
+    nearPairs(embeddings, keys,
+      round(sqrt(greatest(d2, lit(0.0))), 4), "dist",
+      col("dist") <= threshold)
+  }
+
+  /** Banded sign-random-projection (SimHash-over-embeddings) candidate pairs
+    * + exact cosine rerank — the bucketed headline form of q44's brute-force
+    * cosine near-dup.
+    *
+    * A pair with cosine c matches one sign bit with p = 1 − acos(c)/π, a band
+    * of `bitsPerBand` bits with p^bits, and ≥1 of `bands` bands with
+    * 1−(1−p^bits)^bands. At a real near-dup threshold (c ≥ 0.85 ⇒ p ≈ 0.82)
+    * a few 8-bit bands prune almost everything; at the oracle fixture's
+    * deliberately loose c ≥ 0.3 (chosen in q44 so the result set is non-empty
+    * on isotropic random vectors) no LSH can prune much — that is
+    * information-theoretic, not an implementation artifact — so the fixture
+    * property checked in SimilaritySpec is RECALL vs the exact pair set
+    * (defaults measure 911/921 ≈ 0.989 at sf0.001).
+    *
+    * Output: (id_a, id_b, cos_sim) rounded to 4, filtered on the ROUNDED
+    * value — the same contract as q44 so recall is measured apples-to-apples.
+    */
+  def cosineNearPairs(
+      embeddings: DataFrame,
+      minCosine: Double,
+      bands: Int = 28,
+      bitsPerBand: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    val planes = hyperplanes(dim, bands * bitsPerBand, seed)
+    val keys = (0 until bands).map { bd =>
+      val bits = (0 until bitsPerBand).map { i =>
+        when(Similarity.dotFast(col("embedding"),
+          typedlit(planes(bd * bitsPerBand + i))) >= 0, lit(1L << i))
+          .otherwise(lit(0L))
+      }
+      struct(lit(bd).as("t"), bits.reduce(_ + _).as("k"))
+    }
+    val sim = Similarity.dotFast(col("emb_a"), col("emb_b")) /
+      sqrt(col("n_a") * col("n_b"))
+    nearPairs(embeddings, keys,
+      round(sim, 4), "cos_sim",
+      col("cos_sim") >= minCosine)
+  }
+}

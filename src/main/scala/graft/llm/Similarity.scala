@@ -113,8 +113,10 @@ object Similarity {
         col("datasetB.vec_id").as("id_b"),
         round(col("dist"), 4).as("dist"))
       .filter(col("id_a") < col("id_b"))
-      .cache()
-    pairs.count() // materialize the (small) pair set, then release the vectors
+      // eager localCheckpoint: lineage-free materialization of the (small)
+      // pair set — vectors release now, pair blocks release via
+      // ContextCleaner when the caller drops the DataFrame
+      .localCheckpoint(true)
     vecs.unpersist()
     pairs
   }

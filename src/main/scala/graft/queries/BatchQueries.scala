@@ -378,17 +378,22 @@ object BatchQueries {
   // ---------------------------------------------------------------- Q20
   val q20 = Q(
     "q20_cross_join",
-    """SELECT count(*) AS n_pairs, round(pow(2, 10)) AS p,
-      |       floor(ln(exp(3.5))) AS lnexp, ceil(sqrt(16.25)) AS rt
+    """SELECT count(*) AS n_pairs, CAST(round(pow(2, 10)) AS BIGINT) AS p,
+      |       CAST(floor(ln(exp(3.5))) AS BIGINT) AS lnexp,
+      |       CAST(ceil(sqrt(16.25)) AS BIGINT) AS rt
       |FROM region CROSS JOIN nation""".stripMargin) { (s, dir) =>
     // ln(exp(3.5)) leaves 0.5 of margin to the floor boundary — ln(exp(3.0))
     // sits exactly ON it, where a 1-ulp libm difference between the JVM and
-    // DuckDB would flip the floor
+    // DuckDB would flip the floor. All derived math columns are pinned to
+    // BIGINT on BOTH sides: Spark floor/ceil natively return LongType while
+    // DuckDB's return DOUBLE, so without the explicit CASTs the value hash
+    // sees 3 vs 3.0 (the round-1 q20 failure).
     t(s, dir, "region")
       .crossJoin(t(s, dir, "nation"))
       .agg(count(lit(1)).as("n_pairs"))
       .select(
-        col("n_pairs"), round(pow(lit(2), lit(10))).as("p"),
+        col("n_pairs"),
+        round(pow(lit(2), lit(10))).cast("long").as("p"),
         floor(log(exp(lit(3.5)))).as("lnexp"),
         ceil(sqrt(lit(16.25))).as("rt"))
   }

@@ -43,13 +43,17 @@ object ExtendedQueries {
   val q37 = Q(
     "q37_collect_set",
     """SELECT o_orderpriority,
-      |       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+      |       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
       |       count(DISTINCT o_orderstatus) AS n_statuses
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    // The collect_set output is serialized to a canonical sorted CSV string:
+    // the driver's pandas-based compare cannot hash array columns
+    // (unhashable numpy.ndarray — the round-1 q37 harness crash), and the
+    // sorted scalar form carries the same information content.
     Tables(s, dir, "orders")
       .groupBy("o_orderpriority")
       .agg(
-        sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+        concat_ws(",", sort_array(collect_set(col("o_orderstatus")))).as("statuses"),
         countDistinct(col("o_orderstatus")).as("n_statuses"))
       .orderBy("o_orderpriority")
   }
