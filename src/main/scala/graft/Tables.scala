@@ -20,7 +20,14 @@ object Tables {
     if (name == "events") {
       // events.ts is ns-precision parquet; Spark has no ns timestamp, so read
       // the raw int64 and truncate to µs (matching DuckDB's ns→µs truncation).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The nanos flag is a session-build concern (GraftSession) — asserting
+      // here instead of setting it keeps a table read free of session-global
+      // side effects a concurrent reader would silently inherit.
+      require(
+        spark.conf.getOption(GraftSession.NanosFlag).contains("true"),
+        s"events.parquet carries ns-precision timestamps: build the session " +
+          s"via GraftSession.builder (or set ${GraftSession.NanosFlag}=true " +
+          "on your own builder) before reading it")
       normalizeEvents(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }

@@ -65,6 +65,16 @@ trait Concept {
     * (concept.py:13-15); enforced at Network construction. */
   def checkpointPath: Option[String] = None
 
+  /** A23 restore side: load this concept's fitted inference transformer
+    * from `checkpointPath`. [[Network.inferenceVectors]] calls this INSTEAD
+    * of [[inference]] when the path is set (the reference's
+    * warm-start-from-checkpoint semantics: weights load, the graph ahead of
+    * them — [[featureEngineering]] — still runs). The artifact contract: a
+    * saved `PipelineModel` that appends this concept's `<name>_vec` column;
+    * produce one with [[graft.pipeline.Train.saveConceptCheckpoint]]. */
+  def restoreInference(path: String): org.apache.spark.ml.Transformer =
+    org.apache.spark.ml.PipelineModel.load(path)
+
   /** Short repr used in run fingerprints (concept.py:22-25). */
   final def shortRepr: String = s"${getClass.getSimpleName.stripSuffix("$")}$version"
 

@@ -95,7 +95,21 @@ final class Network(
     val active = concepts.filter { case (_, c) => includeTargets || !c.target }
     active.foldLeft(df) { case (acc, (cname, c)) =>
       val inputCols = c.featdef.fieldNames.map(f => s"${cname}_$f").toSeq
-      c.inference(c.featureEngineering(acc, inputCols), inputCols, s"${cname}_vec")
+      val engineered = c.featureEngineering(acc, inputCols)
+      c.checkpointPath match {
+        // A23: a checkpointed concept restores its fitted transformer
+        // instead of re-deriving (or re-fitting) its inference — the
+        // feature-engineering stage ahead of the weights still runs, as a
+        // TF checkpoint restore replays the graph with loaded variables
+        case Some(p) =>
+          val restored = c.restoreInference(p).transform(engineered)
+          require(restored.columns.contains(s"${cname}_vec"),
+            s"checkpoint at $p did not produce ${cname}_vec — the saved " +
+              "pipeline must append the concept's vector column")
+          restored
+        case None =>
+          c.inference(engineered, inputCols, s"${cname}_vec")
+      }
     }
   }
 

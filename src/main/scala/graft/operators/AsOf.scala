@@ -50,8 +50,15 @@ object AsOf {
       struct((payload :+ rightTs).distinct.map(col): _*).as("__right"))
 
     val tagOrder = if (strict) col("__tag").desc else col("__tag").asc
+    // Deterministic tie rule: when several right rows share (key, ts), the
+    // GREATEST payload struct wins (struct comparison is field-order
+    // lexicographic). Without this third ordering column, `last(...,
+    // ignoreNulls)` picks whichever tied right row the sort happened to
+    // place last — nondeterministic across runs/partitionings. Left rows
+    // all carry null __right, so asc_nulls_first keeps them inert and
+    // cannot disturb the tag-encoded boundary semantics.
     val w = Window.partitionBy("__k")
-      .orderBy(col("__ts").asc, tagOrder)
+      .orderBy(col("__ts").asc, tagOrder, col("__right").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = l.unionByName(r)

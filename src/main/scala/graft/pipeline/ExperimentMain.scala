@@ -16,12 +16,7 @@ object ExperimentMain {
       "usage: ExperimentMain <rawInputPath> <workDir> [--notest] [--notrain]")
     val Array(input, workDir) = positional
 
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val res = Experiment.run(spark, MinimalNetwork(), input, workDir,

@@ -62,9 +62,31 @@ object SelfTest {
     }
   }
 
+  /** A7 roundtrip: multi-record raw lines through the FlatMap-parse stage.
+    * Each input line packs two copies of the test record behind a delimiter;
+    * the parse stage must fan them out to 2× encoded rows, and an empty
+    * line must contribute zero (the 0..n contract). */
+  def testParseStage(spark: SparkSession, net: Network): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sep = "\u0001"
+    val one = net.concepts.head._2.testInput
+    require(!one.contains(sep), "test input collides with the parse delimiter")
+    val raw = (Seq.fill(NumExamples / 2)(s"$one$sep$one") :+ "").toDF("value")
+    val dir = Files.createTempDirectory("graft-selftest-parse-").toString
+    val parse = (df: org.apache.spark.sql.DataFrame) =>
+      Preprocess.flatMapParse(df,
+        c => filter(split(c, sep), r => length(r) > 0))
+    val out = Preprocess.run(net, raw, dir, parse = parse)
+    val back = Preprocess.readEncoded(spark, net, out)
+    assert(back.count() == NumExamples,
+      s"FlatMap parse fan-out wrong for ${net.repr}: expected $NumExamples")
+  }
+
   /** Gate stage (runner.py:41-47): all registered concepts + the network. */
   def runAll(spark: SparkSession, net: Network): Unit = {
     registry.foreach(testConcept(spark, _))
     testNetwork(spark, net)
+    testParseStage(spark, net)
   }
 }

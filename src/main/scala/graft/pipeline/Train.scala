@@ -53,4 +53,15 @@ object Train {
   def save(model: PipelineModel, path: String): Unit =
     model.write.overwrite().save(path)
   def load(path: String): PipelineModel = PipelineModel.load(path)
+
+  /** A23 save side for PER-CONCEPT checkpoints (concept.py:13-15): persist a
+    * fitted inference chain as the PipelineModel artifact that
+    * [[graft.core.Concept.restoreInference]] loads. Fitting a Pipeline of
+    * already-fitted transformers is a no-op wrap — `df` only anchors the
+    * schema. The stages must append the concept's `<name>_vec` column. */
+  def saveConceptCheckpoint(
+      df: DataFrame, path: String,
+      stages: org.apache.spark.ml.PipelineStage*): Unit =
+    new org.apache.spark.ml.Pipeline().setStages(stages.toArray)
+      .fit(df).write.overwrite().save(path)
 }

@@ -177,5 +177,32 @@ object ExtendedQueries {
       .orderBy("o_orderkey")
   }
 
-  val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q41, q45, q46)
+  // ---------------------------------------------------------------- q48
+  // A7 FlatMap-parse through the real Preprocess hook: one raw line yields
+  // 0..n records (delimiter-split, empties dropped), then a per-source
+  // aggregate. The fixture text has no sentence punctuation, so ' the ' is
+  // the stand-in record delimiter — what matters is the 0..n explode
+  // semantics, not the delimiter's linguistics.
+  val q48 = Q(
+    "q48_flatmap_parse",
+    """WITH recs AS (
+      |  SELECT doc_id, trim(r) AS rec
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' the ')) AS r FROM documents)
+      |  WHERE trim(r) <> '')
+      |SELECT doc_id, count(*) AS n_records,
+      |       CAST(sum(strlen(rec)) AS BIGINT) AS rec_chars
+      |FROM recs GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text").as("value"))
+    graft.pipeline.Preprocess
+      .flatMapParse(docs, c => split(c, " the "))
+      .select(col("doc_id"), trim(col("value")).as("rec"))
+      .filter(col("rec") =!= "")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_records"),
+        sum(length(col("rec"))).cast("long").as("rec_chars"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q41, q45, q46, q48)
 }

@@ -97,7 +97,10 @@ object StreamingQueries {
     * file is staged into a temp dir (hardlink when possible — zero copy). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      spark.conf.getOption(graft.GraftSession.NanosFlag).contains("true"),
+      s"events.parquet carries ns-precision timestamps: build the session " +
+        s"via GraftSession.builder (see graft.Tables)")
     val src = Paths.get(s"$dir/events.parquet")
     val streamDir = Files.createTempDirectory("graft-events-stream-")
     val dst = streamDir.resolve("events.parquet")

@@ -42,6 +42,24 @@ class OperatorsSpec extends SparkSpec {
     assert(strictRes("t2") == 101.0)
   }
 
+  test("asof join: tied right timestamps resolve deterministically to the greatest payload") {
+    val dupQuotes = Seq(
+      (1L, ts("2024-01-01 10:00:02"), 101.0),
+      (1L, ts("2024-01-01 10:00:02"), 99.0),
+      (1L, ts("2024-01-01 10:00:02"), 103.0)
+    ).toDF("key", "qts", "price")
+    val oneTrade = Seq((1L, ts("2024-01-01 10:00:03"), "t")).toDF("key", "tts", "trade")
+    // repeated runs under different partitionings must agree: the window's
+    // tertiary ordering makes the greatest payload struct the carried row
+    (1 to 3).foreach { n =>
+      val got = AsOf.join(
+        oneTrade.repartition(n), dupQuotes.repartition(4 - n),
+        "key", "tts", "qts", Seq("price"))
+        .select("asof_price").head().getDouble(0)
+      assert(got == 103.0, s"partitioning variant $n carried $got")
+    }
+  }
+
   test("asof join matches a per-row subquery oracle on fixture data") {
     val events = Tables(spark, sf0001, "events").limit(200).cache()
     val res = AsOf.join(
