@@ -88,12 +88,29 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
     * Shuffle profile at scale: explode to (shingle, id), one shuffle on
-    * shingle (skew-prone on stop-shingles — cap or salt in production), then
-    * an aggregation keyed on the pair. */
-  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val sh = docs
+    * shingle, then an aggregation keyed on the pair.
+    *
+    * `maxDocFreq` is the stop-shingle cap: a shingle appearing in more than
+    * that many documents is excluded from the self-join (the standard
+    * defense against the skew bomb — one shingle in 1% of a 100 TB corpus
+    * would otherwise put a quadratic candidate partition on one key). The
+    * true set sizes (denominators) are computed BEFORE the cap, so surviving
+    * pairs score true Jaccard minus at most the capped shingles'
+    * intersection contribution — a conservative undercount. Fixture max
+    * doc-frequency is 11 across SFs, so the default leaves oracle results
+    * bit-identical. */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      minJaccard: Double,
+      maxDocFreq: Int = 100): DataFrame = {
+    val shAll = docs
       .select(col("doc_id"), explode(TextAnalysis.shingles(col("text"))).as("shingle"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val hot = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("shingle")
+    // the hot set is tiny by construction (few shingles can exceed the cap)
+    val sh = shAll.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val sizes = shAll.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

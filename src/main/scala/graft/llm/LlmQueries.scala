@@ -185,6 +185,26 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q43a
+  // The deterministic PREFIX of the q43 composite (quality gate + exact
+  // dedup survivors) hash-checked against the oracle — the seeded MinHash
+  // suffix stays property-tested. Together they pin the composite: the
+  // prefix is value-exact, the suffix is invariant-exact.
+  val q43a = Q(
+    "q43a_corpus_prep_prefix",
+    """WITH q AS (SELECT doc_id, lang, n_chars, text FROM documents
+      |           WHERE n_chars >= 100
+      |             AND lang IN ('en','es','fr','de','zh')
+      |             AND len(string_split_regex(trim(text), '\s+')) > 0),
+      |k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY sha256(text))
+      |SELECT q.doc_id, lang, n_chars FROM q JOIN k USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    CorpusPrep.exactDedup(
+        CorpusPrep.qualityFilter(Tables(s, dir, "documents"), CorpusPrep.Config()))
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- q44
   // Embedding-cosine near-dup pairs (exact, oracle-checked): the filter is
   // on the ROUNDED similarity in both engines so the threshold cut agrees.
@@ -218,5 +238,5 @@ object LlmQueries {
   }
 
   def all: Seq[Q] =
-    Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q44, q47)
+    Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44, q47)
 }

@@ -204,5 +204,35 @@ object ExtendedQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q41, q45, q46, q48)
+  // ---------------------------------------------------------------- q49
+  // B2/B3 oracle coverage: write a fixture slice to CSV with a declared
+  // schema, read it back, aggregate — DuckDB reads THE SAME files, so the
+  // row codec (header, date and float formatting, null-free roundtrip) is
+  // what's under test, not just the aggregate. The staging path is fixed
+  // and overwritten per run (single-writer driver harness).
+  private val csvDir = "/tmp/graft_csv_roundtrip"
+  val q49 = Q(
+    "q49_csv_roundtrip",
+    s"""SELECT count(*) AS n,
+       |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
+       |       min(o_orderdate) AS min_d, max(o_orderdate) AS max_d
+       |FROM read_csv('$csvDir/*.csv', header=true,
+       |  columns={'o_orderkey':'BIGINT','o_orderdate':'DATE','o_totalprice':'DOUBLE'})""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "orders")
+      .filter(col("o_orderkey") % 50 === 0)
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+      .coalesce(1)
+      .write.mode("overwrite").option("header", true).csv(csvDir)
+    s.read
+      .schema("o_orderkey BIGINT, o_orderdate DATE, o_totalprice DOUBLE")
+      .option("header", true).csv(csvDir)
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_price"),
+        min(col("o_orderdate")).as("min_d"),
+        max(col("o_orderdate")).as("max_d"))
+  }
+
+  val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q41, q45, q46, q48, q49)
 }

@@ -83,7 +83,39 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_distinct"))
   }
 
-  val all: Seq[Q] = Seq(q23, q24, q25)
+  // ---------------------------------------------------------------- Q50
+  // Session windows (B41) as a batch query against a gaps-and-islands
+  // oracle: a new session starts when the gap since the previous event
+  // reaches the inactivity timeout (session_window's [start, end) contract:
+  // an event exactly `gap` later is a NEW session, hence >=); end = last
+  // event + gap. This closes the one streaming operator that was spec-only
+  // in round 1.
+  val q50 = Q(
+    "q50_session_window",
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |m AS (SELECT user_id, ts,
+      |             CASE WHEN lag(ts) OVER w IS NULL
+      |                  OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
+      |                  THEN 1 ELSE 0 END AS new_s
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT user_id, ts,
+      |             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                              ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM m)
+      |SELECT min(ts) AS session_start,
+      |       max(ts) + INTERVAL '30 minutes' AS session_end,
+      |       user_id, count(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+    sessionWindows(Tables(s, dir, "events"), "30 minutes")
+      .select(
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("user_id"), col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  val all: Seq[Q] = Seq(q23, q24, q25, q50)
 
   // ------------------------------------------------------------------------
   // Streaming runners (exercised by StreamingParitySpec; Trigger.AvailableNow

@@ -58,4 +58,27 @@ class DedupSpec extends SparkSpec {
     if (nDupDocs > 0) assert(dupPairs.count() > 0)
     assert(dupPairs.filter(col("jaccard") < 1.0).count() == 0)
   }
+
+  test("ngram jaccard: stop-shingle cap defuses a synthetic hot shingle") {
+    import spark.implicits._
+    // 30 docs share one hot phrase; each otherwise disjoint. Uncapped, the
+    // hot shingle alone creates C(30,2)=435 candidate pairs on ONE key —
+    // the skew shape that detonates at corpus scale.
+    val hot = "alpha beta gamma"
+    val synth = (1L to 30L)
+      .map(i => (i, s"$hot unique${i}a unique${i}b unique${i}c unique${i}d"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(synth, minJaccard = 0.01,
+      maxDocFreq = 1000)
+    assert(uncapped.count() == 435, "every doc pair meets through the hot shingle")
+    val capped = Dedup.ngramJaccardPairs(synth, minJaccard = 0.01, maxDocFreq = 10)
+    assert(capped.count() == 0,
+      "with the hot shingle capped, disjoint docs generate zero candidates")
+  }
+
+  test("ngram jaccard: cap above all document frequencies is a no-op") {
+    val a = Dedup.ngramJaccardPairs(docs, minJaccard = 0.2, maxDocFreq = 100)
+    val b = Dedup.ngramJaccardPairs(docs, minJaccard = 0.2, maxDocFreq = 1000000)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
 }
