@@ -25,12 +25,12 @@ object Bench {
 
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {
       // warm codegen/parquet-reader/shuffle paths, the pure-Column LSH
-      // (q35 → Rp codegen), AND the MLlib model-fit machinery (q31 →
-      // MinHashLSH fit + approxSimilarityJoin) once, untimed — the
-      // model-fit family shows ±40% first-run JIT jitter otherwise
+      // family (q35 → Rp, q31 → MinHash), AND the MLlib model-fit machinery
+      // (q42 → KMeans fit; q31/q35 no longer touch MLlib) once, untimed —
+      // the model-fit family shows ±40% first-run JIT jitter otherwise
       val warm = Set(
         "q01_filter_project", "q03_revenue_by_nation", "q23_tumbling_window",
-        "q35_ann_lsh", "q31_minhash_neardup")
+        "q35_ann_lsh", "q31_minhash_neardup", "q42_ivf_topk")
       SparkEntry.allQueries.filter(q => warm(q.name))
         .foreach(q => try q.fn(spark, sfDir).count() catch { case _: Throwable => () })
     }

@@ -46,7 +46,7 @@ object CorpusPrep {
     * loser-id projection here is cheap and the blocks self-release via
     * ContextCleaner once this DataFrame goes out of scope. */
   def nearDedup(docs: DataFrame, cfg: Config): DataFrame = {
-    val pairs = Dedup.minhashPairs(docs, cfg.nearDupMaxJaccardDist)
+    val pairs = MinHash.pairs(docs, cfg.nearDupMaxJaccardDist)
     val losers = pairs.select(col("id_b").as("doc_id")).distinct()
     docs.join(losers, Seq("doc_id"), "left_anti")
   }

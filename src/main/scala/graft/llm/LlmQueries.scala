@@ -95,9 +95,11 @@ object LlmQueries {
 
   // ---------------------------------------------------------------- q31
   // Seeded MinHash-LSH — model-dependent bucketing, so rows-only check here;
-  // recall-vs-brute-force is property-tested (DedupSpec).
+  // recall-vs-brute-force is property-tested (DedupSpec). Runs on the
+  // pure-Column codegen path (graft.llm.MinHash); the MLlib twin stays as
+  // Dedup.minhashPairs for cross-validation.
   val q31 = Q.noOracle("q31_minhash_neardup") { (s, dir) =>
-    Dedup.minhashPairs(
+    MinHash.pairs(
         Tables(s, dir, "documents").filter(col("doc_id") < 2000))
       .orderBy("id_a", "id_b")
   }

@@ -83,10 +83,28 @@ object SelfTest {
       s"FlatMap parse fan-out wrong for ${net.repr}: expected $NumExamples")
   }
 
+  /** Single-record parse roundtrip — the reference Label's
+    * `parse_single_example` variant (label.py:52-76): ONE example through
+    * the full write/serialize/read/parse path must come back value-identical
+    * to the in-memory encode (batched decode shares none of the single-record
+    * path's framing, which is why the reference tests both). */
+  def testSingleRecord(spark: SparkSession, net: Network): Unit = {
+    import spark.implicits._
+    val raw = Seq(net.concepts.head._2.testInput).toDF("value")
+    val dir = Files.createTempDirectory("graft-selftest-single-").toString
+    val expected = net.preprocess(raw).collect()
+    val out = Preprocess.run(net, raw, dir)
+    val got = Preprocess.readEncoded(spark, net, out).collect()
+    assert(got.length == 1, s"single-record roundtrip lost the record for ${net.repr}")
+    assert(got.head == expected.head,
+      s"single-record roundtrip drift for ${net.repr}: ${got.head} vs ${expected.head}")
+  }
+
   /** Gate stage (runner.py:41-47): all registered concepts + the network. */
   def runAll(spark: SparkSession, net: Network): Unit = {
     registry.foreach(testConcept(spark, _))
     testNetwork(spark, net)
     testParseStage(spark, net)
+    testSingleRecord(spark, net)
   }
 }

@@ -234,5 +234,19 @@ object ExtendedQueries {
         max(col("o_orderdate")).as("max_d"))
   }
 
-  val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q41, q45, q46, q48, q49)
+  // ---------------------------------------------------------------- q51
+  // B30's seeded engine sampler (q40 covers the deterministic key-mod
+  // variant): Bernoulli sampling is Spark-internal per-partition XORShift,
+  // so no DuckDB oracle can replicate the row set — rows-only here;
+  // determinism / fraction-bound / no-replacement properties in SampleSpec.
+  val q51 = Q.noOracle("q51_seeded_sample") { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        round(sum(col("l_quantity").cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_qty"))
+  }
+
+  val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q41, q45, q46, q48, q49, q51)
 }

@@ -31,6 +31,30 @@ class DedupSpec extends SparkSpec {
       s"recall ${found.toDouble / nTruth} below 0.9 ($found/$nTruth)")
   }
 
+  test("codegen minhash recalls >= 90% and scores exact jaccard distances") {
+    val truth = Dedup.ngramJaccardPairs(docs, minJaccard = 0.5)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+        round(lit(1.0) - col("jaccard"), 4).as("jaccard_dist"))
+    val nTruth = truth.count()
+    assert(nTruth > 0)
+    val cand = MinHash.pairs(docs, maxJaccardDist = 0.6)
+    val found = truth.select("id_a", "id_b")
+      .intersect(cand.select("id_a", "id_b")).count()
+    assert(found.toDouble / nTruth >= 0.9,
+      s"recall ${found.toDouble / nTruth} ($found/$nTruth)")
+    // the rerank is exact: every emitted pair's distance must equal the
+    // brute-force jaccard (on pairs the truth set also scores)
+    val joined = cand.join(truth, Seq("id_a", "id_b"))
+    assert(joined.filter(cand("jaccard_dist") =!= truth("jaccard_dist")).count() == 0)
+  }
+
+  test("codegen minhash is deterministic per seed and moves with it") {
+    val a = MinHash.pairs(docs, seed = 7L)
+    val b = MinHash.pairs(docs, seed = 7L)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    assert(MinHash.pairs(docs, seed = 8L).count() > 0)
+  }
+
   test("simhash: identical texts get identical fingerprints") {
     val fps = docs.select(col("text"), Dedup.simhash64(col("text")).as("fp"))
       .groupBy("text").agg(countDistinct("fp").as("n"))
