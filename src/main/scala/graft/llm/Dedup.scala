@@ -102,9 +102,16 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame,
       minJaccard: Double,
-      maxDocFreq: Int = 100): DataFrame = {
-    val shAll = docs
+      maxDocFreq: Int = 100,
+      materialize: Boolean = true): DataFrame = {
+    val shAll0 = docs
       .select(col("doc_id"), explode(TextAnalysis.shingles(col("text"))).as("shingle"))
+    // cached: the exploded shingle relation feeds FOUR subtrees (doc-freq
+    // cap, both self-join sides, set sizes) and the shingle construction is
+    // the dominant scan cost — same lesson as MinHash.pairs. The output is
+    // an eager localCheckpoint so the cache can release immediately and the
+    // caller inherits no unpersist contract.
+    val shAll = if (materialize) shAll0.cache() else shAll0
     val hot = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
       .select("shingle")
@@ -118,10 +125,14 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
     val j = col("inter").cast("double") /
       (col("sa.n") + col("sb.n") - col("inter"))
-    pairs
+    val out0 = pairs
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .filter(j >= minJaccard)
       .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
+    if (!materialize) return out0
+    val out = out0.localCheckpoint(true)
+    shAll.unpersist()
+    out
   }
 }

@@ -38,20 +38,23 @@ object MinHash {
 
   /** Candidate pairs within `maxJaccardDist`, OR-amplified over
     * `numTables` min-hash tables. */
+  /** `materialize = false` skips the cache/checkpoint lifecycle and returns
+    * the fully lazy pipeline (plan audits, composition). */
   def pairs(
       docs: DataFrame,
       maxJaccardDist: Double = 0.6,
       numTables: Int = 5,
-      seed: Long = 42L): DataFrame = {
-    val shingled = docs
+      seed: Long = 42L,
+      materialize: Boolean = true): DataFrame = {
+    val shingled0 = docs
       .select(col("doc_id"), TextAnalysis.shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-      // cached: read 3× (signatures + both rerank sides), and the shingle
-      // construction is the dominant scan cost (measured 5.6 s uncached vs
-      // 3.1 s cached at sf0.1). Filled lazily inside the single output job —
-      // unlike Rp there is no fused many-literal generator here, so an eager
-      // pre-materialization only adds a job (measured +0.5 s).
-      .cache()
+    // cached: read 3× (signatures + both rerank sides), and the shingle
+    // construction is the dominant scan cost (measured 5.6 s uncached vs
+    // 3.1 s cached at sf0.1). Filled lazily inside the single output job —
+    // unlike Rp there is no fused many-literal generator here, so an eager
+    // pre-materialization only adds a job (measured +0.5 s).
+    val shingled = if (materialize) shingled0.cache() else shingled0
 
     // one (table, minhash) struct per table: min over the shingle array of
     // the salted 64-bit hash — a pure codegen fold, no model fit at all
@@ -78,12 +81,13 @@ object MinHash {
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val dist = lit(1.0) -
       inter / (size(col("sh_a")) + size(col("sh_b")) - inter)
-    val out = candidates
+    val out0 = candidates
       .join(shingled.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shingled.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"), round(dist, 4).as("jaccard_dist"))
       .filter(col("jaccard_dist") <= maxJaccardDist)
-      .localCheckpoint(true)
+    if (!materialize) return out0
+    val out = out0.localCheckpoint(true)
     shingled.unpersist()
     out
   }

@@ -56,35 +56,40 @@ object Rp {
 
   /** Shared skeleton: explode per-row bucket keys, self-join on (t, k),
     * score each candidate pair exactly, filter, dedup across tables. */
+  /** `materialize = false` skips the cache/checkpoint lifecycle and returns
+    * the fully lazy pipeline — for plan audits (PlanDump would otherwise see
+    * only the post-checkpoint scan) and composition into larger jobs. */
   private def nearPairs(
       embeddings: DataFrame,
       keys: Seq[Column],
       score: Column,
       scoreName: String,
-      keep: Column): DataFrame = {
+      keep: Column,
+      materialize: Boolean): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    val sig = embeddings
+    val sig0 = embeddings
       .select(
         col("vec_id"), col("embedding"),
         Similarity.dotFast(col("embedding"), col("embedding")).as("n"),
         explode(array(keys: _*)).as("tb"))
       .select(col("vec_id"), col("embedding"), col("n"),
         col("tb.t").as("t"), col("tb.k").as("k"))
-      .cache()
+    val sig = if (materialize) sig0.cache() else sig0
     // materialize BEFORE the self-join: if the cache fills lazily inside the
     // join stage, the first side still executes the fused many-dot generator
     // on the slow path (measured 9 s vs 3.5 s at sf0.1 for 112 planes)
-    sig.count()
+    if (materialize) sig.count()
     val a = sig.select(col("t"), col("k"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("n").as("n_a"))
     val b = sig.select(col("t"), col("k"), col("vec_id").as("id_b"),
       col("embedding").as("emb_b"), col("n").as("n_b"))
-    val pairs = a.join(b, Seq("t", "k"))
+    val pairs0 = a.join(b, Seq("t", "k"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), score.as(scoreName))
       .filter(keep)
       .distinct()
-      .localCheckpoint(true) // eager: see cache-lifecycle note above
+    if (!materialize) return pairs0
+    val pairs = pairs0.localCheckpoint(true) // eager: see cache-lifecycle note
     sig.unpersist()
     pairs
   }
@@ -106,7 +111,8 @@ object Rp {
       numTables: Int = 8,
       projsPerTable: Int = 3,
       bucketLength: Double = 1.5,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      materialize: Boolean = true): DataFrame = {
     val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
     val planes = hyperplanes(dim, numTables * projsPerTable, seed)
     val keys = (0 until numTables).map { t =>
@@ -120,7 +126,7 @@ object Rp {
       lit(2.0) * Similarity.dotFast(col("emb_a"), col("emb_b")) + col("n_b")
     nearPairs(embeddings, keys,
       round(sqrt(greatest(d2, lit(0.0))), 4), "dist",
-      col("dist") <= threshold)
+      col("dist") <= threshold, materialize)
   }
 
   /** Banded sign-random-projection (SimHash-over-embeddings) candidate pairs
@@ -145,7 +151,8 @@ object Rp {
       minCosine: Double,
       bands: Int = 28,
       bitsPerBand: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      materialize: Boolean = true): DataFrame = {
     val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
     val planes = hyperplanes(dim, bands * bitsPerBand, seed)
     val keys = (0 until bands).map { bd =>
@@ -160,6 +167,6 @@ object Rp {
       sqrt(col("n_a") * col("n_b"))
     nearPairs(embeddings, keys,
       round(sim, 4), "cos_sim",
-      col("cos_sim") >= minCosine)
+      col("cos_sim") >= minCosine, materialize)
   }
 }
