@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{MinHash, Rp}
+
+/** Scale-stress harness for the LSH dedup/similarity family — the evidence
+  * behind BASELINE.md's "would this hold at 100×?" section.
+  *
+  * The fixture embeddings are isotropic random vectors, where near-neighbor
+  * search is information-theoretically O(n²) (nothing is near anything; at a
+  * loose threshold LSH must admit most pairs). Real corpora are the
+  * opposite: near-duplicates are CLUSTERED. This harness plants that
+  * structure — each base vector/document is replicated R× with small seeded
+  * perturbations (cos ≈ 0.99 / jaccard ≈ 0.7 within a cluster, ~0 across) —
+  * then measures how candidate volume and wall time grow with R while brute
+  * force grows (R·n)².
+  *
+  * Run: `sbt "runMain graft.ScaleStress [sfDir]"` (defaults to sf0.1).
+  */
+object ScaleStress {
+
+  /** R seeded near-duplicate variants per embedding: add hash-derived noise
+    * (±eps/2 per dim), then re-normalize. Replica 0 is the unperturbed
+    * base. All pure Column — the replication explode and perturbation fuse
+    * into the scan. */
+  def replicateEmbeddings(emb: DataFrame, r: Int, eps: Double): DataFrame = {
+    val perturbed = emb
+      .select(col("vec_id"), explode(sequence(lit(0), lit(r - 1))).as("rep"),
+        col("embedding"))
+      .select(
+        (col("vec_id") * r + col("rep")).as("vec_id"),
+        col("vec_id").as("base_id"),
+        when(col("rep") === 0, col("embedding")).otherwise(
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") + lit(eps) *
+              ((pmod(xxhash64(col("vec_id"), col("rep"), i), lit(1000L))
+                .cast("double") / 1000.0) - 0.5)).cast("float")))
+          .as("e"))
+    val n = aggregate(col("e"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    perturbed.select(col("vec_id"), col("base_id"),
+      transform(col("e"), x => (x.cast("double") / sqrt(n)).cast("float"))
+        .as("embedding"))
+  }
+
+  /** R seeded variants per document: ~5% of tokens mutated per replica. A
+    * mutated token breaks k=3 shingles, so two replicas (independent 5%
+    * mutations) sit at shingle Jaccard ≈ 0.75 — safely inside the 0.6
+    * distance bound, so planted-pair recall measures the OPERATOR, not the
+    * threshold cut (at 10% mutation many planted pairs legitimately fall
+    * outside the bound and the recall number conflates the two). */
+  def replicateDocs(docs: DataFrame, r: Int): DataFrame =
+    docs
+      .select(col("doc_id"), explode(sequence(lit(0), lit(r - 1))).as("rep"),
+        col("text"))
+      .select(
+        (col("doc_id") * r + col("rep")).as("doc_id"),
+        col("doc_id").as("base_id"),
+        when(col("rep") === 0, col("text")).otherwise(
+          concat_ws(" ", transform(split(col("text"), "\\s+"), (t, i) =>
+            when(pmod(xxhash64(col("doc_id"), col("rep"), i), lit(20L)) === 0,
+              concat(t, lit("zz"))).otherwise(t))))
+          .as("text"))
+
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val v = f
+    (v, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = Tables(spark, sfDir, "embeddings").cache(); emb.count()
+    // 2500 bases keep the R=16 minhash point under a minute while the
+    // R-sweep still spans a 16× corpus growth
+    val docs = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") < 2500).cache()
+    docs.count()
+
+    println("== cosine near-dup (Rp, q47 engine): planted clusters, threshold 0.9 ==")
+    // selective bands for a REAL near-dup threshold: p(bit|c=0.9)=0.856,
+    // band of 12 bits ⇒ 0.155, 20 bands ⇒ recall ≈ 0.966 at the boundary
+    // (intra-cluster pairs sit at ≈0.99 where recall ≈ 1); random pairs
+    // collide at 0.5^12 per band ⇒ ~0.5% of the pair space
+    for (r <- Seq(4, 8, 16)) {
+      val rep = replicateEmbeddings(emb, r, eps = 0.12).cache()
+      val n = rep.count()
+      val expected = rep.groupBy("base_id").count()
+        .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")))
+        .head().getLong(0)
+      val (pairs, secs) = time {
+        Rp.cosineNearPairs(rep.select("vec_id", "embedding"), minCosine = 0.9,
+          bands = 20, bitsPerBand = 12).cache()
+      }
+      val found = pairs.count()
+      // planted recall: pairs whose ids map to the same base
+      val planted = pairs
+        .filter((col("id_a") / r).cast("long") === (col("id_b") / r).cast("long"))
+        .count()
+      println(f"R=$r%2d n=$n%6d wall=$secs%6.1f s found=$found%8d " +
+        f"planted=$planted%8d/$expected%d (recall=${planted.toDouble / expected}%.3f)")
+      pairs.unpersist(); rep.unpersist()
+    }
+
+    println("== minhash near-dup (q31 engine): planted clusters, maxDist 0.6 ==")
+    for (r <- Seq(4, 8, 16)) {
+      val rep = replicateDocs(docs, r).cache()
+      val n = rep.count()
+      val expected = rep.groupBy("base_id").count()
+        .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")))
+        .head().getLong(0)
+      val (pairs, secs) = time {
+        MinHash.pairs(rep.select("doc_id", "text"), maxJaccardDist = 0.6).cache()
+      }
+      val found = pairs.count()
+      val planted = pairs
+        .filter((col("id_a") / r).cast("long") === (col("id_b") / r).cast("long"))
+        .count()
+      println(f"R=$r%2d n=$n%6d wall=$secs%6.1f s found=$found%8d " +
+        f"planted=$planted%8d/$expected%d (recall=${planted.toDouble / expected}%.3f)")
+      pairs.unpersist(); rep.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -96,9 +96,10 @@ object Dedup {
     * would otherwise put a quadratic candidate partition on one key). The
     * true set sizes (denominators) are computed BEFORE the cap, so surviving
     * pairs score true Jaccard minus at most the capped shingles'
-    * intersection contribution — a conservative undercount. Fixture max
-    * doc-frequency is 11 across SFs, so the default leaves oracle results
-    * bit-identical. */
+    * intersection contribution — a conservative undercount. Measured
+    * fixture max doc-frequency: 25 over the full sf0.1 corpus, 11 inside
+    * q33's doc_id<1000 slice — a 4× margin to the default cap, so oracle
+    * results stay bit-identical; re-measure if fixtures are regenerated. */
   def ngramJaccardPairs(
       docs: DataFrame,
       minJaccard: Double,

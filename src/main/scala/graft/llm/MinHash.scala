@@ -23,11 +23,14 @@ import org.apache.spark.sql.functions._
   * same cached-signature + eager-localCheckpoint lifecycle as [[Rp]] (see
   * the cache-lifecycle note there).
   *
-  * Output contract matches [[Dedup.minhashPairs]]: (id_a, id_b,
-  * jaccard_dist) with id_a < id_b, dist rounded to 4 and filtered on the
-  * rounded value. The dist here is EXACT Jaccard distance on the shingle
-  * sets (MLlib computes it on the 2^18-bucket hashed space — equal up to
-  * HashingTF collisions); recall vs brute force is property-tested.
+  * Output shape matches [[Dedup.minhashPairs]] — (id_a, id_b,
+  * jaccard_dist), id_a < id_b, dist rounded to 4 — but the two are NOT
+  * bit-compatible at the margin: this dist is EXACT Jaccard on the shingle
+  * sets and the cut is `<= maxJaccardDist` on the ROUNDED value, while
+  * MLlib scores the 2^18-bucket hashed space (collisions shift the 4th
+  * decimal) and cuts `<` on the raw value. Cross-validation between them is
+  * therefore recall-level, not row-level; exactness of THIS path's scores
+  * is asserted against the brute-force jaccard in DedupSpec.
   */
 object MinHash {
 

@@ -54,6 +54,15 @@ object Rp {
     Array.fill(n)(Array.fill(dim)(rnd.nextGaussian().toFloat))
   }
 
+  /** The embedding dimensionality, read from the first row (one tiny
+    * limit-1 scan job — the plan needs the hyperplane literals before it
+    * can be built, and the parquet schema only says `array<float>`, not the
+    * length). None on empty input, which short-circuits to an empty result
+    * instead of crashing on `head()`. */
+  private def probeDim(embeddings: DataFrame): Option[Int] =
+    embeddings.select(size(col("embedding"))).limit(1)
+      .collect().headOption.map(_.getInt(0))
+
   /** Shared skeleton: explode per-row bucket keys, self-join on (t, k),
     * score each candidate pair exactly, filter, dedup across tables. */
   /** `materialize = false` skips the cache/checkpoint lifecycle and returns
@@ -67,6 +76,10 @@ object Rp {
       keep: Column,
       materialize: Boolean): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
+    if (keys.isEmpty) // empty input: no planes could be derived (dim probe)
+      return embeddings.select(
+        col("vec_id").as("id_a"), col("vec_id").as("id_b"),
+        lit(0.0).as(scoreName)).where(lit(false))
     val sig0 = embeddings
       .select(
         col("vec_id"), col("embedding"),
@@ -113,14 +126,15 @@ object Rp {
       bucketLength: Double = 1.5,
       seed: Long = 42L,
       materialize: Boolean = true): DataFrame = {
-    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
-    val planes = hyperplanes(dim, numTables * projsPerTable, seed)
-    val keys = (0 until numTables).map { t =>
-      val floors = (0 until projsPerTable).map { p =>
-        floor(Similarity.dotFast(col("embedding"),
-          typedlit(planes(t * projsPerTable + p))) / bucketLength).cast("long")
+    val keys = probeDim(embeddings).toSeq.flatMap { dim =>
+      val planes = hyperplanes(dim, numTables * projsPerTable, seed)
+      (0 until numTables).map { t =>
+        val floors = (0 until projsPerTable).map { p =>
+          floor(Similarity.dotFast(col("embedding"),
+            typedlit(planes(t * projsPerTable + p))) / bucketLength).cast("long")
+        }
+        struct(lit(t).as("t"), array(floors: _*).as("k"))
       }
-      struct(lit(t).as("t"), array(floors: _*).as("k"))
     }
     val d2 = col("n_a") -
       lit(2.0) * Similarity.dotFast(col("emb_a"), col("emb_b")) + col("n_b")
@@ -153,15 +167,16 @@ object Rp {
       bitsPerBand: Int = 4,
       seed: Long = 42L,
       materialize: Boolean = true): DataFrame = {
-    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
-    val planes = hyperplanes(dim, bands * bitsPerBand, seed)
-    val keys = (0 until bands).map { bd =>
-      val bits = (0 until bitsPerBand).map { i =>
-        when(Similarity.dotFast(col("embedding"),
-          typedlit(planes(bd * bitsPerBand + i))) >= 0, lit(1L << i))
-          .otherwise(lit(0L))
+    val keys = probeDim(embeddings).toSeq.flatMap { dim =>
+      val planes = hyperplanes(dim, bands * bitsPerBand, seed)
+      (0 until bands).map { bd =>
+        val bits = (0 until bitsPerBand).map { i =>
+          when(Similarity.dotFast(col("embedding"),
+            typedlit(planes(bd * bitsPerBand + i))) >= 0, lit(1L << i))
+            .otherwise(lit(0L))
+        }
+        struct(lit(bd).as("t"), bits.reduce(_ + _).as("k"))
       }
-      struct(lit(bd).as("t"), bits.reduce(_ + _).as("k"))
     }
     val sim = Similarity.dotFast(col("emb_a"), col("emb_b")) /
       sqrt(col("n_a") * col("n_b"))

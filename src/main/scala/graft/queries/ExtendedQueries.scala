@@ -190,17 +190,19 @@ object ExtendedQueries {
       |  FROM (SELECT doc_id, unnest(string_split(text, ' the ')) AS r FROM documents)
       |  WHERE trim(r) <> '')
       |SELECT doc_id, count(*) AS n_records,
-      |       CAST(sum(strlen(rec)) AS BIGINT) AS rec_chars
+      |       CAST(sum(strlen(rec)) AS BIGINT) AS rec_bytes
       |FROM recs GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), col("text").as("value"))
+    // octet_length ↔ DuckDB strlen: BOTH count UTF-8 bytes (Spark `length`
+    // counts characters and would silently diverge on non-ASCII text)
     graft.pipeline.Preprocess
       .flatMapParse(docs, c => split(c, " the "))
       .select(col("doc_id"), trim(col("value")).as("rec"))
       .filter(col("rec") =!= "")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_records"),
-        sum(length(col("rec"))).cast("long").as("rec_chars"))
+        sum(octet_length(col("rec"))).cast("long").as("rec_bytes"))
       .orderBy("doc_id")
   }
 
@@ -209,9 +211,12 @@ object ExtendedQueries {
   // schema, read it back, aggregate — DuckDB reads THE SAME files, so the
   // row codec (header, date and float formatting, null-free roundtrip) is
   // what's under test, not just the aggregate. The staging path is fixed
-  // and overwritten per run (single-writer driver harness).
+  // (the oracle SQL is a static string, so it cannot embed the SF), which
+  // forces a single-writer protocol: q49 is NON-headline so the bench
+  // never overwrites the staging between a Verify dump and the driver's
+  // deferred DuckDB compare of a DIFFERENT SF.
   private val csvDir = "/tmp/graft_csv_roundtrip"
-  val q49 = Q(
+  val q49 = Q.offBench(
     "q49_csv_roundtrip",
     s"""SELECT count(*) AS n,
        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,

@@ -27,4 +27,11 @@ object Q {
     * excluded from the default bench headline set. */
   def composite(name: String)(fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, None, headline = false)
+
+  /** Oracle-checked but excluded from the bench timing set — for queries
+    * with side effects (e.g. q49's CSV staging write) that must not run
+    * outside the Verify single-writer protocol. */
+  def offBench(name: String, oracle: String)(
+      fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, Some(oracle), headline = false)
 }

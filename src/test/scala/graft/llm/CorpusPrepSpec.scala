@@ -18,8 +18,11 @@ class CorpusPrepSpec extends SparkSpec {
     // exact dedup: content hashes unique
     val n = out.count()
     assert(out.select(sha2(col("text"), 256)).distinct().count() == n)
-    // near-dup: no surviving pair within the distance bound
-    assert(Dedup.minhashPairs(out.select("doc_id", "text"),
+    // near-dup: no surviving pair within the distance bound — checked with
+    // the SAME generator nearDedup uses (MinHash.pairs); the MLlib twin
+    // bucketizes in a different hash family and scores hashed-space
+    // jaccard, so a zero-survivor invariant only holds generator-vs-itself
+    assert(MinHash.pairs(out.select("doc_id", "text"),
       cfg.nearDupMaxJaccardDist).count() == 0)
     // enrichment columns present and sane
     assert(out.filter(col("n_tokens") <= 0).count() == 0)

@@ -42,10 +42,14 @@ class DedupSpec extends SparkSpec {
       .intersect(cand.select("id_a", "id_b")).count()
     assert(found.toDouble / nTruth >= 0.9,
       s"recall ${found.toDouble / nTruth} ($found/$nTruth)")
-    // the rerank is exact: every emitted pair's distance must equal the
-    // brute-force jaccard (on pairs the truth set also scores)
+    // the rerank is exact: every emitted pair's distance must match the
+    // brute-force jaccard. Tolerance 2e-4, not equality: cand rounds
+    // 1-j while truth rounds j first (round(1-j,4) vs 1-round(j,4) differ
+    // by 1e-4 on exact 5th-decimal ties like j = 27/32); a hashed-space
+    // approximation — what this guards against — diverges by ~1e-2
     val joined = cand.join(truth, Seq("id_a", "id_b"))
-    assert(joined.filter(cand("jaccard_dist") =!= truth("jaccard_dist")).count() == 0)
+    assert(joined.filter(
+      abs(cand("jaccard_dist") - truth("jaccard_dist")) > 2e-4).count() == 0)
   }
 
   test("codegen minhash is deterministic per seed and moves with it") {

@@ -73,6 +73,12 @@ class RpSpec extends SparkSpec {
     assert(c.count() > 0)
   }
 
+  test("empty input yields an empty pair set, not a crash") {
+    val none = emb.filter(col("vec_id") < 0)
+    assert(Rp.cosineNearPairs(none, 0.3).count() == 0)
+    assert(Rp.l2NearPairs(none, 1.0).count() == 0)
+  }
+
   test("q35 registered configuration yields candidates at the driver's verify SF") {
     // the driver runs Verify at sf0.01, where exactly one pair sits inside
     // threshold 1.0 (cos >= 0.5) — the registered default params must find it
