@@ -239,6 +239,29 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // ---------------------------------------------------------------- q52
+  // Custom UDAF (SURVEY §2.7): vector-mean centroid per label through the
+  // Aggregator/udaf surface — only buffers shuffle (k×64 doubles), not the
+  // exploded elements. The oracle recomputes elementwise means by
+  // unnest-with-subscripts; the engine result is posexploded only AFTER the
+  // aggregation, to compare shapes.
+  val q52 = Q(
+    "q52_vector_mean",
+    """WITH u AS (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+      |                  generate_subscripts(embedding, 1) AS idx
+      |           FROM embeddings)
+      |SELECT label, CAST(idx AS INT) AS idx, round(avg(v), 4) AS m
+      |FROM u GROUP BY label, idx ORDER BY label, idx""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "embeddings")
+      .groupBy("label")
+      .agg(graft.functions.VectorMean.column(col("embedding")).as("mean"))
+      .select(col("label"), posexplode(col("mean")).as(Seq("i", "v")))
+      .select(col("label"), (col("i") + 1).cast("int").as("idx"),
+        round(col("v"), 4).as("m"))
+      .orderBy("label", "idx")
+  }
+
   def all: Seq[Q] =
-    Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44, q47)
+    Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
+      q47, q52)
 }

@@ -253,5 +253,49 @@ object ExtendedQueries {
           .cast("double").as("sum_qty"))
   }
 
-  val all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q41, q45, q46, q48, q49, q51)
+  // ---------------------------------------------------------------- q53
+  // Typed Dataset[T] surface (SURVEY §1.1): case-class filter + groupByKey
+  // + custom typed Aggregators, oracle-checked. The typed lambda filter
+  // costs a deserialization boundary (no pushdown) — the declarative twins
+  // (q01/q02) are the scale path; this query pins the typed API's
+  // correctness, not its plan.
+  private object TypedAggs {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.expressions.Aggregator
+    val sumQty = new Aggregator[graft.Typed.Lineitem, Double, Double] {
+      def zero = 0.0
+      def reduce(b: Double, a: graft.Typed.Lineitem): Double = b + a.l_quantity
+      def merge(x: Double, y: Double): Double = x + y
+      def finish(b: Double): Double = b
+      def bufferEncoder: Encoder[Double] = Encoders.scalaDouble
+      def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    }.toColumn
+    val rows = new Aggregator[graft.Typed.Lineitem, Long, Long] {
+      def zero = 0L
+      def reduce(b: Long, a: graft.Typed.Lineitem): Long = b + 1
+      def merge(x: Long, y: Long): Long = x + y
+      def finish(b: Long): Long = b
+      def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+      def outputEncoder: Encoder[Long] = Encoders.scalaLong
+    }.toColumn
+  }
+
+  val q53 = Q(
+    "q53_typed_agg",
+    """SELECT l_returnflag, count(*) AS n, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_quantity > 45
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    // quantities are small integers, so the double sum is exact at any
+    // aggregation order — no decimal routing needed
+    graft.Typed.lineitem(s, dir)
+      .filter(_.l_quantity > 45)
+      .groupByKey(_.l_returnflag)
+      .agg(TypedAggs.rows, TypedAggs.sumQty)
+      .toDF("l_returnflag", "n", "sum_qty")
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Q] =
+    Seq(q36, q37, q38, q39, q40, q41, q45, q46, q48, q49, q51, q53)
 }
