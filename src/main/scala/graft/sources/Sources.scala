@@ -47,6 +47,36 @@ object Sources {
       // corrupt-record column alone; select it alongside data columns
   }
 
+  /** The executable form of the permissive-read contract: split a
+    * [[readJsonPermissive]] frame into (clean, quarantine). Clean rows drop
+    * the corrupt column; quarantined rows keep ONLY the raw record (that is
+    * all PERMISSIVE mode guarantees for them — data columns are null or
+    * partial) plus the source path for triage.
+    *
+    * Spark refuses queries that reference only the corrupt-record column
+    * straight off a raw reader (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_
+    * RECORD_COLUMN): the parse must be materialized first, so the source
+    * path is captured per-row and the frame checkpointed eagerly (lineage
+    * cut; blocks self-release — same lifecycle as the LSH operators). At
+    * real ingest scale, materialize to a staging TABLE instead of block
+    * storage and split from there; either way the posture is "count and
+    * park the bad 0.01%", never "die on row 40-billion", never silently
+    * drop. */
+  def cleanAndQuarantine(permissive: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val parsed = permissive
+      .withColumn("_source_file", input_file_name())
+      .localCheckpoint(true)
+    val clean = parsed
+      .filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record", "_source_file")
+    val quarantine = parsed
+      .filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw"),
+        col("_source_file").as("source_file"))
+    (clean, quarantine)
+  }
+
   /** Hive-style partitioned write — the layout that makes partition pruning
     * work: a reader filtering on a partition column must only open that
     * partition's files (asserted in SourcesSpec). */
