@@ -190,6 +190,28 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_distinct"))
   }
 
+  /** q50 as a real stream (B41): session windows with a watermark,
+    * completing the oracle triangle for the last streaming operator:
+    * batch↔DuckDB (q50) + stream↔batch (here, StreamingParitySpec).
+    *
+    * Complete output mode, same as q23/q24's bounded runs: in append mode
+    * a bounded AvailableNow run withholds every session the final
+    * watermark hasn't passed (the last hour of event time) — correct
+    * unbounded-stream semantics, but not comparable to batch on a finite
+    * fixture. The watermark still declares state droppability for the
+    * unbounded deployment. */
+  def q50Streaming(spark: SparkSession, dir: String, checkpoint: String): DataFrame = {
+    val agg = sessionWindows(
+      eventsStream(spark, dir).withWatermark("ts", "1 hour"), "30 minutes")
+    runToTable(agg, "q50_stream", checkpoint, "complete")
+    spark.table("q50_stream")
+      .select(
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("user_id"), col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** Session windows per user (B41; spec-tested, not oracle-checked — DuckDB
     * has no session_window equivalent). */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =

@@ -35,4 +35,10 @@ class StreamingParitySpec extends SparkSpec {
     // session count per user never exceeds event count, and n_events sums to total
     assert(sessions.map(_.getLong(3)).sum == events.count())
   }
+
+  test("q50 session-window stream equals batch") {
+    val batch = StreamingQueries.q50.run(spark, sf0001).collect().toSeq
+    val stream = StreamingQueries.q50Streaming(spark, sf0001, ckpt()).collect().toSeq
+    assert(stream == batch)
+  }
 }
