@@ -153,6 +153,30 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q54
+  // Multimodal frame-sampling (B35's 0..n fan-out sibling to q34's 1:1
+  // decode): payload as 32-byte frames, every 4th kept. ASCII fixture ⇒
+  // DuckDB can replicate the byte slicing with substr + unicode sums.
+  val q54 = Q(
+    "q54_frame_sample",
+    """WITH f AS (
+      |  SELECT doc_id,
+      |         unnest(range(strlen(text) // 32)) AS i,
+      |         text
+      |  FROM documents)
+      |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+      |       CAST(32 AS BIGINT) AS n_bytes,
+      |       CAST(list_sum(list_transform(range(32),
+      |              j -> unicode(substr(text, CAST(i*32 + j + 1 AS INT), 1))))
+      |            AS BIGINT) AS byte_sum
+      |FROM f WHERE i % 4 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+    Multimodal.frameSample(
+        Multimodal.asBlobs(Tables(s, dir, "documents")), frameBytes = 32, stride = 4)
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
   // ---------------------------------------------------------------- q35
   // Seeded random-projection LSH — rows-only; recall property in RpSpec.
   // Pure-Column codegen path (graft.llm.Rp): same floor-bucketed algorithm
@@ -263,5 +287,5 @@ object LlmQueries {
 
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
-      q47, q52)
+      q47, q52, q54)
 }

@@ -33,6 +33,69 @@ object Multimodal {
     docs.select(col("doc_id"), col("text").cast("binary").as("payload")).as[Blob]
   }
 
+  /** One sampled frame of a (stub) video payload. */
+  final case class Frame(
+      doc_id: Long, frame_idx: Int, n_bytes: Long, byte_sum: Long)
+
+  /** Fixed-size pooled representation of a (stub) image payload. */
+  final case class Resized(doc_id: Long, bins: Array[Double])
+
+  /** STUB frame-sample: the payload read as consecutive `frameBytes`-byte
+    * frames (ragged tail dropped), keeping every `stride`-th — a video
+    * keyframe sampler's exact shape: 0..n typed rows per blob, fan-out
+    * decided per element. A real sampler swaps the byte-slice for a codec
+    * seek; the flatMap topology, typed output schema, and per-partition
+    * init point are already the production ones. */
+  def frameSample(
+      blobs: Dataset[Blob], frameBytes: Int, stride: Int): Dataset[Frame] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    require(frameBytes > 0 && stride > 0)
+    blobs.mapPartitions { it =>
+      // real sampler: open the container/codec once per partition here
+      it.flatMap { b =>
+        val p = b.payload
+        val nFrames = p.length / frameBytes
+        Iterator.range(0, nFrames).filter(_ % stride == 0).map { i =>
+          var sum = 0L
+          var j = i * frameBytes
+          val end = j + frameBytes
+          while (j < end) { sum += p(j) & 0xffL; j += 1 }
+          Frame(b.doc_id, i, frameBytes.toLong, sum)
+        }
+      }
+    }
+  }
+
+  /** STUB resize: average-pool the byte stream into `bins` equal buckets —
+    * image thumbnailing's shape: fixed-size output regardless of input
+    * size. Bucket i covers bytes [i·n/bins, (i+1)·n/bins); empty buckets
+    * (payload shorter than bins) yield 0.0. */
+  def resize(blobs: Dataset[Blob], bins: Int): Dataset[Resized] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    require(bins > 0)
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        val p = b.payload
+        val out = new Array[Double](bins)
+        var i = 0
+        while (i < bins) {
+          val from = (i.toLong * p.length / bins).toInt
+          val until = ((i + 1).toLong * p.length / bins).toInt
+          if (until > from) {
+            var s = 0L
+            var j = from
+            while (j < until) { s += p(j) & 0xffL; j += 1 }
+            out(i) = s.toDouble / (until - from)
+          }
+          i += 1
+        }
+        Resized(b.doc_id, out)
+      }
+    }
+  }
+
   /** STUB decode: where a real pipeline would run an image/audio codec and
     * feature extractor per batch, we emit deterministic byte statistics so
     * the full plumbing stays testable end-to-end (oracle-checkable too,
