@@ -17,10 +17,24 @@ object TextAnalysis {
     * not by copy). */
   val DefaultStopwords: Seq[String] = Seq("the", "a", "and", "of")
 
-  /** Whitespace tokenization (the BPE-ish baseline regex split). */
+  /** Whitespace tokenization (the baseline split). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** GPT-style pre-tokenizer pattern, restricted to the constructs Java
+    * regex and RE2 (DuckDB) implement identically — letter runs, digit
+    * runs, punctuation runs, each with an optional leading space, plus
+    * residual whitespace. (The upstream GPT-2 pattern's `(?!\S)` lookahead
+    * and `'ll`-style contraction branches are dropped: RE2 has no
+    * lookahead, and the fixture has no apostrophes to split.) */
+  val BpePretokenPattern = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish token count: matches of the pre-tokenizer pattern, the number
+    * a byte-pair encoder would START from (merges only shrink it). Group 0
+    * — the pattern is alternation-only, no capture groups. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePretokenPattern), lit(0))).cast("long")
 
   /** Fraction of tokens found in `stop` (quality-scoring signal). */
   def stopwordRatio(text: Column, stop: Seq[String]): Column = {

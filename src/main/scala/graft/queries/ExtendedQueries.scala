@@ -296,6 +296,23 @@ object ExtendedQueries {
       .orderBy("l_returnflag")
   }
 
+  // ---------------------------------------------------------------- q55
+  // BPE-ish pre-tokenizer counting (B34's second token counter next to
+  // q28's whitespace count): both engines run the identical RE2-safe
+  // pattern, so the match count — the length a byte-pair encoding starts
+  // from — is value-checked cross-engine.
+  val q55 = Q(
+    "q55_bpe_tokens",
+    s"""SELECT doc_id,
+       |       CAST(len(regexp_extract_all(text,
+       |         '${graft.llm.TextAnalysis.BpePretokenPattern}')) AS BIGINT) AS n_bpe
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.llm.TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
-    Seq(q36, q37, q38, q39, q40, q41, q45, q46, q48, q49, q51, q53)
+    Seq(q36, q37, q38, q39, q40, q41, q45, q46, q48, q49, q51, q53, q55)
 }

@@ -16,6 +16,13 @@ class TextAnalysisSpec extends SparkSpec {
       Seq((4L, 2), (2L, 0), (1L, 0)))
   }
 
+  test("bpe pre-tokenizer counts letter/digit/punct runs with leading spaces") {
+    // "hello world 123!?" -> "hello", " world", " 123", "!?"
+    val df = Seq("hello world 123!?", "a1b2", "").toDF("text")
+      .select(TextAnalysis.bpeTokenCount(col("text")).as("n"))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(4L, 4L, 0L))
+  }
+
   test("langId picks the dominant profile, unk on ties") {
     val df = Seq(
       "the cat and the hat",      // en
