@@ -21,15 +21,19 @@ import org.apache.spark.sql.functions.udaf
   * results are rounded (4 dp) before any cross-engine compare, same policy
   * as the percentile/average queries (q38).
   */
-final case class VectorMeanBuf(var sums: Array[Double], var n: Long)
+/** `init` distinguishes "no input yet" from "saw a zero-length vector":
+  * without it, a zero-length input produces an empty sums array that merge
+  * would mistake for an uninitialized buffer and silently drop its count. */
+final case class VectorMeanBuf(var init: Boolean, var sums: Array[Double], var n: Long)
 
 object VectorMean extends Aggregator[Array[Float], VectorMeanBuf, Array[Double]] {
 
-  override def zero: VectorMeanBuf = VectorMeanBuf(Array.emptyDoubleArray, 0L)
+  override def zero: VectorMeanBuf =
+    VectorMeanBuf(init = false, Array.emptyDoubleArray, 0L)
 
   override def reduce(b: VectorMeanBuf, a: Array[Float]): VectorMeanBuf = {
     if (a == null) return b
-    if (b.sums.isEmpty) b.sums = new Array[Double](a.length)
+    if (!b.init) { b.init = true; b.sums = new Array[Double](a.length) }
     require(a.length == b.sums.length,
       s"vector_mean: ragged input (${a.length} vs ${b.sums.length})")
     var i = 0
@@ -39,8 +43,8 @@ object VectorMean extends Aggregator[Array[Float], VectorMeanBuf, Array[Double]]
   }
 
   override def merge(x: VectorMeanBuf, y: VectorMeanBuf): VectorMeanBuf = {
-    if (x.sums.isEmpty) return y
-    if (y.sums.isEmpty) return x
+    if (!x.init) return y
+    if (!y.init) return x
     require(x.sums.length == y.sums.length,
       s"vector_mean: ragged buffers (${x.sums.length} vs ${y.sums.length})")
     var i = 0

@@ -25,10 +25,14 @@ object TextAnalysis {
   /** GPT-style pre-tokenizer pattern, restricted to the constructs Java
     * regex and RE2 (DuckDB) implement identically — letter runs, digit
     * runs, punctuation runs, each with an optional leading space, plus
-    * residual whitespace. (The upstream GPT-2 pattern's `(?!\S)` lookahead
-    * and `'ll`-style contraction branches are dropped: RE2 has no
-    * lookahead, and the fixture has no apostrophes to split.) */
-  val BpePretokenPattern = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    * residual whitespace. Whitespace is the EXPLICIT class [ \t\n\x0B\f\r]
+    * rather than `\s`, because the shorthand itself differs between the
+    * engines (Java's \s includes vertical tab, RE2's does not). (The
+    * upstream GPT-2 pattern's `(?!\S)` lookahead and `'ll`-style
+    * contraction branches are dropped: RE2 has no lookahead, and the
+    * fixture has no apostrophes to split.) */
+  val BpePretokenPattern =
+    " ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\x0B\\f\\r]+"
 
   /** BPE-ish token count: matches of the pre-tokenizer pattern, the number
     * a byte-pair encoder would START from (merges only shrink it). Group 0
