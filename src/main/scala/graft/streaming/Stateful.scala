@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Arbitrary stateful streaming (B43): a per-key running aggregate via
   * `mapGroupsWithState` — the escape hatch when windowed built-ins can't
@@ -33,11 +34,51 @@ object Stateful {
       }
   }
 
+  /** The same running aggregate on Spark 4's state-v2 API
+    * (`transformWithState` + typed `ValueState`) — the successor surface to
+    * `mapGroupsWithState`: explicit named state variables with per-state
+    * TTL, timers, and a RocksDB-backed store (state-v2 requires the
+    * RocksDB provider; set
+    * `spark.sql.streaming.stateStore.providerClass=...RocksDBStateStoreProvider`
+    * on the session). Parity with the v1 operator and with batch is
+    * asserted in StatefulSpec. */
+  class UserStatsProcessor extends StatefulProcessor[Long, UserEvent, UserStats] {
+    @transient private var state: ValueState[UserState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserState](
+        "userState", Encoders.product[UserState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[UserStats] = {
+      val prev = if (state.exists()) state.get() else UserState(0L, 0.0)
+      val next = rows.foldLeft(prev) { (s, e) =>
+        UserState(s.count + 1, s.sum + e.value)
+      }
+      state.update(next)
+      Iterator.single(UserStats(key, next.count, next.sum))
+    }
+  }
+
+  /** [[runningUserStats]] on the state-v2 API. */
+  def runningUserStatsV2(events: DataFrame): Dataset[UserStats] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "value").as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new UserStatsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** Run the stateful query over a bounded stream to completion; returns the
     * final per-user stats (update-mode memory sink keeps the latest row per
     * key emitted in the last batch that touched it). */
-  def runToCompletion(events: DataFrame, name: String, checkpoint: String): DataFrame = {
-    StreamingQueries.runToTable(runningUserStats(events).toDF(), name, checkpoint, "update")
+  def runToCompletion(
+      events: DataFrame, name: String, checkpoint: String,
+      v2: Boolean = false): DataFrame = {
+    val stats = if (v2) runningUserStatsV2(events) else runningUserStats(events)
+    StreamingQueries.runToTable(stats.toDF(), name, checkpoint, "update")
     val spark = events.sparkSession
     // AvailableNow may split input into several micro-batches; the memory
     // sink then holds one row per (key, batch) — keep each key's LATEST

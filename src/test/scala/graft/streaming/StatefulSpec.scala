@@ -26,6 +26,30 @@ class StatefulSpec extends SparkSpec {
     assert(res(2L) == ((1L, 5.0)))
   }
 
+  test("transformWithState (state-v2) equals mapGroupsWithState and batch") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val res = Stateful.runToCompletion(
+        StreamingQueries.eventsStream(spark, sf0001), "user_stats_v2",
+        Files.createTempDirectory("graft-state2-ckpt-").toString, v2 = true)
+      val batch = Tables(spark, sf0001, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      val joined = res.as("s").join(batch.as("b"), "user_id")
+      assert(res.count() == batch.count())
+      assert(joined.filter(col("s.n_events") =!= col("b.n_events")).count() == 0)
+      assert(joined.filter(
+        abs(col("s.sum_value") - col("b.sum_value")) > 1e-6).count() == 0)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("mapGroupsWithState running stats equal the batch aggregate") {
     val stream = StreamingQueries.eventsStream(spark, sf0001)
     val res = Stateful.runToCompletion(
