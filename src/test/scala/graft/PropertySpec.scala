@@ -93,4 +93,56 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("asof join equals a per-row scan oracle on random tables with ts ties") {
+    // small domains force key collisions AND timestamp ties — the case the
+    // window tiebreaker exists for; oracle = brute-force max-struct scan
+    val evGen = Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 9L), Gen.chooseNum(0, 99)))
+    forAll(evGen, n = 8) { rows =>
+      whenever(rows.nonEmpty) {
+        import java.sql.Timestamp
+        val left = rows.zipWithIndex
+          .map { case ((k, t, _), i) => (i.toLong, k, new Timestamp(t * 1000)) }
+          .toDF("lid", "key", "lts")
+        val right = rows
+          .map { case (k, t, v) => (k, new Timestamp(t * 1000), v.toDouble) }
+          .toDF("key", "rts", "payload")
+        val got = graft.operators.AsOf.join(
+            left, right, "key", "lts", "rts", Seq("payload"), strict = false)
+          .select("lid", "asof_payload")
+          .collect().map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+        // oracle: for each left row, rows with rts <= lts; max (rts, payload)
+        val rightRows = rows.map { case (k, t, v) => (k, t, v.toDouble) }
+        rows.zipWithIndex.foreach { case ((k, t, _), i) =>
+          val cands = rightRows.filter(r => r._1 == k && r._2 <= t)
+          val expected =
+            if (cands.isEmpty) None
+            // AsOf's tie rule: greatest payload struct (payload, rts) wins
+            // among max-rts candidates
+            else Some(cands.filter(_._2 == cands.map(_._2).max).map(_._3).max)
+          assert(got(i.toLong) == expected,
+            s"left row $i (key=$k ts=$t): got ${got(i.toLong)}, expected $expected")
+        }
+      }
+    }
+  }
+
+  test("salted skew join equals the plain join on generated skewed data") {
+    forAll(Gen.listOfN(60, Gen.frequency(
+      8 -> Gen.const(1L), 2 -> Gen.chooseNum(2L, 5L))), n = 6) { keys =>
+      whenever(keys.nonEmpty) {
+        val facts = keys.zipWithIndex
+          .map { case (k, i) => (k, i.toLong) }.toDF("k", "fact_val")
+        val dims = (1L to 5L).map(k => (k, s"dim$k")).toDF("k", "dim_val")
+        val plain = facts.join(dims, "k")
+        val salted = graft.operators.SkewJoin
+          .saltedInnerJoin(facts, dims, "k", factor = 4)
+          .select(plain.columns.map(col).toIndexedSeq: _*)
+        assert(plain.exceptAll(salted).count() == 0)
+        assert(salted.exceptAll(plain).count() == 0)
+      }
+    }
+  }
 }
