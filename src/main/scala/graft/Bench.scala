@@ -24,10 +24,10 @@ object Bench {
       .filter(q => only.nonEmpty || q.headline)
 
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {
-      // warm codegen/parquet-reader/shuffle paths, the pure-Column LSH
-      // family (q35 → Rp, q31 → MinHash), AND the MLlib model-fit machinery
-      // (q42 → KMeans fit; q31/q35 no longer touch MLlib) once, untimed —
-      // the model-fit family shows ±40% first-run JIT jitter otherwise
+      // warm codegen/parquet-reader/shuffle paths and the pure-Column
+      // LSH/IVF family (q35 → Rp, q31 → MinHash, q42 → columnar k-means;
+      // no timed query touches MLlib anymore) once, untimed — the
+      // model-fit family shows ±40% first-run JIT jitter otherwise
       val warm = Set(
         "q01_filter_project", "q03_revenue_by_nation", "q23_tumbling_window",
         "q35_ann_lsh", "q31_minhash_neardup", "q42_ivf_topk")

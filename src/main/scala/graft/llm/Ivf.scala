@@ -55,6 +55,70 @@ object Ivf {
     Model(centroids, indexed)
   }
 
+  /** Pure-Column seeded k-means fit — the codegen sibling of [[fit]], the
+    * same move [[Rp]]/[[MinHash]] made for LSH: no `ml.linalg.Vector`
+    * round-trips, assignment is an `array_min` over per-centroid codegen
+    * dot products, and centroid recomputation is the
+    * [[graft.functions.VectorMean]] UDAF (map-side partial buffers — only
+    * k×dim doubles shuffle per iteration).
+    *
+    * Determinism: init takes the k rows with the smallest
+    * xxhash64(vec_id, seed) (a seeded deterministic sample); Lloyd runs a
+    * FIXED `iters` steps; the assignment's (distance, cell) struct-min
+    * breaks distance ties by lowest cell id. Empty cells keep their
+    * previous centroid. Per-iteration driver traffic is k centroid rows —
+    * the same k-row collect [[fit]]'s MLlib path does internally.
+    */
+  def fitColumnar(
+      embeddings: DataFrame, k: Int = 16, iters: Int = 3,
+      seed: Long = 42L): Model = {
+    val spark = embeddings.sparkSession
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val e = embeddings.select(col("vec_id"), col("embedding")).cache()
+    e.count()
+
+    var centroids: Array[Array[Float]] = e
+      .select(col("embedding"), xxhash64(col("vec_id"), lit(seed)).as("h"))
+      .orderBy("h").limit(k)
+      .collect().map(_.getSeq[Float](0).toArray)
+
+    def cellExpr(cs: Array[Array[Float]]) = {
+      // argmin over d² = ‖c‖² − 2⟨x,c⟩ (the ‖x‖² term is constant per row);
+      // struct-min orders by distance then cell id — deterministic ties
+      val cands = cs.zipWithIndex.map { case (c, i) =>
+        val cn = c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+        struct(
+          (lit(cn) - lit(2.0) * Similarity.dotFast(col("embedding"), typedlit(c)))
+            .as("d"),
+          lit(i).as("c"))
+      }
+      array_min(array(cands.toIndexedSeq: _*)).getField("c")
+    }
+
+    for (_ <- 1 to iters) {
+      val means = e.withColumn("cell", cellExpr(centroids))
+        .groupBy("cell")
+        .agg(graft.functions.VectorMean.column(col("embedding")).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        means.get(i).filter(_.nonEmpty)
+          .map(_.map(_.toFloat).toArray).getOrElse(old) // empty cell: keep
+      }
+    }
+
+    val centroidDf = centroids.zipWithIndex.toSeq
+      .map { case (c, i) =>
+        (i, c, c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      }
+      .toDF("cell", "centroid", "centroid_n")
+    val indexed = e.withColumn("cell", cellExpr(centroids))
+      .select("vec_id", "embedding", "cell")
+      .localCheckpoint(true)
+    e.unpersist()
+    Model(centroidDf, indexed)
+  }
+
   /** Top-k cosine neighbors per query, probing `nProbe` cells. */
   def search(model: Model, queries: DataFrame, topK: Int, nProbe: Int): DataFrame = {
     GraftFunctions.register(queries.sparkSession)

@@ -193,10 +193,12 @@ object LlmQueries {
 
   // ---------------------------------------------------------------- q42
   // IVF ANN (seeded k-means cells + probed exact rerank) — rows-only; recall
-  // vs exact brute force is property-tested (IvfSpec).
+  // vs exact brute force is property-tested (IvfSpec). Runs on the
+  // pure-Column codegen fit (VectorMean centroids, array_min assignment);
+  // the MLlib KMeans fit stays as Ivf.fit for cross-validation.
   val q42 = Q.noOracle("q42_ivf_topk") { (s, dir) =>
     val emb = Tables(s, dir, "embeddings")
-    val model = Ivf.fit(emb, k = 12, seed = 42L)
+    val model = Ivf.fitColumnar(emb, k = 12, seed = 42L)
     Ivf.search(model, emb.filter(col("vec_id") < 3), topK = 5, nProbe = 6)
       .orderBy("q_id", "rk")
   }

@@ -36,6 +36,34 @@ class IvfSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("columnar k-means IVF matches the MLlib-fit recall bar and is deterministic") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.cosineTopK(emb, queries, k = 5)
+      .select("q_id", "vec_id")
+    val model = Ivf.fitColumnar(emb, k = 12, seed = 42L)
+    val approx = Ivf.search(model, queries, topK = 5, nProbe = 9)
+      .select("q_id", "vec_id")
+    val n = exact.count()
+    val found = exact.intersect(approx).count()
+    assert(found.toDouble / n >= 0.9,
+      s"columnar IVF recall ${found.toDouble / n} ($found/$n)")
+    // fixed seed -> identical index and identical search results
+    val again = Ivf.search(Ivf.fitColumnar(emb, k = 12, seed = 42L),
+      queries, topK = 5, nProbe = 9).select("q_id", "vec_id")
+    assert(approx.exceptAll(again).count() == 0 && again.exceptAll(approx).count() == 0)
+  }
+
+  test("columnar full probe (nProbe = k) equals exact brute force") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.cosineTopK(emb, queries, k = 3)
+      .select("q_id", "rk", "vec_id", "sim").collect().toSet
+    val full = Ivf.search(Ivf.fitColumnar(emb, k = 8, seed = 42L),
+      queries, topK = 3, nProbe = 8).collect().toSet
+    assert(full == exact)
+  }
+
   test("tfidf pipeline yields a vector per doc; stopwords carry no weight") {
     import spark.implicits._
     val docs = Seq(
