@@ -65,9 +65,16 @@ object Ivf {
     * Determinism: init takes the k rows with the smallest
     * xxhash64(vec_id, seed) (a seeded deterministic sample); Lloyd runs a
     * FIXED `iters` steps; the assignment's (distance, cell) struct-min
-    * breaks distance ties by lowest cell id. Empty cells keep their
-    * previous centroid. Per-iteration driver traffic is k centroid rows —
-    * the same k-row collect [[fit]]'s MLlib path does internally.
+    * breaks distance ties by lowest cell id; and each recomputed centroid
+    * is ROUNDED to 6 decimals before the next assignment — VectorMean's
+    * partial buffers merge in shuffle-fetch arrival order, so unrounded
+    * coordinates carry order-dependent last-ulp noise that could flip a
+    * near-equidistant assignment between runs (the rounding collapses that
+    * noise; a true value within 1e-13 of a 6-dp boundary could still flip,
+    * which is why this is documented as stabilized, not proven). Empty
+    * cells keep their previous centroid. Per-iteration driver traffic is k
+    * centroid rows — the same k-row collect [[fit]]'s MLlib path does
+    * internally.
     */
   def fitColumnar(
       embeddings: DataFrame, k: Int = 16, iters: Int = 3,
@@ -76,47 +83,53 @@ object Ivf {
     GraftFunctions.register(spark)
     import spark.implicits._
     val e = embeddings.select(col("vec_id"), col("embedding")).cache()
-    e.count()
+    try {
+      e.count()
 
-    var centroids: Array[Array[Float]] = e
-      .select(col("embedding"), xxhash64(col("vec_id"), lit(seed)).as("h"))
-      .orderBy("h").limit(k)
-      .collect().map(_.getSeq[Float](0).toArray)
+      var centroids: Array[Array[Float]] = e
+        .select(col("embedding"), xxhash64(col("vec_id"), lit(seed)).as("h"))
+        .orderBy("h").limit(k)
+        .collect().map(_.getSeq[Float](0).toArray)
 
-    def cellExpr(cs: Array[Array[Float]]) = {
-      // argmin over d² = ‖c‖² − 2⟨x,c⟩ (the ‖x‖² term is constant per row);
-      // struct-min orders by distance then cell id — deterministic ties
-      val cands = cs.zipWithIndex.map { case (c, i) =>
-        val cn = c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
-        struct(
-          (lit(cn) - lit(2.0) * Similarity.dotFast(col("embedding"), typedlit(c)))
-            .as("d"),
-          lit(i).as("c"))
+      def cellExpr(cs: Array[Array[Float]]) = {
+        // argmin over d² = ‖c‖² − 2⟨x,c⟩ (the ‖x‖² term is constant per
+        // row); struct-min orders by distance then cell id — deterministic
+        // ties
+        val cands = cs.zipWithIndex.map { case (c, i) =>
+          val cn = c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+          struct(
+            (lit(cn) - lit(2.0) * Similarity.dotFast(col("embedding"), typedlit(c)))
+              .as("d"),
+            lit(i).as("c"))
+        }
+        array_min(array(cands.toIndexedSeq: _*)).getField("c")
       }
-      array_min(array(cands.toIndexedSeq: _*)).getField("c")
-    }
 
-    for (_ <- 1 to iters) {
-      val means = e.withColumn("cell", cellExpr(centroids))
-        .groupBy("cell")
-        .agg(graft.functions.VectorMean.column(col("embedding")).as("m"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-      centroids = centroids.zipWithIndex.map { case (old, i) =>
-        means.get(i).filter(_.nonEmpty)
-          .map(_.map(_.toFloat).toArray).getOrElse(old) // empty cell: keep
-      }
-    }
+      // collapse shuffle-order ulp noise (see determinism note above)
+      def stable(x: Double): Float =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toFloat
 
-    val centroidDf = centroids.zipWithIndex.toSeq
-      .map { case (c, i) =>
-        (i, c, c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      for (_ <- 1 to iters) {
+        val means = e.withColumn("cell", cellExpr(centroids))
+          .groupBy("cell")
+          .agg(graft.functions.VectorMean.column(col("embedding")).as("m"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        centroids = centroids.zipWithIndex.map { case (old, i) =>
+          means.get(i).filter(_.nonEmpty)
+            .map(_.map(stable).toArray).getOrElse(old) // empty cell: keep
+        }
       }
-      .toDF("cell", "centroid", "centroid_n")
-    val indexed = e.withColumn("cell", cellExpr(centroids))
-      .select("vec_id", "embedding", "cell")
-      .localCheckpoint(true)
-    e.unpersist()
-    Model(centroidDf, indexed)
+
+      val centroidDf = centroids.zipWithIndex.toSeq
+        .map { case (c, i) =>
+          (i, c, c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+        }
+        .toDF("cell", "centroid", "centroid_n")
+      val indexed = e.withColumn("cell", cellExpr(centroids))
+        .select("vec_id", "embedding", "cell")
+        .localCheckpoint(true)
+      Model(centroidDf, indexed)
+    } finally e.unpersist()
   }
 
   /** Top-k cosine neighbors per query, probing `nProbe` cells. */

@@ -105,7 +105,11 @@ class PropertySpec extends SparkSpec {
         val left = rows.zipWithIndex
           .map { case ((k, t, _), i) => (i.toLong, k, new Timestamp(t * 1000)) }
           .toDF("lid", "key", "lts")
-        val right = rows
+        // drop ~half the right rows (seeded) so some left rows have NO
+        // match — otherwise the null/None oracle arm is dead code, since
+        // every left (key, ts) would trivially match its own right twin
+        val keptRight = rows.filter { case (k, t, v) => (k + t + v) % 2 == 0 }
+        val right = keptRight
           .map { case (k, t, v) => (k, new Timestamp(t * 1000), v.toDouble) }
           .toDF("key", "rts", "payload")
         val got = graft.operators.AsOf.join(
@@ -114,7 +118,7 @@ class PropertySpec extends SparkSpec {
           .collect().map(r => r.getLong(0) ->
             (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
         // oracle: for each left row, rows with rts <= lts; max (rts, payload)
-        val rightRows = rows.map { case (k, t, v) => (k, t, v.toDouble) }
+        val rightRows = keptRight.map { case (k, t, v) => (k, t, v.toDouble) }
         rows.zipWithIndex.foreach { case ((k, t, _), i) =>
           val cands = rightRows.filter(r => r._1 == k && r._2 <= t)
           val expected =
