@@ -70,10 +70,69 @@ object ScaleStress {
     (v, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** `r`× replication of a fact table with shifted keys — the round-1
+    * relational stress (BASELINE.md "Scale-stress" section), kept here so
+    * its numbers are reproducible: `keyCol` values are offset per replica
+    * so the join keyspace grows with the data (no artificial key skew). */
+  def replicateFacts(df: DataFrame, keyCol: String, r: Int): DataFrame = {
+    val maxKey = df.agg(max(col(keyCol))).head().getLong(0) + 1
+    df.select(col("*"), explode(sequence(lit(0), lit(r - 1))).as("__rep"))
+      .withColumn(keyCol, col(keyCol) + col("__rep") * maxKey)
+      .drop("__rep")
+  }
+
+  /** Relational stress: hash aggregation and the fact⋈fact join strategies
+    * at `r`× sf0.1 — reproduces BASELINE's broadcast-estimate-trap and
+    * bucketed-join numbers. */
+  def relational(spark: SparkSession, sfDir: String, r: Int): Unit = {
+    val li = replicateFacts(
+      Tables(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice"),
+      "l_orderkey", r).cache()
+    val os = replicateFacts(
+      Tables(spark, sfDir, "orders").select("o_orderkey", "o_totalprice"),
+      "o_orderkey", r)
+      .withColumnRenamed("o_orderkey", "l_orderkey").cache()
+    val (nl, _) = time(li.count()); val (no, _) = time(os.count())
+    println(s"relational stress R=$r: lineitem=$nl orders=$no")
+
+    val (_, aggS) = time {
+      li.groupBy(col("l_orderkey") % 97)
+        .agg(sum("l_quantity"), avg("l_extendedprice")).count()
+    }
+    println(f"  hash agg: $aggS%.2f s")
+
+    // fact⋈fact under the three strategies BASELINE documents
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val (_, autoS) = time(li.join(os, "l_orderkey").count())
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (_, smjS) = time(li.join(os, "l_orderkey").count())
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    println(f"  fact join: planner-choice $autoS%.2f s, forced no-broadcast $smjS%.2f s")
+
+    graft.sources.Bucketing.writeBucketed(li, "stress_li", "l_orderkey")
+    graft.sources.Bucketing.writeBucketed(os, "stress_os", "l_orderkey")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (_, bkS) = time(
+      graft.sources.Bucketing
+        .coLocatedJoin(spark, "stress_li", "stress_os", "l_orderkey").count())
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    println(f"  bucketed co-located join: $bkS%.2f s (no exchange)")
+    spark.sql("DROP TABLE IF EXISTS stress_li")
+    spark.sql("DROP TABLE IF EXISTS stress_os")
+    li.unpersist(); os.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (args.contains("--relational")) {
+      relational(spark, sfDir, r = 16)
+      spark.stop()
+      return
+    }
 
     val emb = Tables(spark, sfDir, "embeddings").cache(); emb.count()
     // 2500 bases keep the R=16 minhash point under a minute while the
