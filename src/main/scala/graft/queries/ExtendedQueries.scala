@@ -313,6 +313,56 @@ object ExtendedQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q56
+  // CUBE (B12's full-lattice sibling to q07's ROLLUP): all four grouping
+  // combinations with grouping() flags distinguishing real NULL group keys
+  // from subtotal rows.
+  val q56 = Q(
+    "q56_cube",
+    """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+      |       CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+      |       CAST(GROUPING(o_orderstatus) AS INT) AS g_st
+      |FROM orders
+      |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      |ORDER BY g_pri, g_st, o_orderpriority, o_orderstatus""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "orders")
+      .cube("o_orderpriority", "o_orderstatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        grouping("o_orderpriority").cast("int").as("g_pri"),
+        grouping("o_orderstatus").cast("int").as("g_st"))
+      .orderBy(col("g_pri"), col("g_st"),
+        col("o_orderpriority"), col("o_orderstatus"))
+  }
+
+  // ---------------------------------------------------------------- q57
+  // Multiset set ops (B20's ALL-variants next to q11/q12's distinct forms):
+  // exceptAll keeps surplus occurrence counts, intersectAll keeps the
+  // minimum occurrence count per value — both summarized per value so the
+  // result is order-insensitive.
+  val q57 = Q(
+    "q57_set_ops_all",
+    """SELECT op, v, count(*) AS n FROM (
+      |  SELECT 'except_all' AS op, v FROM (
+      |    SELECT l_suppkey AS v FROM lineitem
+      |    EXCEPT ALL
+      |    SELECT s_suppkey FROM supplier)
+      |  UNION ALL
+      |  SELECT 'intersect_all' AS op, v FROM (
+      |    SELECT l_suppkey AS v FROM lineitem
+      |    INTERSECT ALL
+      |    SELECT s_suppkey FROM supplier)
+      |) GROUP BY op, v ORDER BY op, v""".stripMargin) { (s, dir) =>
+    val li = Tables(s, dir, "lineitem").select(col("l_suppkey").as("v"))
+    val sup = Tables(s, dir, "supplier").select(col("s_suppkey").as("v"))
+    val ex = li.exceptAll(sup).withColumn("op", lit("except_all"))
+    val in = li.intersectAll(sup).withColumn("op", lit("intersect_all"))
+    ex.unionByName(in)
+      .groupBy("op", "v").agg(count(lit(1)).as("n"))
+      .orderBy("op", "v")
+  }
+
   val all: Seq[Q] =
-    Seq(q36, q37, q38, q39, q40, q41, q45, q46, q48, q49, q51, q53, q55)
+    Seq(q36, q37, q38, q39, q40, q41, q45, q46, q48, q49, q51, q53, q55,
+      q56, q57)
 }
