@@ -362,7 +362,34 @@ object ExtendedQueries {
       .orderBy("op", "v")
   }
 
+  // ---------------------------------------------------------------- q58
+  // Null-safe equi-join (B6's <=> variant): NULL keys MATCH each other —
+  // a plain equi-join silently drops them. nullif manufactures real null
+  // keys on both sides from different status values, so the null row's
+  // presence in the output is exactly what's under test.
+  val q58 = Q(
+    "q58_null_safe_join",
+    """WITH a AS (SELECT nullif(o_orderstatus, 'O') AS k, count(*) AS na
+      |           FROM orders GROUP BY 1),
+      |     b AS (SELECT nullif(o_orderstatus, 'F') AS k, count(*) AS nb
+      |           FROM orders GROUP BY 1)
+      |SELECT a.k AS k, na, nb
+      |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+      |ORDER BY k NULLS FIRST""".stripMargin) { (s, dir) =>
+    // NULLS FIRST spelled out in the oracle: DuckDB defaults NULLS LAST,
+    // Spark ASC defaults NULLS FIRST, and the driver compares rows in
+    // emitted order
+    val orders = Tables(s, dir, "orders")
+    val a = orders.groupBy(nullif(col("o_orderstatus"), lit("O")).as("k"))
+      .agg(count(lit(1)).as("na"))
+    val b = orders.groupBy(nullif(col("o_orderstatus"), lit("F")).as("k"))
+      .agg(count(lit(1)).as("nb"))
+    a.join(b, a("k") <=> b("k"))
+      .select(a("k").as("k"), col("na"), col("nb"))
+      .orderBy("k")
+  }
+
   val all: Seq[Q] =
     Seq(q36, q37, q38, q39, q40, q41, q45, q46, q48, q49, q51, q53, q55,
-      q56, q57)
+      q56, q57, q58)
 }
