@@ -102,29 +102,34 @@ object ScaleStress {
     }
     println(f"  hash agg: $aggS%.2f s")
 
-    // fact⋈fact under the three strategies BASELINE documents
+    // fact⋈fact under the three strategies BASELINE documents; conf
+    // restore, table drops, and cache release are exception-safe so an
+    // OOM mid-stress can't leak -1 broadcast threshold or 16× warehouse
+    // tables into a shared session
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val (_, autoS) = time(li.join(os, "l_orderkey").count())
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val (_, smjS) = time(li.join(os, "l_orderkey").count())
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    println(f"  fact join: planner-choice $autoS%.2f s, forced no-broadcast $smjS%.2f s")
+    try {
+      val (_, autoS) = time(li.join(os, "l_orderkey").count())
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (_, smjS) = time(li.join(os, "l_orderkey").count())
+      println(f"  fact join: planner-choice $autoS%.2f s, forced no-broadcast $smjS%.2f s")
 
-    graft.sources.Bucketing.writeBucketed(li, "stress_li", "l_orderkey")
-    graft.sources.Bucketing.writeBucketed(os, "stress_os", "l_orderkey")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val (_, bkS) = time(
-      graft.sources.Bucketing
-        .coLocatedJoin(spark, "stress_li", "stress_os", "l_orderkey").count())
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    println(f"  bucketed co-located join: $bkS%.2f s (no exchange)")
-    spark.sql("DROP TABLE IF EXISTS stress_li")
-    spark.sql("DROP TABLE IF EXISTS stress_os")
-    li.unpersist(); os.unpersist()
+      graft.sources.Bucketing.writeBucketed(li, "stress_li", "l_orderkey")
+      graft.sources.Bucketing.writeBucketed(os, "stress_os", "l_orderkey")
+      val (_, bkS) = time(
+        graft.sources.Bucketing
+          .coLocatedJoin(spark, "stress_li", "stress_os", "l_orderkey").count())
+      println(f"  bucketed co-located join: $bkS%.2f s (no exchange)")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS stress_li")
+      spark.sql("DROP TABLE IF EXISTS stress_os")
+      li.unpersist(); os.unpersist()
+    }
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sfDir = args.filterNot(_.startsWith("--")).headOption
+      .getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
