@@ -19,6 +19,34 @@ object Stateful {
   final case class UserState(count: Long, sum: Double)
   final case class UserStats(user_id: Long, n_events: Long, sum_value: Double)
 
+  final case class UserExtremes(
+      user_id: Long, n_events: Long, min_value: Double, max_value: Double)
+
+  /** The oracle-checkable B43 form (q59): same mapGroupsWithState state
+    * machine, but folding count/min/max — order-independent and FP-exact,
+    * so the result hash-matches a SQL GROUP BY in any engine (a sum of
+    * doubles would carry accumulation-order noise). `mapGroupsWithState`
+    * runs on BATCH Datasets too (each group visited once), which is what
+    * lets the driver value-check the operator itself, not just
+    * stream↔batch parity. */
+  def userExtremes(events: DataFrame): Dataset[UserExtremes] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "value").as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Double, Double), UserExtremes](
+        GroupStateTimeout.NoTimeout) {
+        (uid, batch, state: GroupState[(Long, Double, Double)]) =>
+          val prev = state.getOption
+            .getOrElse((0L, Double.PositiveInfinity, Double.NegativeInfinity))
+          val next = batch.foldLeft(prev) { case ((n, mn, mx), e) =>
+            (n + 1, math.min(mn, e.value), math.max(mx, e.value))
+          }
+          state.update(next)
+          UserExtremes(uid, next._1, next._2, next._3)
+      }
+  }
+
   /** Running (count, sum) per user over a stream of events. */
   def runningUserStats(events: DataFrame): Dataset[UserStats] = {
     val spark = events.sparkSession

@@ -115,7 +115,22 @@ object StreamingQueries {
       .orderBy("user_id", "session_start")
   }
 
-  val all: Seq[Q] = Seq(q23, q24, q25, q50)
+  // ---------------------------------------------------------------- Q59
+  // B43 value-checked: the mapGroupsWithState state machine run over the
+  // batch events table (each group visited once) against a plain GROUP BY
+  // oracle — count/min/max only, which are order-independent and FP-exact
+  // (see Stateful.userExtremes).
+  val q59 = Q(
+    "q59_stateful_user_stats",
+    """SELECT user_id, count(*) AS n_events,
+      |       min(value) AS min_value, max(value) AS max_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    graft.streaming.Stateful.userExtremes(Tables(s, dir, "events"))
+      .toDF()
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] = Seq(q23, q24, q25, q50, q59)
 
   // ------------------------------------------------------------------------
   // Streaming runners (exercised by StreamingParitySpec; Trigger.AvailableNow
