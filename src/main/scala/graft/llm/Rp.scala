@@ -30,8 +30,12 @@ import graft.functions.GraftFunctions
   * build map costs more than the exchange it saves), exact rerank inside the
   * join, then a distinct on the already-threshold-filtered pair set. No
   * O(n²) stage anywhere. Hot buckets (projections near the mean) are the
-  * skew risk at scale — cap or salt them the same way
-  * [[Dedup.ngramJaccardPairs]] caps stop-shingles.
+  * skew risk at scale; they are salt-split above `maxBucketSize` via
+  * [[Lsh.saltHotBuckets]], bounding the worst candidate partition at
+  * ~maxBucketSize² pairs. Fixture margin: measured max bucket occupancy at
+  * sf0.1 is 224 (q35's floor-bucket config) and 211 (q47's 4-bit bands) —
+  * 18× under the default cap, so fixture results are bit-identical to the
+  * unsalted join; re-measure if the fixtures are regenerated.
   *
   * Embeddings ride INLINE through the bucket join (vs [[MinHash]]'s
   * id-only candidates + join-back): A/B at sf0.1 measured inline 3.7–5.4 s
@@ -82,6 +86,7 @@ object Rp {
       score: Column,
       scoreName: String,
       keep: Column,
+      maxBucketSize: Int,
       materialize: Boolean): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
     if (keys.isEmpty) // empty input: no planes could be derived (dim probe)
@@ -100,11 +105,14 @@ object Rp {
     // join stage, the first side still executes the fused many-dot generator
     // on the slow path (measured 9 s vs 3.5 s at sf0.1 for 112 planes)
     if (materialize) sig.count()
-    val a = sig.select(col("t"), col("k"), col("vec_id").as("id_a"),
+    // hot-bucket skew defense: bound the per-key candidate partition (the
+    // occupancy count reads the cached signature — one cheap extra job)
+    val salted = Lsh.saltHotBuckets(sig, "vec_id", maxBucketSize)
+    val a = salted.select(col("t"), col("k"), col("salt"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"), col("n").as("n_a"))
-    val b = sig.select(col("t"), col("k"), col("vec_id").as("id_b"),
+    val b = salted.select(col("t"), col("k"), col("salt"), col("vec_id").as("id_b"),
       col("embedding").as("emb_b"), col("n").as("n_b"))
-    val pairs0 = a.join(b, Seq("t", "k"))
+    val pairs0 = a.join(b, Seq("t", "k", "salt"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), score.as(scoreName))
       .filter(keep)
@@ -133,6 +141,7 @@ object Rp {
       projsPerTable: Int = 3,
       bucketLength: Double = 1.5,
       seed: Long = 42L,
+      maxBucketSize: Int = Lsh.DefaultMaxBucketSize,
       materialize: Boolean = true): DataFrame = {
     val keys = probeDim(embeddings).toSeq.flatMap { dim =>
       val planes = hyperplanes(dim, numTables * projsPerTable, seed)
@@ -148,7 +157,7 @@ object Rp {
       lit(2.0) * Similarity.dotFast(col("emb_a"), col("emb_b")) + col("n_b")
     nearPairs(embeddings, keys,
       round(sqrt(greatest(d2, lit(0.0))), 4), "dist",
-      col("dist") <= threshold, materialize)
+      col("dist") <= threshold, maxBucketSize, materialize)
   }
 
   /** Banded sign-random-projection (SimHash-over-embeddings) candidate pairs
@@ -174,6 +183,7 @@ object Rp {
       bands: Int = 28,
       bitsPerBand: Int = 4,
       seed: Long = 42L,
+      maxBucketSize: Int = Lsh.DefaultMaxBucketSize,
       materialize: Boolean = true): DataFrame = {
     val keys = probeDim(embeddings).toSeq.flatMap { dim =>
       val planes = hyperplanes(dim, bands * bitsPerBand, seed)
@@ -190,6 +200,6 @@ object Rp {
       sqrt(col("n_a") * col("n_b"))
     nearPairs(embeddings, keys,
       round(sim, 4), "cos_sim",
-      col("cos_sim") >= minCosine, materialize)
+      col("cos_sim") >= minCosine, maxBucketSize, materialize)
   }
 }
