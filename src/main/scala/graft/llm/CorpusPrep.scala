@@ -40,14 +40,21 @@ object CorpusPrep {
     docs.join(survivors, "doc_id")
   }
 
-  /** Near-dup dedup (B32): drop the higher-id member of each seeded
-    * MinHash candidate pair within the distance bound. The pair set from
-    * minhashPairs arrives as an eager lineage-free localCheckpoint, so the
-    * loser-id projection here is cheap and the blocks self-release via
-    * ContextCleaner once this DataFrame goes out of scope. */
+  /** Near-dup dedup (B32): connected-duplicates clustering. The seeded
+    * MinHash pair set becomes an edge list, [[Components.connected]]
+    * collapses transitive families (A~B, B~C → one cluster even when A≁C
+    * directly), and the minimum doc_id of each cluster survives. Per-pair
+    * loser-dropping — the previous formulation — keeps BOTH endpoints of an
+    * unseen transitive link when neither lost a direct comparison (e.g.
+    * edges (1,5),(3,5) kept 1 AND 3); component collapse keeps exactly one
+    * survivor per family, which is what a training-data pipeline means by
+    * dedup. The pair set arrives as an eager lineage-free localCheckpoint,
+    * so the propagation loop runs over a small materialized edge list. */
   def nearDedup(docs: DataFrame, cfg: Config): DataFrame = {
     val pairs = MinHash.pairs(docs, cfg.nearDupMaxJaccardDist)
-    val losers = pairs.select(col("id_b").as("doc_id")).distinct()
+    val losers = Components.connected(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 

@@ -287,7 +287,47 @@ object LlmQueries {
       .orderBy("label", "idx")
   }
 
+  // ---------------------------------------------------------------- q62
+  // Connected-duplicates clustering (B32's transitive-closure step): min-
+  // label components over the DETERMINISTIC ngram-jaccard pair set (q33's
+  // edge derivation), so component ids are value-checkable via a recursive
+  // CTE. The seeded-MinHash production wiring (CorpusPrep.nearDedup) reuses
+  // the same operator; its side is covered by CorpusPrepSpec/ComponentsSpec.
+  val q62 = Q(
+    "q62_connected_dups",
+    """WITH RECURSIVE
+      |d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      |      FROM documents WHERE doc_id < 1000),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(ts)-2),
+      |                i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]))) AS shingle
+      |       FROM d WHERE len(ts) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |p AS (SELECT doc_a, doc_b FROM p0
+      |      JOIN sizes sa ON sa.doc_id = doc_a
+      |      JOIN sizes sb ON sb.doc_id = doc_b
+      |      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2),
+      |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+      |      UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+      |v AS (SELECT DISTINCT src AS id FROM e),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM v
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
+      |SELECT id AS doc_id, min(r) AS component FROM reach
+      |GROUP BY id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Components.connected(
+        Dedup.ngramJaccardPairs(
+          Tables(s, dir, "documents").filter(col("doc_id") < 1000),
+          minJaccard = 0.2),
+        "doc_a", "doc_b")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
-      q47, q52, q54)
+      q47, q52, q54, q62)
 }

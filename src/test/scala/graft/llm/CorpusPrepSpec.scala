@@ -31,6 +31,21 @@ class CorpusPrepSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("near-dedup keeps exactly the component minima of its pair graph") {
+    val input = CorpusPrep.exactDedup(CorpusPrep.qualityFilter(docs, cfg)).cache()
+    val out = CorpusPrep.nearDedup(input, cfg)
+    val comps = Components.connected(
+      MinHash.pairs(input.select("doc_id", "text"), cfg.nearDupMaxJaccardDist))
+    val minima = comps.filter(col("id") === col("component"))
+      .select(col("id").as("doc_id"))
+    val paired = comps.select(col("id").as("doc_id"))
+    // survivors = (docs in no pair at all) ∪ (min id of each family)
+    val expected = input.select("doc_id").exceptAll(paired).unionByName(minima)
+    assert(out.select("doc_id").exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(out.select("doc_id")).count() == 0)
+    input.unpersist()
+  }
+
   test("pipeline is idempotent: preparing a prepared corpus is identity") {
     val once = CorpusPrep.prepare(docs, cfg)
       .select("doc_id", "text", "lang", "source", "n_chars").cache()
