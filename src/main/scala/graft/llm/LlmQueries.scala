@@ -287,6 +287,34 @@ object LlmQueries {
       .orderBy("label", "idx")
   }
 
+  // ------------------------------------------------------------ q60/q61
+  // Realistic-threshold near-dup A/B (VERDICT r2 "Next round" #2). The
+  // fixture embeddings are isotropic — nothing is near anything — so the
+  // oracle-comparable q47 runs at the deliberately loose cos >= 0.3 where
+  // no LSH can prune (information-theoretic; Rp scaladoc). This pair
+  // plants the structure a real corpus has (4 seeded near-dup replicas per
+  // base vector, intra-cluster cos ≈ 0.99, cross ≈ 0) and times both
+  // formulations at a REAL near-dup threshold with selective bands: the
+  // bucketed path prunes the pair space to <1% and must visibly beat its
+  // O(n²) twin at equal n in BENCH; recall >= 0.95 vs the twin is
+  // property-tested (LshSpec). Seeded replication + seeded planes ⇒
+  // deterministic rows (rows-only check; scores are exact-reranked).
+  private def plantedEmbeddings(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.ScaleStress.replicateEmbeddings(
+      Tables(s, dir, "embeddings"), r = 4, eps = 0.12)
+      .select("vec_id", "embedding")
+
+  val q60 = Q.noOracle("q60_neardup_planted") { (s, dir) =>
+    Rp.cosineNearPairs(plantedEmbeddings(s, dir),
+        minCosine = 0.85, bands = 20, bitsPerBand = 12)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q61 = Q.noOracle("q61_neardup_planted_brute") { (s, dir) =>
+    Similarity.cosineNearDupPairs(plantedEmbeddings(s, dir), minCosine = 0.85)
+      .orderBy("id_a", "id_b")
+  }
+
   // ---------------------------------------------------------------- q62
   // Connected-duplicates clustering (B32's transitive-closure step): min-
   // label components over the DETERMINISTIC ngram-jaccard pair set (q33's
@@ -329,5 +357,5 @@ object LlmQueries {
 
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
-      q47, q52, q54, q62)
+      q47, q52, q54, q60, q61, q62)
 }

@@ -104,6 +104,25 @@ class LshSpec extends SparkSpec {
       s"bomb pairs $nBomb")
   }
 
+  test("q60 planted config: recall >= 0.95 vs the q61 brute twin, no false positives") {
+    // the registered q60/q61 pair at sf0.001 scale: 500 bases x 4 seeded
+    // replicas, intra-cluster cos ≈ 0.99, threshold 0.85 with 20x12 bands
+    val planted = graft.ScaleStress.replicateEmbeddings(
+      Tables(spark, sf0001, "embeddings"), r = 4, eps = 0.12)
+      .select("vec_id", "embedding").cache()
+    val brute = Similarity.cosineNearDupPairs(planted, minCosine = 0.85).cache()
+    val n = brute.count()
+    assert(n >= 500 * 6, s"planted fixture must contain its clusters, got $n")
+    val got = Rp.cosineNearPairs(planted, minCosine = 0.85,
+      bands = 20, bitsPerBand = 12)
+    val found = brute.select("id_a", "id_b")
+      .intersect(got.select("id_a", "id_b")).count()
+    assert(found.toDouble / n >= 0.95, s"recall ${found.toDouble / n} ($found/$n)")
+    // exact rerank: every emitted pair + score must exist in the brute set
+    assert(got.exceptAll(brute).count() == 0)
+    planted.unpersist(); brute.unpersist()
+  }
+
   test("registered configs are unchanged by the default cap (fixture margin)") {
     val emb = Tables(spark, sf0001, "embeddings")
     val deflt = Rp.cosineNearPairs(emb, minCosine = 0.3)
