@@ -132,26 +132,27 @@ object Ivf {
     } finally e.unpersist()
   }
 
-  /** Top-k cosine neighbors per query, probing `nProbe` cells. */
-  def search(model: Model, queries: DataFrame, topK: Int, nProbe: Int): DataFrame = {
-    GraftFunctions.register(queries.sparkSession)
+  /** Probe assignment: nProbe nearest centroids per query (centroids are k
+    * rows — broadcast; centroid norms precomputed at fit; the query norm
+    * is constant per query so it can't change the per-query ordering). */
+  private[llm] def probeCells(
+      model: Model, queries: DataFrame, nProbe: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-
-    // probe assignment: nProbe nearest centroids per query (centroids are k
-    // rows — broadcast; centroid norms precomputed at fit; the query norm
-    // is constant per query so it can't change the per-query ordering)
     val d2 = lit(-2.0) * Similarity.dotFast(col("q_emb"), col("centroid")) +
       col("centroid_n")
     val wProbe = Window.partitionBy("q_id").orderBy(col("cd2").asc, col("cell"))
-    val probes = q.crossJoin(broadcast(model.centroids))
+    q.crossJoin(broadcast(model.centroids))
       .select(col("q_id"), col("q_emb"), col("cell"), d2.as("cd2"))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nProbe)
       .select("q_id", "q_emb", "cell")
+  }
 
-    // candidate scan restricted to probed cells + exact cosine rerank
+  /** Candidate scan restricted to probed cells + exact cosine rerank. */
+  private[llm] def rerank(
+      probes: DataFrame, indexed: DataFrame, topK: Int): DataFrame = {
     val wRank = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
-    probes.join(model.indexed, "cell")
+    probes.join(indexed, "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select(
         col("q_id"), col("vec_id"),
@@ -159,5 +160,47 @@ object Ivf {
       .withColumn("rk", row_number().over(wRank))
       .filter(col("rk") <= topK)
       .select("q_id", "rk", "vec_id", "sim")
+  }
+
+  /** Top-k cosine neighbors per query, probing `nProbe` cells. */
+  def search(model: Model, queries: DataFrame, topK: Int, nProbe: Int): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
+    rerank(probeCells(model, queries, nProbe), model.indexed, topK)
+  }
+
+  /** Persist the index in the bucketed-by-cell layout the fit scaladoc
+    * promises: `<name>_cells` is a catalog table bucketed (and sorted) on
+    * `cell`, `<name>_centroids` a plain k-row table. One shuffle at index
+    * build time, amortized over every later probe — the bucket metadata
+    * both co-locates each cell's vectors AND lets a probe's `cell IN (…)`
+    * filter prune unprobed buckets at the file level. */
+  def saveIndex(model: Model, name: String, buckets: Int = 16): Unit = {
+    graft.sources.Bucketing.writeBucketed(model.indexed, s"${name}_cells", "cell", buckets)
+    model.centroids.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${name}_centroids")
+  }
+
+  /** Reload a [[saveIndex]]-persisted index. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, name: String): Model =
+    Model(spark.table(s"${name}_centroids"), spark.table(s"${name}_cells"))
+
+  /** Top-k through a persisted index, with bucket pruning: the probed cell
+    * set (at most k values by construction — there are only k cells) becomes
+    * a literal IN filter on the bucketed table, so the scan reads only
+    * nProbe-worth of buckets (`SelectedBucketsCount` in the plan) instead of
+    * the whole corpus. THIS is IVF's scale win — candidate IO proportional
+    * to nProbe/k of the index, from layout alone. The collect is bounded by
+    * k rows regardless of query-batch size. */
+  def searchIndexed(
+      spark: org.apache.spark.sql.SparkSession, name: String,
+      queries: DataFrame, topK: Int, nProbe: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    val model = loadIndex(spark, name)
+    // eager tiny materialization: read twice (cell collect + rerank join)
+    val probes = probeCells(model, queries, nProbe).localCheckpoint(true)
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    rerank(probes,
+      model.indexed.filter(col("cell").isin(cells.toIndexedSeq.map(x => x: Any): _*)),
+      topK)
   }
 }
