@@ -1,0 +1,317 @@
+package graft.pipeline
+
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.param.{DoubleParam, IntParam, LongParam, Param, ParamMap, ParamValidators, Params}
+import org.apache.spark.ml.util.{Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructType}
+
+/** Shared column/hyper-parameters for [[MlpRegressor]] and its model. */
+private[pipeline] trait MlpParams extends Params {
+  final val featuresCol =
+    new Param[String](this, "featuresCol", "features column (ml Vector)")
+  final val labelCol = new Param[String](this, "labelCol", "label column")
+  final val predictionCol =
+    new Param[String](this, "predictionCol", "prediction output column")
+  final val hidden = new IntParam(this, "hidden",
+    "hidden layer width", ParamValidators.gt(0))
+  final val maxIter = new IntParam(this, "maxIter",
+    "full-batch gradient steps", ParamValidators.gtEq(1))
+  final val stepSize = new DoubleParam(this, "stepSize",
+    "gradient step size (on standardized data)", ParamValidators.gt(0.0))
+  final val seed = new LongParam(this, "seed", "weight init seed")
+  setDefault(featuresCol -> "features", labelCol -> "label",
+    predictionCol -> "prediction", hidden -> 100, maxIter -> 100,
+    stepSize -> 0.3, seed -> 42L)
+
+  protected def validateSchema(schema: StructType): StructType = {
+    require(schema.fieldNames.contains($(featuresCol)),
+      s"missing features column ${$(featuresCol)}")
+    if (schema.fieldNames.contains($(predictionCol))) schema
+    else schema.add($(predictionCol), DoubleType, nullable = false)
+  }
+}
+
+/** Single-hidden-layer MLP regressor — the reference example network's
+  * dense(hidden, relu) → dense(1) with MSE loss
+  * (/root/reference/examples/trainer/networks/minimal_network.py:38-48),
+  * closing A19's last semantic gap: [[Train.defaultEstimator]]'s
+  * LinearRegression is the declared GLM stand-in, this is the shape-exact
+  * option for [[Train.fit]]'s `estimator` slot.
+  *
+  * Distribution shape — the same one MLlib's own GLM training loop uses:
+  * the (cached) feature RDD stays put; each full-batch step broadcasts the
+  * (h·d + 2h + 1)-double weight vector and aggregates the gradient back, so
+  * per-iteration traffic is weights-out + gradient-in, independent of row
+  * count, and the per-row forward/backward never leaves the executor. At
+  * 100 TB you would mini-batch by `sample()` per step rather than
+  * full-batch, but the aggregation topology is already the scalable one.
+  * Inputs and label are internally standardized (computed in one extra
+  * pass) — full-batch GD on raw scales diverges for ill-conditioned
+  * features; predictions are de-standardized on the way out, so the fitted
+  * surface is in original units. The step size self-corrects by
+  * backtracking: the loss rides the gradient aggregate for free, and a step
+  * that raises it (or NaNs) is undone and retried at half the rate — so a
+  * hot `stepSize` degrades to extra iterations, never divergence.
+  *
+  * Determinism: seeded He-init weights and a partition-index-ordered
+  * partial combine (NOT `treeAggregate`, whose driver-side reduce sums in
+  * task-arrival order and is bitwise irreproducible for floats) make
+  * same-seed fits bit-identical on a fixed input partitioning (asserted in
+  * MlpRegressorSpec). The ordered combine collects one (h·d + 2h + 2)-double
+  * partial per partition to the driver — fine to thousands of partitions;
+  * beyond that, trade bit-determinism back for `treeAggregate` or insert a
+  * fixed-pairing combine round.
+  */
+class MlpRegressor(override val uid: String)
+    extends Estimator[MlpRegressorModel] with MlpParams {
+
+  def this() = this(Identifiable.randomUID("graft_mlp"))
+
+  def setFeaturesCol(v: String): this.type = set(featuresCol, v)
+  def setLabelCol(v: String): this.type = set(labelCol, v)
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
+  def setHidden(v: Int): this.type = set(hidden, v)
+  def setMaxIter(v: Int): this.type = set(maxIter, v)
+  def setStepSize(v: Double): this.type = set(stepSize, v)
+  def setSeed(v: Long): this.type = set(seed, v)
+
+  override def copy(extra: ParamMap): MlpRegressor = defaultCopy(extra)
+  override def transformSchema(schema: StructType): StructType =
+    validateSchema(schema)
+
+  override def fit(dataset: Dataset[_]): MlpRegressorModel = {
+    transformSchema(dataset.schema)
+    val sc = dataset.sparkSession.sparkContext
+    val data = dataset
+      .select(col($(featuresCol)), col($(labelCol)).cast(DoubleType))
+      .na.drop()
+      .rdd.map(r => (r.getAs[Vector](0).toArray, r.getDouble(1)))
+      .cache()
+
+    /** Per-partition fold, then a partition-index-ordered driver combine —
+      * bitwise deterministic, unlike treeAggregate's arrival-order reduce. */
+    def orderedAgg(size: Int)(
+        seqOp: (Array[Double], (Array[Double], Double)) => Unit): Array[Double] = {
+      val partials = data.mapPartitionsWithIndex { (idx, it) =>
+        val acc = new Array[Double](size)
+        it.foreach(seqOp(acc, _))
+        Iterator((idx, acc))
+      }.collect().sortBy(_._1).map(_._2)
+      require(partials.nonEmpty, "cannot fit on an empty dataset")
+      partials.reduceLeft { (a, b) =>
+        var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+      }
+    }
+
+    try {
+      val n = data.count()
+      require(n > 0, "cannot fit on an empty dataset")
+      val d = data.first()._1.length
+      val h = $(hidden)
+
+      // one stats pass: feature/label mean+std for internal standardization
+      val stats = orderedAgg(2 * d + 2) { (s, xy) =>
+        val (x, y) = xy
+        var i = 0
+        while (i < d) { s(i) += x(i); s(d + i) += x(i) * x(i); i += 1 }
+        s(2 * d) += y; s(2 * d + 1) += y * y
+      }
+      def std(sum: Double, sumSq: Double): Double = {
+        val v = sumSq / n - (sum / n) * (sum / n)
+        val s = math.sqrt(math.max(v, 0.0))
+        if (s < 1e-12) 1.0 else s // constant column: center only
+      }
+      val featMean = Array.tabulate(d)(i => stats(i) / n)
+      val featStd = Array.tabulate(d)(i => std(stats(i), stats(d + i)))
+      val labelMean = stats(2 * d) / n
+      val labelStd = std(stats(2 * d), stats(2 * d + 1))
+
+      // flat weight vector: [0,h*d) W1 | [h*d,+h) b1 | [+h) w2 | last b2;
+      // seeded He init for the relu layer, 1/sqrt(h) for the linear head
+      val S = h * d + 2 * h + 1
+      val w = new Array[Double](S)
+      val rnd = new java.util.Random($(seed))
+      var i0 = 0
+      while (i0 < h * d) { w(i0) = rnd.nextGaussian() * math.sqrt(2.0 / d); i0 += 1 }
+      i0 = 0
+      while (i0 < h) { w(h * d + h + i0) = rnd.nextGaussian() / math.sqrt(h.toDouble); i0 += 1 }
+
+      // gradient layout mirrors w; slot S accumulates the squared loss, so
+      // each iteration knows loss(w) for free and can backtrack
+      def gradAndLoss(weights: Array[Double]): Array[Double] = {
+        val bc = sc.broadcast((weights.clone(), featMean, featStd, labelMean, labelStd))
+        try orderedAgg(S + 1) { (g, xy) =>
+          val (bw, fm, fs, lm, ls) = bc.value
+          val (raw, y) = xy
+          val x = new Array[Double](d)
+          var i = 0
+          while (i < d) { x(i) = (raw(i) - fm(i)) / fs(i); i += 1 }
+          val a = new Array[Double](h)
+          var yhat = bw(S - 1)
+          var j = 0
+          while (j < h) {
+            var z = bw(h * d + j); i = 0
+            while (i < d) { z += bw(j * d + i) * x(i); i += 1 }
+            if (z > 0) { a(j) = z; yhat += bw(h * d + h + j) * z }
+            j += 1
+          }
+          val r = yhat - (y - lm) / ls
+          g(S) += r * r                          // loss
+          val e = 2.0 * r                        // d(yhat-y)²/dyhat
+          g(S - 1) += e                          // b2
+          j = 0
+          while (j < h) {
+            g(h * d + h + j) += e * a(j)         // w2 (zero for dead units)
+            if (a(j) > 0) {
+              val dz = e * bw(h * d + h + j)
+              g(h * d + j) += dz                 // b1
+              i = 0
+              while (i < d) { g(j * d + i) += dz * x(i); i += 1 }
+            }
+            j += 1
+          }
+        } finally bc.unpersist(blocking = false)
+      }
+
+      // full-batch GD with backtracking: a step that raises the loss (or
+      // NaNs) is undone and retaken from the last good point at lr/2.
+      // Each aggregate pass counts against maxIter, so retries terminate.
+      var lr = $(stepSize)
+      var prevLoss = Double.PositiveInfinity
+      var goodW: Array[Double] = null
+      var goodG: Array[Double] = null
+      var it = 0
+      while (it < $(maxIter)) {
+        val g = gradAndLoss(w)
+        val loss = g(S) / n
+        if (goodW != null && (loss.isNaN || loss > prevLoss)) {
+          lr /= 2
+          var i = 0
+          while (i < S) { w(i) = goodW(i) - lr * goodG(i) / n; i += 1 }
+        } else {
+          prevLoss = loss
+          goodW = w.clone(); goodG = g
+          var i = 0
+          while (i < S) { w(i) -= lr * g(i) / n; i += 1 }
+        }
+        it += 1
+      }
+
+      val model = new MlpRegressorModel(uid, d,
+        java.util.Arrays.copyOfRange(w, 0, h * d),
+        java.util.Arrays.copyOfRange(w, h * d, h * d + h),
+        java.util.Arrays.copyOfRange(w, h * d + h, h * d + 2 * h),
+        w(S - 1), featMean, featStd, labelMean, labelStd)
+      copyValues(model).setParent(this)
+    } finally data.unpersist()
+  }
+}
+
+/** Fitted dense(h, relu) → dense(1) network. Inference is a per-row
+  * closed-form forward pass over captured weight arrays — the standard
+  * MLlib model-transform shape (a scalar udf; weights ride the closure,
+  * not the Params object). */
+class MlpRegressorModel private[pipeline] (
+    override val uid: String,
+    val dim: Int,
+    val w1: Array[Double], val b1: Array[Double],
+    val w2: Array[Double], val b2: Double,
+    val featMean: Array[Double], val featStd: Array[Double],
+    val labelMean: Double, val labelStd: Double)
+    extends Model[MlpRegressorModel] with MlpParams with MLWritable {
+
+  def setFeaturesCol(v: String): this.type = set(featuresCol, v)
+  def setLabelCol(v: String): this.type = set(labelCol, v)
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
+
+  override def copy(extra: ParamMap): MlpRegressorModel = {
+    val m = new MlpRegressorModel(uid, dim, w1, b1, w2, b2,
+      featMean, featStd, labelMean, labelStd)
+    copyValues(m, extra).setParent(parent)
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    validateSchema(schema)
+
+  override def transform(dataset: Dataset[_]): DataFrame = {
+    transformSchema(dataset.schema)
+    // capture plain arrays, not `this`: the closure ships ~h·(d+2) doubles
+    val (d, _w1, _b1, _w2, _b2) = (dim, w1, b1, w2, b2)
+    val (fm, fs, lm, ls) = (featMean, featStd, labelMean, labelStd)
+    val predict = udf { v: Vector =>
+      val raw = v.toArray
+      var yhat = _b2
+      var j = 0
+      while (j < _w2.length) {
+        var z = _b1(j)
+        var i = 0
+        while (i < d) { z += _w1(j * d + i) * (raw(i) - fm(i)) / fs(i); i += 1 }
+        if (z > 0) yhat += _w2(j) * z
+        j += 1
+      }
+      yhat * ls + lm
+    }
+    dataset.withColumn($(predictionCol), predict(col($(featuresCol))))
+  }
+
+  override def write: MLWriter = new MlpRegressorModel.MlpModelWriter(this)
+}
+
+object MlpRegressorModel extends MLReadable[MlpRegressorModel] {
+
+  /** Full model state, params included — Spark's `DefaultParamsWriter` is
+    * `private[ml]`, so the column params ride the payload row instead of the
+    * metadata paramMap. */
+  private[pipeline] case class Data(
+      uid: String,
+      featuresColV: String, labelColV: String, predictionColV: String,
+      dim: Int, w1: Seq[Double], b1: Seq[Double], w2: Seq[Double], b2: Double,
+      featMean: Seq[Double], featStd: Seq[Double],
+      labelMean: Double, labelStd: Double)
+
+  private[pipeline] class MlpModelWriter(instance: MlpRegressorModel)
+      extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      val ss = sparkSession
+      // Hand-written metadata in DefaultParamsReader's JSON shape: Pipeline's
+      // stage loader reads `class` from here to dispatch to our `read`.
+      val meta = s"""{"class":"${classOf[MlpRegressorModel].getName}",""" +
+        s""""timestamp":${System.currentTimeMillis()},""" +
+        s""""sparkVersion":"${ss.version}","uid":"${instance.uid}",""" +
+        """"paramMap":{},"defaultParamMap":{}}"""
+      ss.createDataset(Seq(meta))(org.apache.spark.sql.Encoders.STRING)
+        .repartition(1).write.mode("overwrite").text(s"$path/metadata")
+      import ss.implicits._
+      Seq(Data(instance.uid,
+        instance.getOrDefault(instance.featuresCol),
+        instance.getOrDefault(instance.labelCol),
+        instance.getOrDefault(instance.predictionCol),
+        instance.dim,
+        instance.w1.toSeq, instance.b1.toSeq, instance.w2.toSeq, instance.b2,
+        instance.featMean.toSeq, instance.featStd.toSeq,
+        instance.labelMean, instance.labelStd))
+        .toDS().repartition(1)
+        .write.mode("overwrite").parquet(s"$path/data")
+    }
+  }
+
+  private class MlpModelReader extends MLReader[MlpRegressorModel] {
+    override def load(path: String): MlpRegressorModel = {
+      val ss = sparkSession
+      import ss.implicits._
+      val d = ss.read.parquet(s"$path/data").as[Data].head()
+      val m = new MlpRegressorModel(d.uid, d.dim,
+        d.w1.toArray, d.b1.toArray, d.w2.toArray, d.b2,
+        d.featMean.toArray, d.featStd.toArray, d.labelMean, d.labelStd)
+      m.setFeaturesCol(d.featuresColV)
+        .setLabelCol(d.labelColV)
+        .setPredictionCol(d.predictionColV)
+    }
+  }
+
+  override def read: MLReader[MlpRegressorModel] = new MlpModelReader
+  override def load(path: String): MlpRegressorModel = super.load(path)
+}

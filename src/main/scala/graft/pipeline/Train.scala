@@ -19,7 +19,10 @@ import graft.core.Network
   */
 object Train {
 
-  /** Default estimator standing in for the example's dense regressor. */
+  /** Default estimator standing in for the example's dense regressor.
+    * For shape-exact parity with the reference's dense(100, relu) → dense(1)
+    * network (minimal_network.py:38-43), pass
+    * `new MlpRegressor().setHidden(100)` as [[fit]]'s `estimator` instead. */
   def defaultEstimator(maxIter: Int = 20): LinearRegression =
     new LinearRegression()
       .setFeaturesCol("features").setLabelCol("label").setMaxIter(maxIter)
