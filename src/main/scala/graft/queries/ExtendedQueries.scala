@@ -210,12 +210,16 @@ object ExtendedQueries {
   // B2/B3 oracle coverage: write a fixture slice to CSV with a declared
   // schema, read it back, aggregate — DuckDB reads THE SAME files, so the
   // row codec (header, date and float formatting, null-free roundtrip) is
-  // what's under test, not just the aggregate. The staging path is fixed
-  // (the oracle SQL is a static string, so it cannot embed the SF), which
-  // forces a single-writer protocol: q49 is NON-headline so the bench
+  // what's under test, not just the aggregate. The staging path is
+  // per-process (pid suffix): the oracle SQL string and the Spark write
+  // happen in the same Verify JVM, so the dumped oracle_sql.json always
+  // names this run's staging dir, and CONCURRENT Verify runs (any SFs)
+  // can no longer collide on a shared /tmp path. Within a process q49
+  // stays single-writer by protocol: it is NON-headline so the bench
   // never overwrites the staging between a Verify dump and the driver's
-  // deferred DuckDB compare of a DIFFERENT SF.
-  private val csvDir = "/tmp/graft_csv_roundtrip"
+  // deferred DuckDB compare.
+  private val csvDir =
+    s"/tmp/graft_csv_roundtrip_p${ProcessHandle.current().pid()}"
   val q49 = Q.offBench(
     "q49_csv_roundtrip",
     s"""SELECT count(*) AS n,
