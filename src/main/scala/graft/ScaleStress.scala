@@ -127,6 +127,43 @@ object ScaleStress {
     }
   }
 
+  /** Candidate-shape A/B for [[Rp]] (the crossover documented in Rp's object
+    * scaladoc): inline embedding payload vs id-only candidates + join-back,
+    * under FORCED no-broadcast (`autoBroadcastJoinThreshold = -1`) so the
+    * join-backs take the exchange path they would on a cluster where the
+    * corpus does not broadcast. Planted-cluster data at a real threshold —
+    * the same regime as the cosine sweep — and both shapes are asserted to
+    * produce the identical pair count. */
+  def candidateShapes(spark: SparkSession, sfDir: String): Unit = {
+    val emb = Tables(spark, sfDir, "embeddings").cache(); emb.count()
+    println("== Rp candidate shapes: inline vs id-only, forced no-broadcast, cos>=0.9 ==")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (r <- Seq(8, 16)) {
+        val rep = replicateEmbeddings(emb, r, eps = 0.12)
+          .select("vec_id", "embedding").cache()
+        val n = rep.count()
+        val (nInline, inlineS) = time {
+          Rp.cosineNearPairs(rep, minCosine = 0.9, bands = 20, bitsPerBand = 12)
+            .count()
+        }
+        val (nIdOnly, idOnlyS) = time {
+          Rp.cosineNearPairs(rep, minCosine = 0.9, bands = 20, bitsPerBand = 12,
+            idOnly = true).count()
+        }
+        assert(nInline == nIdOnly,
+          s"shape results diverge: inline=$nInline idOnly=$nIdOnly")
+        println(f"R=$r%2d n=$n%6d pairs=$nInline%8d " +
+          f"inline=$inlineS%6.1f s  id-only=$idOnlyS%6.1f s")
+        rep.unpersist()
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      emb.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.filterNot(_.startsWith("--")).headOption
       .getOrElse("/root/testdata/sf0.1")
@@ -135,6 +172,11 @@ object ScaleStress {
 
     if (args.contains("--relational")) {
       relational(spark, sfDir, r = 16)
+      spark.stop()
+      return
+    }
+    if (args.contains("--shapes")) {
+      candidateShapes(spark, sfDir)
       spark.stop()
       return
     }

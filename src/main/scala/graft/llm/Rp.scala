@@ -37,13 +37,21 @@ import graft.functions.GraftFunctions
   * 18× under the default cap, so fixture results are bit-identical to the
   * unsalted join; re-measure if the fixtures are regenerated.
   *
-  * Embeddings ride INLINE through the bucket join (vs [[MinHash]]'s
-  * id-only candidates + join-back): A/B at sf0.1 measured inline 3.7–5.4 s
-  * vs id-join 5.7–6.0 s (identical 14686-row output) — the distinct
-  * shuffle over 3.7M candidate ids plus two join-backs costs more here
-  * than shuffling 56k array-payload rows. The crossover flips when the
-  * corpus no longer broadcasts: at cluster scale prefer the id-only shape
-  * for its ~10× smaller bucket-join shuffle.
+  * Embeddings ride INLINE through the bucket join by default (vs
+  * [[MinHash]]'s id-only candidates + join-back); `idOnly = true` selects
+  * the other shape (ids through the self-join, dedup, embeddings joined
+  * back for the rerank). A/B at sf0.1 measured inline 3.7–5.4 s vs
+  * id-join 5.7–6.0 s (identical 14686-row output) — the distinct shuffle
+  * over 3.7M candidate ids plus two join-backs costs more here than
+  * shuffling 56k array-payload rows. Even under FORCED no-broadcast on
+  * planted clusters (`ScaleStress --shapes`, 32k×64-dim, cos≥0.9) inline
+  * still wins, 18.9 s vs 40.6 s, identical 236887 pairs: 64-float rows are
+  * simply not wide enough for the join-back tax to pay off on one node.
+  * The id-only shape is the CLUSTER recommendation only where the corpus
+  * is orders of magnitude wider than its ids (e.g. ≥1k-dim embeddings or
+  * full document payloads) or the bucket-join shuffle no longer fits local
+  * disk — both shapes are property-tested identical (RpSpec), so the
+  * switch is a pure physical re-plan.
   *
   * Cache lifecycle: the signature relation feeds both self-join sides; left
   * lazy it is recomputed inside the join stage where the fused 112-dot
@@ -76,7 +84,16 @@ object Rp {
       .collect().headOption.map(_.getInt(0))
 
   /** Shared skeleton: explode per-row bucket keys, self-join on (t, k),
-    * score each candidate pair exactly, filter, dedup across tables. */
+    * score each candidate pair exactly, filter, dedup across tables.
+    *
+    * `idOnly` selects the candidate shape (the documented crossover in the
+    * object scaladoc): `false` carries the embedding + its norm INLINE
+    * through the bucket self-join (one join, bigger rows — wins while the
+    * corpus broadcasts); `true` pushes only (t, k, salt, vec_id) through the
+    * self-join, dedups the candidate id pairs, and joins the embeddings back
+    * for the exact rerank (three joins, ~10× smaller bucket-join shuffle —
+    * the cluster-scale shape; measured in `ScaleStress --shapes`). Both
+    * shapes produce the identical pair set (property-tested in RpSpec). */
   /** `materialize = false` skips the cache/checkpoint lifecycle and returns
     * the fully lazy pipeline — for plan audits (PlanDump would otherwise see
     * only the post-checkpoint scan) and composition into larger jobs. */
@@ -87,19 +104,21 @@ object Rp {
       scoreName: String,
       keep: Column,
       maxBucketSize: Int,
+      idOnly: Boolean,
       materialize: Boolean): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
     if (keys.isEmpty) // empty input: no planes could be derived (dim probe)
       return embeddings.select(
         col("vec_id").as("id_a"), col("vec_id").as("id_b"),
         lit(0.0).as(scoreName)).where(lit(false))
+    val payload =
+      if (idOnly) Seq.empty[Column]
+      else Seq(col("embedding"),
+        Similarity.dotFast(col("embedding"), col("embedding")).as("n"))
     val sig0 = embeddings
-      .select(
-        col("vec_id"), col("embedding"),
-        Similarity.dotFast(col("embedding"), col("embedding")).as("n"),
-        explode(array(keys: _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("n"),
-        col("tb.t").as("t"), col("tb.k").as("k"))
+      .select(col("vec_id") +: payload :+ explode(array(keys: _*)).as("tb"): _*)
+      .withColumn("t", col("tb.t")).withColumn("k", col("tb.k"))
+      .drop("tb")
     val sig = if (materialize) sig0.cache() else sig0
     // materialize BEFORE the self-join: if the cache fills lazily inside the
     // join stage, the first side still executes the fused many-dot generator
@@ -108,15 +127,35 @@ object Rp {
     // hot-bucket skew defense: bound the per-key candidate partition (the
     // occupancy count reads the cached signature — one cheap extra job)
     val salted = Lsh.saltHotBuckets(sig, "vec_id", maxBucketSize)
-    val a = salted.select(col("t"), col("k"), col("salt"), col("vec_id").as("id_a"),
-      col("embedding").as("emb_a"), col("n").as("n_a"))
-    val b = salted.select(col("t"), col("k"), col("salt"), col("vec_id").as("id_b"),
-      col("embedding").as("emb_b"), col("n").as("n_b"))
-    val pairs0 = a.join(b, Seq("t", "k", "salt"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), score.as(scoreName))
-      .filter(keep)
-      .distinct()
+    val pairs0 =
+      if (idOnly) {
+        val cand = salted
+          .select(col("t"), col("k"), col("salt"), col("vec_id").as("id_a"))
+          .join(salted.select(col("t"), col("k"), col("salt"),
+            col("vec_id").as("id_b")), Seq("t", "k", "salt"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+          .distinct() // dedup BEFORE the rerank: each pair scored exactly once
+        val embN = embeddings.select(col("vec_id"), col("embedding"),
+          Similarity.dotFast(col("embedding"), col("embedding")).as("n"))
+        cand
+          .join(embN.select(col("vec_id").as("id_a"),
+            col("embedding").as("emb_a"), col("n").as("n_a")), "id_a")
+          .join(embN.select(col("vec_id").as("id_b"),
+            col("embedding").as("emb_b"), col("n").as("n_b")), "id_b")
+          .select(col("id_a"), col("id_b"), score.as(scoreName))
+          .filter(keep)
+      } else {
+        val a = salted.select(col("t"), col("k"), col("salt"), col("vec_id").as("id_a"),
+          col("embedding").as("emb_a"), col("n").as("n_a"))
+        val b = salted.select(col("t"), col("k"), col("salt"), col("vec_id").as("id_b"),
+          col("embedding").as("emb_b"), col("n").as("n_b"))
+        a.join(b, Seq("t", "k", "salt"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), score.as(scoreName))
+          .filter(keep)
+          .distinct()
+      }
     if (!materialize) return pairs0
     val pairs = pairs0.localCheckpoint(true) // eager: see cache-lifecycle note
     sig.unpersist()
@@ -142,6 +181,7 @@ object Rp {
       bucketLength: Double = 1.5,
       seed: Long = 42L,
       maxBucketSize: Int = Lsh.DefaultMaxBucketSize,
+      idOnly: Boolean = false,
       materialize: Boolean = true): DataFrame = {
     val keys = probeDim(embeddings).toSeq.flatMap { dim =>
       val planes = hyperplanes(dim, numTables * projsPerTable, seed)
@@ -157,7 +197,7 @@ object Rp {
       lit(2.0) * Similarity.dotFast(col("emb_a"), col("emb_b")) + col("n_b")
     nearPairs(embeddings, keys,
       round(sqrt(greatest(d2, lit(0.0))), 4), "dist",
-      col("dist") <= threshold, maxBucketSize, materialize)
+      col("dist") <= threshold, maxBucketSize, idOnly, materialize)
   }
 
   /** Banded sign-random-projection (SimHash-over-embeddings) candidate pairs
@@ -184,6 +224,7 @@ object Rp {
       bitsPerBand: Int = 4,
       seed: Long = 42L,
       maxBucketSize: Int = Lsh.DefaultMaxBucketSize,
+      idOnly: Boolean = false,
       materialize: Boolean = true): DataFrame = {
     val keys = probeDim(embeddings).toSeq.flatMap { dim =>
       val planes = hyperplanes(dim, bands * bitsPerBand, seed)
@@ -200,6 +241,6 @@ object Rp {
       sqrt(col("n_a") * col("n_b"))
     nearPairs(embeddings, keys,
       round(sim, 4), "cos_sim",
-      col("cos_sim") >= minCosine, maxBucketSize, materialize)
+      col("cos_sim") >= minCosine, maxBucketSize, idOnly, materialize)
   }
 }

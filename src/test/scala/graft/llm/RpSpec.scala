@@ -73,6 +73,23 @@ class RpSpec extends SparkSpec {
     assert(c.count() > 0)
   }
 
+  test("id-only candidate shape produces the identical pair set (both metrics)") {
+    // the cluster-scale shape (ids through the bucket join, embeddings
+    // joined back for the rerank) must be a pure physical re-plan: same
+    // pairs, same rounded scores, for both the cosine and the L2 form
+    val cosInline = Rp.cosineNearPairs(emb, 0.3)
+    val cosIds = Rp.cosineNearPairs(emb, 0.3, idOnly = true)
+    assert(cosInline.count() > 0)
+    assert(cosInline.exceptAll(cosIds).count() == 0 &&
+      cosIds.exceptAll(cosInline).count() == 0)
+    val l2Inline = Rp.l2NearPairs(emb, 1.3, numTables = 16, projsPerTable = 2)
+    val l2Ids = Rp.l2NearPairs(emb, 1.3, numTables = 16, projsPerTable = 2,
+      idOnly = true)
+    assert(l2Inline.count() > 0)
+    assert(l2Inline.exceptAll(l2Ids).count() == 0 &&
+      l2Ids.exceptAll(l2Inline).count() == 0)
+  }
+
   test("empty input yields an empty pair set, not a crash") {
     val none = emb.filter(col("vec_id") < 0)
     assert(Rp.cosineNearPairs(none, 0.3).count() == 0)
