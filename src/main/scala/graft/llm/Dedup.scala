@@ -47,6 +47,68 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")
 
+  /** Banded SimHash near-dup pairs: the scale path for [[simhash64]] (turns
+    * "banding-ready fingerprint" into an actual candidate join). The 64-bit
+    * fingerprint is cut into `bands` contiguous bit-slices; pairs meet when
+    * any slice matches exactly (equi-join on (band, slice-value)), then the
+    * exact Hamming distance reranks candidates.
+    *
+    * Unlike MinHash/Rp this is pigeonhole-EXACT, not probabilistic: a pair
+    * at Hamming distance d touches at most d bands, so for
+    * `maxHamming <= bands - 1` every qualifying pair shares at least one
+    * unchanged band and is guaranteed to surface (recall 1.0; DedupSpec
+    * asserts set-equality against the brute-force O(n²) twin). The one
+    * carve-out is [[Lsh.saltHotBuckets]]: a pair whose only unchanged bands
+    * all sit in salt-split hot buckets can split apart — bounded compute on
+    * pathological skew traded for completeness on it, same contract as
+    * Rp/MinHash (fixture buckets are far under the cap, so fixture results
+    * are bit-identical to the unsalted join).
+    *
+    * Shuffle profile at scale: fingerprints are computed scan-side (one
+    * pass over text), the join moves only (band, 8-bit slice, 8-byte fp,
+    * id) rows — no document bodies — and the rerank is a bit_count on two
+    * longs. xxhash64-based ⇒ not DuckDB-replicable: q64 is rows-only with
+    * the exactness property in DedupSpec standing in for the oracle. */
+  def simhashPairs(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      bands: Int = 8,
+      maxBucketSize: Int = Lsh.DefaultMaxBucketSize,
+      materialize: Boolean = true): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming < bands ($maxHamming >= $bands)")
+    val bits = 64 / bands
+    val mask = (1L << bits) - 1
+    val fp0 = docs.select(col("doc_id"), simhash64(col("text")).as("fp"))
+    // cache: the fingerprint scan (nested 64-bit HOF fold over every token)
+    // dominates; it feeds both self-join sides via the exploded signature
+    val fp = if (materialize) fp0.cache() else fp0
+    val sig = fp.select(
+      col("doc_id"), col("fp"),
+      explode(array((0 until bands).map { t =>
+        struct(lit(t).as("t"),
+          call_function("shiftright", col("fp"), lit(t * bits))
+            .bitwiseAND(lit(mask)).as("k"))
+      }: _*)).as("tb"))
+      .select(col("doc_id"), col("fp"), col("tb.t").as("t"), col("tb.k").as("k"))
+    val salted = Lsh.saltHotBuckets(sig, "doc_id", maxBucketSize)
+    val a = salted.select(col("t"), col("k"), col("salt"),
+      col("doc_id").as("id_a"), col("fp").as("fp_a"))
+    val b = salted.select(col("t"), col("k"), col("salt"),
+      col("doc_id").as("id_b"), col("fp").as("fp_b"))
+    val pairs0 = a.join(b, Seq("t", "k", "salt"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    if (!materialize) return pairs0
+    val pairs = pairs0.localCheckpoint(true) // eager: see minhashPairs note
+    fp.unpersist()
+    pairs
+  }
+
   /** MinHash-LSH near-duplicate candidate pairs over `k`-word shingles.
     * Seeded → deterministic; `distCol` is the exact Jaccard *distance* on the
     * hashed shingle space. Output (id_a, id_b, jaccard_dist), id_a < id_b. */

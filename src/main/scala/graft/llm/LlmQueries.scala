@@ -355,7 +355,53 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q63
+  // MOSS-style winnowing fingerprint (TextAnalysis.winnow) — the rolling
+  // substring-level fingerprint next to q30's whole-document hash. The gram
+  // hash is a sha256 hex prefix compared as a string, so the sliding-window
+  // minima are engine-independent and the WHOLE selection is hash-checked
+  // against DuckDB (serialized to CSV — the q37 lesson: the driver compare
+  // can't hash array cells). k=3, w=4.
+  val q63 = Q(
+    "q63_winnow",
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      |           FROM documents),
+      |g AS (SELECT doc_id,
+      |             CASE WHEN len(ts) >= 3 THEN
+      |               list_transform(range(len(ts) - 2),
+      |                 i -> substr(sha256(ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]), 1, 16))
+      |             ELSE []::VARCHAR[] END AS grams
+      |      FROM d),
+      |f AS (SELECT doc_id,
+      |             CASE WHEN len(grams) >= 4 THEN
+      |               list_sort(list_distinct(list_transform(range(len(grams) - 3),
+      |                 j -> list_min(grams[j+1:j+4]))))
+      |             WHEN len(grams) > 0 THEN [list_min(grams)]
+      |             ELSE []::VARCHAR[] END AS fp
+      |      FROM g)
+      |SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_hashes,
+      |       array_to_string(fp, ',') AS fp
+      |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val fp = TextAnalysis.winnow(col("text"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), size(fp).cast("long").as("n_hashes"),
+        concat_ws(",", fp).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q64
+  // Banded SimHash near-dup join (Dedup.simhashPairs): q32 emits the
+  // fingerprints, this is the candidate join that makes them a dedup
+  // operator. Pigeonhole-exact for hamming <= bands-1, but xxhash64-based
+  // fingerprints aren't DuckDB-replicable → rows-only; the exactness
+  // property (set-equality vs the brute-force O(n²) hamming join) lives in
+  // DedupSpec.
+  val q64 = Q.noOracle("q64_simhash_banded") { (s, dir) =>
+    Dedup.simhashPairs(Tables(s, dir, "documents"), maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
-      q47, q52, q54, q60, q61, q62)
+      q47, q52, q54, q60, q61, q62, q63, q64)
 }

@@ -66,9 +66,43 @@ object TextAnalysis {
   }
 
   /** Canonical-text fingerprint: lowercase, collapse whitespace, SHA-256.
-    * Rolling/locality-sensitive variants live in [[Dedup]] (SimHash). */
+    * Rolling/locality-sensitive variants: [[winnow]] (substring-level),
+    * [[Dedup.simhash64]] (document-level). */
   def fingerprint(text: Column): Column =
     sha2(regexp_replace(lower(trim(text)), "\\s+", " "), 256)
+
+  /** MOSS-style winnowing fingerprint (Schleimer/Wilkerson/Aiken 2003): hash
+    * every `k`-token gram IN SEQUENCE (positional, not distinct — the rolling
+    * structure is the point), slide a window of `w` consecutive gram hashes,
+    * and keep the minimum of each window. Guarantee: any shared token run of
+    * length ≥ w+k-1 between two documents contributes at least one shared
+    * selected hash, at an expected density of ~2/(w+1) of the grams — the
+    * substring-matching fingerprint that exact/SimHash fingerprints can't
+    * provide.
+    *
+    * The gram hash is a 16-hex-char SHA-256 prefix compared as a STRING:
+    * lexicographic min over lowercase hex is identical in Spark and DuckDB,
+    * which makes the whole operator oracle-checkable (q63) — unlike
+    * xxhash64, which DuckDB cannot reproduce. Pure Column throughout; the
+    * output is the sorted distinct selection (a set fingerprint: containment
+    * joins on it find shared-substring candidates).
+    *
+    * Degenerate inputs: fewer than k tokens → empty fingerprint; fewer than
+    * w grams → the single global-min hash (one window covering everything).
+    */
+  def winnow(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val ts = tokens(text)
+    val grams = when(size(ts) >= k,
+      transform(sequence(lit(0), size(ts) - k),
+        i => substring(sha2(concat_ws(" ", slice(ts, i + 1, lit(k))), 256), 1, 16)))
+      .otherwise(array().cast("array<string>"))
+    when(size(grams) >= w,
+      array_sort(array_distinct(
+        transform(sequence(lit(0), size(grams) - w),
+          j => array_min(slice(grams, j + 1, lit(w)))))))
+      .otherwise(when(size(grams) > 0, array(array_min(grams)))
+        .otherwise(array().cast("array<string>")))
+  }
 
   /** TF-IDF feature pipeline (B34): tokenize → stopwords → n-grams-optional
     * → hashed TF → IDF. Returns the fitted model's output frame with a

@@ -79,6 +79,30 @@ class DedupSpec extends SparkSpec {
     assert(ham(fps(1L), fps(2L)) <= 12)
   }
 
+  test("banded simhash equals the brute-force hamming join (pigeonhole exactness)") {
+    // hamming <= 3 with 8 bands: every qualifying pair must share a band, so
+    // the banded join is EXACT — assert set-equality, not recall, against
+    // the O(n²) twin on the fixture
+    val fp = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("fp"))
+    val brute = fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        Dedup.hamming64(col("a.fp"), col("b.fp")).as("hamming"))
+      .filter(col("hamming") <= 3)
+    val banded = Dedup.simhashPairs(docs, maxHamming = 3)
+    assert(brute.count() > 0, "fixture should contain simhash near-dups")
+    assert(banded.exceptAll(brute).count() == 0 &&
+      brute.exceptAll(banded).count() == 0)
+  }
+
+  test("banded simhash rejects parameters that void the pigeonhole guarantee") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, maxHamming = 8, bands = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, maxHamming = 1, bands = 7)
+    }
+  }
+
   test("ngram jaccard: exact duplicates score 1.0") {
     val dupPairs = Dedup.ngramJaccardPairs(docs, minJaccard = 0.999)
     val hashes = docs.groupBy(sha2(col("text"), 256)).agg(count(lit(1)).as("n"))

@@ -41,6 +41,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).distinct.length == 1)
   }
 
+  test("winnow guarantees a shared hash for any shared run of >= w+k-1 tokens") {
+    // k=3, w=4: a shared 6-token run must contribute at least one common
+    // selected hash, wherever it sits inside otherwise-disjoint documents
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      s"one two three $shared four five six",
+      s"$shared seven eight nine ten eleven twelve").toDF("text")
+      .select(TextAnalysis.winnow(col("text")).as("fp"))
+    val Seq(a, b) = df.collect().toSeq.map(_.getSeq[String](0).toSet)
+    assert(a.intersect(b).nonEmpty,
+      "documents sharing a 6-token run must share a winnow hash")
+  }
+
+  test("winnow density and degenerate inputs") {
+    val df = Seq(
+      "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", // 8 grams, 5 windows
+      "a b c d",                        // 2 grams < w -> single global min
+      "a b",                            // < k tokens -> empty
+      "").toDF("text")
+      .select(TextAnalysis.winnow(col("text")).as("fp"))
+    val sizes = df.collect().toSeq.map(_.getSeq[String](0).length)
+    assert(sizes(0) >= 1 && sizes(0) <= 5) // selection bounded by window count
+    assert(sizes(1) == 1 && sizes(2) == 0 && sizes(3) == 0)
+  }
+
+  test("winnow fingerprints are insensitive to a distant edit") {
+    // selection is locally determined: editing the tail leaves the head's
+    // selected hashes intact (the property that makes it a near-dup signal)
+    val head = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val df = Seq(s"$head ending one", s"$head different finale here").toDF("text")
+      .select(TextAnalysis.winnow(col("text")).as("fp"))
+    val Seq(a, b) = df.collect().toSeq.map(_.getSeq[String](0).toSet)
+    val overlap = a.intersect(b).size.toDouble / math.max(a.size, b.size)
+    assert(overlap >= 0.5, s"distant edit should preserve most hashes ($overlap)")
+  }
+
   test("stopword ratio bounded in [0,1]") {
     val df = Seq("the the the", "no markers here").toDF("text")
       .select(TextAnalysis.stopwordRatio(col("text"), Seq("the")).as("r"))
