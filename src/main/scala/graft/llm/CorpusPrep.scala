@@ -70,4 +70,60 @@ object CorpusPrep {
     * .partitionBy("lang")` for the layout step). */
   def prepare(docs: DataFrame, cfg: Config = Config()): DataFrame =
     enrich(nearDedup(exactDedup(qualityFilter(docs, cfg)), cfg), cfg)
+
+  /** Benchmark decontamination — the train/eval overlap gate a training-data
+    * pipeline runs before anything ships: flag training documents sharing at
+    * least `minShared` distinct `k`-token shingles with an eval/benchmark
+    * set, so they can be dropped (or audited) before the model memorizes its
+    * own test set.
+    *
+    * Scale shape: the benchmark side is tiny by nature (thousands of eval
+    * documents against a 100 TB corpus), so its DISTINCT shingle set is
+    * broadcast — the corpus scan streams past an in-memory set and never
+    * shuffles document bodies; only (doc_id, hit) pairs of contaminated
+    * docs reach the aggregation. Exact by design, no LSH: decontamination
+    * wants certainty, and the small benchmark side makes exact affordable.
+    * Output: (doc_id, n_shared) for flagged training docs only. */
+  def contaminated(
+      train: DataFrame,
+      bench: DataFrame,
+      minShared: Long = 1,
+      k: Int = 3): DataFrame = {
+    val benchShingles = bench
+      .select(explode(TextAnalysis.shingles(col("text"), k)).as("shingle"))
+      .distinct()
+    train
+      .select(col("doc_id"), explode(TextAnalysis.shingles(col("text"), k)).as("shingle"))
+      .join(broadcast(benchShingles), "shingle")
+      // shingles() is per-doc distinct, so count(*) = distinct shared shingles
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Sharded sequence packing ("concat-and-chunk"): assign each document to
+    * a fixed-token-budget training chunk. Global greedy packing is
+    * inherently sequential — a single running sum over the whole corpus is
+    * one task no matter the cluster — so the corpus is sharded
+    * deterministically (doc_id mod `shards`) and each shard packs
+    * independently: parallelism = shards, a chunk never crosses a shard,
+    * and the per-shard window state is one long. Chunk id = the document's
+    * STARTING token offset over the budget (boundary-spanning documents
+    * belong to the chunk they start in; splitting the overflow tokens is a
+    * row-local concern downstream — the distributed part is the
+    * assignment). At 100 TB set `shards` ≈ cores so every window task
+    * stays small; the shuffle moves (doc_id, n_tokens) only, never text. */
+  def packChunks(
+      docs: DataFrame,
+      budgetTokens: Long = 2048,
+      shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(
+      col("doc_id"),
+      pmod(col("doc_id"), lit(shards.toLong)).cast("int").as("shard"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val prev = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("chunk",
+      floor(coalesce(sum(col("n_tokens")).over(prev), lit(0L)) / budgetTokens))
+  }
 }

@@ -401,7 +401,53 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // ---------------------------------------------------------------- q65
+  // Benchmark decontamination (CorpusPrep.contaminated): every-10th doc
+  // plays the held-out eval set, the rest is the training corpus; flagged =
+  // sharing >= 1 distinct 3-token shingle. Exact shingle semantics in both
+  // engines → value-checked.
+  val q65 = Q(
+    "q65_decontaminate",
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      |           FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(ts)-2),
+      |                i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]))) AS shingle
+      |       FROM d WHERE len(ts) >= 3),
+      |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+      |train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0)
+      |SELECT doc_id, count(*) AS n_shared
+      |FROM train JOIN bench USING (shingle)
+      |GROUP BY doc_id HAVING count(*) >= 1
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    CorpusPrep.contaminated(
+        train = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L),
+        bench = docs.filter(pmod(col("doc_id"), lit(10L)) === 0L))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q66
+  // Sharded sequence packing (CorpusPrep.packChunks): token-budget chunk
+  // assignment via per-shard running sums — deterministic, window-SQL-
+  // expressible → value-checked (floor CAST to BIGINT on the oracle side,
+  // the q20 lesson).
+  val q66 = Q(
+    "q66_pack_chunks",
+    """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+      |                  len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      |           FROM documents)
+      |SELECT doc_id, CAST(shard AS INT) AS shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(floor(coalesce(sum(n_tokens) OVER (
+      |              PARTITION BY shard ORDER BY doc_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |            / 2048) AS BIGINT) AS chunk
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    CorpusPrep.packChunks(Tables(s, dir, "documents"),
+        budgetTokens = 2048, shards = 8)
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
-      q47, q52, q54, q60, q61, q62, q63, q64)
+      q47, q52, q54, q60, q61, q62, q63, q64, q65, q66)
 }

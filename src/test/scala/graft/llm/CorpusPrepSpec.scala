@@ -46,6 +46,39 @@ class CorpusPrepSpec extends SparkSpec {
     input.unpersist()
   }
 
+  test("decontamination flags exactly the docs sharing a shingle with the bench set") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma something else entirely"), // shares "alpha beta gamma"
+      (2L, "beta gamma delta plus other words"),        // shares "beta gamma delta"
+      (3L, "totally unrelated content right here"),
+      (4L, "alpha beta")                                // < k tokens shared, no shingle
+    ).toDF("doc_id", "text")
+    val out = CorpusPrep.contaminated(train, bench).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L))
+    // an exact copy of a bench doc shares ALL its shingles
+    val copy = Seq((5L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val full = CorpusPrep.contaminated(copy, bench).collect()
+    assert(full.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((5L, 2L)))
+  }
+
+  test("pack chunks: offsets are contiguous per shard and respect the budget") {
+    val out = CorpusPrep.packChunks(docs, budgetTokens = 256, shards = 4).cache()
+    assert(out.count() == docs.count()) // assignment is total: no doc dropped
+    // within a shard, chunk ids are non-decreasing in doc_id order and
+    // every chunk's assigned docs START strictly inside its token range
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val checked = out.withColumn("off", coalesce(sum("n_tokens").over(w), lit(0L)))
+    assert(checked.filter(col("chunk") =!= floor(col("off") / 256)).count() == 0)
+    // parallel-friendly: exactly `shards` shards, all populated at this SF
+    assert(out.select("shard").distinct().count() == 4)
+    out.unpersist()
+  }
+
   test("pipeline is idempotent: preparing a prepared corpus is identity") {
     val once = CorpusPrep.prepare(docs, cfg)
       .select("doc_id", "text", "lang", "source", "n_chars").cache()
