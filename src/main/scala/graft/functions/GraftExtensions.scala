@@ -19,5 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"${GraftFunctions.VectorDotName} takes 2 arguments, got ${exprs.length}")
         VectorDot(exprs.head, exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.VectorMatMulName),
+      new ExpressionInfo(classOf[VectorMatMul].getName, GraftFunctions.VectorMatMulName),
+      GraftFunctions.matmulFromExprs(_)))
   }
 }

@@ -82,6 +82,22 @@ case class VectorDot(left: Expression, right: Expression)
   * SparkSession without our SparkSessionExtensions configured). */
 object GraftFunctions {
   val VectorDotName = "vector_dot"
+  val VectorMatMulName = "vector_matmul"
+
+  /** Build a [[VectorMatMul]] from a foldable nested-array-literal second
+    * argument (the registry's builder sees Expressions only; the matrix is
+    * constant by construction, so it is evaluated once at plan build and
+    * carried as a referenced object, not literal code). */
+  private[functions] def matmulFromExprs(exprs: Seq[Expression]): VectorMatMul = {
+    require(exprs.length == 2, s"$VectorMatMulName takes 2 arguments")
+    require(exprs(1).foldable, s"$VectorMatMulName's plane matrix must be a literal")
+    val rows = exprs(1).eval()
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val planes = Array.tabulate(rows.numElements()) { p =>
+      rows.getArray(p).toFloatArray()
+    }
+    VectorMatMul(exprs.head, planes)
+  }
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -93,6 +109,12 @@ object GraftFunctions {
           require(exprs.length == 2, s"$VectorDotName takes 2 arguments")
           VectorDot(exprs.head, exprs(1))
         })
+    }
+    if (!registry.functionExists(FunctionIdentifier(VectorMatMulName))) {
+      registry.registerFunction(
+        FunctionIdentifier(VectorMatMulName),
+        new ExpressionInfo(classOf[VectorMatMul].getName, VectorMatMulName),
+        matmulFromExprs(_))
     }
   }
 }

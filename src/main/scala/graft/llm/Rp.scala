@@ -83,6 +83,31 @@ object Rp {
     embeddings.select(size(col("embedding"))).limit(1)
       .collect().headOption.map(_.getInt(0))
 
+  /** Internal projection column: every plane dot of a row in ONE
+    * `vector_matmul` call. Band keys then read `element_at(__projs, i)` —
+    * tiny expressions — instead of each inlining a dim-length literal dot.
+    * With 240 planes the literal form blew Janino's 64 KB method limit and
+    * dropped the whole signature stage out of codegen (ERROR + interpreted
+    * fallback); the matrix now rides as a referenced object so generated
+    * code size is constant in the plane count. Bit-identical results (same
+    * per-plane summation order as [[graft.functions.VectorDot]]). */
+  private val ProjsCol = "__projs"
+
+  private def withProjections(
+      embeddings: DataFrame,
+      nPlanes: Int,
+      seed: Long): (DataFrame, Option[Int]) = {
+    GraftFunctions.register(embeddings.sparkSession)
+    probeDim(embeddings) match {
+      case some @ Some(dim) =>
+        val planes = hyperplanes(dim, nPlanes, seed)
+        (embeddings.withColumn(ProjsCol,
+          call_function(GraftFunctions.VectorMatMulName,
+            col("embedding"), typedlit(planes))), some)
+      case None => (embeddings, None)
+    }
+  }
+
   /** Shared skeleton: explode per-row bucket keys, self-join on (t, k),
     * score each candidate pair exactly, filter, dedup across tables.
     *
@@ -183,19 +208,19 @@ object Rp {
       maxBucketSize: Int = Lsh.DefaultMaxBucketSize,
       idOnly: Boolean = false,
       materialize: Boolean = true): DataFrame = {
-    val keys = probeDim(embeddings).toSeq.flatMap { dim =>
-      val planes = hyperplanes(dim, numTables * projsPerTable, seed)
+    val (prepped, dimOpt) = withProjections(embeddings, numTables * projsPerTable, seed)
+    val keys = dimOpt.toSeq.flatMap { _ =>
       (0 until numTables).map { t =>
         val floors = (0 until projsPerTable).map { p =>
-          floor(Similarity.dotFast(col("embedding"),
-            typedlit(planes(t * projsPerTable + p))) / bucketLength).cast("long")
+          floor(element_at(col(ProjsCol), lit(t * projsPerTable + p + 1))
+            / bucketLength).cast("long")
         }
         struct(lit(t).as("t"), array(floors: _*).as("k"))
       }
     }
     val d2 = col("n_a") -
       lit(2.0) * Similarity.dotFast(col("emb_a"), col("emb_b")) + col("n_b")
-    nearPairs(embeddings, keys,
+    nearPairs(prepped, keys,
       round(sqrt(greatest(d2, lit(0.0))), 4), "dist",
       col("dist") <= threshold, maxBucketSize, idOnly, materialize)
   }
@@ -226,20 +251,19 @@ object Rp {
       maxBucketSize: Int = Lsh.DefaultMaxBucketSize,
       idOnly: Boolean = false,
       materialize: Boolean = true): DataFrame = {
-    val keys = probeDim(embeddings).toSeq.flatMap { dim =>
-      val planes = hyperplanes(dim, bands * bitsPerBand, seed)
+    val (prepped, dimOpt) = withProjections(embeddings, bands * bitsPerBand, seed)
+    val keys = dimOpt.toSeq.flatMap { _ =>
       (0 until bands).map { bd =>
         val bits = (0 until bitsPerBand).map { i =>
-          when(Similarity.dotFast(col("embedding"),
-            typedlit(planes(bd * bitsPerBand + i))) >= 0, lit(1L << i))
-            .otherwise(lit(0L))
+          when(element_at(col(ProjsCol), lit(bd * bitsPerBand + i + 1)) >= 0,
+            lit(1L << i)).otherwise(lit(0L))
         }
         struct(lit(bd).as("t"), bits.reduce(_ + _).as("k"))
       }
     }
     val sim = Similarity.dotFast(col("emb_a"), col("emb_b")) /
       sqrt(col("n_a") * col("n_b"))
-    nearPairs(embeddings, keys,
+    nearPairs(prepped, keys,
       round(sim, 4), "cos_sim",
       col("cos_sim") >= minCosine, maxBucketSize, idOnly, materialize)
   }
