@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric","value","unit","queries","sf"}.
@@ -19,6 +19,17 @@ import org.apache.spark.sql.SparkSession
   * machine-state artifacts, not regressions.
   */
 object Bench {
+
+  /** Timed action: a noop-sink write, which materializes EVERY output
+    * column. `count()` — the previous action — let Catalyst prune unused
+    * projections and eliminate sorts, so projection-only queries (q30
+    * fingerprints, q32 simhash, q63 winnow…) timed as bare row counts
+    * without ever computing the operator under test (q32 "ran" in 0.15 s
+    * while its fingerprint scan really costs seconds). The noop sink is
+    * the standard benchmark terminal: full computation, no result
+    * serialization or disk. */
+  private def consume(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
 
   /** Fixed-cost CPU probe: 2^28 xxhash64 folds across all cores. Quiet-
     * machine nominal is recorded in BASELINE.md; scale-independent. */
@@ -52,14 +63,14 @@ object Bench {
         "q01_filter_project", "q03_revenue_by_nation", "q23_tumbling_window",
         "q35_ann_lsh", "q31_minhash_neardup", "q42_ivf_topk")
       SparkEntry.allQueries.filter(q => warm(q.name))
-        .foreach(q => try q.fn(spark, sfDir).count() catch { case _: Throwable => () })
+        .foreach(q => try consume(q.fn(spark, sfDir)) catch { case _: Throwable => () })
     }
 
     calibrate(spark) // once untimed: JIT the probe itself
     val calibBefore = calibrate(spark)
     val results = queries.map { q =>
       val t0 = System.nanoTime()
-      val ok = try { q.fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val ok = try { consume(q.fn(spark, sfDir)); true } catch { case _: Throwable => false }
       (q.name, (System.nanoTime() - t0) / 1e9, ok)
     }
     val calibAfter = calibrate(spark)

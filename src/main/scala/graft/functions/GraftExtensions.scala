@@ -23,5 +23,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(GraftFunctions.VectorMatMulName),
       new ExpressionInfo(classOf[VectorMatMul].getName, GraftFunctions.VectorMatMulName),
       GraftFunctions.matmulFromExprs(_)))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.SimHash64Name),
+      new ExpressionInfo(classOf[SimHash64].getName, GraftFunctions.SimHash64Name),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"${GraftFunctions.SimHash64Name} takes 1 argument, got ${exprs.length}")
+        SimHash64(exprs.head)
+      }))
   }
 }

@@ -83,6 +83,7 @@ case class VectorDot(left: Expression, right: Expression)
 object GraftFunctions {
   val VectorDotName = "vector_dot"
   val VectorMatMulName = "vector_matmul"
+  val SimHash64Name = "simhash64"
 
   /** Build a [[VectorMatMul]] from a foldable nested-array-literal second
     * argument (the registry's builder sees Expressions only; the matrix is
@@ -115,6 +116,15 @@ object GraftFunctions {
         FunctionIdentifier(VectorMatMulName),
         new ExpressionInfo(classOf[VectorMatMul].getName, VectorMatMulName),
         matmulFromExprs(_))
+    }
+    if (!registry.functionExists(FunctionIdentifier(SimHash64Name))) {
+      registry.registerFunction(
+        FunctionIdentifier(SimHash64Name),
+        new ExpressionInfo(classOf[SimHash64].getName, SimHash64Name),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 1, s"$SimHash64Name takes 1 argument")
+          SimHash64(exprs.head)
+        })
     }
   }
 }

@@ -20,6 +20,19 @@ object TextAnalysis {
   /** Whitespace tokenization (the baseline split). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Evaluate `expr` ONCE per row and expose it to `body` as a lambda
+    * variable. Higher-order-function lambda bodies re-evaluate every outer
+    * expression reference per element (interpreted HOFs have no common-
+    * subexpression elimination), so e.g. `slice(ts, i+1, k)` inside a
+    * per-gram lambda re-runs the whole `split()` per gram — and one more
+    * nesting level multiplies again: the first registered winnow build
+    * cost O(windows × grams × tokens) ≈ 6 MINUTES at sf0.1 vs seconds
+    * with the bindings. `transform` over a one-element array is the
+    * standard binding idiom: the argument is evaluated once, the lambda
+    * sees the materialized value. */
+  private def bound(expr: Column)(body: Column => Column): Column =
+    element_at(transform(array(expr), body), 1)
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /** GPT-style pre-tokenizer pattern, restricted to the constructs Java
@@ -90,19 +103,21 @@ object TextAnalysis {
     * Degenerate inputs: fewer than k tokens → empty fingerprint; fewer than
     * w grams → the single global-min hash (one window covering everything).
     */
-  def winnow(text: Column, k: Int = 3, w: Int = 4): Column = {
-    val ts = tokens(text)
-    val grams = when(size(ts) >= k,
-      transform(sequence(lit(0), size(ts) - k),
-        i => substring(sha2(concat_ws(" ", slice(ts, i + 1, lit(k))), 256), 1, 16)))
-      .otherwise(array().cast("array<string>"))
-    when(size(grams) >= w,
-      array_sort(array_distinct(
-        transform(sequence(lit(0), size(grams) - w),
-          j => array_min(slice(grams, j + 1, lit(w)))))))
-      .otherwise(when(size(grams) > 0, array(array_min(grams)))
-        .otherwise(array().cast("array<string>")))
-  }
+  def winnow(text: Column, k: Int = 3, w: Int = 4): Column =
+    bound(tokens(text)) { ts =>
+      val gramsExpr = when(size(ts) >= k,
+        transform(sequence(lit(0), size(ts) - k),
+          i => substring(sha2(concat_ws(" ", slice(ts, i + 1, lit(k))), 256), 1, 16)))
+        .otherwise(array().cast("array<string>"))
+      bound(gramsExpr) { grams =>
+        when(size(grams) >= w,
+          array_sort(array_distinct(
+            transform(sequence(lit(0), size(grams) - w),
+              j => array_min(slice(grams, j + 1, lit(w)))))))
+          .otherwise(when(size(grams) > 0, array(array_min(grams)))
+            .otherwise(array().cast("array<string>")))
+      }
+    }
 
   /** TF-IDF feature pipeline (B34): tokenize → stopwords → n-grams-optional
     * → hashed TF → IDF. Returns the fitted model's output frame with a
@@ -124,12 +139,12 @@ object TextAnalysis {
 
   /** `k`-word shingles (distinct), the unit for Jaccard/MinHash dedup.
     * Guarded: `sequence(0, n-k)` would run *descending* for n < k. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val ts = tokens(text)
-    when(size(ts) >= k,
-      array_distinct(
-        transform(sequence(lit(0), size(ts) - k),
-          i => concat_ws(" ", slice(ts, i + 1, lit(k))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, k: Int = 3): Column =
+    bound(tokens(text)) { ts =>
+      when(size(ts) >= k,
+        array_distinct(
+          transform(sequence(lit(0), size(ts) - k),
+            i => concat_ws(" ", slice(ts, i + 1, lit(k))))))
+        .otherwise(array().cast("array<string>"))
+    }
 }

@@ -80,18 +80,27 @@ class DedupSpec extends SparkSpec {
   }
 
   test("banded simhash equals the brute-force hamming join (pigeonhole exactness)") {
-    // hamming <= 3 with 8 bands: every qualifying pair must share a band, so
-    // the banded join is EXACT — assert set-equality, not recall, against
-    // the O(n²) twin on the fixture
+    // hamming <= 3 with >= 4 bands: every qualifying pair must share a band,
+    // so the banded join is EXACT — assert set-equality, not recall, against
+    // the O(n²) twin, for both the tight (4×16) and loose (8×8) band layouts
     val fp = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("fp"))
     val brute = fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         Dedup.hamming64(col("a.fp"), col("b.fp")).as("hamming"))
       .filter(col("hamming") <= 3)
-    val banded = Dedup.simhashPairs(docs, maxHamming = 3)
     assert(brute.count() > 0, "fixture should contain simhash near-dups")
-    assert(banded.exceptAll(brute).count() == 0 &&
-      brute.exceptAll(banded).count() == 0)
+    for (bands <- Seq(4, 8)) {
+      val banded = Dedup.simhashPairs(docs, maxHamming = 3, bands = bands)
+      assert(banded.exceptAll(brute).count() == 0 &&
+        brute.exceptAll(banded).count() == 0, s"bands=$bands diverges from brute")
+    }
+  }
+
+  test("codegen simhash64 equals the nested-HOF reference form") {
+    val both = docs.select(
+      Dedup.simhash64(col("text")).as("fast"),
+      Dedup.simhash64HOF(col("text")).as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() == 0)
   }
 
   test("banded simhash rejects parameters that void the pigeonhole guarantee") {
