@@ -100,6 +100,34 @@ object CorpusPrep {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Sliding-window document chunking: split each document into fixed-size
+    * token windows of `chunkTokens` advancing by `stride` (< chunkTokens ⇒
+    * overlapping context, the standard pretraining window shape). Row-local
+    * fan-out — `sequence` of window starts, `explode`, `slice` — so it
+    * parallelizes embarrassingly and fuses into the scan: no shuffle, no
+    * state, output partitioning inherits the input's. Chunk id is the
+    * window ordinal (`start / stride`, exact — starts are stride
+    * multiples). The final window is allowed to be short (`n - start`
+    * tokens) rather than dropped: truncation is a model-side choice, the
+    * pipeline's job is lossless coverage. */
+  def chunkDocuments(
+      docs: DataFrame,
+      chunkTokens: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(stride > 0 && chunkTokens > 0, s"bad chunking: $chunkTokens/$stride")
+    val ts = TextAnalysis.tokens(col("text"))
+    docs
+      .withColumn("__start",
+        explode(sequence(lit(0), size(ts) - 1, lit(stride))))
+      .select(
+        col("doc_id"),
+        (col("__start") / stride).cast("long").as("chunk_idx"),
+        least(lit(chunkTokens), size(ts) - col("__start")).cast("long")
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(ts, col("__start") + 1, lit(chunkTokens)))
+          .as("chunk"))
+  }
+
   /** Sharded sequence packing ("concat-and-chunk"): assign each document to
     * a fixed-token-budget training chunk. Global greedy packing is
     * inherently sequential — a single running sum over the whole corpus is

@@ -447,7 +447,89 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q69
+  // PII redaction (B36 hygiene): the fixture text carries no PII, so each
+  // document is augmented with a deterministic doc_id-derived email, phone
+  // and account number — then scrubbed by TextAnalysis.redactPii. Both
+  // engines build the identical augmented string and run the identical
+  // regex passes (Java-regex/RE2-common subset; oracle passes 'g' for
+  // all-occurrence parity with Spark), so the output is value-checked.
+  val q69 = Q(
+    "q69_pii_redact",
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |         text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+      |         '@mail.example or 555-010-' ||
+      |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |         ' acct 9' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |       regexp_replace(
+      |         regexp_replace(
+      |           regexp_replace(t,
+      |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |           '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
+      |         '\b[0-9]{9,}\b', '<ID>', 'g') AS redacted
+      |FROM aug ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val aug = concat(
+      col("text"), lit(" reach user"), col("doc_id").cast("string"),
+      lit("@mail.example or 555-010-"),
+      lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+      lit(" acct 9"), lpad(col("doc_id").cast("string"), 10, "0"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.redactPii(aug).as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q70
+  // Sliding-window chunking (CorpusPrep.chunkDocuments): 64-token windows,
+  // stride 48 — row-local sequence/explode/slice fan-out, value-checked
+  // against DuckDB's range + list-slice construction.
+  val q70 = Q(
+    "q70_chunk_docs",
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      |           FROM documents),
+      |s AS (SELECT doc_id, ts, unnest(range(0, len(ts), 48)) AS start FROM d)
+      |SELECT doc_id,
+      |       CAST(start // 48 AS BIGINT) AS chunk_idx,
+      |       CAST(least(64, len(ts) - start) AS BIGINT) AS n_chunk_tokens,
+      |       array_to_string(ts[start+1 : start+64], ' ') AS chunk
+      |FROM s ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+    CorpusPrep.chunkDocuments(
+        Tables(s, dir, "documents"), chunkTokens = 64, stride = 48)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  // ---------------------------------------------------------------- q71
+  // Repetition quality signal (TextAnalysis.duplicateNgramFraction): the
+  // Gopher-style duplicate-bigram fraction, with the gram counts exposed so
+  // the check is on exact integers plus one IEEE-deterministic division.
+  val q71 = Q(
+    "q71_repeated_ngrams",
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      |           FROM documents),
+      |g AS (SELECT doc_id,
+      |             CASE WHEN len(ts) >= 2 THEN
+      |               list_transform(range(len(ts) - 1), i -> ts[i+1] || ' ' || ts[i+2])
+      |             ELSE []::VARCHAR[] END AS grams
+      |      FROM d)
+      |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+      |       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+      |       CASE WHEN len(grams) > 0
+      |            THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+      |            ELSE 0.0 END AS dup_frac
+      |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val g = TextAnalysis.positionalNgrams(col("text"), 2)
+    Tables(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(g).cast("long").as("n_grams"),
+        size(array_distinct(g)).cast("long").as("n_distinct"),
+        TextAnalysis.duplicateNgramFraction(col("text"), 2).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
-      q47, q52, q54, q60, q61, q62, q63, q64, q65, q66)
+      q47, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71)
 }

@@ -137,6 +137,54 @@ object TextAnalysis {
     idf.transform(pre).drop("__tokens", "__terms", "__tf")
   }
 
+  /** PII scrub patterns, restricted (like [[BpePretokenPattern]]) to regex
+    * constructs Java regex and RE2 implement identically — no lookarounds,
+    * no backrefs; `\b`, classes and bounded repetition only. Order matters:
+    * emails first (their local parts contain digit runs a later rule would
+    * otherwise mangle mid-address). */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    // email addresses
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    // NANP-style phone numbers: 555-0100 forms with -, . or space separators
+    "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b" -> "<PHONE>",
+    // long bare digit runs (account ids, SSN-like 9+)
+    "\\b[0-9]{9,}\\b" -> "<ID>")
+
+  /** Redact PII in-place (B36 hygiene step): sequential `regexp_replace`
+    * passes, all-occurrence semantics on both engines (Spark replaces all by
+    * default; the oracle passes the 'g' option). Pure Column — the scrub
+    * fuses into the corpus scan, which is the only shape that survives
+    * 100 TB (a row-at-a-time scrubber UDF would bottleneck every pipeline
+    * that embeds it). */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** POSITIONAL `n`-grams, in sequence with repeats (contrast [[shingles]],
+    * which is distinct — here the repeats ARE the signal). Empty for
+    * documents with fewer than `n` tokens. */
+  def positionalNgrams(text: Column, n: Int): Column =
+    bound(tokens(text)) { ts =>
+      when(size(ts) >= n,
+        transform(sequence(lit(0), size(ts) - n),
+          i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
+
+  /** Fraction of positional `n`-grams that are repeats of an earlier one —
+    * the Gopher/MassiveText "repetition" quality signal (duplicate-heavy
+    * documents are boilerplate/spam and poison training). 0.0 for documents
+    * with fewer than `n` tokens; (total - distinct) / total otherwise.
+    * Integer-to-double division is IEEE-deterministic, so the value is
+    * oracle-checkable bit-exactly. */
+  def duplicateNgramFraction(text: Column, n: Int = 2): Column =
+    bound(positionalNgrams(text, n)) { g =>
+      when(size(g) > 0,
+        (size(g) - size(array_distinct(g))).cast("double") / size(g).cast("double"))
+        .otherwise(lit(0.0))
+    }
+
   /** `k`-word shingles (distinct), the unit for Jaccard/MinHash dedup.
     * Guarded: `sequence(0, n-k)` would run *descending* for n < k. */
   def shingles(text: Column, k: Int = 3): Column =

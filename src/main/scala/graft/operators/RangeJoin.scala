@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join via bin bucketing — the scale path for
+  * interval joins with NO equi-key.
+  *
+  * Spark plans a bare `p >= lo AND p < hi` join as BroadcastNestedLoopJoin
+  * (or a cartesian product when neither side fits in the driver's broadcast
+  * budget): every point row is tested against every interval — O(n·m) work
+  * and a single-task wall on the non-broadcast side. Fine for a 100-row
+  * dimension, fatal when the interval table is 10⁶ IP blocks / time ranges
+  * / price bands against 100 TB of points.
+  *
+  * The standard fix (used by every distributed geo/interval engine) is to
+  * discretize: pick a bin width, assign each point to the single bin
+  * containing it, explode each interval to the bins it overlaps, and
+  * equi-join on the bin id. The residual exact predicate filters the bin
+  * collisions. Each (point, interval) pair meets in exactly one bin — the
+  * point's — so no post-join dedup is needed. The plan becomes a plain
+  * shuffled equi-join: partitionable, AQE-skew-splittable, no nested loop
+  * anywhere.
+  *
+  * Bin width tuning is a replication-vs-selectivity dial: an interval
+  * produces `ceil(span / binWidth) + 1` rows, a point exactly one. Width ≈
+  * the median interval span keeps replication ≤ 2× while making a bin
+  * collision a likely true hit. Degenerate/huge intervals (span ≫ width)
+  * are the skew risk — cap them upstream or raise the width.
+  *
+  * Semantics: half-open `[lo, hi)`, NULL point/bounds rows drop (SQL join
+  * semantics). Inputs must not already carry a `__bin` column.
+  */
+object RangeJoin {
+
+  def pointInInterval(
+      points: DataFrame,
+      pointCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    val bin = (c: org.apache.spark.sql.Column) => floor(c / binWidth).cast("long")
+    val p = points.withColumn("__bin", bin(col(pointCol)))
+    // hi is exclusive but floor(hi/w) can still contain points < hi, so the
+    // interval's bin range is inclusive of the hi bin
+    val i = intervals.withColumn(
+      "__bin", explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
+    p.join(i, "__bin")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bin")
+  }
+}

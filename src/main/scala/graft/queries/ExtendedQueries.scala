@@ -393,7 +393,35 @@ object ExtendedQueries {
       .orderBy("k")
   }
 
+  // ---------------------------------------------------------------- q68
+  // Point-in-interval range join with NO equi-key (B9's non-equi sibling),
+  // through RangeJoin.pointInInterval's bin-bucketed equi-join plan — the
+  // shape that survives a 10⁶-interval table where BroadcastNestedLoop
+  // dies (see RangeJoin scaladoc; RangeJoinSpec asserts the plan carries
+  // no BNL/cartesian node). Intervals are derived deterministically from
+  // part (band b: [2b, 2b + 1 + b mod 7)), so the oracle is the plain
+  // inequality join over the same construction.
+  val q68 = Q(
+    "q68_range_join",
+    """WITH i AS (SELECT p_partkey AS band_id,
+      |                  p_partkey * 2.0 AS lo,
+      |                  p_partkey * 2.0 + 1 + (p_partkey % 7) AS hi
+      |           FROM part)
+      |SELECT event_id, band_id, value, lo, hi
+      |FROM events e JOIN i ON e.value >= i.lo AND e.value < i.hi
+      |ORDER BY event_id, band_id""".stripMargin) { (s, dir) =>
+    val intervals = Tables(s, dir, "part").select(
+      col("p_partkey").as("band_id"),
+      (col("p_partkey") * 2.0).as("lo"),
+      (col("p_partkey") * 2.0 + 1 + pmod(col("p_partkey"), lit(7L))).as("hi"))
+    graft.operators.RangeJoin.pointInInterval(
+        Tables(s, dir, "events").select("event_id", "value"), "value",
+        intervals, "lo", "hi", binWidth = 8.0)
+      .select("event_id", "band_id", "value", "lo", "hi")
+      .orderBy("event_id", "band_id")
+  }
+
   val all: Seq[Q] =
     Seq(q36, q37, q38, q39, q40, q41, q45, q46, q48, q49, q51, q53, q55,
-      q56, q57, q58)
+      q56, q57, q58, q68)
 }

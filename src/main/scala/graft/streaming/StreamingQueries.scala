@@ -130,7 +130,54 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
-  val all: Seq[Q] = Seq(q23, q24, q25, q50, q59)
+  // ---------------------------------------------------------------- Q67
+  // Stream-stream interval join (B37/B38 family): view→click attribution —
+  // each view joined to the same user's clicks landing within the next 6
+  // hours. The batch rendering is oracle-checked; q67Streaming runs the
+  // SAME join as a genuine watermarked stream-stream join (both sides are
+  // unbounded, state-store-buffered) and StreamingParitySpec asserts
+  // equality. At 100 TB/day the time-range condition is what makes this
+  // runnable: the watermark + range bound lets Spark evict buffered rows
+  // older than (watermark - 6h), so state is a sliding 6h slice per side,
+  // not the whole history.
+  private def viewClickJoin(views: DataFrame, clicks: DataFrame): DataFrame =
+    views.join(
+        clicks,
+        col("user_id") === col("c_user_id") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") < col("view_ts") + expr("INTERVAL 6 HOURS"))
+      .select(
+        col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts").cast("timestamp_ntz").as("view_ts"),
+        col("click_ts").cast("timestamp_ntz").as("click_ts"))
+
+  private def viewSide(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+
+  private def clickSide(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("click_ts"))
+
+  val q67 = Q(
+    "q67_stream_stream_join",
+    """WITH v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS view_ts
+      |           FROM events WHERE event_type = 'view'),
+      |c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+      |      FROM events WHERE event_type = 'click')
+      |SELECT v.user_id, view_id, click_id, view_ts, click_ts
+      |FROM v JOIN c ON v.user_id = c.user_id
+      |             AND click_ts >= view_ts
+      |             AND click_ts < view_ts + INTERVAL '6 hours'
+      |ORDER BY view_id, click_id""".stripMargin) { (s, dir) =>
+    val events = Tables(s, dir, "events")
+    viewClickJoin(viewSide(events), clickSide(events))
+      .orderBy("view_id", "click_id")
+  }
+
+  val all: Seq[Q] = Seq(q23, q24, q25, q50, q59, q67)
 
   // ------------------------------------------------------------------------
   // Streaming runners (exercised by StreamingParitySpec; Trigger.AvailableNow
@@ -225,6 +272,23 @@ object StreamingQueries {
         col("session_end").cast("timestamp_ntz").as("session_end"),
         col("user_id"), col("n_events"))
       .orderBy("user_id", "session_start")
+  }
+
+  /** q67 as a genuine stream-stream join: both sides read the events stream,
+    * carry their own watermark, and meet in a state-store-buffered inner
+    * join with a time-range condition. Append is the ONLY output mode
+    * Spark supports for stream-stream joins — matches emit as both sides
+    * arrive, and the watermark + range bound define when a buffered row
+    * can no longer match and is evicted. AvailableNow over the bounded
+    * fixture drains everything, so the closed result equals the batch
+    * join (StreamingParitySpec). */
+  def q67Streaming(spark: SparkSession, dir: String, checkpoint: String): DataFrame = {
+    val views = viewSide(eventsStream(spark, dir))
+      .withWatermark("view_ts", "10 minutes")
+    val clicks = clickSide(eventsStream(spark, dir))
+      .withWatermark("click_ts", "10 minutes")
+    runToTable(viewClickJoin(views, clicks), "q67_stream", checkpoint, "append")
+    spark.table("q67_stream").orderBy("view_id", "click_id")
   }
 
   /** Session windows per user (B41; spec-tested, not oracle-checked — DuckDB

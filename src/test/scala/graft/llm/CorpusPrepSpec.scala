@@ -79,6 +79,35 @@ class CorpusPrepSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("chunking covers every token with the declared overlap") {
+    import spark.implicits._
+    val doc = (1 to 150).map(i => s"t$i").mkString(" ")
+    val out = CorpusPrep.chunkDocuments(
+        Seq((7L, doc)).toDF("doc_id", "text"), chunkTokens = 64, stride = 48)
+      .orderBy("chunk_idx").collect()
+    // starts 0, 48, 96, 144 -> 4 chunks; last is short (150-144=6 tokens)
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_.getLong(2)).toSeq == Seq(64L, 64L, 54L, 6L))
+    val chunks = out.map(_.getString(3))
+    assert(chunks(0).startsWith("t1 t2 ") && chunks(0).endsWith(" t64"))
+    assert(chunks(1).startsWith("t49 ")) // 16-token overlap with chunk 0
+    assert(chunks(3) == "t145 t146 t147 t148 t149 t150")
+    // lossless coverage: every token appears in some chunk
+    val covered = chunks.flatMap(_.split(" ")).toSet
+    assert(covered == (1 to 150).map(i => s"t$i").toSet)
+  }
+
+  test("chunking of short and empty documents emits exactly one chunk") {
+    import spark.implicits._
+    val out = CorpusPrep.chunkDocuments(
+        Seq((1L, "just three tokens"), (2L, "")).toDF("doc_id", "text"),
+        chunkTokens = 64, stride = 48)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getString(3) == "just three tokens")
+    assert(out(1).getString(3) == "")
+  }
+
   test("pipeline is idempotent: preparing a prepared corpus is identity") {
     val once = CorpusPrep.prepare(docs, cfg)
       .select("doc_id", "text", "lang", "source", "n_chars").cache()

@@ -82,4 +82,30 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.stopwordRatio(col("text"), Seq("the")).as("r"))
     assert(df.collect().map(_.getDouble(0)).toSeq == Seq(1.0, 0.0))
   }
+
+  test("redactPii scrubs emails, phones and long ids but leaves clean text alone") {
+    val df = Seq(
+      "mail me at jane.doe+spam@sub.example.org today",
+      "call 555-010-1234 or 555 010 9999 now",
+      "acct 123456789 short 12345678 stays",
+      "v2.0 costs 10 dollars, no pii here",
+      "mixed: a@b.co and 111-222-3333 and 999999999").toDF("text")
+      .select(TextAnalysis.redactPii(col("text")).as("t"))
+    val got = df.collect().map(_.getString(0)).toSeq
+    assert(got(0) == "mail me at <EMAIL> today")
+    assert(got(1) == "call <PHONE> or <PHONE> now")
+    assert(got(2) == "acct <ID> short 12345678 stays") // 8 digits < threshold
+    assert(got(3) == "v2.0 costs 10 dollars, no pii here")
+    assert(got(4) == "mixed: <EMAIL> and <PHONE> and <ID>")
+  }
+
+  test("duplicate n-gram fraction: exact values and degenerate inputs") {
+    val df = Seq(
+      "a b a b a b",   // bigrams: ab ba ab ba ab -> 5 total, 2 distinct -> 0.6
+      "w x y z",       // all distinct -> 0.0
+      "solo",          // < n tokens -> 0.0
+      "").toDF("text")
+      .select(TextAnalysis.duplicateNgramFraction(col("text"), 2).as("f"))
+    assert(df.collect().map(_.getDouble(0)).toSeq == Seq(0.6, 0.0, 0.0, 0.0))
+  }
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val intervals = Tables(spark, sf0001, "part").select(
+    col("p_partkey").as("band_id"),
+    (col("p_partkey") * 2.0).as("lo"),
+    (col("p_partkey") * 2.0 + 1 + pmod(col("p_partkey"), lit(7L))).as("hi"))
+
+  private lazy val points = Tables(spark, sf0001, "events").select("event_id", "value")
+
+  test("binned range join equals the naive theta join on fixture data") {
+    val binned = RangeJoin.pointInInterval(points, "value", intervals, "lo", "hi", 8.0)
+      .select("event_id", "band_id")
+    val naive = points.join(intervals,
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .select("event_id", "band_id")
+    assert(binned.count() > 0)
+    assert(binned.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(binned).count() == 0)
+  }
+
+  test("bin width does not change the result set") {
+    val a = RangeJoin.pointInInterval(points, "value", intervals, "lo", "hi", 1.5)
+      .select("event_id", "band_id")
+    val b = RangeJoin.pointInInterval(points, "value", intervals, "lo", "hi", 64.0)
+      .select("event_id", "band_id")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("half-open semantics: lo included, hi excluded; wide intervals and negatives work") {
+    val p = Seq((1L, -3.0), (2L, 0.0), (3L, 10.0), (4L, 9.999), (5L, 250.0))
+      .toDF("id", "v")
+    val i = Seq((100L, -5.0, 0.0), (200L, 0.0, 10.0), (300L, -100.0, 1000.0))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(p, "v", i, "lo", "hi", 7.0)
+      .select("id", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 100L), (1L, 300L),            // -3 in [-5,0) and the wide band
+      (2L, 200L), (2L, 300L),            // 0 excluded from [-5,0), included in [0,10)
+      (4L, 200L), (4L, 300L),            // 9.999 < 10
+      (3L, 300L), (5L, 300L)))           // 10 excluded from [0,10)
+  }
+
+  test("the plan is an equi-join: no nested-loop or cartesian node") {
+    val plan = RangeJoin.pointInInterval(points, "value", intervals, "lo", "hi", 8.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the naive formulation, for contrast, degenerates to a nested loop
+    val naive = points.join(intervals,
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .queryExecution.executedPlan.toString
+    assert(naive.contains("BroadcastNestedLoopJoin") || naive.contains("CartesianProduct"))
+  }
+}

@@ -36,6 +36,13 @@ class StreamingParitySpec extends SparkSpec {
     assert(sessions.map(_.getLong(3)).sum == events.count())
   }
 
+  test("q67 stream-stream interval join equals batch") {
+    val batch = StreamingQueries.q67.run(spark, sf0001).collect().toSeq
+    val stream = StreamingQueries.q67Streaming(spark, sf0001, ckpt()).collect().toSeq
+    assert(batch.nonEmpty)
+    assert(stream == batch)
+  }
+
   test("q50 session-window stream equals batch") {
     val batch = StreamingQueries.q50.run(spark, sf0001).collect().toSeq
     val stream = StreamingQueries.q50Streaming(spark, sf0001, ckpt()).collect().toSeq
