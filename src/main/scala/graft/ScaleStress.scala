@@ -164,6 +164,53 @@ object ScaleStress {
     }
   }
 
+  /** Range-join A/B (q68's engine vs the planner's default): point-in-
+    * interval with NO equi key, naive theta join (BroadcastNestedLoop —
+    * every point row tests every interval) vs [[graft.operators.RangeJoin]]'s
+    * bin-bucketed equi-join, as the interval table grows R×. The naive wall
+    * must grow ~linearly in R (O(points × intervals) predicate evaluations)
+    * while the binned wall stays near-flat (each point meets only its bin's
+    * intervals) — the measured justification for routing large interval
+    * tables through binning instead of relying on the planner. Both shapes
+    * asserted row-identical. */
+  def rangeJoinAB(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.RangeJoin
+    val points = Tables(spark, sfDir, "events")
+      .select("event_id", "value").cache()
+    val nPoints = points.count()
+    val base = Tables(spark, sfDir, "part").select(
+      col("p_partkey"),
+      (col("p_partkey") * 2.0).as("lo"),
+      (col("p_partkey") * 2.0 + 1 + pmod(col("p_partkey"), lit(7L))).as("hi"))
+    println(s"== range join: naive BNL vs binned equi-join, $nPoints points ==")
+    for (r <- Seq(1, 4, 16)) {
+      // replicas shift lo/hi by a sub-integer offset: interval COUNT grows
+      // R× while the covered value range stays fixed (denser bands, the
+      // hard direction for a nested loop)
+      val intervals = base
+        .withColumn("rep", explode(sequence(lit(0), lit(r - 1))))
+        .select(
+          (col("p_partkey") + col("rep") * lit(100000L)).as("band_id"),
+          (col("lo") + col("rep") * 0.37).as("lo"),
+          (col("hi") + col("rep") * 0.37).as("hi"))
+        .cache()
+      val nI = intervals.count()
+      val (nNaive, naiveS) = time {
+        points.join(intervals, col("value") >= col("lo") && col("value") < col("hi"))
+          .count()
+      }
+      val (nBinned, binnedS) = time {
+        RangeJoin.pointInInterval(points, "value", intervals, "lo", "hi", 8.0)
+          .count()
+      }
+      assert(nNaive == nBinned, s"range-join shapes diverge: $nNaive vs $nBinned")
+      println(f"R=$r%2d intervals=$nI%6d rows=$nNaive%9d " +
+        f"naive=$naiveS%6.1f s  binned=$binnedS%6.1f s")
+      intervals.unpersist()
+    }
+    points.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.filterNot(_.startsWith("--")).headOption
       .getOrElse("/root/testdata/sf0.1")
@@ -172,6 +219,11 @@ object ScaleStress {
 
     if (args.contains("--relational")) {
       relational(spark, sfDir, r = 16)
+      spark.stop()
+      return
+    }
+    if (args.contains("--rangejoin")) {
+      rangeJoinAB(spark, sfDir)
       spark.stop()
       return
     }

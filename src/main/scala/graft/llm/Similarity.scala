@@ -121,6 +121,59 @@ object Similarity {
     pairs
   }
 
+  /** Int8 scalar quantization of the embedding column: per-vector scale =
+    * max|xᵢ|/127, elements rounded to [-127, 127] tinyints. The 100 TB
+    * story is footprint, not math: a 768-dim float index is 3 KB/vector;
+    * quantized it is 772 B — 4× less disk, page cache, broadcast and
+    * shuffle volume, which is usually the difference between an ANN index
+    * that fits executor memory and one that spills. Pure Column, so
+    * quantization fuses into the scan that builds the index.
+    *
+    * Output: (vec_id, q_scale float, q_emb array<tinyint>). Zero vectors
+    * keep scale 1 (no 0/0), dequantizing to exact zeros. */
+  def quantize(embeddings: DataFrame): DataFrame = {
+    val s = array_max(transform(col("embedding"), x => abs(x))) / lit(127.0f)
+    val scale = when(s > 0, s).otherwise(lit(1.0f))
+    embeddings.select(
+      col("vec_id"),
+      scale.cast("float").as("q_scale"),
+      transform(col("embedding"), x => round(x / scale).cast("tinyint"))
+        .as("q_emb"))
+  }
+
+  /** Dequantized float view of a [[quantize]]d vector (lossy inverse:
+    * element error ≤ scale/2). */
+  def dequantize(qEmb: Column, qScale: Column): Column =
+    transform(qEmb, v => v.cast("float") * qScale)
+
+  /** Exact-over-quantized top-k cosine: [[cosineTopK]]'s shape (broadcast
+    * query side, codegen dot, window top-k) over int8-quantized vectors.
+    * Cosine is scale-invariant, so the per-vector scale cancels and the
+    * score works directly on the integer grids — the only approximation is
+    * the rounding itself (recall vs the float path is property-tested in
+    * SimilaritySpec). This is the memory-bound deployment's trade: 4× more
+    * index per executor for a sub-1% score perturbation. */
+  def cosineTopKQuantized(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val asFloat = (c: Column) => c.cast("array<float>")
+    val q = broadcast(quantize(queries)
+      .select(col("vec_id").as("q_id"), asFloat(col("q_emb")).as("q_emb"),
+        dotFast(asFloat(col("q_emb")), asFloat(col("q_emb"))).as("q_n")))
+    val c = quantize(corpus).select(col("vec_id"), asFloat(col("q_emb")).as("c_emb"),
+      dotFast(asFloat(col("q_emb")), asFloat(col("q_emb"))).as("c_n"))
+    val scored = c
+      .join(q, col("vec_id") =!= col("q_id"))
+      .select(
+        col("q_id"), col("vec_id"),
+        round(dotFast(col("q_emb"), col("c_emb")) / sqrt(col("q_n") * col("c_n")), 4)
+          .as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("sim"))
+  }
+
   /** Exact L2 pairs within threshold (brute force; recall baseline for
     * [[annCandidates]] in tests, and the O(n²) fallback when the corpus is
     * small enough). d² = ⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩ through the codegen'd dot —

@@ -119,6 +119,23 @@ object TextAnalysis {
       }
     }
 
+  /** Corpus token vocabulary: the `k` most frequent tokens with counts —
+    * the heavy-hitters pass behind tokenizer-vocab building and stopword
+    * discovery. Shape at 100 TB: explode → hash aggregate (map-side partial
+    * combine collapses each partition to its distinct tokens before the
+    * shuffle — token frequency follows Zipf, so the combine is ~100%
+    * effective on hot tokens) → global top-k, which Spark plans as
+    * TakeOrderedAndProject (per-partition heaps + k-row driver merge), not
+    * a full sort. Ties break on the token string so the cut is
+    * deterministic. */
+  def tokenVocab(
+      docs: org.apache.spark.sql.DataFrame,
+      k: Int = 100): org.apache.spark.sql.DataFrame =
+    docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(k)
+
   /** TF-IDF feature pipeline (B34): tokenize → stopwords → n-grams-optional
     * → hashed TF → IDF. Returns the fitted model's output frame with a
     * `tfidf` vector column; all stages are MLlib Transformers, so the same

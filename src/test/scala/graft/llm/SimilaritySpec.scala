@@ -38,6 +38,36 @@ class SimilaritySpec extends SparkSpec {
       r.getDouble(2)) <= 1e-9)
   }
 
+  test("int8 quantization: bounded element error, zero vectors safe, 4x narrower") {
+    val q = Similarity.quantize(emb)
+    // schema: tinyint elements (1 byte vs 4) + one float scale
+    assert(q.schema("q_emb").dataType.simpleString == "array<tinyint>")
+    val row = q.join(emb, "vec_id").select("q_emb", "q_scale", "embedding").head()
+    val ints = row.getSeq[Byte](0)
+    val scale = row.getFloat(1)
+    val orig = row.getSeq[Float](2)
+    assert(ints.forall(v => v >= -127 && v <= 127))
+    // dequantization error bounded by scale/2 per element
+    orig.zip(ints).foreach { case (x, v) =>
+      assert(math.abs(x - v * scale) <= scale / 2 + 1e-6f, s"$x vs ${v * scale}")
+    }
+    // all-zero vector: scale defaults to 1, elements to 0
+    import spark.implicits._
+    val z = Similarity.quantize(
+      Seq((99L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")).head()
+    assert(z.getFloat(1) == 1.0f && z.getSeq[Byte](2).forall(_ == 0))
+  }
+
+  test("quantized top-k recalls >= 90% of the float top-k") {
+    val queries = emb.filter(col("vec_id") < 3)
+    def neighbors(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = neighbors(Similarity.cosineTopK(emb, queries, k = 10))
+    val quant = neighbors(Similarity.cosineTopKQuantized(emb, queries, k = 10))
+    val recall = exact.intersect(quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized recall $recall")
+  }
+
   test("ANN LSH recalls >= 90% of exact L2 pairs within threshold") {
     val threshold = 1.3
     val exact = Similarity.exactL2Pairs(emb, threshold).select("id_a", "id_b")
