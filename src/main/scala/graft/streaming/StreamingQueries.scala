@@ -140,12 +140,14 @@ object StreamingQueries {
   // runnable: the watermark + range bound lets Spark evict buffered rows
   // older than (watermark - 6h), so state is a sliding 6h slice per side,
   // not the whole history.
-  private def viewClickJoin(views: DataFrame, clicks: DataFrame): DataFrame =
+  private def viewClickJoin(
+      views: DataFrame, clicks: DataFrame, joinType: String = "inner"): DataFrame =
     views.join(
         clicks,
         col("user_id") === col("c_user_id") &&
           col("click_ts") >= col("view_ts") &&
-          col("click_ts") < col("view_ts") + expr("INTERVAL 6 HOURS"))
+          col("click_ts") < col("view_ts") + expr("INTERVAL 6 HOURS"),
+        joinType)
       .select(
         col("user_id"), col("view_id"), col("click_id"),
         col("view_ts").cast("timestamp_ntz").as("view_ts"),
@@ -289,6 +291,34 @@ object StreamingQueries {
       .withWatermark("click_ts", "10 minutes")
     runToTable(viewClickJoin(views, clicks), "q67_stream", checkpoint, "append")
     spark.table("q67_stream").orderBy("view_id", "click_id")
+  }
+
+  /** q67's LEFT OUTER sibling — the semantics only a watermark makes
+    * possible on unbounded streams: a view with no click can only be
+    * null-extended once the join is CERTAIN no match can arrive, i.e. when
+    * the click-side watermark passes view_ts + 6h. Matched rows stream out
+    * as in the inner join; unmatched rows emit on state eviction. On a
+    * bounded AvailableNow run the final watermark stops 10 min short of
+    * max(event ts), so views inside the last 6h10m of event time are
+    * still "awaiting a possible match" and are legitimately withheld —
+    * the parity spec asserts exactly that horizon split (matched rows ≡
+    * batch inner join; null-extensions ≡ batch anti-join rows older than
+    * the horizon). */
+  def q67OuterStreaming(spark: SparkSession, dir: String, checkpoint: String): DataFrame = {
+    val views = viewSide(eventsStream(spark, dir))
+      .withWatermark("view_ts", "10 minutes")
+    val clicks = clickSide(eventsStream(spark, dir))
+      .withWatermark("click_ts", "10 minutes")
+    runToTable(viewClickJoin(views, clicks, "left_outer"),
+      "q67_outer_stream", checkpoint, "append")
+    spark.table("q67_outer_stream").orderBy("view_id", "click_id")
+  }
+
+  /** Batch rendering of the left-outer view→click join (the spec's oracle
+    * for [[q67OuterStreaming]]'s matched + evicted split). */
+  def q67OuterBatch(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events")
+    viewClickJoin(viewSide(events), clickSide(events), "left_outer")
   }
 
   /** Session windows per user (B41; spec-tested, not oracle-checked — DuckDB
