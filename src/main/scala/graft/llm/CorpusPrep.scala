@@ -100,6 +100,31 @@ object CorpusPrep {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Domain mixing: keep each document with a per-source probability —
+    * the weighted up/down-sampling step that turns a raw crawl into a
+    * training mixture (sources are reweighted, not truncated, so the kept
+    * set stays an unbiased sample within each domain). Selection is a
+    * DETERMINISTIC multiplicative hash of doc_id (Knuth 2654435761), not a
+    * seeded `rand()`: reruns, retries and downstream audits see the same
+    * kept set, and the decision is reproducible in any engine — exactly
+    * what a 100 TB pipeline wants from a sampling gate (a seeded rand is
+    * partition-order-dependent under retries).
+    *
+    * Scale shape: the rates table is domains-sized (tiny) → broadcast;
+    * the filter is scan-side, so dropped documents never reach a shuffle.
+    * Sources absent from `ratesPct` are dropped (explicit mixture
+    * contract). */
+  def domainMix(docs: DataFrame, ratesPct: Map[String, Int]): DataFrame = {
+    require(ratesPct.values.forall(r => r >= 0 && r <= 100), s"bad rates: $ratesPct")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rates = ratesPct.toSeq.toDF("source", "rate_pct")
+    docs
+      .join(broadcast(rates), "source")
+      .filter(pmod(col("doc_id") * lit(2654435761L), lit(100L)) < col("rate_pct"))
+      .drop("rate_pct")
+  }
+
   /** Sliding-window document chunking: split each document into fixed-size
     * token windows of `chunkTokens` advancing by `stride` (< chunkTokens ⇒
     * overlapping context, the standard pretraining window shape). Row-local

@@ -563,8 +563,30 @@ object LlmQueries {
       .orderBy("q_id", "rk")
   }
 
+  // ---------------------------------------------------------------- q74
+  // Domain mixing (CorpusPrep.domainMix): per-source keep rates over a
+  // deterministic multiplicative hash — both engines evaluate the identical
+  // arithmetic, so the kept set is value-checked. Rates are generated from
+  // the source index by one shared formula (10 + 37·i mod 86).
+  private val mixRates: Map[String, Int] =
+    (0 until 20).map(i => s"src$i" -> (10 + (37 * i) % 86)).toMap
+
+  val q74 = Q(
+    "q74_domain_mix",
+    s"""WITH rates(source, rate_pct) AS (VALUES ${
+         mixRates.toSeq.sorted.map { case (s, r) => s"('$s', $r)" }.mkString(", ")
+       })
+      |SELECT doc_id, source
+      |FROM documents JOIN rates USING (source)
+      |WHERE (doc_id * 2654435761) % 100 < rate_pct
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    CorpusPrep.domainMix(Tables(s, dir, "documents"), mixRates)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
       q47, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
-      q73)
+      q73, q74)
 }

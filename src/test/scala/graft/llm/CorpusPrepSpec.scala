@@ -108,6 +108,27 @@ class CorpusPrepSpec extends SparkSpec {
     assert(out(1).getString(3) == "")
   }
 
+  test("domain mix: rate endpoints, determinism, and unknown-source drop") {
+    import spark.implicits._
+    val mixed = Seq.tabulate(60) { i =>
+      (i.toLong, s"doc $i", Seq("keep_all", "drop_all", "half", "unlisted")(i % 4))
+    }.toDF("doc_id", "text", "source")
+    val rates = Map("keep_all" -> 100, "drop_all" -> 0, "half" -> 50)
+    val out = CorpusPrep.domainMix(mixed, rates).cache()
+    val bySource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource.getOrElse("keep_all", 0L) == 15L) // rate 100 keeps every doc
+    assert(!bySource.contains("drop_all"))            // rate 0 drops every doc
+    assert(!bySource.contains("unlisted"))            // absent source drops
+    val half = bySource.getOrElse("half", 0L)
+    assert(half > 0 && half < 15, s"rate 50 must thin the source, kept $half")
+    // deterministic: a rerun keeps the identical doc set
+    val again = CorpusPrep.domainMix(mixed, rates)
+    assert(out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0)
+    assert(again.select("doc_id").exceptAll(out.select("doc_id")).count() == 0)
+    out.unpersist()
+  }
+
   test("pipeline is idempotent: preparing a prepared corpus is identity") {
     val once = CorpusPrep.prepare(docs, cfg)
       .select("doc_id", "text", "lang", "source", "n_chars").cache()
