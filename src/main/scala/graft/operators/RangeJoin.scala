@@ -51,4 +51,29 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bin")
   }
+
+  /** Interval-overlap join through the same binning, with the standard
+    * dedup-free trick: two overlapping intervals share EVERY bin between
+    * the later start and the earlier end, so a naive bin equi-join emits
+    * the pair once per shared bin. Rather than a post-join `distinct`
+    * (a second shuffle over the full result), each pair is kept only in
+    * its FIRST shared bin — `max(bin(loA), bin(loB))`, which both sides
+    * are guaranteed to cover — making the output exactly-once by
+    * construction. Overlap is half-open: `[loA,hiA) ∩ [loB,hiB) ≠ ∅` ⇔
+    * `loA < hiB && loB < hiA`. Column names must be disjoint between the
+    * two inputs (aside from neither carrying `__bin`). */
+  def intervalOverlap(
+      a: DataFrame, loA: String, hiA: String,
+      b: DataFrame, loB: String, hiB: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    val bin = (c: org.apache.spark.sql.Column) => floor(c / binWidth).cast("long")
+    val ea = a.withColumn("__bin", explode(sequence(bin(col(loA)), bin(col(hiA)))))
+    val eb = b.withColumn("__bin", explode(sequence(bin(col(loB)), bin(col(hiB)))))
+    ea.join(eb, "__bin")
+      .filter(
+        col(loA) < col(hiB) && col(loB) < col(hiA) &&
+          col("__bin") === greatest(bin(col(loA)), bin(col(loB))))
+      .drop("__bin")
+  }
 }

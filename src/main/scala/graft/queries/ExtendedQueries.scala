@@ -421,7 +421,38 @@ object ExtendedQueries {
       .orderBy("event_id", "band_id")
   }
 
+  // ---------------------------------------------------------------- q75
+  // Interval-overlap join (q68's two-sided sibling) through
+  // RangeJoin.intervalOverlap's dedup-free binning — each overlapping pair
+  // meets exactly once, in its first shared bin, so there is no post-join
+  // distinct shuffle. Both interval sets derive deterministically from
+  // fixture keys; the oracle is the plain inequality join.
+  val q75 = Q(
+    "q75_interval_overlap",
+    """WITH a AS (SELECT p_partkey AS id_a, p_partkey * 2.0 AS lo_a,
+      |                  p_partkey * 2.0 + 1 + (p_partkey % 7) AS hi_a
+      |           FROM part),
+      |b AS (SELECT s_suppkey AS id_b, s_suppkey * 19.0 AS lo_b,
+      |             s_suppkey * 19.0 + 5 + (s_suppkey % 23) AS hi_b
+      |      FROM supplier)
+      |SELECT id_a, id_b, lo_a, hi_a, lo_b, hi_b
+      |FROM a JOIN b ON lo_a < hi_b AND lo_b < hi_a
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val a = Tables(s, dir, "part").select(
+      col("p_partkey").as("id_a"),
+      (col("p_partkey") * 2.0).as("lo_a"),
+      (col("p_partkey") * 2.0 + 1 + pmod(col("p_partkey"), lit(7L))).as("hi_a"))
+    val b = Tables(s, dir, "supplier").select(
+      col("s_suppkey").as("id_b"),
+      (col("s_suppkey") * 19.0).as("lo_b"),
+      (col("s_suppkey") * 19.0 + 5 + pmod(col("s_suppkey"), lit(23L))).as("hi_b"))
+    graft.operators.RangeJoin.intervalOverlap(
+        a, "lo_a", "hi_a", b, "lo_b", "hi_b", binWidth = 16.0)
+      .select("id_a", "id_b", "lo_a", "hi_a", "lo_b", "hi_b")
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Seq[Q] =
     Seq(q36, q37, q38, q39, q40, q41, q45, q46, q48, q49, q51, q53, q55,
-      q56, q57, q58, q68)
+      q56, q57, q58, q68, q75)
 }

@@ -47,6 +47,42 @@ class RangeJoinSpec extends SparkSpec {
       (3L, 300L), (5L, 300L)))           // 10 excluded from [0,10)
   }
 
+  test("interval overlap equals the naive join, exactly once per pair") {
+    val a = Tables(spark, sf0001, "part").select(
+      col("p_partkey").as("id_a"),
+      (col("p_partkey") * 2.0).as("lo_a"),
+      (col("p_partkey") * 2.0 + 1 + pmod(col("p_partkey"), lit(7L))).as("hi_a"))
+    val b = Tables(spark, sf0001, "supplier").select(
+      col("s_suppkey").as("id_b"),
+      (col("s_suppkey") * 19.0).as("lo_b"),
+      (col("s_suppkey") * 19.0 + 5 + pmod(col("s_suppkey"), lit(23L))).as("hi_b"))
+    val naive = a.join(b, col("lo_a") < col("hi_b") && col("lo_b") < col("hi_a"))
+      .select("id_a", "id_b")
+    for (w <- Seq(3.0, 16.0, 200.0)) {
+      val binned = RangeJoin.intervalOverlap(a, "lo_a", "hi_a", b, "lo_b", "hi_b", w)
+        .select("id_a", "id_b")
+      // set-equal AND multiplicity-equal: the first-shared-bin rule emits
+      // each overlapping pair exactly once, no distinct needed
+      assert(binned.count() == naive.count(), s"width $w")
+      assert(binned.exceptAll(naive).count() == 0, s"width $w")
+      assert(naive.exceptAll(binned).count() == 0, s"width $w")
+    }
+    assert(naive.count() > 0)
+  }
+
+  test("interval overlap handles touching and nested intervals") {
+    val a = Seq((1L, 0.0, 10.0), (2L, 20.0, 30.0)).toDF("id_a", "lo_a", "hi_a")
+    val b = Seq(
+      (10L, 10.0, 20.0),  // touches a1's hi: half-open => NO overlap
+      (20L, 9.999, 10.0), // just inside a1
+      (30L, 2.0, 3.0),    // nested in a1
+      (40L, -5.0, 50.0)   // covers both
+    ).toDF("id_b", "lo_b", "hi_b")
+    val got = RangeJoin.intervalOverlap(a, "lo_a", "hi_a", b, "lo_b", "hi_b", 4.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 20L), (1L, 30L), (1L, 40L), (2L, 40L)))
+  }
+
   test("the plan is an equi-join: no nested-loop or cartesian node") {
     val plan = RangeJoin.pointInInterval(points, "value", intervals, "lo", "hi", 8.0)
       .queryExecution.executedPlan.toString
