@@ -211,6 +211,47 @@ object ScaleStress {
     points.unpersist()
   }
 
+  /** Quantized-index A/B for [[Similarity.quantize]] (q73's 100 TB claim,
+    * measured): float32 vs int8 index bytes ON DISK (the artifact an ANN
+    * service actually loads), top-k wall over each, and the quantized
+    * path's recall vs the float path at equal k. */
+  def quantization(spark: SparkSession, sfDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import graft.llm.Similarity
+    def dirBytes(p: String): Long = {
+      val d = Paths.get(p)
+      if (!Files.exists(d)) 0L
+      else Files.walk(d).filter(Files.isRegularFile(_))
+        .mapToLong(Files.size(_)).sum()
+    }
+    val emb = Tables(spark, sfDir, "embeddings").cache(); emb.count()
+    println("== int8 quantization: index size, top-k wall, recall vs float ==")
+    for (r <- Seq(8, 16)) {
+      val rep = replicateEmbeddings(emb, r, eps = 0.12)
+        .select("vec_id", "embedding").cache()
+      val n = rep.count()
+      val base = Files.createTempDirectory("graft-quant-").toString
+      rep.write.mode("overwrite").parquet(s"$base/f32")
+      Similarity.quantize(rep).write.mode("overwrite").parquet(s"$base/i8")
+      val (f32B, i8B) = (dirBytes(s"$base/f32"), dirBytes(s"$base/i8"))
+      val queries = rep.filter(col("vec_id") < 20)
+      val (exact, floatS) = time {
+        Similarity.cosineTopK(rep, queries, k = 10).collect()
+      }
+      val (quant, quantS) = time {
+        Similarity.cosineTopKQuantized(rep, queries, k = 10).collect()
+      }
+      val exactSet = exact.map(x => (x.getLong(0), x.getLong(2))).toSet
+      val quantSet = quant.map(x => (x.getLong(0), x.getLong(2))).toSet
+      val recall = exactSet.intersect(quantSet).size.toDouble / exactSet.size
+      println(f"R=$r%2d n=$n%6d f32=${f32B / 1024}%6d KiB i8=${i8B / 1024}%6d KiB " +
+        f"(${f32B.toDouble / i8B}%.1f x) float=$floatS%5.1f s quant=$quantS%5.1f s " +
+        f"recall=$recall%.3f")
+      rep.unpersist()
+    }
+    emb.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.filterNot(_.startsWith("--")).headOption
       .getOrElse("/root/testdata/sf0.1")
@@ -224,6 +265,11 @@ object ScaleStress {
     }
     if (args.contains("--rangejoin")) {
       rangeJoinAB(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.contains("--quant")) {
+      quantization(spark, sfDir)
       spark.stop()
       return
     }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType}
 
 /** Codegen'd dot product over two float-array columns (SURVEY §4.2's
   * perf-only custom expression: semantics identical to the higher-order
@@ -21,30 +21,44 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class VectorDot(left: Expression, right: Expression)
   extends BinaryExpression {
 
+  private def elementOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(ByteType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case _ =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"vector_dot expects (array<float>, array<float>), got " +
-            s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
-    }
+    if (elementOk(left.dataType) && elementOk(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vector_dot expects array<float>/array<tinyint> sides, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  // Each side may independently be float32 or int8 (quantized indexes,
+  // graft.llm.Similarity.quantize): reading the tinyint directly keeps the
+  // pair loop allocation-free — a cast-to-float-array per evaluation was
+  // measured 7x slower at 640k pairs (fresh 64-element array per side per
+  // pair, all garbage).
+  private def isByte(t: DataType): Boolean =
+    t.asInstanceOf[ArrayType].elementType == ByteType
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (xb, yb) = (isByte(left.dataType), isByte(right.dataType))
     val n = x.numElements()
     if (n != y.numElements()) return null
     var sum = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      sum += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (xb) x.getByte(i).toDouble else x.getFloat(i).toDouble
+      val yv = if (yb) y.getByte(i).toDouble else y.getFloat(i).toDouble
+      sum += xv * yv
       i += 1
     }
     sum
@@ -56,6 +70,8 @@ case class VectorDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       val bad = ctx.freshName("bad")
+      val getA = if (isByte(left.dataType)) s"$a.getByte($i)" else s"$a.getFloat($i)"
+      val getB = if (isByte(right.dataType)) s"$b.getByte($i)" else s"$b.getFloat($i)"
       s"""
          |final int $n = $a.numElements();
          |boolean $bad = $n != $b.numElements();
@@ -63,7 +79,7 @@ case class VectorDot(left: Expression, right: Expression)
          |if (!$bad) {
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
-         |    $sum += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |    $sum += (double) $getA * (double) $getB;
          |  }
          |}
          |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $sum; }

@@ -131,15 +131,29 @@ object Similarity {
     *
     * Output: (vec_id, q_scale float, q_emb array<tinyint>). Zero vectors
     * keep scale 1 (no 0/0), dequantizing to exact zeros. */
-  def quantize(embeddings: DataFrame): DataFrame = {
-    val s = array_max(transform(col("embedding"), x => abs(x))) / lit(127.0f)
-    val scale = when(s > 0, s).otherwise(lit(1.0f))
-    embeddings.select(
-      col("vec_id"),
-      scale.cast("float").as("q_scale"),
-      transform(col("embedding"), x => round(x / scale).cast("tinyint"))
-        .as("q_emb"))
-  }
+  /** Evaluate `expr` once per row and expose it to `body` as a lambda
+    * variable (the TextAnalysis.bound idiom — interpreted HOF lambdas have
+    * no common-subexpression elimination, so an outer expression referenced
+    * inside a per-element lambda re-evaluates per ELEMENT: the first
+    * quantize build ran array_max 64× per row, 7× the whole float top-k). */
+  private def bound(expr: Column)(body: Column => Column): Column =
+    element_at(transform(array(expr), body), 1)
+
+  def quantize(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(
+        col("vec_id"),
+        bound(array_max(transform(col("embedding"), x => abs(x))) / lit(127.0f)) { m =>
+          bound(when(m > 0, m).otherwise(lit(1.0f))) { s =>
+            struct(
+              s.cast("float").as("scale"),
+              transform(col("embedding"), x => round(x / s).cast("tinyint")).as("q"))
+          }
+        }.as("qs"))
+      .select(
+        col("vec_id"),
+        col("qs.scale").as("q_scale"),
+        col("qs.q").as("q_emb"))
 
   /** Dequantized float view of a [[quantize]]d vector (lossy inverse:
     * element error ≤ scale/2). */
@@ -155,17 +169,26 @@ object Similarity {
     * index per executor for a sub-1% score perturbation. */
   def cosineTopKQuantized(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val asFloat = (c: Column) => c.cast("array<float>")
+    // Materialize the quantized index ONCE (eager lineage-free checkpoint,
+    // same lifecycle as Rp/Ivf): without the barrier Catalyst collapses the
+    // quantize chain into the join's projection and re-runs the three-pass
+    // HOF quantization per PAIR. The stored rows stay int8 (+ one norm
+    // double), and vector_dot reads the tinyints DIRECTLY — a cast to
+    // array<float> per pair allocated two fresh 64-element arrays per
+    // evaluation and measured 7× slower than the float path at 640k pairs.
+    val c = quantize(corpus)
+      .withColumn("c_n", dotFast(col("q_emb"), col("q_emb")))
+      .select(col("vec_id"), col("q_emb").as("c_emb"), col("c_n"))
+      .localCheckpoint(true)
     val q = broadcast(quantize(queries)
-      .select(col("vec_id").as("q_id"), asFloat(col("q_emb")).as("q_emb"),
-        dotFast(asFloat(col("q_emb")), asFloat(col("q_emb"))).as("q_n")))
-    val c = quantize(corpus).select(col("vec_id"), asFloat(col("q_emb")).as("c_emb"),
-      dotFast(asFloat(col("q_emb")), asFloat(col("q_emb"))).as("c_n"))
+      .withColumn("q_n", dotFast(col("q_emb"), col("q_emb")))
+      .select(col("vec_id").as("q_id"), col("q_emb").as("qq_emb"), col("q_n")))
     val scored = c
       .join(q, col("vec_id") =!= col("q_id"))
       .select(
         col("q_id"), col("vec_id"),
-        round(dotFast(col("q_emb"), col("c_emb")) / sqrt(col("q_n") * col("c_n")), 4)
+        round(dotFast(col("qq_emb"), col("c_emb"))
+            / sqrt(col("q_n") * col("c_n")), 4)
           .as("sim"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
     scored
