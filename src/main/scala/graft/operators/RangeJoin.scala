@@ -33,23 +33,41 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** @param wideBinThreshold intervals spanning more than this many bins
+    *   take a broadcast nested-loop side path instead of exploding: a
+    *   whole-range interval would otherwise replicate into every bin (the
+    *   skew the scaladoc warns about — one degenerate row becoming 10⁶
+    *   exploded rows in one task). Economics: replicating b bins costs b
+    *   shuffled rows; broadcasting the interval costs one test per point —
+    *   past the threshold the broadcast is strictly cheaper, and intervals
+    *   that wide are few by construction (each covers ≥ threshold×width of
+    *   the value domain). Results are identical; the two sides union. */
   def pointInInterval(
       points: DataFrame,
       pointCol: String,
       intervals: DataFrame,
       loCol: String,
       hiCol: String,
-      binWidth: Double): DataFrame = {
+      binWidth: Double,
+      wideBinThreshold: Int = 1024): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    require(wideBinThreshold > 0, s"bad wideBinThreshold: $wideBinThreshold")
     val bin = (c: org.apache.spark.sql.Column) => floor(c / binWidth).cast("long")
+    val contains =
+      col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol)
+    val spanBins = bin(col(hiCol)) - bin(col(loCol)) + 1
     val p = points.withColumn("__bin", bin(col(pointCol)))
     // hi is exclusive but floor(hi/w) can still contain points < hi, so the
     // interval's bin range is inclusive of the hi bin
-    val i = intervals.withColumn(
-      "__bin", explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
-    p.join(i, "__bin")
-      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
-      .drop("__bin")
+    val narrow = intervals.filter(spanBins <= wideBinThreshold)
+      .withColumn("__bin", explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
+    val binned = p.join(narrow, "__bin").filter(contains).drop("__bin")
+    val wide = intervals.filter(spanBins > wideBinThreshold)
+    // the emptiness probe is one limit-1 scan of the interval side (cheap —
+    // the span predicate pushes into it); it keeps the common all-narrow
+    // case's plan free of a vestigial nested-loop node
+    if (wide.isEmpty) binned
+    else binned.unionByName(points.join(broadcast(wide), contains))
   }
 
   /** Interval-overlap join through the same binning, with the standard

@@ -48,6 +48,32 @@ class VectorDotSpec extends SparkSpec {
     assert(math.abs(r - 1.0) < 0.01) // unit vectors
   }
 
+  test("int8 sides: byte×byte and mixed byte×float dot, with null propagation") {
+    registered()
+    // Seq[Byte] (not Array[Byte], which encodes as BinaryType) -> array<tinyint>
+    val b = (xs: Seq[Int]) => xs.map(_.toByte)
+    val df = Seq(
+      (b(Seq(1, 2, 3)), b(Seq(4, 5, 6)), Array(4f, 5f, 6f))
+    ).toDF("qa", "qb", "f")
+      .select(
+        Similarity.dotFast(col("qa"), col("qb")).as("ii"),
+        Similarity.dotFast(col("qa"), col("f")).as("if_"),
+        Similarity.dotFast(col("f"), col("qa")).as("fi"))
+      .head()
+    assert(df.getDouble(0) == 32.0) // 4+10+18
+    assert(df.getDouble(1) == 32.0)
+    assert(df.getDouble(2) == 32.0)
+    // negative bytes and length mismatch
+    val neg = Seq((b(Seq(-127, 127)), b(Seq(1, 1)), b(Seq(1, 1, 1))))
+      .toDF("a", "bb", "c")
+      .select(
+        Similarity.dotFast(col("a"), col("bb")).as("d"),
+        Similarity.dotFast(col("a"), col("c")).as("m"))
+      .head()
+    assert(neg.getDouble(0) == 0.0)
+    assert(neg.isNullAt(1))
+  }
+
   test("wrong argument types fail analysis with the expression's message") {
     registered()
     val err = intercept[Exception] {

@@ -47,6 +47,25 @@ class RangeJoinSpec extends SparkSpec {
       (3L, 300L), (5L, 300L)))           // 10 excluded from [0,10)
   }
 
+  test("degenerate whole-range intervals route through the broadcast side path") {
+    val p = Seq.tabulate(50)(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val i = Seq(
+      (1L, 10.0, 12.0),        // narrow: 1-2 bins at width 4
+      (2L, -1e6, 1e6),         // degenerate: would explode to 500k bins
+      (3L, 20.0, 21.0)
+    ).toDF("iid", "lo", "hi")
+    val out = RangeJoin.pointInInterval(p, "v", i, "lo", "hi", 4.0,
+      wideBinThreshold = 16)
+    val naive = p.join(i, col("v") >= col("lo") && col("v") < col("hi"))
+    assert(out.count() == naive.count())
+    assert(out.select("id", "iid").exceptAll(naive.select("id", "iid")).count() == 0)
+    // the wide interval matched every point via broadcast, not via explode
+    assert(out.filter(col("iid") === 2L).count() == 50)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "wide side must take the broadcast path\n" + plan)
+  }
+
   test("interval overlap equals the naive join, exactly once per pair") {
     val a = Tables(spark, sf0001, "part").select(
       col("p_partkey").as("id_a"),
