@@ -221,8 +221,17 @@ object ScaleStress {
     def dirBytes(p: String): Long = {
       val d = Paths.get(p)
       if (!Files.exists(d)) 0L
-      else Files.walk(d).filter(Files.isRegularFile(_))
-        .mapToLong(Files.size(_)).sum()
+      else {
+        val walk = Files.walk(d)
+        try walk.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+        finally walk.close()
+      }
+    }
+    def rmTree(p: String): Unit = {
+      val walk = Files.walk(Paths.get(p))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(Files.deleteIfExists(_))
+      finally walk.close()
     }
     val emb = Tables(spark, sfDir, "embeddings").cache(); emb.count()
     println("== int8 quantization: index size, top-k wall, recall vs float ==")
@@ -248,6 +257,7 @@ object ScaleStress {
         f"(${f32B.toDouble / i8B}%.1f x) float=$floatS%5.1f s quant=$quantS%5.1f s " +
         f"recall=$recall%.3f")
       rep.unpersist()
+      rmTree(base) // repeated --quant runs must not accumulate /tmp parquet
     }
     emb.unpersist()
   }

@@ -119,9 +119,15 @@ object CorpusPrep {
     val spark = docs.sparkSession
     import spark.implicits._
     val rates = ratesPct.toSeq.toDF("source", "rate_pct")
+    // pre-modulus before the Knuth multiply: doc_id * 2654435761 overflows
+    // int64 (ANSI-mode ArithmeticException) past doc_id ≈ 3.47e9 — i.e. at
+    // exactly the corpus sizes this is for. (id mod 1000003) * K tops out
+    // at 2.7e15 and stays engine-portable (DuckDB has no xxhash64); the
+    // selection pattern repeats every ~1M ids, irrelevant for rate sampling.
+    val h = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(100L))
     docs
       .join(broadcast(rates), "source")
-      .filter(pmod(col("doc_id") * lit(2654435761L), lit(100L)) < col("rate_pct"))
+      .filter(h < col("rate_pct"))
       .drop("rate_pct")
   }
 

@@ -35,6 +35,10 @@ object Dedup {
     * 7.5 s vs sub-second for the sf0.1 corpus); equality between the two
     * forms is spec-asserted (DedupSpec). */
   def simhash64(text: Column): Column = {
+    // best-effort registration: getActiveSession is THREAD-LOCAL, so a
+    // Column-only API can miss (e.g. called from a pool thread that never
+    // created the session). DataFrame-taking callers (simhashPairs, q32)
+    // register on df.sparkSession explicitly; do the same in new call sites.
     org.apache.spark.sql.SparkSession.getActiveSession
       .foreach(graft.functions.GraftFunctions.register)
     call_function(graft.functions.GraftFunctions.SimHash64Name,
@@ -101,6 +105,7 @@ object Dedup {
       s"pigeonhole guarantee needs maxHamming < bands ($maxHamming >= $bands)")
     val bits = 64 / bands
     val mask = (1L << bits) - 1
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val fp0 = docs.select(col("doc_id"), simhash64(col("text")).as("fp"))
     // cache: the fingerprint scan (nested 64-bit HOF fold over every token)
     // dominates; it feeds both self-join sides via the exploded signature

@@ -108,6 +108,7 @@ object LlmQueries {
   // xxhash64-based fingerprints aren't replicable in DuckDB → rows-only;
   // exact-duplicate-⇒-equal-fingerprint is property-tested.
   val q32 = Q.noOracle("q32_simhash") { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
     Tables(s, dir, "documents")
       .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
       .orderBy("doc_id")
@@ -578,7 +579,7 @@ object LlmQueries {
        })
       |SELECT doc_id, source
       |FROM documents JOIN rates USING (source)
-      |WHERE (doc_id * 2654435761) % 100 < rate_pct
+      |WHERE ((doc_id % 1000003) * 2654435761) % 100 < rate_pct
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     CorpusPrep.domainMix(Tables(s, dir, "documents"), mixRates)
       .select("doc_id", "source")

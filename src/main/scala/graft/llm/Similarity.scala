@@ -131,13 +131,13 @@ object Similarity {
     *
     * Output: (vec_id, q_scale float, q_emb array<tinyint>). Zero vectors
     * keep scale 1 (no 0/0), dequantizing to exact zeros. */
-  /** Evaluate `expr` once per row and expose it to `body` as a lambda
-    * variable (the TextAnalysis.bound idiom — interpreted HOF lambdas have
-    * no common-subexpression elimination, so an outer expression referenced
-    * inside a per-element lambda re-evaluates per ELEMENT: the first
-    * quantize build ran array_max 64× per row, 7× the whole float top-k). */
+  // TextAnalysis.bound: evaluate once per row, expose as a lambda variable.
+  // Interpreted HOF lambdas have no common-subexpression elimination, so an
+  // outer expression referenced inside a per-element lambda re-evaluates per
+  // ELEMENT — the first quantize build ran array_max 64× per row, 7× the
+  // whole float top-k.
   private def bound(expr: Column)(body: Column => Column): Column =
-    element_at(transform(array(expr), body), 1)
+    TextAnalysis.bound(expr)(body)
 
   def quantize(embeddings: DataFrame): DataFrame =
     embeddings

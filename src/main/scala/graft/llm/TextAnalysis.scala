@@ -30,7 +30,7 @@ object TextAnalysis {
     * with the bindings. `transform` over a one-element array is the
     * standard binding idiom: the argument is evaluated once, the lambda
     * sees the materialized value. */
-  private def bound(expr: Column)(body: Column => Column): Column =
+  private[llm] def bound(expr: Column)(body: Column => Column): Column =
     element_at(transform(array(expr), body), 1)
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")

@@ -63,10 +63,13 @@ object RangeJoin {
       .withColumn("__bin", explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
     val binned = p.join(narrow, "__bin").filter(contains).drop("__bin")
     val wide = intervals.filter(spanBins > wideBinThreshold)
-    // the emptiness probe is one limit-1 scan of the interval side (cheap —
+    // The emptiness probe is one limit-1 scan of the interval side (cheap —
     // the span predicate pushes into it); it keeps the common all-narrow
-    // case's plan free of a vestigial nested-loop node
-    if (wide.isEmpty) binned
+    // case's plan free of a vestigial nested-loop node. It runs a tiny job
+    // at CONSTRUCTION time, which a streaming interval side cannot do —
+    // there the union is kept unconditionally (correctness over plan
+    // cosmetics; dropping wide intervals unseen would lose rows).
+    if (!intervals.isStreaming && wide.isEmpty) binned
     else binned.unionByName(points.join(broadcast(wide), contains))
   }
 
@@ -83,15 +86,37 @@ object RangeJoin {
   def intervalOverlap(
       a: DataFrame, loA: String, hiA: String,
       b: DataFrame, loB: String, hiB: String,
-      binWidth: Double): DataFrame = {
+      binWidth: Double,
+      wideBinThreshold: Int = 1024): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    require(wideBinThreshold > 0, s"bad wideBinThreshold: $wideBinThreshold")
     val bin = (c: org.apache.spark.sql.Column) => floor(c / binWidth).cast("long")
-    val ea = a.withColumn("__bin", explode(sequence(bin(col(loA)), bin(col(hiA)))))
-    val eb = b.withColumn("__bin", explode(sequence(bin(col(loB)), bin(col(hiB)))))
-    ea.join(eb, "__bin")
-      .filter(
-        col(loA) < col(hiB) && col(loB) < col(hiA) &&
-          col("__bin") === greatest(bin(col(loA)), bin(col(loB))))
+    val overlaps = col(loA) < col(hiB) && col(loB) < col(hiA)
+    val spanA = bin(col(hiA)) - bin(col(loA)) + 1
+    val spanB = bin(col(hiB)) - bin(col(loB)) + 1
+    // same wide-interval escape hatch as pointInInterval: a degenerate
+    // whole-range interval on either side would explode into span/binWidth
+    // rows. Decomposition — narrow×narrow through the binned join; wideA
+    // against ALL of b, and narrowA against wideB, through broadcast (wide
+    // rows are few by construction: each covers ≥ threshold×width of the
+    // domain). The three parts partition the pair space, so exactly-once
+    // still holds without a distinct.
+    val narrowA = a.filter(spanA <= wideBinThreshold)
+    val narrowB = b.filter(spanB <= wideBinThreshold)
+    val wideA = a.filter(spanA > wideBinThreshold)
+    val wideB = b.filter(spanB > wideBinThreshold)
+    val ea = narrowA.withColumn("__bin", explode(sequence(bin(col(loA)), bin(col(hiA)))))
+    val eb = narrowB.withColumn("__bin", explode(sequence(bin(col(loB)), bin(col(hiB)))))
+    val binned = ea.join(eb, "__bin")
+      .filter(overlaps && col("__bin") === greatest(bin(col(loA)), bin(col(loB))))
       .drop("__bin")
+    // construction-time emptiness probe as in pointInInterval; skipped
+    // (union kept unconditionally) when either side is streaming
+    val anyWide = a.isStreaming || b.isStreaming ||
+      !wideA.isEmpty || !wideB.isEmpty
+    if (!anyWide) binned
+    else binned
+      .unionByName(broadcast(wideA).join(b, overlaps))
+      .unionByName(narrowA.join(broadcast(wideB), overlaps))
   }
 }

@@ -241,18 +241,24 @@ class MlpRegressorModel private[pipeline] (
     // capture plain arrays, not `this`: the closure ships ~h·(d+2) doubles
     val (d, _w1, _b1, _w2, _b2) = (dim, w1, b1, w2, b2)
     val (fm, fs, lm, ls) = (featMean, featStd, labelMean, labelStd)
+    // null features -> null prediction (fit() na.drops, but scoring input
+    // is caller-controlled; Vector is non-primitive so Spark passes the
+    // null through rather than skipping the row)
     val predict = udf { v: Vector =>
-      val raw = v.toArray
-      var yhat = _b2
-      var j = 0
-      while (j < _w2.length) {
-        var z = _b1(j)
-        var i = 0
-        while (i < d) { z += _w1(j * d + i) * (raw(i) - fm(i)) / fs(i); i += 1 }
-        if (z > 0) yhat += _w2(j) * z
-        j += 1
+      if (v == null) None
+      else {
+        val raw = v.toArray
+        var yhat = _b2
+        var j = 0
+        while (j < _w2.length) {
+          var z = _b1(j)
+          var i = 0
+          while (i < d) { z += _w1(j * d + i) * (raw(i) - fm(i)) / fs(i); i += 1 }
+          if (z > 0) yhat += _w2(j) * z
+          j += 1
+        }
+        Some(yhat * ls + lm)
       }
-      yhat * ls + lm
     }
     dataset.withColumn($(predictionCol), predict(col($(featuresCol))))
   }

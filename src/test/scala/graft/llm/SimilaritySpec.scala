@@ -51,6 +51,16 @@ class SimilaritySpec extends SparkSpec {
     orig.zip(ints).foreach { case (x, v) =>
       assert(math.abs(x - v * scale) <= scale / 2 + 1e-6f, s"$x vs ${v * scale}")
     }
+    // the Column-side dequantize agrees with the row-side arithmetic above
+    val deq = Similarity.quantize(emb)
+      .select(col("vec_id"),
+        Similarity.dequantize(col("q_emb"), col("q_scale")).as("deq"))
+      .join(emb, "vec_id")
+      .select(Similarity.dot(col("deq"), col("embedding")).as("d"),
+        Similarity.dot(col("embedding"), col("embedding")).as("n"))
+      .head()
+    assert(math.abs(deq.getDouble(0) - deq.getDouble(1)) <= 0.01 * deq.getDouble(1),
+      "dequantized vector must reconstruct the original within 1%")
     // all-zero vector: scale defaults to 1, elements to 0
     import spark.implicits._
     val z = Similarity.quantize(

@@ -89,6 +89,17 @@ class RangeJoinSpec extends SparkSpec {
     assert(naive.count() > 0)
   }
 
+  test("interval overlap: a degenerate whole-range interval routes via broadcast") {
+    val a = Seq((1L, 0.0, 8.0), (2L, -1e6, 1e6)).toDF("id_a", "lo_a", "hi_a")
+    val b = Seq((10L, 4.0, 6.0), (20L, 500.0, 501.0)).toDF("id_b", "lo_b", "hi_b")
+    val got = RangeJoin.intervalOverlap(a, "lo_a", "hi_a", b, "lo_b", "hi_b", 4.0,
+      wideBinThreshold = 16)
+    val naive = a.join(b, col("lo_a") < col("hi_b") && col("lo_b") < col("hi_a"))
+    assert(got.count() == naive.count()) // exactly-once across the 3-way split
+    assert(got.select("id_a", "id_b").as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 10L), (2L, 20L)))
+  }
+
   test("interval overlap handles touching and nested intervals") {
     val a = Seq((1L, 0.0, 10.0), (2L, 20.0, 30.0)).toDF("id_a", "lo_a", "hi_a")
     val b = Seq(

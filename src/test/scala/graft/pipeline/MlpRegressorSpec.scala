@@ -43,6 +43,19 @@ class MlpRegressorSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("scoring a null features row yields a null prediction, not a crash") {
+    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    import spark.implicits._
+    val model = new MlpRegressor().setHidden(4).setMaxIter(10).fit(absData)
+    val scored = model.transform(Seq(
+        (1L, Vectors.dense(0.5), 0.5),
+        (2L, null.asInstanceOf[Vector], 0.0)
+      ).toDF("id", "features", "label"))
+      .orderBy("id").select("prediction").collect()
+    assert(!scored(0).isNullAt(0))
+    assert(scored(1).isNullAt(0))
+  }
+
   test("same seed is bit-deterministic; different seed diverges") {
     val df = absData.repartition(4).cache()
     try {
