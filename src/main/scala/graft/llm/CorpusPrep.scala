@@ -71,6 +71,29 @@ object CorpusPrep {
   def prepare(docs: DataFrame, cfg: Config = Config()): DataFrame =
     enrich(nearDedup(exactDedup(qualityFilter(docs, cfg)), cfg), cfg)
 
+  /** [[prepare]] extended with the full hygiene chain a training corpus
+    * actually ships through — ordered by shuffle budget, same as prepare:
+    *  1. quality gate (scan-side, drops rows before anything pays);
+    *  2. PII scrub (pure Column, fused into the same scan — BEFORE dedup so
+    *     documents differing only in scrubbed PII collapse as exact dups);
+    *  3. exact dedup → connected-component near-dedup;
+    *  4. benchmark decontamination (broadcast bench-shingle set; anti-join
+    *     drops flagged docs — certainty wanted, so exact not LSH);
+    *  5. domain mixing (broadcast rates dim, deterministic hash gate);
+    *  6. enrichment columns last, computed only for survivors. */
+  def prepareTraining(
+      docs: DataFrame,
+      benchDocs: DataFrame,
+      ratesPct: Map[String, Int],
+      cfg: Config = Config()): DataFrame = {
+    val scrubbed = qualityFilter(docs, cfg)
+      .withColumn("text", TextAnalysis.redactPii(col("text")))
+    val deduped = nearDedup(exactDedup(scrubbed), cfg)
+    val flagged = contaminated(deduped, benchDocs).select("doc_id")
+    val decontaminated = deduped.join(flagged, Seq("doc_id"), "left_anti")
+    enrich(domainMix(decontaminated, ratesPct), cfg)
+  }
+
   /** Benchmark decontamination — the train/eval overlap gate a training-data
     * pipeline runs before anything ships: flag training documents sharing at
     * least `minShared` distinct `k`-token shingles with an eval/benchmark

@@ -586,8 +586,23 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q76
+  // Full training-prep composite (CorpusPrep.prepareTraining): quality →
+  // PII scrub → dedup → decontaminate → domain-mix → enrich, with every
+  // 10th doc playing the held-out benchmark (as in q65). Composite of
+  // individually-oracled operators → rows-only here; invariants in
+  // CorpusPrepSpec.
+  val q76 = Q.composite("q76_training_prep") { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    CorpusPrep.prepareTraining(
+        docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L),
+        benchDocs = docs.filter(pmod(col("doc_id"), lit(10L)) === 0L),
+        ratesPct = mixRates)
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
       q47, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
-      q73, q74)
+      q73, q74, q76)
 }

@@ -129,6 +129,27 @@ class CorpusPrepSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("training-prep composite: survivors are deduped, decontaminated, mixed, enriched") {
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val rates = (0 until 20).map(i => s"src$i" -> 80).toMap
+    val out = CorpusPrep.prepareTraining(train, bench, rates, cfg).cache()
+    // subset of the training input, never of the benchmark
+    assert(out.count() > 0)
+    assert(out.select("doc_id").exceptAll(train.select("doc_id")).count() == 0)
+    // no contaminated doc survives (recheck against the SCRUBBED survivors)
+    val stillFlagged = CorpusPrep.contaminated(
+      out.select("doc_id", "text"), bench)
+    assert(stillFlagged.count() == 0, "decontamination must be a fixpoint")
+    // exact dedup held: content hashes unique (same invariant as prepare's)
+    assert(out.select(sha2(col("text"), 256)).distinct().count() == out.count())
+    // enrichment columns present
+    Seq("pred_lang", "n_tokens", "stop_ratio", "fingerprint").foreach { c =>
+      assert(out.columns.contains(c), s"missing enrichment column $c")
+    }
+    out.unpersist()
+  }
+
   test("pipeline is idempotent: preparing a prepared corpus is identity") {
     val once = CorpusPrep.prepare(docs, cfg)
       .select("doc_id", "text", "lang", "source", "n_chars").cache()
