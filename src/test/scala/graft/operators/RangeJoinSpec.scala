@@ -113,6 +113,63 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set((1L, 20L), (1L, 30L), (1L, 40L), (2L, 40L)))
   }
 
+  test("property: random intervals and points match the naive join at random widths") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // deterministic sampled forAll — the scalatest↔scalacheck bridge isn't
+    // in the offline cache (PropertySpec convention)
+    val pointsGen = Gen.listOfN(40, Gen.chooseNum(-500.0, 500.0))
+    val intervalGen = Gen.listOfN(15, for {
+      lo <- Gen.chooseNum(-600.0, 550.0)
+      s <- Gen.oneOf(Gen.chooseNum(0.0, 40.0), Gen.chooseNum(500.0, 2000.0))
+    } yield (lo, lo + s))
+    val widthGen = Gen.oneOf(0.7, 8.0, 64.0)
+    val caseGen = Gen.zip(pointsGen, intervalGen, widthGen)
+    (0 until 8).foreach { i =>
+      caseGen(Gen.Parameters.default, Seed(1000L + i)).foreach {
+        case (ps, is, w) =>
+          val p = ps.zipWithIndex.map { case (v, id) => (id.toLong, v) }.toDF("id", "v")
+          val iv = is.zipWithIndex.map { case ((lo, hi), id) => (id.toLong, lo, hi) }
+            .toDF("iid", "lo", "hi")
+          val naive = p.join(iv, col("v") >= col("lo") && col("v") < col("hi"))
+            .select("id", "iid")
+          // low threshold so the wide/narrow split is exercised by the
+          // bimodal span generator
+          val binned = RangeJoin.pointInInterval(p, "v", iv, "lo", "hi", w,
+            wideBinThreshold = 8).select("id", "iid")
+          assert(binned.count() == naive.count(), s"case $i width $w")
+          assert(binned.exceptAll(naive).count() == 0, s"case $i width $w")
+          assert(naive.exceptAll(binned).count() == 0, s"case $i width $w")
+      }
+    }
+  }
+
+  test("property: random interval-overlap matches naive with exact multiplicity") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val ivGen = (n: Int) => Gen.listOfN(n, for {
+      lo <- Gen.chooseNum(-300.0, 300.0)
+      s <- Gen.oneOf(Gen.chooseNum(0.0, 30.0), Gen.chooseNum(400.0, 900.0))
+    } yield (lo, lo + s))
+    (0 until 8).foreach { i =>
+      Gen.zip(ivGen(12), ivGen(12))(Gen.Parameters.default, Seed(2000L + i)).foreach {
+        case (as, bs) =>
+          val a = as.zipWithIndex.map { case ((lo, hi), id) => (id.toLong, lo, hi) }
+            .toDF("id_a", "lo_a", "hi_a")
+          val b = bs.zipWithIndex.map { case ((lo, hi), id) => (id.toLong, lo, hi) }
+            .toDF("id_b", "lo_b", "hi_b")
+          val naive = a.join(b, col("lo_a") < col("hi_b") && col("lo_b") < col("hi_a"))
+            .select("id_a", "id_b")
+          val binned = RangeJoin.intervalOverlap(
+              a, "lo_a", "hi_a", b, "lo_b", "hi_b", 16.0, wideBinThreshold = 8)
+            .select("id_a", "id_b")
+          assert(binned.count() == naive.count(), s"case $i multiplicity")
+          assert(binned.exceptAll(naive).count() == 0, s"case $i")
+          assert(naive.exceptAll(binned).count() == 0, s"case $i")
+      }
+    }
+  }
+
   test("the plan is an equi-join: no nested-loop or cartesian node") {
     val plan = RangeJoin.pointInInterval(points, "value", intervals, "lo", "hi", 8.0)
       .queryExecution.executedPlan.toString
