@@ -182,6 +182,35 @@ object CorpusPrep {
           .as("chunk"))
   }
 
+  /** Sub-document (segment-level) dedup — the C4/boilerplate pass: split
+    * each document into consecutive `segTokens`-token segments, keep only
+    * the globally FIRST occurrence of each distinct segment (ordered by
+    * (doc_id, position)), and reassemble the survivors in document order.
+    * Whole-document dedup misses the repeated header/footer/nav boilerplate
+    * that appears inside otherwise-distinct pages; this removes it at the
+    * segment granularity.
+    *
+    * Shape at 100 TB: segmentation is [[chunkDocuments]] with stride =
+    * size (row-local, no shuffle); first-occurrence is ONE shuffle
+    * partitioned by the segment text (a window ranked by (doc_id, idx) —
+    * deterministic winner); reassembly is one more shuffle back on doc_id.
+    * Only (doc_id, idx, segment) rows travel, never whole documents.
+    * Output: (doc_id, text) with text rebuilt from surviving segments;
+    * documents whose every segment was seen earlier vanish entirely. */
+  def segmentDedup(docs: DataFrame, segTokens: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = chunkDocuments(docs, chunkTokens = segTokens, stride = segTokens)
+    val firstSeen = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    segs
+      .withColumn("rk", row_number().over(firstSeen))
+      .filter(col("rk") === 1)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))).as("ss"))
+      .select(
+        col("doc_id"),
+        concat_ws(" ", transform(col("ss"), s => s.getField("chunk"))).as("text"))
+  }
+
   /** Sharded sequence packing ("concat-and-chunk"): assign each document to
     * a fixed-token-budget training chunk. Global greedy packing is
     * inherently sequential — a single running sum over the whole corpus is

@@ -601,8 +601,31 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q77
+  // Segment-level dedup (CorpusPrep.segmentDedup): the C4-style boilerplate
+  // pass — globally-first occurrence of each 10-token segment survives,
+  // documents reassemble from their surviving segments. Deterministic
+  // window rank + ordered string_agg in both engines → value-checked.
+  val q77 = Q(
+    "q77_segment_dedup",
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      |           FROM documents),
+      |s AS (SELECT doc_id, unnest(range(0, len(ts), 10)) AS start, ts FROM d),
+      |seg AS (SELECT doc_id, start // 10 AS seg_idx,
+      |               array_to_string(ts[start+1 : start+10], ' ') AS seg
+      |        FROM s),
+      |f AS (SELECT doc_id, seg_idx, seg,
+      |             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rk
+      |      FROM seg)
+      |SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text
+      |FROM f WHERE rk = 1
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    CorpusPrep.segmentDedup(Tables(s, dir, "documents"), segTokens = 10)
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
       q47, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
-      q73, q74, q76)
+      q73, q74, q76, q77)
 }

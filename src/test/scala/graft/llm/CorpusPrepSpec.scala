@@ -129,6 +129,35 @@ class CorpusPrepSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("segment dedup removes repeated boilerplate but keeps its first occurrence") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"nav$i").mkString(" ") // one exact segment
+    val bodyA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val bodyB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val input = Seq(
+      (1L, s"$boiler $bodyA"),  // first page: boilerplate + unique body
+      (2L, s"$boiler $bodyB"),  // second page: same boilerplate, new body
+      (3L, boiler)              // third page: ONLY boilerplate -> vanishes
+    ).toDF("doc_id", "text")
+    val out = CorpusPrep.segmentDedup(input, segTokens = 10)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out(0).getString(1) == s"$boiler $bodyA") // first occurrence intact
+    assert(out(1).getString(1) == bodyB)             // boilerplate stripped
+  }
+
+  test("segment dedup is a no-op on a corpus with no repeated segments") {
+    import spark.implicits._
+    val input = Seq(
+      (1L, (1 to 25).map(i => s"x$i").mkString(" ")),
+      (2L, (1 to 7).map(i => s"y$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = CorpusPrep.segmentDedup(input, segTokens = 10)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      input.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+  }
+
   test("training-prep composite: survivors are deduped, decontaminated, mixed, enriched") {
     val bench = docs.filter(col("doc_id") % 10 === 0)
     val train = docs.filter(col("doc_id") % 10 =!= 0)
