@@ -100,6 +100,14 @@ object GraftFunctions {
   val VectorDotName = "vector_dot"
   val VectorMatMulName = "vector_matmul"
   val SimHash64Name = "simhash64"
+  /** Spark ships Bloom-filter expressions for its runtime row-level
+    * filtering but keeps them off the session's builtin search path; these
+    * expose the public catalyst classes under graft_ names. The agg takes
+    * (xxhash64 long, estimated items, num bits) → serialized filter binary;
+    * the read side takes (filter binary — must be foldable — and an
+    * xxhash64 long). */
+  val BloomAggName = "graft_bloom_filter_agg"
+  val MightContainName = "graft_might_contain"
 
   /** Build a [[VectorMatMul]] from a foldable nested-array-literal second
     * argument (the registry's builder sees Expressions only; the matrix is
@@ -132,6 +140,32 @@ object GraftFunctions {
         FunctionIdentifier(VectorMatMulName),
         new ExpressionInfo(classOf[VectorMatMul].getName, VectorMatMulName),
         matmulFromExprs(_))
+    }
+    if (!registry.functionExists(FunctionIdentifier(BloomAggName))) {
+      registry.registerFunction(
+        FunctionIdentifier(BloomAggName),
+        new ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+          BloomAggName),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 3, s"$BloomAggName takes 3 arguments")
+          // a bare AggregateFunction from a builder is wrapped in an
+          // AggregateExpression by the analyzer, as for builtin aggregates
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            exprs(0), exprs(1), exprs(2))
+        })
+    }
+    if (!registry.functionExists(FunctionIdentifier(MightContainName))) {
+      registry.registerFunction(
+        FunctionIdentifier(MightContainName),
+        new ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+          MightContainName),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2, s"$MightContainName takes 2 arguments")
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            exprs.head, exprs(1))
+        })
     }
     if (!registry.functionExists(FunctionIdentifier(SimHash64Name))) {
       registry.registerFunction(

@@ -191,19 +191,23 @@ object CorpusPrep {
     * segment granularity.
     *
     * Shape at 100 TB: segmentation is [[chunkDocuments]] with stride =
-    * size (row-local, no shuffle); first-occurrence is ONE shuffle
-    * partitioned by the segment text (a window ranked by (doc_id, idx) —
-    * deterministic winner); reassembly is one more shuffle back on doc_id.
-    * Only (doc_id, idx, segment) rows travel, never whole documents.
-    * Output: (doc_id, text) with text rebuilt from surviving segments;
-    * documents whose every segment was seen earlier vanish entirely. */
+    * size (row-local, no shuffle); first-occurrence is `min(struct(doc_id,
+    * idx))` per segment — an AGGREGATE, not a window, deliberately: a
+    * hyper-repeated segment (empty docs, real boilerplate — the very thing
+    * this op exists for) sends every copy to one partition, where a window
+    * must buffer-and-rank them all in one task while a hash aggregate
+    * collapses them map-side before the shuffle. Reassembly is one more
+    * shuffle back on doc_id. Only (doc_id, idx, segment) rows travel,
+    * never whole documents. Output: (doc_id, text) with text rebuilt from
+    * surviving segments; documents whose every segment was seen earlier
+    * vanish entirely. */
   def segmentDedup(docs: DataFrame, segTokens: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val segs = chunkDocuments(docs, chunkTokens = segTokens, stride = segTokens)
-    val firstSeen = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
     segs
-      .withColumn("rk", row_number().over(firstSeen))
-      .filter(col("rk") === 1)
+      .groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.chunk_idx").as("chunk_idx"),
+        col("chunk"))
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))).as("ss"))
       .select(

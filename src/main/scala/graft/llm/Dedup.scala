@@ -25,6 +25,51 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
 
+  /** Incremental exact dedup — screen a NEW ingest batch against a
+    * historical corpus WITHOUT joining the corpus: the append-heavy shape
+    * every production pipeline hits (100 TB of history, a daily batch of
+    * new documents).
+    *
+    * Two stages, Bloom-filter screen then exact confirm:
+    *  1. `bloom_filter_agg` folds the history's content hashes into one
+    *     bits-sized filter (an aggregate — partial buffers merge map-side,
+    *     the history never shuffles bodies, and the filter itself is the
+    *     only thing collected). `might_contain` then screens the new batch
+    *     scan-side: documents whose hash misses the filter are DEFINITELY
+    *     new (Bloom has no false negatives) and skip stage 2 entirely.
+    *  2. Only the screened survivors — expected `fpp` of the truly-new
+    *     plus the real duplicates — join the history's hash set for exact
+    *     confirmation, so the expensive join touches a tiny fraction of
+    *     the batch.
+    *
+    * Returns the genuinely-new rows of `newDocs`. The filter bits are
+    * engine-specific (no DuckDB oracle); the no-false-negative /
+    * FP-bounded / exact-confirm properties live in DedupSpec. */
+  def incrementalNewDocs(
+      newDocs: DataFrame,
+      history: DataFrame,
+      expectedHistoryRows: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    graft.functions.GraftFunctions.register(newDocs.sparkSession)
+    val h = sha2(col("text"), 256)
+    // bits sized from the target false-positive rate: m = n·ln(1/p)/ln²2
+    val numBits = math.max(64L,
+      math.ceil(expectedHistoryRows * math.log(1.0 / fpp)
+        / (math.log(2) * math.log(2))).toLong)
+    val bf = history
+      .agg(call_function(graft.functions.GraftFunctions.BloomAggName,
+        xxhash64(h), lit(expectedHistoryRows), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    if (bf == null) return newDocs // empty history: everything is new
+    val maybeDup = call_function(
+      graft.functions.GraftFunctions.MightContainName, lit(bf), xxhash64(h))
+    val screened = newDocs.filter(maybeDup)          // tiny: dups + fpp·new
+    val falsePositives = screened
+      .join(history.select(h.as("__hh")).distinct(), h === col("__hh"),
+        "left_anti")
+    newDocs.filter(!maybeDup).unionByName(falsePositives)
+  }
+
   /** 64-bit SimHash over whitespace tokens (xxhash64 token hashes; bit i of
     * the fingerprint = sign of Σ_tokens (2·bit_i(h(t)) − 1)).
     *

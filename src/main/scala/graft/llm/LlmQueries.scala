@@ -624,8 +624,29 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q78
+  // Incremental ingest dedup (Dedup.incrementalNewDocs): every 5th doc
+  // plays the new batch against the rest as history. The Bloom filter is
+  // only a screen — the exact-confirm stage makes the OUTPUT exact, so the
+  // oracle is a plain anti-join on content despite the sketch inside.
+  val q78 = Q(
+    "q78_incremental_dedup",
+    """WITH hist AS (SELECT text FROM documents WHERE doc_id % 5 <> 0),
+      |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0)
+      |SELECT doc_id FROM batch
+      |WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.text = batch.text)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    Dedup.incrementalNewDocs(
+        newDocs = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L),
+        history = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L),
+        expectedHistoryRows = 100000L)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
       q47, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
-      q73, q74, q76, q77)
+      q73, q74, q76, q77, q78)
 }

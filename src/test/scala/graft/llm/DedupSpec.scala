@@ -9,6 +9,26 @@ import graft.{SparkSpec, Tables}
   * algebraic properties instead. */
 class DedupSpec extends SparkSpec {
 
+  test("incremental dedup: bloom screen has no false negatives, exact confirm removes FPs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val history = (0 until 400).map(i => (i.toLong, s"hist doc number $i body"))
+      .toDF("doc_id", "text")
+    // new batch: 30 exact re-ingests + 70 genuinely new docs
+    val dups = (0 until 30).map(i => (1000L + i, s"hist doc number $i body"))
+    val fresh = (0 until 70).map(i => (2000L + i, s"brand new doc $i payload"))
+    val batch = (dups ++ fresh).toDF("doc_id", "text")
+    val out = Dedup.incrementalNewDocs(batch, history,
+      expectedHistoryRows = 1000L).cache()
+    // every true duplicate dropped (bloom has no false negatives -> the
+    // confirm join sees ALL of them), every genuinely-new doc kept (the
+    // exact confirm removes any bloom false positives)
+    assert(out.count() == 70)
+    assert(out.select("doc_id").as[Long].collect().toSet ==
+      fresh.map(_._1).toSet)
+    out.unpersist()
+  }
+
   private lazy val docs = Tables(spark, sf0001, "documents")
 
   test("exact dedup: survivors + duplicate count are consistent") {
