@@ -124,57 +124,54 @@ object GraftFunctions {
     VectorMatMul(exprs.head, planes)
   }
 
+  /** Single source of truth for the function family — both registration
+    * paths ([[register]] and [[GraftExtensions]]) iterate this list, so a
+    * function added here is available in imperative sessions AND under
+    * `spark.sql.extensions` cluster deploys without a second edit. */
+  private[functions] def builders
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier(VectorDotName),
+      new ExpressionInfo(classOf[VectorDot].getName, VectorDotName),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"$VectorDotName takes 2 arguments")
+        VectorDot(exprs.head, exprs(1))
+      }),
+    (FunctionIdentifier(VectorMatMulName),
+      new ExpressionInfo(classOf[VectorMatMul].getName, VectorMatMulName),
+      matmulFromExprs(_)),
+    (FunctionIdentifier(SimHash64Name),
+      new ExpressionInfo(classOf[SimHash64].getName, SimHash64Name),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"$SimHash64Name takes 1 argument")
+        SimHash64(exprs.head)
+      }),
+    (FunctionIdentifier(BloomAggName),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        BloomAggName),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, s"$BloomAggName takes 3 arguments")
+        // a bare AggregateFunction from a builder is wrapped in an
+        // AggregateExpression by the analyzer, as for builtin aggregates
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2))
+      }),
+    (FunctionIdentifier(MightContainName),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        MightContainName),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"$MightContainName takes 2 arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs.head, exprs(1))
+      }))
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(FunctionIdentifier(VectorDotName))) {
-      registry.registerFunction(
-        FunctionIdentifier(VectorDotName),
-        new ExpressionInfo(classOf[VectorDot].getName, VectorDotName),
-        (exprs: Seq[Expression]) => {
-          require(exprs.length == 2, s"$VectorDotName takes 2 arguments")
-          VectorDot(exprs.head, exprs(1))
-        })
-    }
-    if (!registry.functionExists(FunctionIdentifier(VectorMatMulName))) {
-      registry.registerFunction(
-        FunctionIdentifier(VectorMatMulName),
-        new ExpressionInfo(classOf[VectorMatMul].getName, VectorMatMulName),
-        matmulFromExprs(_))
-    }
-    if (!registry.functionExists(FunctionIdentifier(BloomAggName))) {
-      registry.registerFunction(
-        FunctionIdentifier(BloomAggName),
-        new ExpressionInfo(
-          classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
-          BloomAggName),
-        (exprs: Seq[Expression]) => {
-          require(exprs.length == 3, s"$BloomAggName takes 3 arguments")
-          // a bare AggregateFunction from a builder is wrapped in an
-          // AggregateExpression by the analyzer, as for builtin aggregates
-          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-            exprs(0), exprs(1), exprs(2))
-        })
-    }
-    if (!registry.functionExists(FunctionIdentifier(MightContainName))) {
-      registry.registerFunction(
-        FunctionIdentifier(MightContainName),
-        new ExpressionInfo(
-          classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
-          MightContainName),
-        (exprs: Seq[Expression]) => {
-          require(exprs.length == 2, s"$MightContainName takes 2 arguments")
-          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-            exprs.head, exprs(1))
-        })
-    }
-    if (!registry.functionExists(FunctionIdentifier(SimHash64Name))) {
-      registry.registerFunction(
-        FunctionIdentifier(SimHash64Name),
-        new ExpressionInfo(classOf[SimHash64].getName, SimHash64Name),
-        (exprs: Seq[Expression]) => {
-          require(exprs.length == 1, s"$SimHash64Name takes 1 argument")
-          SimHash64(exprs.head)
-        })
+    builders.foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id)) {
+        registry.registerFunction(id, info, builder)
+      }
     }
   }
 }
