@@ -86,10 +86,22 @@ object CorpusPrep {
       benchDocs: DataFrame,
       ratesPct: Map[String, Int],
       cfg: Config = Config()): DataFrame = {
+    // n_chars refreshed post-scrub so the shipped row is self-consistent
+    // (the quality gate deliberately reads the PRE-scrub length — a doc
+    // isn't lower-quality for having had its PII masked)
     val scrubbed = qualityFilter(docs, cfg)
       .withColumn("text", TextAnalysis.redactPii(col("text")))
-    val deduped = nearDedup(exactDedup(scrubbed), cfg)
-    val flagged = contaminated(deduped, benchDocs).select("doc_id")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    // eager lineage-free materialization (repo lifecycle convention): the
+    // dedup survivors feed BOTH the contamination probe and the anti-join
+    // left side — uncached, the scan + scrub + dedup chain would execute
+    // end-to-end twice
+    val deduped = nearDedup(exactDedup(scrubbed), cfg).localCheckpoint(true)
+    // scrub the benchmark side too: contamination is shingle equality, and
+    // comparing scrubbed train text against RAW bench text would let a
+    // bench copy whose shingles span redacted tokens slip through
+    val bench = benchDocs.withColumn("text", TextAnalysis.redactPii(col("text")))
+    val flagged = contaminated(deduped, bench).select("doc_id")
     val decontaminated = deduped.join(flagged, Seq("doc_id"), "left_anti")
     enrich(domainMix(decontaminated, ratesPct), cfg)
   }

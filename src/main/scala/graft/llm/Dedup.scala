@@ -56,10 +56,28 @@ object Dedup {
     val numBits = math.max(64L,
       math.ceil(expectedHistoryRows * math.log(1.0 / fpp)
         / (math.log(2) * math.log(2))).toLong)
-    val bf = history
-      .agg(call_function(graft.functions.GraftFunctions.BloomAggName,
-        xxhash64(h), lit(expectedHistoryRows), lit(numBits)).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
+    // BloomFilterAggregate SILENTLY Math.min-caps both arguments at the
+    // runtime-filter session confs (defaults: 4M items / 64M bits) — at a
+    // 1e8-row history the capped filter's fpp approaches 1 and the screen
+    // passes everything, quietly degenerating to the full join this
+    // function exists to avoid. Raise the caps to the request for the
+    // duration of the build, restore after (exception-safe).
+    val conf = newDocs.sparkSession.conf
+    val ItemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val BitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (prevItems, prevBits) = (conf.get(ItemsKey), conf.get(BitsKey))
+    val bf =
+      try {
+        conf.set(ItemsKey, math.max(prevItems.toLong, expectedHistoryRows).toString)
+        conf.set(BitsKey, math.max(prevBits.toLong, numBits).toString)
+        history
+          .agg(call_function(graft.functions.GraftFunctions.BloomAggName,
+            xxhash64(h), lit(expectedHistoryRows), lit(numBits)).as("bf"))
+          .head().getAs[Array[Byte]]("bf")
+      } finally {
+        conf.set(ItemsKey, prevItems)
+        conf.set(BitsKey, prevBits)
+      }
     if (bf == null) return newDocs // empty history: everything is new
     val maybeDup = call_function(
       graft.functions.GraftFunctions.MightContainName, lit(bf), xxhash64(h))

@@ -166,9 +166,12 @@ class CorpusPrepSpec extends SparkSpec {
     // subset of the training input, never of the benchmark
     assert(out.count() > 0)
     assert(out.select("doc_id").exceptAll(train.select("doc_id")).count() == 0)
-    // no contaminated doc survives (recheck against the SCRUBBED survivors)
+    // no contaminated doc survives — recheck scrubbed-vs-scrubbed, the
+    // same comparison the pipeline itself makes
+    val scrubbedBench = bench.withColumn("text",
+      TextAnalysis.redactPii(col("text")))
     val stillFlagged = CorpusPrep.contaminated(
-      out.select("doc_id", "text"), bench)
+      out.select("doc_id", "text"), scrubbedBench)
     assert(stillFlagged.count() == 0, "decontamination must be a fixpoint")
     // exact dedup held: content hashes unique (same invariant as prepare's)
     assert(out.select(sha2(col("text"), 256)).distinct().count() == out.count())
@@ -177,6 +180,26 @@ class CorpusPrepSpec extends SparkSpec {
       assert(out.columns.contains(c), s"missing enrichment column $c")
     }
     out.unpersist()
+  }
+
+  test("decontamination catches a bench copy whose shingles span scrubbed PII") {
+    import spark.implicits._
+    // every 3-token shingle of the copy crosses a token the scrub rewrites,
+    // so raw-bench-vs-scrubbed-train comparison would find zero shared
+    // shingles and ship the benchmark item into the training set
+    val benchText = "email alice@example.org phone 555-010-1234 acct 987654321 " +
+      "email bob@example.org phone 555-010-9999 acct 123456789 end"
+    val filler = (1 to 30).map(i => s"neutral$i").mkString(" ")
+    val mk = (id: Long, text: String) =>
+      (id, text, "en", "srcA", 200L)
+    val train = Seq(mk(1L, benchText), mk(2L, filler))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val bench = Seq(mk(100L, benchText))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusPrep.prepareTraining(train, bench, Map("srcA" -> 100), cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!out.contains(1L), "the benchmark copy must be dropped")
+    assert(out.contains(2L), "the clean doc must survive")
   }
 
   test("pipeline is idempotent: preparing a prepared corpus is identity") {
