@@ -645,8 +645,25 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q79
+  // BPE merge learning (Bpe.learnMerges): the vocab-training step — corpus
+  // touched once (word-freq aggregate), then K vocabulary-sized merge
+  // iterations. Deterministic (lexicographic tie-break, partitioning-
+  // independence spec-asserted) → rows-check; the hand-computed merge
+  // sequence property lives in BpeSpec. Registered off the timed set: the
+  // iterative driver loop is K tiny jobs whose wall is pure job overhead
+  // at fixture vocab size — it would measure the scheduler, not the
+  // operator.
+  val q79 = Q.composite("q79_bpe_merges") { (s, dir) =>
+    import s.implicits._
+    Bpe.learnMerges(Tables(s, dir, "documents"), numMerges = 20)
+      .zipWithIndex
+      .map { case (m, i) => (i + 1, m.left, m.right, m.count) }
+      .toDF("rank", "left", "right", "cnt")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
       q47, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
-      q73, q74, q76, q77, q78)
+      q73, q74, q76, q77, q78, q79)
 }

@@ -1,0 +1,65 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // classic BPE teaching corpus: word frequencies hug:10 pug:5 pun:12
+  // bun:4 hugs:5 — merge sequence is hand-computable
+  private def toyCorpus = {
+    val words =
+      Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++ Seq.fill(12)("pun") ++
+        Seq.fill(4)("bun") ++ Seq.fill(5)("hugs")
+    // pack into a few documents to exercise the corpus→word-count path
+    words.grouped(7).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+  }
+
+  test("learns the hand-computed merge sequence on the classic corpus") {
+    val merges = Bpe.learnMerges(toyCorpus, numMerges = 3)
+    // pair counts round 1: (u,g)=20, (u,n)=16, (h,u)=15, (p,u)=17, (g,s)=5
+    //   -> merge (u,g) n=20
+    // round 2: (u,n)=16, (p,ug)=5, (h,ug)=15, (p,u)=12, (b,u)=4, (ug,s)=5
+    //   -> merge (u,n) n=16
+    // round 3: (h,ug)=15 wins
+    assert(merges.map(m => (m.left, m.right, m.count)) ==
+      Seq(("u", "g", 20L), ("u", "n", 16L), ("h", "ug", 15L)))
+  }
+
+  test("encodeWord applies merges greedily in priority order") {
+    val merges = Bpe.learnMerges(toyCorpus, numMerges = 3)
+    val enc = Seq("hug", "pug", "pun", "bun", "hugs", "mug", "zzz")
+      .toDF("w")
+      .select(Bpe.encodeWord(col("w"), merges).as("syms"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(enc(0) == List("hug"))            // h+ug merged by rule 3
+    assert(enc(1) == List("p", "ug"))
+    assert(enc(2) == List("p", "un"))
+    assert(enc(3) == List("b", "un"))
+    assert(enc(4) == List("hug", "s"))
+    assert(enc(5) == List("m", "ug"))        // unseen word, learned subunits apply
+    assert(enc(6) == List("z", "z", "z"))    // no rule applies
+  }
+
+  test("merge fold is greedy left-to-right on repeats") {
+    val out = Seq(Seq("a", "a", "a"), Seq("a", "a", "a", "a"))
+      .toDF("syms")
+      .select(Bpe.mergeAdjacent(col("syms"), "a", "a").as("m"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(out(0) == List("aa", "a"))
+    assert(out(1) == List("aa", "aa"))
+  }
+
+  test("early-stops when no pair reaches minCount and is deterministic") {
+    val tiny = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    // every pair occurs once -> below default minCount=2 -> no merges
+    assert(Bpe.learnMerges(tiny, numMerges = 5).isEmpty)
+    val a = Bpe.learnMerges(toyCorpus, numMerges = 5)
+    val b = Bpe.learnMerges(toyCorpus.repartition(7), numMerges = 5)
+    assert(a == b, "merge table must not depend on partitioning")
+  }
+}
