@@ -61,6 +61,28 @@ object Bpe {
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
+  /** Initial per-word representation: (cnt, syms = characters). Lazy —
+    * exposed (with [[pairCounts]]) so the plan audit can dump the loop's
+    * real stages without running the training. */
+  def initialSymbols(docs: DataFrame, textCol: String = "text"): DataFrame =
+    wordCounts(docs, textCol)
+      .select(col("cnt"),
+        filter(split(col("word"), ""), s => s =!= "").as("syms"))
+
+  /** One iteration's pair-count stage: adjacent symbol pairs weighted by
+    * word frequency, vocabulary-sized input. */
+  def pairCounts(rep: DataFrame): DataFrame = {
+    val pairCol = transform(sequence(lit(0), size(col("syms")) - 2),
+      j => struct(
+        element_at(col("syms"), j + 1).as("l"),
+        element_at(col("syms"), j + 2).as("r")))
+    rep
+      .filter(size(col("syms")) >= 2)
+      .select(col("cnt"), explode(pairCol).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("n"))
+  }
+
   /** Learn up to `numMerges` merges from the corpus. Stops early when the
     * best remaining pair occurs fewer than `minCount` times. */
   def learnMerges(
@@ -69,25 +91,17 @@ object Bpe {
       minCount: Long = 2L,
       textCol: String = "text"): Seq[Merge] = {
     require(numMerges >= 0 && minCount >= 1, s"bad config: $numMerges/$minCount")
-    // initial representation: one row per distinct word, symbols = its
-    // characters; vocabulary-sized from here on
-    var rep = wordCounts(docs, textCol)
-      .select(col("cnt"),
-        filter(split(col("word"), ""), s => s =!= "").as("syms"))
-      .localCheckpoint(true)
+    // vocabulary-sized from here on; eager checkpoints keep the loop's
+    // lineage flat. Superseded iterations' checkpoint blocks are released
+    // by the ContextCleaner once the old Dataset is unreferenced (the repo
+    // convention for checkpointed state — Dataset.unpersist is a CACHE
+    // operation and does nothing for checkpoint RDD blocks).
+    var rep = initialSymbols(docs, textCol).localCheckpoint(true)
     val merges = Seq.newBuilder[Merge]
     var i = 0
     var done = false
     while (i < numMerges && !done) {
-      val pairCol = transform(sequence(lit(0), size(col("syms")) - 2),
-        j => struct(
-          element_at(col("syms"), j + 1).as("l"),
-          element_at(col("syms"), j + 2).as("r")))
-      val best = rep
-        .filter(size(col("syms")) >= 2)
-        .select(col("cnt"), explode(pairCol).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("cnt")).as("n"))
+      val best = pairCounts(rep)
         .orderBy(col("n").desc, col("l"), col("r"))
         .limit(1)
         .collect()
@@ -95,24 +109,30 @@ object Bpe {
         case Some(row) if row.getLong(2) >= minCount =>
           val (l, r, n) = (row.getString(0), row.getString(1), row.getLong(2))
           merges += Merge(l, r, n)
-          val next = rep
+          rep = rep
             .withColumn("syms", mergeAdjacent(col("syms"), l, r))
-            .localCheckpoint(true) // flat lineage across iterations
-          rep.unpersist()
-          rep = next
+            .localCheckpoint(true)
           i += 1
         case _ => done = true
       }
     }
-    rep.unpersist()
     merges.result()
   }
 
   /** Apply a learned merge table to a word (greedy, in merge-priority
-    * order — the standard BPE encode). Column-pure, so encoding fuses into
-    * a corpus scan. */
-  def encodeWord(word: Column, merges: Seq[Merge]): Column =
+    * order — the standard BPE encode). Column-pure, but the expression
+    * nests one `aggregate` HOF per rule, so tree depth — and per-row cost —
+    * grows with the merge-table size: right for demo/analysis tables,
+    * capped well below where Catalyst analysis goes superlinear. A
+    * production 30k-merge encoder is a different shape entirely: encode
+    * each DISTINCT word once and broadcast-join the word→ids dictionary
+    * against the corpus (words repeat; the dictionary is vocab-sized). */
+  def encodeWord(word: Column, merges: Seq[Merge]): Column = {
+    require(merges.size <= 256,
+      s"${merges.size} merges: the nested-expression encoder is for small " +
+        "tables; at vocab scale, encode distinct words once and dictionary-join")
     merges.foldLeft(filter(split(word, ""), s => s =!= "")) { (syms, m) =>
       mergeAdjacent(syms, m.left, m.right)
     }
+  }
 }
