@@ -262,6 +262,36 @@ object ScaleStress {
     emb.unpersist()
   }
 
+  /** BPE-learning scaling (q79's claim, measured): the corpus is touched
+    * once, after which merge iterations run on the VOCABULARY-sized
+    * word-frequency table — so per-iteration wall should grow far slower
+    * than vocabulary size. Synthetic corpora with controlled vocabularies
+    * (base-26 words, skewed counts) at 8×/64× vocab growth. */
+  def bpe(spark: SparkSession): Unit = {
+    import graft.llm.Bpe
+    import spark.implicits._
+    def corpus(vocab: Int): org.apache.spark.sql.DataFrame =
+      spark.range(vocab.toLong)
+        .select(
+          // base-26 word of length 4-8 derived from the id (deterministic)
+          concat_ws("",
+            transform(sequence(lit(0), pmod(col("id"), lit(5L)).cast("int") + 3),
+              i => chr(lit(97) + pmod(col("id") * (i + 7), lit(26L))))).as("word"),
+          // zipf-ish: hot head, long tail
+          (lit(1000L) / (pmod(col("id"), lit(997L)) + 1) + 1).cast("int").as("n"))
+        .select(explode(sequence(lit(1), col("n"))).as("k"), col("word"))
+        .groupBy("k").agg(concat_ws(" ", collect_list("word")).as("text"))
+        .withColumnRenamed("k", "doc_id")
+    println("== BPE learning: per-iteration wall vs vocabulary size ==")
+    for (vocab <- Seq(2000, 16000, 128000)) {
+      val docs = corpus(vocab).cache(); docs.count()
+      val (merges, wall) = time(Bpe.learnMerges(docs, numMerges = 10))
+      println(f"vocab=$vocab%7d merges=${merges.size}%2d total=$wall%6.1f s " +
+        f"(${wall / math.max(merges.size, 1)}%5.2f s/iteration)")
+      docs.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.filterNot(_.startsWith("--")).headOption
       .getOrElse("/root/testdata/sf0.1")
@@ -280,6 +310,11 @@ object ScaleStress {
     }
     if (args.contains("--quant")) {
       quantization(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.contains("--bpe")) {
+      bpe(spark)
       spark.stop()
       return
     }
