@@ -200,7 +200,8 @@ object ScaleStress {
           .count()
       }
       val (nBinned, binnedS) = time {
-        RangeJoin.pointInInterval(points, "value", intervals, "lo", "hi", 8.0)
+        RangeJoin.pointInInterval(points, "value", intervals, "lo", "hi", 8.0,
+            maxSpan = 8.0)
           .count()
       }
       assert(nNaive == nBinned, s"range-join shapes diverge: $nNaive vs $nBinned")

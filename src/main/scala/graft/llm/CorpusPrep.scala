@@ -157,9 +157,16 @@ object CorpusPrep {
     // pre-modulus before the Knuth multiply: doc_id * 2654435761 overflows
     // int64 (ANSI-mode ArithmeticException) past doc_id ≈ 3.47e9 — i.e. at
     // exactly the corpus sizes this is for. (id mod 1000003) * K tops out
-    // at 2.7e15 and stays engine-portable (DuckDB has no xxhash64); the
+    // at 2.7e15 and stays engine-portable (DuckDB has no xxhash64). The
+    // reduction to a percentile goes THROUGH the large prime 999999937:
+    // reducing (x·K) mod 100 directly collapses to a permutation of
+    // x mod 100 (gcd structure — K mod 100 = 61), which re-correlates the
+    // gate with any id-striped source assignment; the intermediate prime
+    // modulus decorrelates the residue before the final mod 100. The
     // selection pattern repeats every ~1M ids, irrelevant for rate sampling.
-    val h = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(100L))
+    val h = pmod(
+      pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(999999937L)),
+      lit(100L))
     docs
       .join(broadcast(rates), "source")
       .filter(h < col("rate_pct"))
@@ -237,16 +244,23 @@ object CorpusPrep {
     * STARTING token offset over the budget (boundary-spanning documents
     * belong to the chunk they start in; splitting the overflow tokens is a
     * row-local concern downstream — the distributed part is the
-    * assignment). At 100 TB set `shards` ≈ cores so every window task
-    * stays small; the shuffle moves (doc_id, n_tokens) only, never text. */
+    * assignment). `shards <= 0` (the default) resolves to the session's
+    * `defaultParallelism`, so the operator scales its parallelism with the
+    * cluster instead of silently capping at a constant; pin an explicit
+    * value when the assignment itself must be reproducible across cluster
+    * sizes (shard membership is doc_id mod shards). The shuffle moves
+    * (doc_id, n_tokens) only, never text. */
   def packChunks(
       docs: DataFrame,
       budgetTokens: Long = 2048,
-      shards: Int = 8): DataFrame = {
+      shards: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val nShards =
+      if (shards > 0) shards
+      else docs.sparkSession.sparkContext.defaultParallelism
     val d = docs.select(
       col("doc_id"),
-      pmod(col("doc_id"), lit(shards.toLong)).cast("int").as("shard"),
+      pmod(col("doc_id"), lit(nShards.toLong)).cast("int").as("shard"),
       TextAnalysis.tokenCount(col("text")).as("n_tokens"))
     val prev = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -579,7 +579,7 @@ object LlmQueries {
        })
       |SELECT doc_id, source
       |FROM documents JOIN rates USING (source)
-      |WHERE ((doc_id % 1000003) * 2654435761) % 100 < rate_pct
+      |WHERE (((doc_id % 1000003) * 2654435761) % 999999937) % 100 < rate_pct
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     CorpusPrep.domainMix(Tables(s, dir, "documents"), mixRates)
       .select("doc_id", "source")

@@ -26,12 +26,21 @@ import org.apache.spark.sql.functions._
   * produces `ceil(span / binWidth) + 1` rows, a point exactly one. Width ≈
   * the median interval span keeps replication ≤ 2× while making a bin
   * collision a likely true hit. Degenerate/huge intervals (span ≫ width)
-  * are the skew risk — cap them upstream or raise the width.
+  * are the skew risk — they take a broadcast side path, or are excluded by
+  * construction via the `maxSpan` hint.
   *
   * Semantics: half-open `[lo, hi)`, NULL point/bounds rows drop (SQL join
   * semantics). Inputs must not already carry a `__bin` column.
   */
 object RangeJoin {
+
+  /** True when the caller-declared span bound PROVES every interval stays
+    * within the narrow-bin threshold: spanBins = floor(hi/w) − floor(lo/w)
+    * + 1 ≤ (hi−lo)/w + 2, so the hint is conservative. */
+  private def provedNarrow(
+      maxSpan: Double, binWidth: Double, wideBinThreshold: Int): Boolean =
+    !maxSpan.isNaN && !maxSpan.isInfinite &&
+      maxSpan / binWidth + 2 <= wideBinThreshold
 
   /** @param wideBinThreshold intervals spanning more than this many bins
     *   take a broadcast nested-loop side path instead of exploding: a
@@ -41,7 +50,17 @@ object RangeJoin {
     *   shuffled rows; broadcasting the interval costs one test per point —
     *   past the threshold the broadcast is strictly cheaper, and intervals
     *   that wide are few by construction (each covers ≥ threshold×width of
-    *   the value domain). Results are identical; the two sides union. */
+    *   the value domain). Results are identical; the two sides union. The
+    *   wide side is usually EMPTY — the union costs nothing at execution
+    *   (an empty broadcast), it only adds a vestigial BNL node to the plan.
+    * @param maxSpan OPT-IN caller hint: an upper bound on `hi - lo`. When
+    *   it proves every interval narrow, the wide side path (and its plan
+    *   node) is dropped entirely WITHOUT any construction-time probe — a
+    *   data-dependent `isEmpty` here would full-scan the interval table at
+    *   plan-build time just for plan cosmetics. The hint is performance-
+    *   only: if it is wrong, wider-than-declared intervals still explode
+    *   into all their bins and join correctly (no span filter is applied
+    *   on the hinted path), just without the broadcast escape hatch. */
   def pointInInterval(
       points: DataFrame,
       pointCol: String,
@@ -49,28 +68,27 @@ object RangeJoin {
       loCol: String,
       hiCol: String,
       binWidth: Double,
-      wideBinThreshold: Int = 1024): DataFrame = {
+      wideBinThreshold: Int = 1024,
+      maxSpan: Double = Double.PositiveInfinity): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive: $binWidth")
     require(wideBinThreshold > 0, s"bad wideBinThreshold: $wideBinThreshold")
     val bin = (c: org.apache.spark.sql.Column) => floor(c / binWidth).cast("long")
     val contains =
       col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol)
-    val spanBins = bin(col(hiCol)) - bin(col(loCol)) + 1
     val p = points.withColumn("__bin", bin(col(pointCol)))
     // hi is exclusive but floor(hi/w) can still contain points < hi, so the
     // interval's bin range is inclusive of the hi bin
-    val narrow = intervals.filter(spanBins <= wideBinThreshold)
-      .withColumn("__bin", explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
-    val binned = p.join(narrow, "__bin").filter(contains).drop("__bin")
-    val wide = intervals.filter(spanBins > wideBinThreshold)
-    // The emptiness probe is one limit-1 scan of the interval side (cheap —
-    // the span predicate pushes into it); it keeps the common all-narrow
-    // case's plan free of a vestigial nested-loop node. It runs a tiny job
-    // at CONSTRUCTION time, which a streaming interval side cannot do —
-    // there the union is kept unconditionally (correctness over plan
-    // cosmetics; dropping wide intervals unseen would lose rows).
-    if (!intervals.isStreaming && wide.isEmpty) binned
-    else binned.unionByName(points.join(broadcast(wide), contains))
+    val binsOf = (df: DataFrame) =>
+      df.withColumn("__bin", explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
+    if (provedNarrow(maxSpan, binWidth, wideBinThreshold)) {
+      p.join(binsOf(intervals), "__bin").filter(contains).drop("__bin")
+    } else {
+      val spanBins = bin(col(hiCol)) - bin(col(loCol)) + 1
+      val narrow = binsOf(intervals.filter(spanBins <= wideBinThreshold))
+      val wide = intervals.filter(spanBins > wideBinThreshold)
+      p.join(narrow, "__bin").filter(contains).drop("__bin")
+        .unionByName(points.join(broadcast(wide), contains))
+    }
   }
 
   /** Interval-overlap join through the same binning, with the standard
@@ -82,41 +100,44 @@ object RangeJoin {
     * are guaranteed to cover — making the output exactly-once by
     * construction. Overlap is half-open: `[loA,hiA) ∩ [loB,hiB) ≠ ∅` ⇔
     * `loA < hiB && loB < hiA`. Column names must be disjoint between the
-    * two inputs (aside from neither carrying `__bin`). */
+    * two inputs (aside from neither carrying `__bin`).
+    *
+    * `maxSpanA`/`maxSpanB` are the same opt-in narrow-proof hints as
+    * [[pointInInterval]]'s `maxSpan`, one per side: a proved-narrow side
+    * skips its span filter and its broadcast union branch with no
+    * construction-time scan; an unproved side keeps the unconditional
+    * union (the usually-empty wide broadcast is nearly free at execution).
+    * The three branches partition the pair space — narrow×narrow through
+    * the bins, wideA against ALL of b, narrowA against wideB — so
+    * exactly-once holds without a distinct. */
   def intervalOverlap(
       a: DataFrame, loA: String, hiA: String,
       b: DataFrame, loB: String, hiB: String,
       binWidth: Double,
-      wideBinThreshold: Int = 1024): DataFrame = {
+      wideBinThreshold: Int = 1024,
+      maxSpanA: Double = Double.PositiveInfinity,
+      maxSpanB: Double = Double.PositiveInfinity): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive: $binWidth")
     require(wideBinThreshold > 0, s"bad wideBinThreshold: $wideBinThreshold")
     val bin = (c: org.apache.spark.sql.Column) => floor(c / binWidth).cast("long")
     val overlaps = col(loA) < col(hiB) && col(loB) < col(hiA)
     val spanA = bin(col(hiA)) - bin(col(loA)) + 1
     val spanB = bin(col(hiB)) - bin(col(loB)) + 1
-    // same wide-interval escape hatch as pointInInterval: a degenerate
-    // whole-range interval on either side would explode into span/binWidth
-    // rows. Decomposition — narrow×narrow through the binned join; wideA
-    // against ALL of b, and narrowA against wideB, through broadcast (wide
-    // rows are few by construction: each covers ≥ threshold×width of the
-    // domain). The three parts partition the pair space, so exactly-once
-    // still holds without a distinct.
-    val narrowA = a.filter(spanA <= wideBinThreshold)
-    val narrowB = b.filter(spanB <= wideBinThreshold)
-    val wideA = a.filter(spanA > wideBinThreshold)
-    val wideB = b.filter(spanB > wideBinThreshold)
+    val aProved = provedNarrow(maxSpanA, binWidth, wideBinThreshold)
+    val bProved = provedNarrow(maxSpanB, binWidth, wideBinThreshold)
+    val narrowA = if (aProved) a else a.filter(spanA <= wideBinThreshold)
+    val narrowB = if (bProved) b else b.filter(spanB <= wideBinThreshold)
     val ea = narrowA.withColumn("__bin", explode(sequence(bin(col(loA)), bin(col(hiA)))))
     val eb = narrowB.withColumn("__bin", explode(sequence(bin(col(loB)), bin(col(hiB)))))
     val binned = ea.join(eb, "__bin")
       .filter(overlaps && col("__bin") === greatest(bin(col(loA)), bin(col(loB))))
       .drop("__bin")
-    // construction-time emptiness probe as in pointInInterval; skipped
-    // (union kept unconditionally) when either side is streaming
-    val anyWide = a.isStreaming || b.isStreaming ||
-      !wideA.isEmpty || !wideB.isEmpty
-    if (!anyWide) binned
-    else binned
-      .unionByName(broadcast(wideA).join(b, overlaps))
-      .unionByName(narrowA.join(broadcast(wideB), overlaps))
+    val withWideA =
+      if (aProved) binned
+      else binned.unionByName(
+        broadcast(a.filter(spanA > wideBinThreshold)).join(b, overlaps))
+    if (bProved) withWideA
+    else withWideA.unionByName(
+      narrowA.join(broadcast(b.filter(spanB > wideBinThreshold)), overlaps))
   }
 }

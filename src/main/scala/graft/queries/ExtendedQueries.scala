@@ -416,7 +416,8 @@ object ExtendedQueries {
       (col("p_partkey") * 2.0 + 1 + pmod(col("p_partkey"), lit(7L))).as("hi"))
     graft.operators.RangeJoin.pointInInterval(
         Tables(s, dir, "events").select("event_id", "value"), "value",
-        intervals, "lo", "hi", binWidth = 8.0)
+        intervals, "lo", "hi", binWidth = 8.0,
+        maxSpan = 8.0) // spans are 1 + (key mod 7) ≤ 8 by construction
       .select("event_id", "band_id", "value", "lo", "hi")
       .orderBy("event_id", "band_id")
   }
@@ -447,7 +448,8 @@ object ExtendedQueries {
       (col("s_suppkey") * 19.0).as("lo_b"),
       (col("s_suppkey") * 19.0 + 5 + pmod(col("s_suppkey"), lit(23L))).as("hi_b"))
     graft.operators.RangeJoin.intervalOverlap(
-        a, "lo_a", "hi_a", b, "lo_b", "hi_b", binWidth = 16.0)
+        a, "lo_a", "hi_a", b, "lo_b", "hi_b", binWidth = 16.0,
+        maxSpanA = 8.0, maxSpanB = 28.0) // 1+(k%7) and 5+(k%23) bounds
       .select("id_a", "id_b", "lo_a", "hi_a", "lo_b", "hi_b")
       .orderBy("id_a", "id_b")
   }

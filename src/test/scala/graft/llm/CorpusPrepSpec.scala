@@ -79,6 +79,30 @@ class CorpusPrepSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("pack chunks: default shard count scales with the session parallelism") {
+    val out = CorpusPrep.packChunks(docs, budgetTokens = 256)
+    val expected = math.min(
+      spark.sparkContext.defaultParallelism.toLong, docs.count())
+    assert(out.select("shard").distinct().count() == expected,
+      "default must resolve to defaultParallelism, not a constant cap")
+  }
+
+  test("pack chunks: a shard's assignment depends only on that shard's docs") {
+    import spark.implicits._
+    // packing is per-shard-independent by construction; assert it — shard 2
+    // of a 4-shard run must assign identical chunks to packing those same
+    // docs alone (membership is doc_id mod shards, order is doc_id)
+    val four = CorpusPrep.packChunks(docs, budgetTokens = 256, shards = 4)
+      .filter(col("shard") === 2)
+      .select("doc_id", "chunk")
+    val alone = CorpusPrep.packChunks(
+        docs.filter(pmod(col("doc_id"), lit(4L)) === 2L),
+        budgetTokens = 256, shards = 1)
+      .select("doc_id", "chunk")
+    assert(four.exceptAll(alone).count() == 0)
+    assert(alone.exceptAll(four).count() == 0)
+  }
+
   test("chunking covers every token with the declared overlap") {
     import spark.implicits._
     val doc = (1 to 150).map(i => s"t$i").mkString(" ")
@@ -127,6 +151,31 @@ class CorpusPrepSpec extends SparkSpec {
     assert(out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0)
     assert(again.select("doc_id").exceptAll(out.select("doc_id")).count() == 0)
     out.unpersist()
+  }
+
+  test("domain mix keep rate tracks rate_pct even when source is id-striped") {
+    import spark.implicits._
+    // source assigned by doc_id mod a small stripe — the adversarial case
+    // for any hash that is secretly a function of doc_id mod 100: each
+    // source then covers only stripe-many residue classes and the keep
+    // rate quantizes to multiples of 100/stripe instead of tracking
+    // rate_pct. The prime-mixed gate must stay ≈ rate_pct per source.
+    val stripe = 10
+    val n = 20000
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat(lit("doc "), col("id")).as("text"),
+      concat(lit("s"), pmod(col("id"), lit(stripe.toLong))).as("source"))
+    val rates = (0 until stripe).map(i => s"s$i" -> (25 + 10 * (i % 6))).toMap
+    val kept = CorpusPrep.domainMix(docs, rates)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perSource = n / stripe.toDouble
+    rates.foreach { case (src, rate) =>
+      val got = 100.0 * kept.getOrElse(src, 0L) / perSource
+      assert(math.abs(got - rate) < 7.0,
+        s"$src: kept $got% vs rate $rate% — gate re-correlated with the stripe")
+    }
   }
 
   test("segment dedup removes repeated boilerplate but keeps its first occurrence") {

@@ -66,6 +66,29 @@ class RangeJoinSpec extends SparkSpec {
       "wide side must take the broadcast path\n" + plan)
   }
 
+  test("a WRONG maxSpan hint degrades the plan, never the result") {
+    // the hint skips the wide/narrow split, so a lying caller gets a full
+    // bin explode of the wide interval (slow) but the identical row set —
+    // performance-only contract
+    val p = Seq.tabulate(50)(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val i = Seq((1L, 10.0, 12.0), (2L, -300.0, 300.0), (3L, 20.0, 21.0))
+      .toDF("iid", "lo", "hi")
+    val hinted = RangeJoin.pointInInterval(p, "v", i, "lo", "hi", 4.0,
+      wideBinThreshold = 16, maxSpan = 2.0) // lie: real max span is 600
+    val naive = p.join(i, col("v") >= col("lo") && col("v") < col("hi"))
+    assert(hinted.count() == naive.count())
+    assert(hinted.select("id", "iid").exceptAll(naive.select("id", "iid")).count() == 0)
+    val overlapHinted = RangeJoin.intervalOverlap(
+        i.select(col("iid").as("id_a"), col("lo").as("lo_a"), col("hi").as("hi_a")),
+        "lo_a", "hi_a",
+        i.select(col("iid").as("id_b"), col("lo").as("lo_b"), col("hi").as("hi_b")),
+        "lo_b", "hi_b", 4.0, wideBinThreshold = 16,
+        maxSpanA = 2.0, maxSpanB = 2.0)
+      .filter(col("id_a") < col("id_b"))
+    assert(overlapHinted.select("id_a", "id_b").as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L), (2L, 3L)))
+  }
+
   test("interval overlap equals the naive join, exactly once per pair") {
     val a = Tables(spark, sf0001, "part").select(
       col("p_partkey").as("id_a"),
@@ -171,8 +194,11 @@ class RangeJoinSpec extends SparkSpec {
   }
 
   test("the plan is an equi-join: no nested-loop or cartesian node") {
-    val plan = RangeJoin.pointInInterval(points, "value", intervals, "lo", "hi", 8.0)
-      .queryExecution.executedPlan.toString
+    // the maxSpan hint proves the wide side empty at CONSTRUCTION time,
+    // with no data scan — fixture spans are 1 + (key mod 7) <= 8
+    val hinted = RangeJoin.pointInInterval(points, "value", intervals, "lo", "hi", 8.0,
+      maxSpan = 8.0)
+    val plan = hinted.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
     // the naive formulation, for contrast, degenerates to a nested loop
