@@ -100,12 +100,15 @@ object GraftFunctions {
   val VectorDotName = "vector_dot"
   val VectorMatMulName = "vector_matmul"
   val SimHash64Name = "simhash64"
-  /** Spark ships Bloom-filter expressions for its runtime row-level
-    * filtering but keeps them off the session's builtin search path; these
-    * expose the public catalyst classes under graft_ names. The agg takes
+  /** Bloom-filter surface: the agg is [[GraftBloomAgg]] — our uncapped
+    * TypedImperativeAggregate over the same public sketch library (see its
+    * scaladoc for why Spark's conf-capped `BloomFilterAggregate` is not
+    * usable here); the read side is Spark's own `BloomFilterMightContain`
+    * (off the builtin search path), which accepts the filter bytes as a
+    * foldable OR an uncorrelated scalar subquery — the subquery is the
+    * at-scale delivery shape (no filter literal in the plan). The agg takes
     * (xxhash64 long, estimated items, num bits) → serialized filter binary;
-    * the read side takes (filter binary — must be foldable — and an
-    * xxhash64 long). */
+    * the read side takes (filter binary, xxhash64 long). */
   val BloomAggName = "graft_bloom_filter_agg"
   val MightContainName = "graft_might_contain"
 
@@ -146,15 +149,17 @@ object GraftFunctions {
         SimHash64(exprs.head)
       }),
     (FunctionIdentifier(BloomAggName),
-      new ExpressionInfo(
-        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
-        BloomAggName),
+      new ExpressionInfo(classOf[GraftBloomAgg].getName, BloomAggName),
       (exprs: Seq[Expression]) => {
         require(exprs.length == 3, s"$BloomAggName takes 3 arguments")
+        require(exprs(1).foldable && exprs(2).foldable,
+          s"$BloomAggName's size arguments must be literals")
         // a bare AggregateFunction from a builder is wrapped in an
         // AggregateExpression by the analyzer, as for builtin aggregates
-        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          exprs(0), exprs(1), exprs(2))
+        GraftBloomAgg(
+          exprs.head,
+          exprs(1).eval().asInstanceOf[Number].longValue(),
+          exprs(2).eval().asInstanceOf[Number].longValue())
       }),
     (FunctionIdentifier(MightContainName),
       new ExpressionInfo(

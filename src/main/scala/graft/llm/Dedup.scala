@@ -31,16 +31,28 @@ object Dedup {
     * new documents).
     *
     * Two stages, Bloom-filter screen then exact confirm:
-    *  1. `bloom_filter_agg` folds the history's content hashes into one
-    *     bits-sized filter (an aggregate — partial buffers merge map-side,
-    *     the history never shuffles bodies, and the filter itself is the
-    *     only thing collected). `might_contain` then screens the new batch
-    *     scan-side: documents whose hash misses the filter are DEFINITELY
-    *     new (Bloom has no false negatives) and skip stage 2 entirely.
+    *  1. [[graft.functions.GraftBloomAgg]] folds the history's content
+    *     hashes into one bits-sized filter (an aggregate — partial buffers
+    *     merge map-side, the history never shuffles bodies). `might_contain`
+    *     then screens the new batch scan-side: documents whose hash misses
+    *     the filter are DEFINITELY new (Bloom has no false negatives) and
+    *     skip stage 2 entirely.
     *  2. Only the screened survivors — expected `fpp` of the truly-new
     *     plus the real duplicates — join the history's hash set for exact
     *     confirmation, so the expensive join touches a tiny fraction of
     *     the batch.
+    *
+    * Delivery shape: the filter reaches the probe as an UNCORRELATED SCALAR
+    * SUBQUERY — the same shape Spark's own runtime row-level filters inject
+    * — never as a `lit(bytes)` plan literal. At the 1e9-row histories this
+    * is built for (fpp 0.01 ⇒ ~1.2 GB of bits) a literal would ride every
+    * plan copy, explain dump, and canonicalization; the subquery's bytes
+    * live once, outside the expression tree (DedupSpec asserts no multi-MB
+    * literal survives in the plan). The whole function is LAZY — no job
+    * runs at construction. The custom aggregate also takes its size
+    * arguments literally instead of silently capping them at the
+    * runtime-filter session confs, which removes the non-thread-safe
+    * conf raise/restore round-trip earlier versions needed.
     *
     * Returns the genuinely-new rows of `newDocs`. The filter bits are
     * engine-specific (no DuckDB oracle); the no-false-negative /
@@ -56,35 +68,20 @@ object Dedup {
     val numBits = math.max(64L,
       math.ceil(expectedHistoryRows * math.log(1.0 / fpp)
         / (math.log(2) * math.log(2))).toLong)
-    // BloomFilterAggregate SILENTLY Math.min-caps both arguments at the
-    // runtime-filter session confs (defaults: 4M items / 64M bits) — at a
-    // 1e8-row history the capped filter's fpp approaches 1 and the screen
-    // passes everything, quietly degenerating to the full join this
-    // function exists to avoid. Raise the caps to the request for the
-    // duration of the build, restore after (exception-safe).
-    val conf = newDocs.sparkSession.conf
-    val ItemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val BitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val (prevItems, prevBits) = (conf.get(ItemsKey), conf.get(BitsKey))
-    val bf =
-      try {
-        conf.set(ItemsKey, math.max(prevItems.toLong, expectedHistoryRows).toString)
-        conf.set(BitsKey, math.max(prevBits.toLong, numBits).toString)
-        history
-          .agg(call_function(graft.functions.GraftFunctions.BloomAggName,
-            xxhash64(h), lit(expectedHistoryRows), lit(numBits)).as("bf"))
-          .head().getAs[Array[Byte]]("bf")
-      } finally {
-        conf.set(ItemsKey, prevItems)
-        conf.set(BitsKey, prevBits)
-      }
-    if (bf == null) return newDocs // empty history: everything is new
+    // empty history ⇒ an all-zero filter (GraftBloomAgg never returns
+    // null), so the screen correctly passes everything through as new
+    val bf = history
+      .agg(call_function(graft.functions.GraftFunctions.BloomAggName,
+        xxhash64(h), lit(expectedHistoryRows), lit(numBits)).as("bf"))
+      .scalar()
     val maybeDup = call_function(
-      graft.functions.GraftFunctions.MightContainName, lit(bf), xxhash64(h))
+      graft.functions.GraftFunctions.MightContainName, bf, xxhash64(h))
     val screened = newDocs.filter(maybeDup)          // tiny: dups + fpp·new
     val falsePositives = screened
       .join(history.select(h.as("__hh")).distinct(), h === col("__hh"),
         "left_anti")
+    // the two branches reference the same subquery; physical planning's
+    // subquery reuse evaluates the filter build once
     newDocs.filter(!maybeDup).unionByName(falsePositives)
   }
 

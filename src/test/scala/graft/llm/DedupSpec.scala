@@ -29,6 +29,53 @@ class DedupSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("incremental dedup ships no filter literal in the plan at large numBits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val history = (0 until 200).map(i => (i.toLong, s"hist doc number $i body"))
+      .toDF("doc_id", "text")
+    val batch = ((0 until 20).map(i => (1000L + i, s"hist doc number $i body")) ++
+      (0 until 30).map(i => (2000L + i, s"brand new doc $i payload")))
+      .toDF("doc_id", "text")
+    // 40M requested items ⇒ ~383 Mbits ≈ 48 MB of filter: the old lit(bytes)
+    // delivery would plant that as a binary literal in every plan copy (and
+    // Spark's builtin aggregate would silently cap it at the 64 Mbit conf,
+    // degrading fpp). The subquery shape must keep the expression tree free
+    // of any near-MB literal...
+    val out = Dedup.incrementalNewDocs(batch, history,
+      expectedHistoryRows = 40000000L)
+    val bigLiterals = out.queryExecution.optimizedPlan.collect { case node =>
+      node.expressions.flatMap(_.collect {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal
+            if l.dataType == org.apache.spark.sql.types.BinaryType &&
+              l.value != null &&
+              l.value.asInstanceOf[Array[Byte]].length > (1 << 20) => l
+      })
+    }.flatten
+    assert(bigLiterals.isEmpty,
+      s"filter bytes leaked into the plan as ${bigLiterals.size} literal(s)")
+    // ...while the uncapped aggregate still makes the result exact
+    assert(out.select("doc_id").as[Long].collect().toSet ==
+      (0 until 30).map(i => 2000L + i).toSet)
+    // and construction runs no job / mutates no session conf (lazy contract)
+    val caps = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+    caps.foreach { k =>
+      assert(spark.conf.get(k) == spark.conf.getOption(k).get) // readable
+      assert(spark.conf.get(k).toLong <= 67108864L,
+        s"$k was left raised — the conf round-trip is supposed to be gone")
+    }
+  }
+
+  test("incremental dedup against an EMPTY history keeps the whole batch") {
+    import spark.implicits._
+    val batch = (0 until 25).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val empty = batch.filter(col("doc_id") < 0)
+    val out = Dedup.incrementalNewDocs(batch, empty, expectedHistoryRows = 100L)
+    assert(out.count() == 25)
+  }
+
   private lazy val docs = Tables(spark, sf0001, "documents")
 
   test("exact dedup: survivors + duplicate count are consistent") {
