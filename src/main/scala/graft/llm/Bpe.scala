@@ -123,16 +123,75 @@ object Bpe {
     * order — the standard BPE encode). Column-pure, but the expression
     * nests one `aggregate` HOF per rule, so tree depth — and per-row cost —
     * grows with the merge-table size: right for demo/analysis tables,
-    * capped well below where Catalyst analysis goes superlinear. A
-    * production 30k-merge encoder is a different shape entirely: encode
-    * each DISTINCT word once and broadcast-join the word→ids dictionary
-    * against the corpus (words repeat; the dictionary is vocab-sized). */
+    * capped well below where Catalyst analysis goes superlinear. The
+    * production 30k-merge shape is [[encodeCorpus]]. */
   def encodeWord(word: Column, merges: Seq[Merge]): Column = {
     require(merges.size <= 256,
       s"${merges.size} merges: the nested-expression encoder is for small " +
-        "tables; at vocab scale, encode distinct words once and dictionary-join")
+        "tables; at vocab scale use encodeCorpus (dictionary-join shape)")
     merges.foldLeft(filter(split(word, ""), s => s =!= "")) { (syms, m) =>
       mergeAdjacent(syms, m.left, m.right)
     }
+  }
+
+  /** Corpus-scale BPE encoding — the dictionary-join shape: each DISTINCT
+    * word is encoded ONCE, then the word→symbols dictionary joins back
+    * against the corpus. Words repeat enormously (Zipf), so the expensive
+    * part — applying the merge table — runs on the VOCABULARY-sized distinct
+    * set, not the corpus; the corpus-side work is one explode + one
+    * broadcast hash join + one reassembly shuffle of (id, pos, symbols)
+    * rows. This is the operator [[encodeWord]]'s scaladoc promises for
+    * 30k-merge tables, and its semantics are EXACTLY encodeWord's
+    * (spec-asserted): the merge table folds greedily in priority order,
+    * one left-to-right pass per rule.
+    *
+    * How the 30k-rule fold stays tractable: rules apply to the word table in
+    * `rulesPerStage`-sized groups — each group is one select (bounded
+    * expression depth, whole-group codegen), each stage ends in an eager
+    * lineage cut, so K rules cost K/rulesPerStage vocabulary-sized jobs —
+    * the same posture as [[learnMerges]]'s K vocabulary-sized iterations,
+    * and independent of corpus size. The result is stage-size-invariant
+    * (spec-asserted) because rule applications compose sequentially either
+    * way.
+    *
+    * Output: (`idCol`, tokens array<string>). Documents with no tokens
+    * survive with an empty array (scan-side union, no extra shuffle).
+    * Downstream symbol→integer-id assignment is a second broadcast join
+    * against a vocab table — same shape, deliberately not fused here. */
+  def encodeCorpus(
+      docs: DataFrame,
+      merges: Seq[Merge],
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      rulesPerStage: Int = 32): DataFrame = {
+    require(rulesPerStage > 0, s"bad rulesPerStage: $rulesPerStage")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val words = docs
+      .select(explode(toks).as("word"))
+      .filter(col("word") =!= "")
+      .distinct()
+    var dict = words
+      .select(col("word"), filter(split(col("word"), ""), s => s =!= "").as("syms"))
+    merges.grouped(rulesPerStage).foreach { group =>
+      val folded = group.foldLeft(col("syms")) { (c, m) =>
+        mergeAdjacent(c, m.left, m.right)
+      }
+      dict = dict.select(col("word"), folded.as("syms")).localCheckpoint(true)
+    }
+    val exploded = docs
+      .select(col(idCol), posexplode(toks).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+    val encoded = exploded
+      .join(broadcast(dict), "word")
+      .groupBy(idCol)
+      .agg(array_sort(collect_list(struct(col("pos"), col("syms")))).as("ps"))
+      .select(col(idCol),
+        flatten(transform(col("ps"), p => p.getField("syms"))).as("tokens"))
+    // tokenless documents never reach the explode; reinstate them with an
+    // empty encoding via a scan-side filter + union (no join, no shuffle)
+    val empties = docs
+      .filter(size(filter(toks, w => w =!= "")) === 0)
+      .select(col(idCol), array().cast("array<string>").as("tokens"))
+    encoded.unionByName(empties)
   }
 }

@@ -25,7 +25,12 @@ object CorpusPrep {
       minChars: Long = 100,
       allowedLangs: Seq[String] = Seq("en", "es", "fr", "de", "zh"),
       nearDupMaxJaccardDist: Double = 0.2,
-      stop: Seq[String] = TextAnalysis.DefaultStopwords)
+      stop: Seq[String] = TextAnalysis.DefaultStopwords,
+      /** When set, [[prepareTraining]] runs [[segmentDedup]] at this segment
+        * size between exact and near dedup — the C4-style boilerplate pass.
+        * Off by default: segment rewriting changes document text, which not
+        * every corpus contract wants. */
+      segmentDedupTokens: Option[Int] = None)
 
   /** Quality gate (B36): scan-side predicates only. */
   def qualityFilter(docs: DataFrame, cfg: Config): DataFrame =
@@ -76,7 +81,16 @@ object CorpusPrep {
     *  1. quality gate (scan-side, drops rows before anything pays);
     *  2. PII scrub (pure Column, fused into the same scan — BEFORE dedup so
     *     documents differing only in scrubbed PII collapse as exact dups);
-    *  3. exact dedup → connected-component near-dedup;
+    *  3. exact dedup → optional segment-level (C4) dedup → connected-
+    *     component near-dedup. The segment pass sits exactly here because
+    *     it NEEDS exact dedup first (identical documents would otherwise
+    *     race for segment first-occurrence) and near-dedup after (stripping
+    *     shared boilerplate is what exposes the remaining bodies as near
+    *     duplicates). When it runs, document text is rewritten, n_chars is
+    *     refreshed, and the quality gate re-applies — a page reduced to
+    *     below-threshold content by boilerplate removal is low quality, and
+    *     the re-gate is what keeps the composite idempotent (second run:
+    *     nothing to strip, nothing newly under threshold);
     *  4. benchmark decontamination (broadcast bench-shingle set; anti-join
     *     drops flagged docs — certainty wanted, so exact not LSH);
     *  5. domain mixing (broadcast rates dim, deterministic hash gate);
@@ -92,11 +106,26 @@ object CorpusPrep {
     val scrubbed = qualityFilter(docs, cfg)
       .withColumn("text", TextAnalysis.redactPii(col("text")))
       .withColumn("n_chars", length(col("text")).cast("long"))
+    val segged = cfg.segmentDedupTokens match {
+      case Some(k) =>
+        // the exact-dedup survivors feed both the segment pass and the
+        // metadata rejoin — materialize once (same convention as `deduped`)
+        val base = exactDedup(scrubbed).localCheckpoint(true)
+        // reattach the metadata columns to the rewritten text (inner join:
+        // documents whose every segment was boilerplate vanish), refresh
+        // n_chars, re-gate — see the pipeline scaladoc
+        qualityFilter(
+          base.drop("text", "n_chars")
+            .join(segmentDedup(base.select("doc_id", "text"), k), "doc_id")
+            .withColumn("n_chars", length(col("text")).cast("long")),
+          cfg)
+      case None => exactDedup(scrubbed)
+    }
     // eager lineage-free materialization (repo lifecycle convention): the
     // dedup survivors feed BOTH the contamination probe and the anti-join
     // left side — uncached, the scan + scrub + dedup chain would execute
     // end-to-end twice
-    val deduped = nearDedup(exactDedup(scrubbed), cfg).localCheckpoint(true)
+    val deduped = nearDedup(segged, cfg).localCheckpoint(true)
     // scrub the benchmark side too: contamination is shingle equality, and
     // comparing scrubbed train text against RAW bench text would let a
     // bench copy whose shingles span redacted tokens slip through

@@ -662,8 +662,25 @@ object LlmQueries {
       .toDF("rank", "left", "right", "cnt")
   }
 
+  // ---------------------------------------------------------------- q80
+  // Corpus-scale BPE encode (Bpe.encodeCorpus): the dictionary-join shape —
+  // distinct words encoded once through the learned merge table, broadcast-
+  // joined back against the corpus. Learned merges are engine-side (the
+  // q79 loop) so no DuckDB oracle; equality with the per-row encodeWord
+  // fold and stage-size/partitioning invariance are spec-asserted (BpeSpec).
+  // Composite: includes the iterative learning loop, so off the timed set
+  // for the same reason as q79.
+  val q80 = Q.composite("q80_bpe_encode") { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val merges = Bpe.learnMerges(docs, numMerges = 20)
+    Bpe.encodeCorpus(docs, merges)
+      .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("tokens")).as("encoded"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
       q47, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
-      q73, q74, q76, q77, q78, q79)
+      q73, q74, q76, q77, q78, q79, q80)
 }

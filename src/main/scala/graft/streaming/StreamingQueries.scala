@@ -179,7 +179,31 @@ object StreamingQueries {
       .orderBy("view_id", "click_id")
   }
 
-  val all: Seq[Q] = Seq(q23, q24, q25, q50, q59, q67)
+  // ---------------------------------------------------------------- Q81
+  // The left-outer rendering of q67 — the streaming semantics only a
+  // watermark makes possible (null-extension on state eviction). The batch
+  // rendering here is the oracle-checked contract; q67OuterStreaming is the
+  // genuine watermarked stream whose matched-rows ≡ this inner part and
+  // whose null-extensions ≡ this query's unmatched views older than the
+  // eviction horizon (both asserted in StreamingParitySpec). A view is
+  // either matched (only non-null click rows) or unmatched (exactly one
+  // null row), so the (view_id, click_id) order is engine-unambiguous
+  // despite the nullable key.
+  val q81 = Q(
+    "q81_stream_stream_outer",
+    """WITH v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS view_ts
+      |           FROM events WHERE event_type = 'view'),
+      |c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+      |      FROM events WHERE event_type = 'click')
+      |SELECT v.user_id, view_id, click_id, view_ts, click_ts
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |                  AND click_ts >= view_ts
+      |                  AND click_ts < view_ts + INTERVAL '6 hours'
+      |ORDER BY view_id, click_id""".stripMargin) { (s, dir) =>
+    q67OuterBatch(s, dir).orderBy("view_id", "click_id")
+  }
+
+  val all: Seq[Q] = Seq(q23, q24, q25, q50, q59, q67, q81)
 
   // ------------------------------------------------------------------------
   // Streaming runners (exercised by StreamingParitySpec; Trigger.AvailableNow

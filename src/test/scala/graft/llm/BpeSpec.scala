@@ -54,6 +54,48 @@ class BpeSpec extends SparkSpec {
     assert(out(1) == List("aa", "aa"))
   }
 
+  test("encodeCorpus equals per-row encodeWord on every document") {
+    val docs = toyCorpus
+    val merges = Bpe.learnMerges(docs, numMerges = 3)
+    val viaDict = Bpe.encodeCorpus(docs, merges)
+      .select(col("doc_id"), concat_ws(" ", col("tokens")).as("enc"))
+    val perRow = docs.select(
+      col("doc_id"),
+      concat_ws(" ", flatten(transform(
+        filter(split(trim(col("text")), "\\s+"), w => w =!= ""),
+        w => Bpe.encodeWord(w, merges)))).as("enc"))
+    assert(viaDict.count() == docs.count())
+    assert(viaDict.exceptAll(perRow).count() == 0)
+    assert(perRow.exceptAll(viaDict).count() == 0)
+  }
+
+  test("encodeCorpus is stage-size and partitioning invariant") {
+    val docs = toyCorpus
+    val merges = Bpe.learnMerges(docs, numMerges = 4)
+    val ref = Bpe.encodeCorpus(docs, merges, rulesPerStage = 256)
+      .select(col("doc_id"), concat_ws(" ", col("tokens")).as("enc"))
+    for (stage <- Seq(1, 3)) {
+      val got = Bpe.encodeCorpus(docs, merges, rulesPerStage = stage)
+        .select(col("doc_id"), concat_ws(" ", col("tokens")).as("enc"))
+      assert(got.exceptAll(ref).count() == 0, s"rulesPerStage=$stage")
+      assert(ref.exceptAll(got).count() == 0, s"rulesPerStage=$stage")
+    }
+    val repart = Bpe.encodeCorpus(docs.repartition(7), merges)
+      .select(col("doc_id"), concat_ws(" ", col("tokens")).as("enc"))
+    assert(repart.exceptAll(ref).count() == 0)
+    assert(ref.exceptAll(repart).count() == 0)
+  }
+
+  test("encodeCorpus keeps tokenless documents with an empty encoding") {
+    val docs = Seq((1L, "hug pug"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val merges = Seq(Bpe.Merge("u", "g", 2L))
+    val out = Bpe.encodeCorpus(docs, merges).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0).getSeq[String](1) == Seq("h", "ug", "p", "ug"))
+    assert(out(1).getSeq[String](1).isEmpty)
+    assert(out(2).getSeq[String](1).isEmpty)
+  }
+
   test("early-stops when no pair reaches minCount and is deterministic") {
     val tiny = Seq((1L, "ab cd")).toDF("doc_id", "text")
     // every pair occurs once -> below default minCount=2 -> no merges

@@ -251,6 +251,43 @@ class CorpusPrepSpec extends SparkSpec {
     assert(out.contains(2L), "the clean doc must survive")
   }
 
+  test("training prep with the segment-dedup stage strips boilerplate and stays idempotent") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"nav$i").mkString(" ")
+    val bodyA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val bodyB = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val mk = (id: Long, text: String) => (id, text, "en", "srcA", text.length.toLong)
+    val train = Seq(
+      mk(1L, s"$boiler $bodyA"),   // boilerplate + unique body
+      mk(2L, s"$boiler $bodyB"),   // same boilerplate, new body
+      mk(3L, s"$boiler $boiler $boiler $boiler $boiler $boiler $boiler " +
+        s"$boiler $boiler $boiler $boiler $boiler $boiler $boiler $boiler")
+      // doc 3: pure boilerplate, long enough to pass the pre-seg gate —
+      // after stripping it is empty and must vanish
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val bench = Seq(mk(100L, (1 to 30).map(i => s"bench$i").mkString(" ")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val segCfg = cfg.copy(segmentDedupTokens = Some(10))
+    val out = CorpusPrep.prepareTraining(train, bench, Map("srcA" -> 100), segCfg)
+      .cache()
+    val byId = out.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(byId.keySet == Set(1L, 2L), s"got ${byId.keySet}")
+    assert(byId(1L) == s"$boiler $bodyA", "first occurrence keeps its boilerplate")
+    assert(byId(2L) == bodyB, "later occurrence is stripped")
+    // self-consistency of the rewritten rows
+    assert(out.filter(length(col("text")) =!= col("n_chars")).count() == 0)
+    // idempotence WITH the stage on: a second full run over the prepared
+    // output (same bench, total-keep mix) changes nothing — the re-applied
+    // quality gate saw the post-strip n_chars the first time around
+    val again = CorpusPrep.prepareTraining(
+      out.select("doc_id", "text", "lang", "source", "n_chars"),
+      bench, Map("srcA" -> 100), segCfg)
+    assert(again.count() == out.count())
+    assert(out.select("doc_id", "text")
+      .exceptAll(again.select("doc_id", "text")).count() == 0)
+    out.unpersist()
+  }
+
   test("pipeline is idempotent: preparing a prepared corpus is identity") {
     val once = CorpusPrep.prepare(docs, cfg)
       .select("doc_id", "text", "lang", "source", "n_chars").cache()
