@@ -263,6 +263,53 @@ object ScaleStress {
     emb.unpersist()
   }
 
+  /** IVF persisted-index A/B (the r3 ask: bucketed persistence landed with a
+    * plan spec, but no recorded measurement): full-scan search over the
+    * in-memory index vs [[Ivf.searchIndexed]] over the bucketed catalog
+    * table, where the probe set becomes a literal `cell IN (...)` filter
+    * and bucket pruning (`SelectedBucketsCount` in the scan node) cuts the
+    * candidate IO to ~nProbe/k of the index BEFORE any row is read. Both
+    * paths probe the same cells, so the result sets must be identical —
+    * asserted — and the delta is pure scan-side IO, which is the entire
+    * point of the layout. */
+  def ivf(spark: SparkSession, sfDir: String): Unit = {
+    import graft.llm.Ivf
+    val emb = Tables(spark, sfDir, "embeddings").cache(); emb.count()
+    println("== IVF: in-memory full index vs bucketed persisted index (pruned) ==")
+    val k = 16
+    for (r <- Seq(8, 16, 64)) {
+      val rep = replicateEmbeddings(emb, r, eps = 0.12)
+        .select("vec_id", "embedding").cache()
+      val n = rep.count()
+      val model = Ivf.fitColumnar(rep, k = k, seed = 42L)
+      val queries = rep.filter(col("vec_id") < 20).localCheckpoint(true)
+      try {
+        val (full, fullS) = time {
+          Ivf.search(model, queries, topK = 10, nProbe = 4).collect()
+        }
+        Ivf.saveIndex(model, "stress_ivf", buckets = k)
+        val ((got, planStr), idxS) = time {
+          val df = Ivf.searchIndexed(spark, "stress_ivf", queries, topK = 10, nProbe = 4)
+          (df.collect(), df.queryExecution.executedPlan.toString)
+        }
+        val sel = "SelectedBucketsCount: [0-9]+ out of [0-9]+".r
+          .findFirstIn(planStr)
+          .getOrElse(sys.error("no bucket pruning in the searchIndexed plan:\n" + planStr))
+        val key = (rows: Array[org.apache.spark.sql.Row]) =>
+          rows.map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+        assert(key(full) == key(got),
+          s"pruned search diverged from the full index at R=$r")
+        println(f"R=$r%2d n=$n%6d full-index=$fullS%5.1f s " +
+          f"bucket-pruned=$idxS%5.1f s [$sel]")
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS stress_ivf_cells")
+        spark.sql("DROP TABLE IF EXISTS stress_ivf_centroids")
+        rep.unpersist()
+      }
+    }
+    emb.unpersist()
+  }
+
   /** BPE-learning scaling (q79's claim, measured): the corpus is touched
     * once, after which merge iterations run on the VOCABULARY-sized
     * word-frequency table — so per-iteration wall should grow far slower
@@ -316,6 +363,11 @@ object ScaleStress {
     }
     if (args.contains("--bpe")) {
       bpe(spark)
+      spark.stop()
+      return
+    }
+    if (args.contains("--ivf")) {
+      ivf(spark, sfDir)
       spark.stop()
       return
     }

@@ -330,8 +330,10 @@ object LlmQueries {
   // edge derivation), so component ids are value-checkable via a recursive
   // CTE. The seeded-MinHash production wiring (CorpusPrep.nearDedup) reuses
   // the same operator; its side is covered by CorpusPrepSpec/ComponentsSpec.
-  val q62 = Q(
-    "q62_connected_dups",
+  // shared recursive-CTE prefix for q62/q82: the deterministic ngram-jaccard
+  // edge set (q33's derivation) closed transitively into per-vertex minimum
+  // reachable labels
+  private val componentCteSql =
     """WITH RECURSIVE
       |d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
       |      FROM documents WHERE doc_id < 1000),
@@ -352,16 +354,35 @@ object LlmQueries {
       |reach(id, r) AS (
       |  SELECT id, id FROM v
       |  UNION
-      |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
-      |SELECT id AS doc_id, min(r) AS component FROM reach
-      |GROUP BY id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    Components.connected(
-        Dedup.ngramJaccardPairs(
-          Tables(s, dir, "documents").filter(col("doc_id") < 1000),
-          minJaccard = 0.2),
-        "doc_a", "doc_b")
+      |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+      |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)""".stripMargin
+
+  private def dupPairs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Dedup.ngramJaccardPairs(
+      Tables(s, dir, "documents").filter(col("doc_id") < 1000),
+      minJaccard = 0.2)
+
+  val q62 = Q(
+    "q62_connected_dups",
+    s"""$componentCteSql
+      |SELECT id AS doc_id, component FROM comp ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Components.connected(dupPairs(s, dir), "doc_a", "doc_b")
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q82
+  // Per-component stats (Components.componentStats) over the same edge set
+  // — the duplicate-family size distribution an engineer reads before
+  // moving the near-dup threshold, promoted from spec-only to the oracle
+  // contract.
+  val q82 = Q(
+    "q82_component_stats",
+    s"""$componentCteSql
+      |SELECT component, count(*) AS n_members, max(id) AS max_id
+      |FROM comp GROUP BY component ORDER BY component""".stripMargin) { (s, dir) =>
+    Components.componentStats(dupPairs(s, dir), "doc_a", "doc_b")
+      .orderBy("component")
   }
 
   // ---------------------------------------------------------------- q63
@@ -682,5 +703,5 @@ object LlmQueries {
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
       q47, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
-      q73, q74, q76, q77, q78, q79, q80)
+      q73, q74, q76, q77, q78, q79, q80, q82)
 }
