@@ -202,6 +202,31 @@ object CorpusPrep {
       .drop("rate_pct")
   }
 
+  /** Stratified EXACT-size sample: exactly `n` documents per group (fewer
+    * only when the group is smaller), chosen by deterministic hash order —
+    * the "give me 10k docs from every domain for the eval set" gate, where
+    * [[domainMix]]'s rate-based thinning can't promise exact counts.
+    * Selection order is the prime-mixed doc_id hash (same construction as
+    * domainMix, engine-portable and retry-stable) with doc_id as the final
+    * tie-break, so the sample is reproducible anywhere.
+    *
+    * Scale shape: one shuffle on the group key; the rank-limit filter plans
+    * as WindowGroupLimit (Spark 3.5+) — per-partition top-n heaps BEFORE
+    * the shuffle, so a billion-row group moves only ~n rows per map
+    * partition, not the whole group, and no full sort happens anywhere. */
+  def stratifiedSample(
+      docs: DataFrame, n: Int, groupCol: String = "source"): DataFrame = {
+    require(n > 0, s"bad sample size: $n")
+    import org.apache.spark.sql.expressions.Window
+    val h = pmod(
+      pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(999999937L)),
+      lit(1000000L))
+    val w = Window.partitionBy(groupCol).orderBy(h.asc, col("doc_id").asc)
+    docs.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
   /** Sliding-window document chunking: split each document into fixed-size
     * token windows of `chunkTokens` advancing by `stride` (< chunkTokens ⇒
     * overlapping context, the standard pretraining window shape). Row-local

@@ -700,8 +700,73 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q83
+  // Unigram log-prob quality score (TextAnalysis.unigramLogProb): the
+  // CCNet-style perplexity proxy — self-fit unigram LM, per-doc average
+  // token log-probability. Integer counts + one rounded double average →
+  // value-checked.
+  val q83 = Q(
+    "q83_unigram_logprob",
+    """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |           FROM documents),
+      |tt AS (SELECT doc_id, token FROM t WHERE token <> ''),
+      |lm AS (SELECT token, count(*) AS cnt FROM tt GROUP BY token),
+      |tot AS (SELECT sum(cnt) AS total FROM lm)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |       round(avg(ln(CAST(cnt AS DOUBLE) / total)), 4) AS avg_logprob
+      |FROM tt JOIN lm USING (token) CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.unigramLogProb(Tables(s, dir, "documents"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q84
+  // Exact TF-IDF top terms per document (TextAnalysis.tfIdfTopTerms):
+  // add-one-smoothed idf, rank on the ROUNDED score with lexicographic
+  // tie-break — deterministic in both engines → value-checked.
+  val q84 = Q(
+    "q84_tfidf_top_terms",
+    """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |           FROM documents),
+      |tt AS (SELECT doc_id, term FROM t WHERE term <> ''),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tt GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df
+      |       FROM (SELECT DISTINCT doc_id, term FROM tt) GROUP BY term),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |s AS (SELECT doc_id, term, tf,
+      |             round(tf * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 4) AS score
+      |      FROM tf JOIN df USING (term) CROSS JOIN n),
+      |r AS (SELECT doc_id, term, tf, score,
+      |             row_number() OVER (PARTITION BY doc_id
+      |                                ORDER BY score DESC, term) AS rk
+      |      FROM s)
+      |SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, score
+      |FROM r WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
+    TextAnalysis.tfIdfTopTerms(Tables(s, dir, "documents"), k = 5)
+      .orderBy("doc_id", "rk")
+  }
+
+  // ---------------------------------------------------------------- q85
+  // Stratified exact-size sample (CorpusPrep.stratifiedSample): exactly 5
+  // docs per source in deterministic prime-mixed hash order — both engines
+  // evaluate the identical arithmetic → value-checked.
+  val q85 = Q(
+    "q85_stratified_sample",
+    """WITH h AS (SELECT doc_id, source,
+      |                  (((doc_id % 1000003) * 2654435761) % 999999937) % 1000000 AS hk
+      |           FROM documents),
+      |r AS (SELECT doc_id, source,
+      |             row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rk
+      |      FROM h)
+      |SELECT doc_id, source FROM r WHERE rk <= 5
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    CorpusPrep.stratifiedSample(Tables(s, dir, "documents"), n = 5)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
       q47, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
-      q73, q74, q76, q77, q78, q79, q80, q82)
+      q73, q74, q76, q77, q78, q79, q80, q82, q83, q84, q85)
 }

@@ -136,6 +136,73 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token")).limit(k)
 
+  /** CCNet-style unigram log-probability quality score: fit a unigram LM on
+    * the corpus itself (token → count / total) and score each document by
+    * the average log-probability of its tokens. Documents full of rare or
+    * garbled tokens score far below fluent text — the classic
+    * perplexity-proxy gate run before anything expensive sees the corpus
+    * (CCNet uses a pretrained KenLM; the self-fit unigram is the same
+    * decision shape without shipping an external model).
+    *
+    * Scale shape: one explode + hash aggregate builds the LM (vocab-sized,
+    * Zipf-collapsed map-side); the LM broadcast-joins back against the
+    * token stream and a second hash aggregate folds per-document averages —
+    * the corpus shuffles (doc_id, token) once, bodies never. The average is
+    * rounded to 4 decimals (q02's lesson: cross-engine double-sum ordering
+    * differs in the last ulps, rounding makes it checkable). */
+  def unigramLogProb(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val lm = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val withTotal = lm.crossJoin(broadcast(lm.agg(sum("cnt").as("total"))))
+    toks
+      .join(broadcast(withTotal), "token")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log(col("cnt").cast("double") / col("total"))), 4)
+          .as("avg_logprob"))
+  }
+
+  /** Exact TF-IDF top terms per document — the interpretable sibling of the
+    * hashed [[tfidf]] pipeline (that one feeds models; this one answers
+    * "what is this document about" and is value-checkable). tf = positional
+    * term count in the doc; idf = ln((N+1)/(df+1)) with add-one smoothing;
+    * top `k` terms by the ROUNDED score with a lexicographic tie-break, so
+    * the cut is deterministic and engine-independent.
+    *
+    * Scale shape: tf is one (doc_id, term) hash aggregate; df is a distinct
+    * + aggregate on the same exploded stream (vocab-sized result →
+    * broadcast); N is a 1-row aggregate (broadcast). The final top-k per
+    * doc is a rank-limit window, which Spark executes as WindowGroupLimit —
+    * per-partition top-k heaps before the shuffle, not a full sort of the
+    * scored stream. */
+  def tfIdfTopTerms(
+      docs: org.apache.spark.sql.DataFrame,
+      k: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 4))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("doc_id", "rk", "term", "tf", "score")
+  }
+
   /** TF-IDF feature pipeline (B34): tokenize → stopwords → n-grams-optional
     * → hashed TF → IDF. Returns the fitted model's output frame with a
     * `tfidf` vector column; all stages are MLlib Transformers, so the same

@@ -178,6 +178,30 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("stratified sample: exact per-group counts, deterministic, a subset") {
+    import spark.implicits._
+    val out = CorpusPrep.stratifiedSample(docs, n = 7).cache()
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (src, total) =>
+      assert(got.getOrElse(src, 0L) == math.min(7L, total),
+        s"$src: expected exactly min(7, $total)")
+    }
+    // subset of the input and stable across reruns
+    assert(out.select("doc_id").exceptAll(docs.select("doc_id")).count() == 0)
+    val again = CorpusPrep.stratifiedSample(docs, n = 7)
+    assert(out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0)
+    assert(again.select("doc_id").exceptAll(out.select("doc_id")).count() == 0)
+    // the rank filter must plan as WindowGroupLimit (per-partition top-n
+    // heaps before the shuffle) — the property that makes this shape safe
+    // on a billion-row group
+    val plan = again.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    out.unpersist()
+  }
+
   test("segment dedup removes repeated boilerplate but keeps its first occurrence") {
     import spark.implicits._
     val boiler = (1 to 10).map(i => s"nav$i").mkString(" ") // one exact segment

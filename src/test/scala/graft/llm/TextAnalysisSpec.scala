@@ -108,4 +108,42 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.duplicateNgramFraction(col("text"), 2).as("f"))
     assert(df.collect().map(_.getDouble(0)).toSeq == Seq(0.6, 0.0, 0.0, 0.0))
   }
+
+  test("unigram log-prob ranks fluent text above rare-token gibberish") {
+    // common tokens dominate the corpus; doc 3 is all hapaxes and must
+    // score strictly lowest; a doc of only the most common token scores
+    // highest. n_tokens counted on the filtered stream.
+    val docs = (Seq.fill(20)("common words here") ++
+      Seq("common common common", "qzx vbn mlk jhg"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(20L)._1 == 3 && out(21L)._1 == 4)
+    val fluent = out.filter(_._1 < 20L).values.map(_._2)
+    assert(fluent.forall(out(21L)._2 < _), "gibberish must score below fluent docs")
+    assert(out(20L)._2 > out(0L)._2, "all-common doc must beat the mixed doc")
+  }
+
+  test("tf-idf top terms surface document-specific vocabulary first") {
+    val docs = Seq(
+      (1L, "shared shared spark catalyst catalyst catalyst"),
+      (2L, "shared shared tungsten"),
+      (3L, "shared shared shared arrow parquet")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopTerms(docs, k = 2)
+      .orderBy("doc_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // 'shared' appears in every doc -> idf ln(4/4)=0 -> never outranks a
+    // doc-specific term
+    assert(out.filter(_._2 == 1).map(_._3).toSeq == Seq("catalyst", "tungsten", "arrow"))
+    assert(!out.take(4).map(_._3).contains("shared") ||
+      out.filter(_._3 == "shared").forall(_._2 == 2))
+    // per-doc scores non-increasing in rank
+    val byDoc = TextAnalysis.tfIdfTopTerms(docs, k = 2)
+      .orderBy("doc_id", "rk").collect()
+      .groupBy(_.getLong(0)).values
+    byDoc.foreach { rows =>
+      val scores = rows.sortBy(_.getInt(1)).map(_.getDouble(4))
+      assert(scores.sameElements(scores.sorted.reverse))
+    }
+  }
 }
