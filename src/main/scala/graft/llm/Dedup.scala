@@ -234,6 +234,42 @@ object Dedup {
     pairs
   }
 
+  /** Substring-level near-dup candidate pairs via shared WINNOWING
+    * fingerprints ([[TextAnalysis.winnow]]): two documents sharing any
+    * token run of length ≥ w+k-1 are guaranteed ≥1 shared selected hash
+    * (the winnowing guarantee), so this surfaces partial-overlap pairs —
+    * quote reuse, template text, cross-posted passages — that whole-document
+    * jaccard/minhash miss when the rest of the documents differ. Unlike the
+    * xxhash64-based MinHash/SimHash joins, the winnow hash is a sha256
+    * prefix, so the WHOLE operator is DuckDB-replicable and oracle-checked
+    * (q86), not rows-only.
+    *
+    * Shape is [[ngramJaccardPairs]]'s: explode to (hash, id) — the selected
+    * set is ~2/(w+1) of the grams, so this stream is much smaller than the
+    * shingle stream — one shuffle on the hash, pair aggregation, with the
+    * same `maxDocFreq` stop-hash cap defusing the boilerplate skew bomb
+    * (a hash in thousands of docs would put a quadratic partition on one
+    * key; capped hashes drop from the join, so `n_shared` undercounts by at
+    * most their contribution — same conservative contract as the shingle
+    * cap). */
+  def winnowPairs(
+      docs: DataFrame,
+      minShared: Long = 2,
+      maxDocFreq: Int = 100): DataFrame = {
+    val wn = docs
+      .select(col("doc_id"), explode(TextAnalysis.winnow(col("text"))).as("h"))
+    val hot = wn.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("h")
+    val sel = wn.join(broadcast(hot), Seq("h"), "left_anti")
+    sel.as("a")
+      .join(sel.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
     * Shuffle profile at scale: explode to (shingle, id), one shuffle on
     * shingle, then an aggregation keyed on the pair.

@@ -765,8 +765,45 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q86
+  // Substring-level near-dup pairs via shared winnowing fingerprints
+  // (Dedup.winnowPairs): q63 emits the fingerprints, this is the candidate
+  // join that makes them a dedup operator — and because the winnow hash is
+  // a sha256 prefix it is the one LSH-family join that is fully
+  // oracle-checkable (MinHash/SimHash/Rp are xxhash64/seeded → rows-only).
+  val q86 = Q(
+    "q86_winnow_pairs",
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      |           FROM documents WHERE doc_id < 1000),
+      |g AS (SELECT doc_id,
+      |             CASE WHEN len(ts) >= 3 THEN
+      |               list_transform(range(len(ts) - 2),
+      |                 i -> substr(sha256(ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]), 1, 16))
+      |             ELSE []::VARCHAR[] END AS grams
+      |      FROM d),
+      |f AS (SELECT doc_id,
+      |             CASE WHEN len(grams) >= 4 THEN
+      |               list_sort(list_distinct(list_transform(range(len(grams) - 3),
+      |                 j -> list_min(grams[j+1:j+4]))))
+      |             WHEN len(grams) > 0 THEN [list_min(grams)]
+      |             ELSE []::VARCHAR[] END AS fp
+      |      FROM g),
+      |w AS (SELECT doc_id, unnest(fp) AS h FROM f),
+      |hot AS (SELECT h FROM w GROUP BY h HAVING count(*) > 100),
+      |s AS (SELECT doc_id, h FROM w WHERE h NOT IN (SELECT h FROM hot)),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      |      FROM s a JOIN s b ON a.h = b.h AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 2
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    Dedup.winnowPairs(
+        Tables(s, dir, "documents").filter(col("doc_id") < 1000),
+        minShared = 2)
+      .orderBy("doc_a", "doc_b")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
       q47, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
-      q73, q74, q76, q77, q78, q79, q80, q82, q83, q84, q85)
+      q73, q74, q76, q77, q78, q79, q80, q82, q83, q84, q85, q86)
 }

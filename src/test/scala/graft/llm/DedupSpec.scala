@@ -78,6 +78,32 @@ class DedupSpec extends SparkSpec {
 
   private lazy val docs = Tables(spark, sf0001, "documents")
 
+  test("winnow pairs surface shared substrings and honor the guarantee") {
+    import spark.implicits._
+    // the winnowing guarantee: a shared token run of length >= w+k-1 = 6
+    // contributes >= 1 shared selected hash; the quote here is 12 tokens,
+    // long enough to clear minShared = 2 through the density bound
+    val quote = "to be or not to be that is the question for today"
+    val df = Seq(
+      (1L, s"intro words first $quote closing remarks here"),
+      (2L, s"$quote entirely different surroundings this time around yes"),
+      (3L, "completely unrelated text with no overlap at all present")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(df, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "quote-sharing docs must pair")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "disjoint doc must not pair")
+    // boilerplate cap: a hash present in MORE than maxDocFreq docs drops
+    // from the join instead of creating a quadratic hot key
+    val boiler = (0 until 30).map(i => (100L + i, s"same exact boilerplate line here $i"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.winnowPairs(boiler, minShared = 1, maxDocFreq = 5)
+    val uncapped = Dedup.winnowPairs(boiler, minShared = 1, maxDocFreq = 1000)
+    assert(capped.count() < uncapped.count(),
+      "the doc-frequency cap must drop ubiquitous hashes")
+  }
+
   test("exact dedup: survivors + duplicate count are consistent") {
     val survivors = Dedup.exactSurvivors(docs)
     val total = docs.count()
