@@ -802,8 +802,45 @@ object LlmQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---------------------------------------------------------------- q87
+  // Random-projection matrix product (functions.VectorMatMul): 8 fixed
+  // planes of 64 dims, every value k/128 with integer k — exactly
+  // representable as BOTH float32 and float64, so the per-term products are
+  // identical doubles in both engines and the codegen matmul is pinned
+  // numerically by the oracle (it was previously exercised only through
+  // rows-only LSH paths, where a numeric drift would surface as recall
+  // noise instead of a red row). This is also the dimensionality-reduction
+  // shape itself: project 64-d embeddings to 8 cheap coordinates in one
+  // codegen expression.
+  private val projPlanes: Array[Array[Float]] =
+    Array.tabulate(8, 64)((p, i) => (((p * 64 + i) * 37) % 201 - 100) / 128.0f)
+
+  val q87 = Q(
+    "q87_matmul_project",
+    {
+      val cols = projPlanes.zipWithIndex.map { case (row, p) =>
+        // k/128 has at most 7 decimal digits (1/128 = 0.0078125), so %.7f
+        // prints every plane value EXACTLY — fewer digits would silently
+        // perturb the oracle's matrix
+        val lit = row.map(v => f"$v%.7f").mkString("[", ", ", "]")
+        s"round(list_dot_product(embedding::DOUBLE[], $lit), 4) AS proj$p"
+      }.mkString(",\n      |       ")
+      s"""SELECT vec_id,
+      |       $cols
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val mm = call_function(graft.functions.GraftFunctions.VectorMatMulName,
+      col("embedding"), typedlit(projPlanes.map(_.toSeq).toSeq))
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), mm.as("mm"))
+      .select(col("vec_id") +:
+        (0 until 8).map(p => round(element_at(col("mm"), p + 1), 4).as(s"proj$p")): _*)
+      .orderBy("vec_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
       q47, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
-      q73, q74, q76, q77, q78, q79, q80, q82, q83, q84, q85, q86)
+      q73, q74, q76, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87)
 }
