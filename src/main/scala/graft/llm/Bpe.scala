@@ -138,12 +138,17 @@ object Bpe {
     * word is encoded ONCE, then the word→symbols dictionary joins back
     * against the corpus. Words repeat enormously (Zipf), so the expensive
     * part — applying the merge table — runs on the VOCABULARY-sized distinct
-    * set, not the corpus; the corpus-side work is one explode + one
-    * broadcast hash join + one reassembly shuffle of (id, pos, symbols)
-    * rows. This is the operator [[encodeWord]]'s scaladoc promises for
-    * 30k-merge tables, and its semantics are EXACTLY encodeWord's
-    * (spec-asserted): the merge table folds greedily in priority order,
-    * one left-to-right pass per rule.
+    * set, not the corpus; the corpus-side work is one explode + one hash
+    * join on the word + one reassembly shuffle of (id, pos, symbols) rows.
+    * The dictionary side carries no broadcast HINT: it is a materialized
+    * checkpoint (a post-shuffle aggregate when the merge table is empty),
+    * so AQE sees its true size and broadcasts it when it fits an executor
+    * (the common case — dictionaries are vocab-sized) while a
+    * 1e8-distinct-word web crawl falls back to a shuffled join instead of
+    * a forced driver OOM. This is the operator
+    * [[encodeWord]]'s scaladoc promises for 30k-merge tables, and its
+    * semantics are EXACTLY encodeWord's (spec-asserted): the merge table
+    * folds greedily in priority order, one left-to-right pass per rule.
     *
     * How the 30k-rule fold stays tractable: rules apply to the word table in
     * `rulesPerStage`-sized groups — each group is one select (bounded
@@ -182,7 +187,7 @@ object Bpe {
       .select(col(idCol), posexplode(toks).as(Seq("pos", "word")))
       .filter(col("word") =!= "")
     val encoded = exploded
-      .join(broadcast(dict), "word")
+      .join(dict, "word")
       .groupBy(idCol)
       .agg(array_sort(collect_list(struct(col("pos"), col("syms")))).as("ps"))
       .select(col(idCol),

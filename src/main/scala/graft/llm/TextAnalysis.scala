@@ -145,25 +145,41 @@ object TextAnalysis {
     * decision shape without shipping an external model).
     *
     * Scale shape: one explode + hash aggregate builds the LM (vocab-sized,
-    * Zipf-collapsed map-side); the LM broadcast-joins back against the
-    * token stream and a second hash aggregate folds per-document averages —
-    * the corpus shuffles (doc_id, token) once, bodies never. The average is
-    * rounded to 4 decimals (q02's lesson: cross-engine double-sum ordering
-    * differs in the last ulps, rounding makes it checkable). */
+    * Zipf-collapsed map-side); the LM joins back against the token stream
+    * and a second hash aggregate folds per-document averages — the corpus
+    * shuffles (doc_id, token) once, bodies never. The LM side carries NO
+    * broadcast hint on purpose: at web scale the raw vocabulary is 1e8+
+    * rows of crawl garbage and a forced broadcast is a driver OOM — AQE
+    * broadcasts it when the (accurately-sized, post-aggregate) table fits
+    * and falls back to a shuffled join when it doesn't. `minCount` is the
+    * production lever: dropping hapax/rare tokens from the LM shrinks it
+    * ~10× under Zipf; tokens outside the LM score at the half-count
+    * smoothing floor ln(0.5/total) — CCNet's fixed-vocab + OOV-penalty
+    * decision shape. The default 1 keeps every token (exact self-fit LM).
+    * The average is rounded to 4 decimals (q02's lesson: cross-engine
+    * double-sum ordering differs in the last ulps, rounding makes it
+    * checkable). */
   def unigramLogProb(
       docs: org.apache.spark.sql.DataFrame,
-      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+      textCol: String = "text",
+      minCount: Long = 1L): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, s"bad minCount: $minCount")
     val toks = docs
       .select(col("doc_id"), explode(tokens(col(textCol))).as("token"))
       .filter(col("token") =!= "")
-    val lm = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
-    val withTotal = lm.crossJoin(broadcast(lm.agg(sum("cnt").as("total"))))
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    // total over the FULL stream (capping the LM must not inflate the kept
+    // tokens' probabilities); 1-row side, broadcast by construction
+    val total = broadcast(counts.agg(sum("cnt").as("total")))
+    val lm = counts.filter(col("cnt") >= minCount)
     toks
-      .join(broadcast(withTotal), "token")
+      .join(lm, Seq("token"), "left")
+      .crossJoin(total)
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
-        round(avg(log(col("cnt").cast("double") / col("total"))), 4)
+        round(avg(log(
+          coalesce(col("cnt").cast("double"), lit(0.5)) / col("total"))), 4)
           .as("avg_logprob"))
   }
 
@@ -175,11 +191,13 @@ object TextAnalysis {
     * the cut is deterministic and engine-independent.
     *
     * Scale shape: tf is one (doc_id, term) hash aggregate; df is a distinct
-    * + aggregate on the same exploded stream (vocab-sized result →
-    * broadcast); N is a 1-row aggregate (broadcast). The final top-k per
-    * doc is a rank-limit window, which Spark executes as WindowGroupLimit —
-    * per-partition top-k heaps before the shuffle, not a full sort of the
-    * scored stream. */
+    * + aggregate on the same exploded stream (vocab-sized — joined WITHOUT
+    * a broadcast hint, same reasoning as [[unigramLogProb]]: AQE broadcasts
+    * the accurately-sized aggregate when it fits, shuffles when a web-scale
+    * vocabulary doesn't); N is a 1-row aggregate (broadcast by
+    * construction). The final top-k per doc is a rank-limit window, which
+    * Spark executes as WindowGroupLimit — per-partition top-k heaps before
+    * the shuffle, not a full sort of the scored stream. */
   def tfIdfTopTerms(
       docs: org.apache.spark.sql.DataFrame,
       k: Int = 5): org.apache.spark.sql.DataFrame = {
@@ -192,7 +210,7 @@ object TextAnalysis {
       .groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
-      .join(broadcast(df), "term")
+      .join(df, "term")
       .crossJoin(broadcast(n))
       .withColumn("score",
         round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 4))

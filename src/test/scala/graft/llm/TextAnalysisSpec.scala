@@ -124,6 +124,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(20L)._2 > out(0L)._2, "all-common doc must beat the mixed doc")
   }
 
+  test("unigram log-prob: minCount caps the LM and OOV tokens hit the floor") {
+    // 'rare' appears twice -> dropped at minCount=3 -> scored at the
+    // half-count floor ln(0.5/total); common tokens keep ln(cnt/total)
+    val docs = Seq(
+      (1L, "common common common common common common"),
+      (2L, "rare common"),
+      (3L, "rare common")).toDF("doc_id", "text")
+    val total = 10.0 // 8 common + 2 rare
+    val capped = TextAnalysis.unigramLogProb(docs, minCount = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(capped(1L) == r4(math.log(8 / total)))
+    assert(capped(2L) == r4((math.log(0.5 / total) + math.log(8 / total)) / 2))
+    // default keeps every token: doc 2 scores with rare's true count
+    val full = TextAnalysis.unigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(full(2L) == r4((math.log(2 / total) + math.log(8 / total)) / 2))
+  }
+
   test("tf-idf top terms surface document-specific vocabulary first") {
     val docs = Seq(
       (1L, "shared shared spark catalyst catalyst catalyst"),
