@@ -310,6 +310,39 @@ object ScaleStress {
     emb.unpersist()
   }
 
+  /** Winnow-pair scaling (q86's engine): replicated documents share most of
+    * their token runs, so [[graft.llm.Dedup.winnowPairs]] must surface the
+    * planted intra-cluster pairs while its wall tracks the SELECTED-hash
+    * stream (~2/(w+1) of the grams), not the O(n²) pair space — the
+    * substring-level sibling of the minhash sweep above. Reports wall,
+    * found pairs, and planted recall at growing replication. */
+  def winnowStress(spark: SparkSession, sfDir: String): Unit = {
+    import graft.llm.Dedup
+    val docs = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") < 2500).cache()
+    docs.count()
+    println("== winnow pairs (q86 engine): planted replica clusters ==")
+    for (r <- Seq(4, 8, 16)) {
+      val rep = replicateDocs(docs, r).cache()
+      val n = rep.count()
+      val expected = rep.groupBy("base_id").count()
+        .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")))
+        .head().getLong(0)
+      // winnowPairs is LAZY (no internal checkpoint) — time the action,
+      // not the plan construction
+      val pairs = Dedup.winnowPairs(rep.select("doc_id", "text"), minShared = 1)
+        .cache()
+      val (found, secs) = time(pairs.count())
+      val planted = pairs
+        .filter((col("doc_a") / r).cast("long") === (col("doc_b") / r).cast("long"))
+        .count()
+      println(f"R=$r%2d n=$n%6d wall=$secs%6.1f s found=$found%8d " +
+        f"planted=$planted%8d/$expected%d (recall=${planted.toDouble / expected}%.3f)")
+      pairs.unpersist(); rep.unpersist()
+    }
+    docs.unpersist()
+  }
+
   /** BPE-learning scaling (q79's claim, measured): the corpus is touched
     * once, after which merge iterations run on the VOCABULARY-sized
     * word-frequency table — so per-iteration wall should grow far slower
@@ -368,6 +401,11 @@ object ScaleStress {
     }
     if (args.contains("--ivf")) {
       ivf(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.contains("--winnow")) {
+      winnowStress(spark, sfDir)
       spark.stop()
       return
     }
