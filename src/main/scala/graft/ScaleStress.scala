@@ -282,7 +282,10 @@ object ScaleStress {
         .select("vec_id", "embedding").cache()
       val n = rep.count()
       val model = Ivf.fitColumnar(rep, k = k, seed = 42L)
-      val queries = rep.filter(col("vec_id") < 20).localCheckpoint(true)
+      // derived from the cached rep — recompute is a cheap filter; a
+      // localCheckpoint here would pin blocks across iterations (checkpoint
+      // blocks release only via the async ContextCleaner)
+      val queries = rep.filter(col("vec_id") < 20)
       try {
         val (full, fullS) = time {
           Ivf.search(model, queries, topK = 10, nProbe = 4).collect()

@@ -170,7 +170,9 @@ object Bpe {
       idCol: String = "doc_id",
       rulesPerStage: Int = 32): DataFrame = {
     require(rulesPerStage > 0, s"bad rulesPerStage: $rulesPerStage")
-    val toks = TextAnalysis.tokens(col(textCol))
+    // NULL text behaves as empty (tokens(NULL) is NULL, which would slip
+    // past BOTH the explode branch and the empties filter — silent row loss)
+    val toks = TextAnalysis.tokens(coalesce(col(textCol), lit("")))
     val words = docs
       .select(explode(toks).as("word"))
       .filter(col("word") =!= "")

@@ -255,19 +255,30 @@ object Dedup {
   def winnowPairs(
       docs: DataFrame,
       minShared: Long = 2,
-      maxDocFreq: Int = 100): DataFrame = {
-    val wn = docs
+      maxDocFreq: Int = 100,
+      materialize: Boolean = true): DataFrame = {
+    // cached: the winnow explode (sha256 per gram — the dominant scan cost)
+    // feeds THREE subtrees (doc-frequency cap + both self-join sides); the
+    // output is an eager localCheckpoint so the cache releases immediately
+    // and callers inherit no unpersist contract — the ngramJaccardPairs
+    // convention for exactly this multi-consumer shape
+    val wn0 = docs
       .select(col("doc_id"), explode(TextAnalysis.winnow(col("text"))).as("h"))
+    val wn = if (materialize) wn0.cache() else wn0
     val hot = wn.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
       .select("h")
     val sel = wn.join(broadcast(hot), Seq("h"), "left_anti")
-    sel.as("a")
+    val out0 = sel.as("a")
       .join(sel.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+    if (!materialize) return out0
+    val out = out0.localCheckpoint(true)
+    wn.unpersist()
+    out
   }
 
   /** Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.

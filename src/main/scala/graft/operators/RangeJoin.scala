@@ -42,6 +42,25 @@ object RangeJoin {
     !maxSpan.isNaN && !maxSpan.isInfinite &&
       maxSpan / binWidth + 2 <= wideBinThreshold
 
+  /** The hi-bin expression for a proved-narrow explode, with the maxSpan
+    * data contract enforced in-band: a row whose bin span exceeds the bound
+    * the hint promised raises a descriptive error instead of exploding into
+    * an unbounded bin range (or, worse, being silently filtered). The guard
+    * lives INSIDE the explode's input so column pruning cannot drop it; a
+    * truthful caller never pays more than one long comparison per row. */
+  private def guardedHiBin(
+      loBin: org.apache.spark.sql.Column,
+      hiBin: org.apache.spark.sql.Column,
+      maxSpan: Double, binWidth: Double): org.apache.spark.sql.Column = {
+    val bound = math.ceil(maxSpan / binWidth).toLong + 2
+    when(hiBin - loBin + 1 <= bound, hiBin)
+      .otherwise(raise_error(format_string(
+        s"interval spans %s bins, violating the declared maxSpan=$maxSpan " +
+          s"(binWidth=$binWidth allows at most $bound bins); widen maxSpan " +
+          "or drop the hint to restore the broadcast wide-interval path",
+        hiBin - loBin + 1)).cast("long"))
+  }
+
   /** @param wideBinThreshold intervals spanning more than this many bins
     *   take a broadcast nested-loop side path instead of exploding: a
     *   whole-range interval would otherwise replicate into every bin (the
@@ -57,10 +76,13 @@ object RangeJoin {
     *   it proves every interval narrow, the wide side path (and its plan
     *   node) is dropped entirely WITHOUT any construction-time probe — a
     *   data-dependent `isEmpty` here would full-scan the interval table at
-    *   plan-build time just for plan cosmetics. The hint is performance-
-    *   only: if it is wrong, wider-than-declared intervals still explode
-    *   into all their bins and join correctly (no span filter is applied
-    *   on the hinted path), just without the broadcast escape hatch. */
+    *   plan-build time just for plan cosmetics. The hint is a DATA
+    *   CONTRACT, enforced at execution: an interval wider than declared
+    *   raises a descriptive error from inside the scan (one comparison per
+    *   interval row, fused into the explode so it cannot be pruned) —
+    *   loud failure, never silently dropped rows, and never the unbounded
+    *   bin explosion a whole-domain interval would otherwise cause once
+    *   the broadcast escape hatch is compiled out. */
   def pointInInterval(
       points: DataFrame,
       pointCol: String,
@@ -81,7 +103,10 @@ object RangeJoin {
     val binsOf = (df: DataFrame) =>
       df.withColumn("__bin", explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
     if (provedNarrow(maxSpan, binWidth, wideBinThreshold)) {
-      p.join(binsOf(intervals), "__bin").filter(contains).drop("__bin")
+      val checked = intervals.withColumn("__bin", explode(sequence(
+        bin(col(loCol)),
+        guardedHiBin(bin(col(loCol)), bin(col(hiCol)), maxSpan, binWidth))))
+      p.join(checked, "__bin").filter(contains).drop("__bin")
     } else {
       val spanBins = bin(col(hiCol)) - bin(col(loCol)) + 1
       val narrow = binsOf(intervals.filter(spanBins <= wideBinThreshold))
@@ -105,7 +130,9 @@ object RangeJoin {
     * `maxSpanA`/`maxSpanB` are the same opt-in narrow-proof hints as
     * [[pointInInterval]]'s `maxSpan`, one per side: a proved-narrow side
     * skips its span filter and its broadcast union branch with no
-    * construction-time scan; an unproved side keeps the unconditional
+    * construction-time scan, and enforces the declared bound in-band (a
+    * wider-than-declared row raises a descriptive error — see
+    * [[pointInInterval]]); an unproved side keeps the unconditional
     * union (the usually-empty wide broadcast is nearly free at execution).
     * The three branches partition the pair space — narrow×narrow through
     * the bins, wideA against ALL of b, narrowA against wideB — so
@@ -127,8 +154,14 @@ object RangeJoin {
     val bProved = provedNarrow(maxSpanB, binWidth, wideBinThreshold)
     val narrowA = if (aProved) a else a.filter(spanA <= wideBinThreshold)
     val narrowB = if (bProved) b else b.filter(spanB <= wideBinThreshold)
-    val ea = narrowA.withColumn("__bin", explode(sequence(bin(col(loA)), bin(col(hiA)))))
-    val eb = narrowB.withColumn("__bin", explode(sequence(bin(col(loB)), bin(col(hiB)))))
+    val hiABin =
+      if (aProved) guardedHiBin(bin(col(loA)), bin(col(hiA)), maxSpanA, binWidth)
+      else bin(col(hiA))
+    val hiBBin =
+      if (bProved) guardedHiBin(bin(col(loB)), bin(col(hiB)), maxSpanB, binWidth)
+      else bin(col(hiB))
+    val ea = narrowA.withColumn("__bin", explode(sequence(bin(col(loA)), hiABin)))
+    val eb = narrowB.withColumn("__bin", explode(sequence(bin(col(loB)), hiBBin)))
     val binned = ea.join(eb, "__bin")
       .filter(overlaps && col("__bin") === greatest(bin(col(loA)), bin(col(loB))))
       .drop("__bin")

@@ -87,13 +87,15 @@ class BpeSpec extends SparkSpec {
   }
 
   test("encodeCorpus keeps tokenless documents with an empty encoding") {
-    val docs = Seq((1L, "hug pug"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val docs = Seq((1L, "hug pug"), (2L, ""), (3L, "   "), (4L, null))
+      .toDF("doc_id", "text")
     val merges = Seq(Bpe.Merge("u", "g", 2L))
     val out = Bpe.encodeCorpus(docs, merges).orderBy("doc_id").collect()
-    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
     assert(out(0).getSeq[String](1) == Seq("h", "ug", "p", "ug"))
     assert(out(1).getSeq[String](1).isEmpty)
     assert(out(2).getSeq[String](1).isEmpty)
+    assert(out(3).getSeq[String](1).isEmpty) // NULL text must not vanish
   }
 
   test("early-stops when no pair reaches minCount and is deterministic") {

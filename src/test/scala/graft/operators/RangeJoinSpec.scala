@@ -66,27 +66,38 @@ class RangeJoinSpec extends SparkSpec {
       "wide side must take the broadcast path\n" + plan)
   }
 
-  test("a WRONG maxSpan hint degrades the plan, never the result") {
-    // the hint skips the wide/narrow split, so a lying caller gets a full
-    // bin explode of the wide interval (slow) but the identical row set —
-    // performance-only contract
+  test("a violated maxSpan hint fails loudly; a truthful one changes nothing") {
+    // the hint is a DATA CONTRACT: a wider-than-declared interval raises a
+    // descriptive error from inside the scan — never silently dropped rows,
+    // never the unbounded bin explosion a whole-domain interval would cause
+    // once the broadcast escape hatch is compiled out
     val p = Seq.tabulate(50)(i => (i.toLong, i.toDouble)).toDF("id", "v")
     val i = Seq((1L, 10.0, 12.0), (2L, -300.0, 300.0), (3L, 20.0, 21.0))
       .toDF("iid", "lo", "hi")
-    val hinted = RangeJoin.pointInInterval(p, "v", i, "lo", "hi", 4.0,
+    def chainMessages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val lying = RangeJoin.pointInInterval(p, "v", i, "lo", "hi", 4.0,
       wideBinThreshold = 16, maxSpan = 2.0) // lie: real max span is 600
-    val naive = p.join(i, col("v") >= col("lo") && col("v") < col("hi"))
-    assert(hinted.count() == naive.count())
-    assert(hinted.select("id", "iid").exceptAll(naive.select("id", "iid")).count() == 0)
-    val overlapHinted = RangeJoin.intervalOverlap(
+    val err = intercept[Exception](lying.count())
+    assert(chainMessages(err).contains("maxSpan"),
+      s"expected the maxSpan contract error, got: ${chainMessages(err)}")
+    val overlapLying = RangeJoin.intervalOverlap(
         i.select(col("iid").as("id_a"), col("lo").as("lo_a"), col("hi").as("hi_a")),
         "lo_a", "hi_a",
         i.select(col("iid").as("id_b"), col("lo").as("lo_b"), col("hi").as("hi_b")),
         "lo_b", "hi_b", 4.0, wideBinThreshold = 16,
         maxSpanA = 2.0, maxSpanB = 2.0)
-      .filter(col("id_a") < col("id_b"))
-    assert(overlapHinted.select("id_a", "id_b").as[(Long, Long)].collect().toSet ==
-      Set((1L, 2L), (2L, 3L)))
+    val err2 = intercept[Exception](overlapLying.count())
+    assert(chainMessages(err2).contains("maxSpan"))
+    // a truthful hint is invisible: identical rows to the naive join
+    val honest = RangeJoin.pointInInterval(p, "v",
+        i.filter(col("iid") =!= 2L), "lo", "hi", 4.0,
+        wideBinThreshold = 16, maxSpan = 2.0)
+    val naive = p.join(i.filter(col("iid") =!= 2L),
+      col("v") >= col("lo") && col("v") < col("hi"))
+    assert(honest.count() == naive.count())
+    assert(honest.select("id", "iid").exceptAll(naive.select("id", "iid")).count() == 0)
   }
 
   test("interval overlap equals the naive join, exactly once per pair") {
