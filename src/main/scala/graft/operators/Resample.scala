@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-grid resampling with forward fill — the gap-filling half of the
+  * time-series story next to [[AsOf]]'s point lookups: regularize an
+  * irregular event stream onto a fixed `stepSeconds` grid per key, carrying
+  * the last observed value forward into empty slots (sensor readings →
+  * 15-min panel, trade ticks → minute bars, feature snapshots → training
+  * rows).
+  *
+  * Construction (all relational, no per-key driver work):
+  *  1. collapse duplicate observations per (key, ts) deterministically
+  *     (`max_by` on the tie-break id — the winner is the "latest write");
+  *  2. per-key bounds (keys-sized aggregate); the grid start snaps DOWN to
+  *     an epoch-aligned step multiple so grids from different runs/engines
+  *     coincide;
+  *  3. explode the per-key grid (row-local fan-out from the tiny bounds
+  *     table — span/step rows per key);
+  *  4. union grid markers (null value) with observations and forward-fill
+  *     with `last(value, ignoreNulls)` over (ts, marker-flag) — an
+  *     observation at exactly a grid instant sorts BEFORE the marker, so
+  *     the marker adopts it.
+  *
+  * Scale shape: ONE shuffle on the key (the window); everything before it
+  * is scan-side or keys-sized. The window is per-key-sequential by nature —
+  * a single key spanning years at 1-second steps is the skew to watch
+  * (span/step rows in one task); chunk such keys by calendar period
+  * upstream if they exist. Grid instants BEFORE a key's first observation
+  * keep a null value (nothing to carry forward) — callers wanting a
+  * default apply `coalesce` downstream.
+  */
+object Resample {
+
+  def forwardFill(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valCol: String,
+      idCol: String,
+      stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, s"bad step: $stepSeconds")
+    val obs = events
+      .groupBy(col(keyCol), col(tsCol))
+      .agg(max_by(col(valCol), col(idCol)).as(valCol))
+    val bounds = obs.groupBy(col(keyCol)).agg(
+      to_timestamp(
+        floor(unix_timestamp(min(col(tsCol))) / stepSeconds) * stepSeconds)
+        .as("__t0"),
+      max(col(tsCol)).as("__t1"))
+    val grid = bounds
+      .select(col(keyCol),
+        explode(sequence(col("__t0"), col("__t1"),
+          expr(s"INTERVAL $stepSeconds SECONDS"))).as(tsCol))
+      .withColumn(valCol, lit(null).cast(events.schema(valCol).dataType))
+      .withColumn("__g", lit(1))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col("__g").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    obs.withColumn("__g", lit(0))
+      .unionByName(grid)
+      .withColumn(valCol, last(col(valCol), ignoreNulls = true).over(w))
+      .filter(col("__g") === 1)
+      .drop("__g")
+  }
+}

@@ -454,7 +454,44 @@ object ExtendedQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // ---------------------------------------------------------------- q88
+  // Time-grid resampling with forward fill (Resample.forwardFill): events
+  // regularized onto a 15-minute per-user grid, last observation carried
+  // forward — the gap-filling sibling of q36's as-of join. Grid start
+  // snaps to an epoch-aligned step so both engines generate the identical
+  // grid; duplicate observations collapse via max_by/arg_max on event_id
+  // (deterministic). Values are carried, not computed → no rounding needed.
+  val q88 = Q(
+    "q88_resample_ffill",
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+      |           FROM events),
+      |o AS (SELECT user_id, ts, arg_max(value, event_id) AS value
+      |      FROM e GROUP BY user_id, ts),
+      |b AS (SELECT user_id,
+      |             CAST(to_timestamp(floor(epoch(min(ts)) / 900) * 900) AS TIMESTAMP) AS t0,
+      |             max(ts) AS t1
+      |      FROM o GROUP BY user_id),
+      |g AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL '900 seconds')) AS ts
+      |      FROM b),
+      |u AS (SELECT user_id, ts, value, 0 AS is_grid FROM o
+      |      UNION ALL
+      |      SELECT user_id, ts, NULL AS value, 1 AS is_grid FROM g),
+      |f AS (SELECT user_id, ts, is_grid,
+      |             last_value(value IGNORE NULLS) OVER (
+      |               PARTITION BY user_id ORDER BY ts, is_grid
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+      |      FROM u)
+      |SELECT user_id, ts, value FROM f WHERE is_grid = 1
+      |ORDER BY user_id, ts""".stripMargin) { (s, dir) =>
+    graft.operators.Resample.forwardFill(
+        Tables(s, dir, "events").select("user_id", "ts", "value", "event_id"),
+        keyCol = "user_id", tsCol = "ts", valCol = "value",
+        idCol = "event_id", stepSeconds = 900L)
+      .select(col("user_id"), col("ts").cast("timestamp_ntz").as("ts"), col("value"))
+      .orderBy("user_id", "ts")
+  }
+
   val all: Seq[Q] =
     Seq(q36, q37, q38, q39, q40, q41, q45, q46, q48, q49, q51, q53, q55,
-      q56, q57, q58, q68, q75)
+      q56, q57, q58, q68, q75, q88)
 }

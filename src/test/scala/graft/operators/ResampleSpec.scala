@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ResampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mk(rows: Seq[(String, Long, Double, Long)]) =
+    rows.toDF("k", "sec", "v", "id")
+      .select(col("k"), to_timestamp(col("sec")).as("ts"), col("v"), col("id"))
+
+  test("forward fill: epoch-aligned grid, carry-forward, pre-first-obs nulls") {
+    val events = mk(Seq(
+      ("a", 100L, 1.0, 1L), ("a", 130L, 2.0, 2L), ("a", 400L, 3.0, 3L),
+      ("b", 60L, 9.0, 4L)))
+    val out = Resample.forwardFill(events, "k", "ts", "v", "id", stepSeconds = 60L)
+      .select(col("k"), unix_timestamp(col("ts")).as("sec"), col("v"))
+      .orderBy("k", "sec")
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.get(2))))
+    // key a: grid snaps to 60, runs to max obs 400 -> 60..360; the instant
+    // 60 precedes the first observation (100) so it stays null; 120 adopts
+    // the 100s value, 180.. carry the 130s value forward
+    val a = out.filter(_._1 == "a").map(x => x._2 -> x._3)
+    assert(a.toSeq == Seq(
+      60L -> None, 120L -> Some(1.0), 180L -> Some(2.0),
+      240L -> Some(2.0), 300L -> Some(2.0), 360L -> Some(2.0)))
+    // key b: single observation exactly on its grid instant -> adopted
+    assert(out.filter(_._1 == "b").map(x => x._2 -> x._3).toSeq ==
+      Seq(60L -> Some(9.0)))
+  }
+
+  test("forward fill: duplicate observations at one instant resolve by max id") {
+    val events = mk(Seq(
+      ("a", 120L, 5.0, 10L), ("a", 120L, 7.0, 11L), ("a", 200L, 1.0, 12L)))
+    val out = Resample.forwardFill(events, "k", "ts", "v", "id", stepSeconds = 60L)
+      .select(unix_timestamp(col("ts")).as("sec"), col("v"))
+      .orderBy("sec")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // 120 takes the id-11 write (7.0) and carries it to 180
+    assert(out.toSeq == Seq(120L -> 7.0, 180L -> 7.0))
+  }
+}
