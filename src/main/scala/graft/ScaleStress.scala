@@ -313,6 +313,49 @@ object ScaleStress {
     emb.unpersist()
   }
 
+  /** Incremental-dedup A/B (q78's engine): Bloom screen + streamed confirm
+    * vs the naive exact confirm (batch anti-join history.distinct()) as the
+    * history grows. The naive shape shuffles EVERY history hash per batch;
+    * the screened shape scans the history twice (filter build + confirm
+    * semi join past the batch-bounded sliver) and shuffles only
+    * sliver-sized sets — the difference that compounds at the 1e9-row
+    * histories the operator targets. Outputs asserted identical. */
+  def bloomDedup(spark: SparkSession): Unit = {
+    import graft.llm.Dedup
+    println("== incremental dedup: Bloom screen + streamed confirm vs naive anti-join ==")
+    for (n <- Seq(2000000L, 8000000L)) {
+      val history = spark.range(n).select(col("id").as("doc_id"),
+        concat(lit("history document body number "), col("id")).as("text"))
+        .cache()
+      history.count()
+      // 100k-doc batch: every 10th is a re-ingest of some history doc
+      val batch = spark.range(100000L).select(
+        (col("id") + 1000000000L).as("doc_id"),
+        when(pmod(col("id"), lit(10L)) === 0,
+          concat(lit("history document body number "),
+            pmod(col("id") * 97L, lit(n))))
+          .otherwise(concat(lit("brand new batch doc "), col("id")))
+          .as("text"))
+        .cache()
+      batch.count()
+      val (nBloom, bloomS) = time {
+        Dedup.incrementalNewDocs(batch, history, expectedHistoryRows = n)
+          .count()
+      }
+      val (nNaive, naiveS) = time {
+        import org.apache.spark.sql.functions.sha2
+        batch.join(
+            history.select(sha2(col("text"), 256).as("__hh")).distinct(),
+            sha2(col("text"), 256) === col("__hh"), "left_anti")
+          .count()
+      }
+      assert(nBloom == nNaive, s"dedup shapes diverge: $nBloom vs $nNaive")
+      println(f"history=$n%8d batch=100000 new=$nBloom%6d " +
+        f"bloom+stream=$bloomS%6.1f s naive-shuffle=$naiveS%6.1f s")
+      history.unpersist(); batch.unpersist()
+    }
+  }
+
   /** Winnow-pair scaling (q86's engine): replicated documents share most of
     * their token runs, so [[graft.llm.Dedup.winnowPairs]] must surface the
     * planted intra-cluster pairs while its wall tracks the SELECTED-hash
@@ -409,6 +452,11 @@ object ScaleStress {
     }
     if (args.contains("--winnow")) {
       winnowStress(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.contains("--bloom")) {
+      bloomDedup(spark)
       spark.stop()
       return
     }

@@ -30,17 +30,22 @@ object Dedup {
     * every production pipeline hits (100 TB of history, a daily batch of
     * new documents).
     *
-    * Two stages, Bloom-filter screen then exact confirm:
+    * Two stages, Bloom-filter screen then exact confirm — and the history
+    * is only ever SCANNED, never shuffled (not even its hashes):
     *  1. [[graft.functions.GraftBloomAgg]] folds the history's content
     *     hashes into one bits-sized filter (an aggregate — partial buffers
-    *     merge map-side, the history never shuffles bodies). `might_contain`
-    *     then screens the new batch scan-side: documents whose hash misses
-    *     the filter are DEFINITELY new (Bloom has no false negatives) and
-    *     skip stage 2 entirely.
-    *  2. Only the screened survivors — expected `fpp` of the truly-new
-    *     plus the real duplicates — join the history's hash set for exact
-    *     confirmation, so the expensive join touches a tiny fraction of
-    *     the batch.
+    *     merge map-side). `might_contain` then screens the new batch
+    *     scan-side: documents whose hash misses the filter are DEFINITELY
+    *     new (Bloom has no false negatives) and skip stage 2 entirely.
+    *  2. Exact confirm, with the join FLIPPED so the big side streams: the
+    *     screened hash sliver (dups + fpp·batch — batch-bounded by
+    *     construction, hence broadcastable) broadcasts; the history scan
+    *     streams past it in a semi join, emitting the confirmed-duplicate
+    *     hashes; the batch anti-joins that (again batch-bounded) set. A
+    *     confirm written the naive way — batch anti-join
+    *     history.distinct() — would shuffle EVERY history hash
+    *     (~32 GB/1e9 rows) on every daily batch, which at the operator's
+    *     target scale dwarfs the batch-side work the screen saves.
     *
     * Delivery shape: the filter reaches the probe as an UNCORRELATED SCALAR
     * SUBQUERY — the same shape Spark's own runtime row-level filters inject
@@ -76,13 +81,23 @@ object Dedup {
       .scalar()
     val maybeDup = call_function(
       graft.functions.GraftFunctions.MightContainName, bf, xxhash64(h))
-    val screened = newDocs.filter(maybeDup)          // tiny: dups + fpp·new
-    val falsePositives = screened
-      .join(history.select(h.as("__hh")).distinct(), h === col("__hh"),
-        "left_anti")
-    // the two branches reference the same subquery; physical planning's
-    // subquery reuse evaluates the filter build once
-    newDocs.filter(!maybeDup).unionByName(falsePositives)
+    val screenedHashes = newDocs.filter(maybeDup)    // tiny: dups + fpp·new
+      .select(h.as("__hh")).distinct()
+    // history streams past the broadcast sliver (scan-side semi join, no
+    // history exchange); the per-partition hash aggregate collapses
+    // repeated history copies before the tiny distinct shuffle. No forced
+    // broadcast hints (the round's policy for data-dependent sides): both
+    // small sides are post-aggregate and accurately sized, so AQE
+    // broadcasts them in the designed batch≪history regime and degrades
+    // to a shuffled join — instead of a driver OOM — if a caller feeds a
+    // corpus-sized "batch".
+    val confirmedDups = history.select(h.as("__hh"))
+      .join(screenedHashes, Seq("__hh"), "left_semi")
+      .distinct()
+    // a batch doc is new iff its hash is not a CONFIRMED duplicate; the
+    // unscreened docs can't be in confirmedDups (no false negatives), so
+    // one anti-join covers both branches
+    newDocs.join(confirmedDups, h === col("__hh"), "left_anti")
   }
 
   /** 64-bit SimHash over whitespace tokens (xxhash64 token hashes; bit i of
