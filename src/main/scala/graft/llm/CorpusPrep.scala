@@ -229,6 +229,30 @@ object CorpusPrep {
       .drop("__rk")
   }
 
+  /** Deterministic training-order shuffle: assign every document a (shard,
+    * position) in a pseudo-random global order — the "shuffle the corpus
+    * before training" step, made reproducible. A seeded `rand()` sort is
+    * partition-order-dependent under retries; ordering by the prime-mixed
+    * doc_id hash gives the same permutation on any cluster, any engine,
+    * any rerun, and the shard assignment lets the writer emit one file per
+    * shard (training loaders read shards concurrently and interleave).
+    *
+    * Scale shape: one shuffle on the shard key; each shard sorts
+    * corpus/`shards` rows independently (that per-shard sort IS the
+    * shuffle's cost — there is no global sort anywhere). Set `shards` to
+    * the target training-file count. */
+  def trainingOrder(docs: DataFrame, shards: Int = 8): DataFrame = {
+    require(shards > 0, s"bad shards: $shards")
+    import org.apache.spark.sql.expressions.Window
+    val h = mixedHash(1000000L)
+    val w = Window.partitionBy(pmod(h, lit(shards.toLong)))
+      .orderBy(h.asc, col("doc_id").asc)
+    docs.select(
+      col("doc_id"),
+      pmod(h, lit(shards.toLong)).cast("int").as("shard"),
+      row_number().over(w).as("pos"))
+  }
+
   /** Sliding-window document chunking: split each document into fixed-size
     * token windows of `chunkTokens` advancing by `stride` (< chunkTokens ⇒
     * overlapping context, the standard pretraining window shape). Row-local

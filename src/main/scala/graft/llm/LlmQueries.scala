@@ -839,8 +839,25 @@ object LlmQueries {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------- q89
+  // Deterministic training-order shuffle (CorpusPrep.trainingOrder): the
+  // reproducible global permutation + shard assignment a training loader
+  // consumes — prime-mixed hash order, so both engines (and any rerun)
+  // agree exactly.
+  val q89 = Q(
+    "q89_training_order",
+    """WITH h AS (SELECT doc_id,
+      |                  (((doc_id % 1000003) * 2654435761) % 999999937) % 1000000 AS hk
+      |           FROM documents)
+      |SELECT doc_id, CAST(hk % 8 AS INT) AS shard,
+      |       CAST(row_number() OVER (PARTITION BY hk % 8 ORDER BY hk, doc_id) AS INT) AS pos
+      |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    CorpusPrep.trainingOrder(Tables(s, dir, "documents"), shards = 8)
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
       q47, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
-      q73, q74, q76, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87)
+      q73, q74, q76, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89)
 }

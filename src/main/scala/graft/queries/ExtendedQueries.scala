@@ -491,7 +491,43 @@ object ExtendedQueries {
       .orderBy("user_id", "ts")
   }
 
+  // ---------------------------------------------------------------- q90
+  // One-pass column profiler (sources.Profile): null/distinct/min/max per
+  // column as rows — every statistic from ONE aggregation (the exact
+  // distincts share one Expand), unpivoted row-locally via stack. Columns
+  // chosen with string-stable renderings (ints, date, char) so the
+  // stringified min/max agree across engines.
+  val q90 = Q(
+    "q90_profile",
+    """SELECT 'l_orderkey' AS col_name,
+      |       count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS n_nulls,
+      |       count(DISTINCT l_orderkey) AS n_distinct,
+      |       CAST(min(l_orderkey) AS VARCHAR) AS min_s,
+      |       CAST(max(l_orderkey) AS VARCHAR) AS max_s
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_linenumber', count(CASE WHEN l_linenumber IS NULL THEN 1 END),
+      |       count(DISTINCT l_linenumber),
+      |       CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_shipdate', count(CASE WHEN l_shipdate IS NULL THEN 1 END),
+      |       count(DISTINCT l_shipdate),
+      |       CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_returnflag', count(CASE WHEN l_returnflag IS NULL THEN 1 END),
+      |       count(DISTINCT l_returnflag),
+      |       CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+      |FROM lineitem
+      |ORDER BY col_name""".stripMargin) { (s, dir) =>
+    graft.sources.Profile.profile(
+        Tables(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_shipdate", "l_returnflag"))
+      .orderBy("col_name")
+  }
+
   val all: Seq[Q] =
     Seq(q36, q37, q38, q39, q40, q41, q45, q46, q48, q49, q51, q53, q55,
-      q56, q57, q58, q68, q75, q88)
+      q56, q57, q58, q68, q75, q88, q90)
 }

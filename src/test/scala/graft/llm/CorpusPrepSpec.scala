@@ -202,6 +202,30 @@ class CorpusPrepSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("training order: per-shard positions are contiguous, total, reproducible") {
+    val out = CorpusPrep.trainingOrder(docs, shards = 4).cache()
+    assert(out.count() == docs.count()) // total: every doc placed
+    // positions within a shard are exactly 1..n_shard
+    val perShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"),
+        countDistinct("pos").as("nd"))
+      .collect()
+    perShard.foreach { r =>
+      // columns: shard, n, mx, mn, nd — contiguous 1..n means
+      // min=1, max=n, all distinct
+      assert(r.getLong(4) == r.getLong(1) && r.getInt(3) == 1 &&
+        r.getInt(2).toLong == r.getLong(1), s"shard ${r.getInt(0)} not contiguous")
+    }
+    // reproducible: identical assignment on a rerun over repartitioned input
+    val again = CorpusPrep.trainingOrder(docs.repartition(7), shards = 4)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    // and it is a real shuffle: doc_id order and hash order disagree
+    val sorted = out.filter(col("shard") === 0).orderBy("pos")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(!sorted.sameElements(sorted.sorted), "order must not be doc_id order")
+    out.unpersist()
+  }
+
   test("segment dedup removes repeated boilerplate but keeps its first occurrence") {
     import spark.implicits._
     val boiler = (1 to 10).map(i => s"nav$i").mkString(" ") // one exact segment
