@@ -374,9 +374,12 @@ object ScaleStress {
       val expected = rep.groupBy("base_id").count()
         .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")))
         .head().getLong(0)
-      // winnowPairs is LAZY (no internal checkpoint) — time the action,
-      // not the plan construction
-      val pairs = Dedup.winnowPairs(rep.select("doc_id", "text"), minShared = 1)
+      // materialize=false keeps the pipeline lazy so time(count) measures
+      // the full winnow+join work — the default eagerly checkpoints inside
+      // the winnowPairs CALL, which would leave the timer a near-constant
+      // scan of the materialized pair table
+      val pairs = Dedup.winnowPairs(rep.select("doc_id", "text"), minShared = 1,
+          materialize = false)
         .cache()
       val (found, secs) = time(pairs.count())
       val planted = pairs

@@ -178,23 +178,6 @@ object CorpusPrep {
     * the filter is scan-side, so dropped documents never reach a shuffle.
     * Sources absent from `ratesPct` are dropped (explicit mixture
     * contract). */
-  /** The shared deterministic doc_id mixing hash behind [[domainMix]] and
-    * [[stratifiedSample]] (ONE definition — the q74/q85 oracles replicate
-    * this arithmetic verbatim, so the two gates must stay provably
-    * identical). Pre-modulus before the Knuth multiply: doc_id * 2654435761
-    * overflows int64 (ANSI-mode ArithmeticException) past doc_id ≈ 3.47e9 —
-    * i.e. at exactly the corpus sizes this is for. (id mod 1000003) * K
-    * tops out at 2.7e15 and stays engine-portable (DuckDB has no xxhash64).
-    * The reduction to `mod` goes THROUGH the large prime 999999937:
-    * reducing (x·K) mod 100 directly collapses to a permutation of
-    * x mod 100 (gcd structure — K mod 100 = 61), which re-correlates the
-    * gate with any id-striped source assignment; the intermediate prime
-    * modulus decorrelates the residue first. The selection pattern repeats
-    * every ~1M ids, irrelevant for sampling. */
-  private def mixedHash(mod: Long): Column = pmod(
-    pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(999999937L)),
-    lit(mod))
-
   def domainMix(docs: DataFrame, ratesPct: Map[String, Int]): DataFrame = {
     require(ratesPct.values.forall(r => r >= 0 && r <= 100), s"bad rates: $ratesPct")
     val spark = docs.sparkSession
@@ -205,6 +188,23 @@ object CorpusPrep {
       .filter(mixedHash(100L) < col("rate_pct"))
       .drop("rate_pct")
   }
+
+  /** The shared deterministic doc_id mixing hash behind [[domainMix]],
+    * [[stratifiedSample]] and [[trainingOrder]] (ONE definition — the
+    * q74/q85/q89 oracles replicate this arithmetic verbatim, so the gates
+    * must stay provably identical). Pre-modulus before the Knuth multiply:
+    * doc_id * 2654435761 overflows int64 (ANSI-mode ArithmeticException)
+    * past doc_id ≈ 3.47e9 — i.e. at exactly the corpus sizes this is for.
+    * (id mod 1000003) * K tops out at 2.7e15 and stays engine-portable
+    * (DuckDB has no xxhash64). The reduction to `mod` goes THROUGH the
+    * large prime 999999937: reducing (x·K) mod 100 directly collapses to a
+    * permutation of x mod 100 (gcd structure — K mod 100 = 61), which
+    * re-correlates the gate with any id-striped source assignment; the
+    * intermediate prime modulus decorrelates the residue first. The
+    * selection pattern repeats every ~1M ids, irrelevant for sampling. */
+  private def mixedHash(mod: Long): Column = pmod(
+    pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(999999937L)),
+    lit(mod))
 
   /** Stratified EXACT-size sample: exactly `n` documents per group (fewer
     * only when the group is smaller), chosen by deterministic hash order —

@@ -283,7 +283,10 @@ object Dedup {
     val hot = wn.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
       .select("h")
-    val sel = wn.join(broadcast(hot), Seq("h"), "left_anti")
+    // no broadcast hint (round policy for data-dependent sides): the hot
+    // set is usually tiny, but on a heavily-templated corpus it is not
+    // bounded by construction — AQE sizes the post-aggregate side
+    val sel = wn.join(hot, Seq("h"), "left_anti")
     val out0 = sel.as("a")
       .join(sel.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -326,8 +329,10 @@ object Dedup {
     val hot = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
       .select("shingle")
-    // the hot set is tiny by construction (few shingles can exceed the cap)
-    val sh = shAll.join(broadcast(hot), Seq("shingle"), "left_anti")
+    // the hot set is usually tiny (few shingles can exceed the cap) but not
+    // bounded by construction — no broadcast hint, AQE sizes it (round
+    // policy for data-dependent sides)
+    val sh = shAll.join(hot, Seq("shingle"), "left_anti")
     val sizes = shAll.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"),

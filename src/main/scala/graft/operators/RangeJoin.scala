@@ -53,7 +53,10 @@ object RangeJoin {
       hiBin: org.apache.spark.sql.Column,
       maxSpan: Double, binWidth: Double): org.apache.spark.sql.Column = {
     val bound = math.ceil(maxSpan / binWidth).toLong + 2
-    when(hiBin - loBin + 1 <= bound, hiBin)
+    // NULL bounds pass through (hiBin null ⇒ sequence null ⇒ explode drops
+    // the row — the object's documented NULL semantics); without the guard
+    // the NULL comparison would fall through to the error branch
+    when(loBin.isNull || hiBin.isNull || hiBin - loBin + 1 <= bound, hiBin)
       .otherwise(raise_error(format_string(
         s"interval spans %s bins, violating the declared maxSpan=$maxSpan " +
           s"(binWidth=$binWidth allows at most $bound bins); widen maxSpan " +

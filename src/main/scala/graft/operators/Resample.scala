@@ -42,7 +42,12 @@ object Resample {
       idCol: String,
       stepSeconds: Long): DataFrame = {
     require(stepSeconds > 0, s"bad step: $stepSeconds")
+    // NULL-timestamp rows drop (SQL semantics; RangeJoin's convention) —
+    // left in, Spark's NULLS-FIRST window order would leak their value
+    // into pre-first-observation grid slots, and engines disagree on NULL
+    // ordering, so the behavior would not even be portable
     val obs = events
+      .filter(col(tsCol).isNotNull)
       .groupBy(col(keyCol), col(tsCol))
       .agg(max_by(col(valCol), col(idCol)).as(valCol))
     val bounds = obs.groupBy(col(keyCol)).agg(

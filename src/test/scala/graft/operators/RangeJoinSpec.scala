@@ -90,9 +90,13 @@ class RangeJoinSpec extends SparkSpec {
         maxSpanA = 2.0, maxSpanB = 2.0)
     val err2 = intercept[Exception](overlapLying.count())
     assert(chainMessages(err2).contains("maxSpan"))
-    // a truthful hint is invisible: identical rows to the naive join
+    // a truthful hint is invisible: identical rows to the naive join, and
+    // NULL-bounds rows still drop silently (the object's NULL semantics)
+    // instead of tripping the contract guard
+    val withNull = i.filter(col("iid") =!= 2L).unionByName(
+      Seq((9L, Option.empty[Double], Option(5.0))).toDF("iid", "lo", "hi"))
     val honest = RangeJoin.pointInInterval(p, "v",
-        i.filter(col("iid") =!= 2L), "lo", "hi", 4.0,
+        withNull, "lo", "hi", 4.0,
         wideBinThreshold = 16, maxSpan = 2.0)
     val naive = p.join(i.filter(col("iid") =!= 2L),
       col("v") >= col("lo") && col("v") < col("hi"))

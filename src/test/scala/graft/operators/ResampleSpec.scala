@@ -31,6 +31,19 @@ class ResampleSpec extends SparkSpec {
       Seq(60L -> Some(9.0)))
   }
 
+  test("forward fill: NULL-timestamp rows drop instead of polluting the grid") {
+    val events = mk(Seq(("a", 120L, 1.0, 1L)))
+      .unionByName(Seq(("a", 5.0, 9L)).toDF("k", "v", "id")
+        .selectExpr("k", "CAST(NULL AS TIMESTAMP) AS ts", "v", "id")
+        .select("k", "ts", "v", "id"))
+    val out = Resample.forwardFill(events, "k", "ts", "v", "id", stepSeconds = 60L)
+      .select(unix_timestamp(col("ts")).as("sec"), col("v"))
+      .orderBy("sec").collect().map(r => r.getLong(0) -> Option(r.get(1)))
+    // Spark sorts NULL ts first — unfiltered, the 5.0 would fill slot 120
+    // before the real observation; it must not
+    assert(out.toSeq == Seq(120L -> Some(1.0)))
+  }
+
   test("forward fill: duplicate observations at one instant resolve by max id") {
     val events = mk(Seq(
       ("a", 120L, 5.0, 10L), ("a", 120L, 7.0, 11L), ("a", 200L, 1.0, 12L)))
