@@ -203,7 +203,42 @@ object StreamingQueries {
     q67OuterBatch(s, dir).orderBy("view_id", "click_id")
   }
 
-  val all: Seq[Q] = Seq(q23, q24, q25, q50, q59, q67, q81)
+  // ---------------------------------------------------------------- Q91
+  // The FULL outer rendering — both join-mode extremes of the watermarked
+  // stream-stream join in the oracle contract (q67 inner, q81 left, q91
+  // full): unmatched views AND unmatched clicks null-extend on state
+  // eviction. Both sort keys are nullable here, and the engines disagree
+  // on default null placement (Spark NULLS FIRST asc, DuckDB NULLS LAST) —
+  // the oracle pins NULLS FIRST explicitly to match Spark's asc default.
+  val q91 = Q(
+    "q91_stream_stream_full",
+    """WITH v AS (SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS view_ts
+      |           FROM events WHERE event_type = 'view'),
+      |c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+      |      FROM events WHERE event_type = 'click')
+      |SELECT v.user_id AS view_user_id, c.user_id AS click_user_id,
+      |       view_id, click_id, view_ts, click_ts
+      |FROM v FULL JOIN c ON v.user_id = c.user_id
+      |                  AND click_ts >= view_ts
+      |                  AND click_ts < view_ts + INTERVAL '6 hours'
+      |ORDER BY view_id NULLS FIRST, click_id NULLS FIRST""".stripMargin) { (s, dir) =>
+    val events = Tables(s, dir, "events")
+    viewSide(events).join(
+        clickSide(events),
+        col("user_id") === col("c_user_id") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") < col("view_ts") + expr("INTERVAL 6 HOURS"),
+        "full_outer")
+      .select(
+        col("user_id").as("view_user_id"),
+        col("c_user_id").as("click_user_id"),
+        col("view_id"), col("click_id"),
+        col("view_ts").cast("timestamp_ntz").as("view_ts"),
+        col("click_ts").cast("timestamp_ntz").as("click_ts"))
+      .orderBy(col("view_id").asc_nulls_first, col("click_id").asc_nulls_first)
+  }
+
+  val all: Seq[Q] = Seq(q23, q24, q25, q50, q59, q67, q81, q91)
 
   // ------------------------------------------------------------------------
   // Streaming runners (exercised by StreamingParitySpec; Trigger.AvailableNow
@@ -343,6 +378,36 @@ object StreamingQueries {
   def q67OuterBatch(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables(spark, dir, "events")
     viewClickJoin(viewSide(events), clickSide(events), "left_outer")
+  }
+
+  /** q91 as a genuine watermarked FULL outer stream-stream join: unmatched
+    * rows on EITHER side null-extend when their state evicts — a view once
+    * the click watermark passes view_ts + 6h (as in the left-outer), a
+    * click once the VIEW watermark passes click_ts (no future view can
+    * satisfy view_ts ≤ click_ts after that). On a bounded AvailableNow run
+    * both certainty horizons stop short of the stream end, so the
+    * late-event-time tail is legitimately withheld — the parity spec
+    * asserts the matched ≡ inner equivalence and the subset/completeness
+    * split per side. */
+  def q91FullStreaming(spark: SparkSession, dir: String, checkpoint: String): DataFrame = {
+    val views = viewSide(eventsStream(spark, dir))
+      .withWatermark("view_ts", "10 minutes")
+    val clicks = clickSide(eventsStream(spark, dir))
+      .withWatermark("click_ts", "10 minutes")
+    val joined = views.join(
+        clicks,
+        col("user_id") === col("c_user_id") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") < col("view_ts") + expr("INTERVAL 6 HOURS"),
+        "full_outer")
+      .select(
+        col("user_id").as("view_user_id"),
+        col("c_user_id").as("click_user_id"),
+        col("view_id"), col("click_id"),
+        col("view_ts").cast("timestamp_ntz").as("view_ts"),
+        col("click_ts").cast("timestamp_ntz").as("click_ts"))
+    runToTable(joined, "q91_full_stream", checkpoint, "append")
+    spark.table("q91_full_stream")
   }
 
   /** Session windows per user (B41; spec-tested, not oracle-checked — DuckDB

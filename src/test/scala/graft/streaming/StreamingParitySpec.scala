@@ -77,6 +77,45 @@ class StreamingParitySpec extends SparkSpec {
     outer.unpersist(); batchNulls.unpersist()
   }
 
+  test("q91 full-outer stream: matched equals inner; both eviction sides behave") {
+    import org.apache.spark.sql.functions._
+    val full = StreamingQueries.q91FullStreaming(spark, sf0001, ckpt()).cache()
+    // matched rows ≡ the batch inner join
+    val matched = full
+      .filter(col("view_id").isNotNull && col("click_id").isNotNull)
+      .select("view_id", "click_id")
+    val batchInner = StreamingQueries.q67.run(spark, sf0001)
+      .select("view_id", "click_id")
+    assert(matched.exceptAll(batchInner).count() == 0)
+    assert(batchInner.exceptAll(matched).count() == 0)
+    // the batch full outer is the reference for both null-extension sides
+    val batchFull = StreamingQueries.q91.run(spark, sf0001).cache()
+    val viewNullsBatch = batchFull.filter(col("click_id").isNull).select("view_id")
+    val clickNullsBatch = batchFull.filter(col("view_id").isNull).select("click_id")
+    val viewNullsStream = full.filter(col("click_id").isNull).select("view_id")
+    val clickNullsStream = full.filter(col("view_id").isNull).select("click_id")
+    // stream null-extensions ⊆ batch null rows, per side
+    assert(viewNullsStream.exceptAll(viewNullsBatch).count() == 0)
+    assert(clickNullsStream.exceptAll(clickNullsBatch).count() == 0)
+    // completeness past the conservative certainty horizon (q67-outer's
+    // construction): rows this old are certainly evicted and null-extended
+    val events = graft.Tables(spark, sf0001, "events")
+    val sideMax = (t: String) => events.filter(col("event_type") === t)
+      .agg(max("ts")).head().getTimestamp(0).toInstant
+    val wmBase = Seq(sideMax("view"), sideMax("click")).min
+    val horizon = wmBase.minusSeconds(6 * 3600 + 600 + 60)
+    val hlit = lit(java.sql.Timestamp.from(horizon)).cast("timestamp_ntz")
+    val dueViews = batchFull
+      .filter(col("click_id").isNull && col("view_ts") < hlit).select("view_id")
+    val dueClicks = batchFull
+      .filter(col("view_id").isNull && col("click_ts") < hlit).select("click_id")
+    assert(dueViews.count() > 0 && dueClicks.count() > 0,
+      "fixture must contain evictable rows on both sides")
+    assert(dueViews.exceptAll(viewNullsStream).count() == 0)
+    assert(dueClicks.exceptAll(clickNullsStream).count() == 0)
+    full.unpersist(); batchFull.unpersist()
+  }
+
   test("q50 session-window stream equals batch") {
     val batch = StreamingQueries.q50.run(spark, sf0001).collect().toSeq
     val stream = StreamingQueries.q50Streaming(spark, sf0001, ckpt()).collect().toSeq
