@@ -527,7 +527,42 @@ object ExtendedQueries {
       .orderBy("col_name")
   }
 
+  // ---------------------------------------------------------------- q92
+  // Numeric column profiler (sources.Profile.numericProfile): decimal
+  // min/max + EXACT decimal sums (decimal division rounds by engine-
+  // specific rules, so the sum ships instead of a mean) + decimal-cast
+  // stddev, one pass + stack like q90.
+  val q92 = Q(
+    "q92_profile_numeric",
+    """SELECT 'l_quantity' AS col_name,
+      |       count(CASE WHEN l_quantity IS NULL THEN 1 END) AS n_nulls,
+      |       CAST(min(l_quantity) AS DECIMAL(18,4)) AS min_d,
+      |       CAST(max(l_quantity) AS DECIMAL(18,4)) AS max_d,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_d,
+      |       CAST(stddev_samp(l_quantity) AS DECIMAL(18,4)) AS std_d
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_extendedprice', count(CASE WHEN l_extendedprice IS NULL THEN 1 END),
+      |       CAST(min(l_extendedprice) AS DECIMAL(18,4)),
+      |       CAST(max(l_extendedprice) AS DECIMAL(18,4)),
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)),
+      |       CAST(stddev_samp(l_extendedprice) AS DECIMAL(18,4))
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_discount', count(CASE WHEN l_discount IS NULL THEN 1 END),
+      |       CAST(min(l_discount) AS DECIMAL(18,4)),
+      |       CAST(max(l_discount) AS DECIMAL(18,4)),
+      |       CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)),
+      |       CAST(stddev_samp(l_discount) AS DECIMAL(18,4))
+      |FROM lineitem
+      |ORDER BY col_name""".stripMargin) { (s, dir) =>
+    graft.sources.Profile.numericProfile(
+        Tables(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      .orderBy("col_name")
+  }
+
   val all: Seq[Q] =
     Seq(q36, q37, q38, q39, q40, q41, q45, q46, q48, q49, q51, q53, q55,
-      q56, q57, q58, q68, q75, q88, q90)
+      q56, q57, q58, q68, q75, q88, q90, q92)
 }

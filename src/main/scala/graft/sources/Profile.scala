@@ -39,4 +39,33 @@ object Profile {
     one.select(expr(
       s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_s, max_s)"))
   }
+
+  /** The numeric companion of [[profile]]: per-column null count, decimal
+    * min/max, EXACT decimal sum, and stddev — same one-pass + stack shape.
+    * Everything except stddev routes through DECIMAL(18,4) (the repo's
+    * money-rounding convention): decimal min/max/sum are value-exact across
+    * engines where double formatting and summation order are not. The sum
+    * is emitted instead of an average on purpose — decimal sums are exact
+    * in both engines while decimal division rounds by engine-specific
+    * rules; callers derive mean = sum / (rows − nulls) at whatever
+    * precision they need. stddev is inherently a double fold; the decimal
+    * cast collapses cross-engine last-ulp noise. */
+  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "numericProfile needs at least one column")
+    val d = "decimal(18,4)"
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(when(col(c).isNull, lit(1))).as(s"__nn_$c"),
+        min(col(c)).cast(d).as(s"__mn_$c"),
+        max(col(c)).cast(d).as(s"__mx_$c"),
+        sum(col(c).cast(d)).cast("decimal(38,4)").as(s"__sm_$c"),
+        stddev_samp(col(c)).cast(d).as(s"__sd_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', `__nn_$c`, `__mn_$c`, `__mx_$c`, `__sm_$c`, `__sd_$c`"
+    }.mkString(", ")
+    one.select(expr(
+      s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, min_d, max_d, sum_d, std_d)"))
+  }
 }

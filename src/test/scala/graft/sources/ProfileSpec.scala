@@ -16,6 +16,23 @@ class ProfileSpec extends SparkSpec {
       ("x", 1L, 2L, "1", "2")))
   }
 
+  test("numeric profile: decimal extremes, exact sums, stddev") {
+    val df = Seq(
+      (Some(2.0), 10.0), (Some(4.0), 10.0), (None, 10.0), (Some(6.0), 10.0))
+      .toDF("x", "c")
+    val out = Profile.numericProfile(df, Seq("x", "c")).orderBy("col_name")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2), r.getDecimal(3), r.getDecimal(4), r.getDecimal(5)))
+    val (cRow, xRow) = (out(0), out(1))
+    assert(xRow._1 == "x" && xRow._2 == 1L)
+    assert(xRow._3.doubleValue == 2.0 && xRow._4.doubleValue == 6.0)
+    assert(xRow._5.doubleValue == 12.0)       // exact decimal sum, nulls skipped
+    assert(xRow._6.doubleValue == 2.0)        // stddev_samp of {2,4,6}
+    assert(cRow._1 == "c" && cRow._2 == 0L && cRow._5.doubleValue == 40.0)
+    assert(cRow._6.doubleValue == 0.0)        // constant column
+  }
+
   test("profile: the approximate variant keeps the schema and nears the counts") {
     val df = spark.range(1000).selectExpr("id", "id % 7 AS m")
     val exact = Profile.profile(df, Seq("id", "m")).orderBy("col_name").collect()
