@@ -528,32 +528,36 @@ object ExtendedQueries {
   }
 
   // ---------------------------------------------------------------- q92
-  // Numeric column profiler (sources.Profile.numericProfile): decimal
-  // min/max + EXACT decimal sums (decimal division rounds by engine-
-  // specific rules, so the sum ships instead of a mean) + decimal-cast
-  // stddev, one pass + stack like q90.
+  // Numeric column profiler (sources.Profile.numericProfile): counts,
+  // decimal min/max, and EXACT decimal moments Σx / Σx² — every column
+  // value-exact cross-engine, no double folds (the round-4 driver red row
+  // was a hashed stddev sitting 7e-11-relative from its 4-dp rounding
+  // boundary). Callers derive mean/stddev from the moments in one engine.
   val q92 = Q(
     "q92_profile_numeric",
     """SELECT 'l_quantity' AS col_name,
+      |       count(l_quantity) AS n_vals,
       |       count(CASE WHEN l_quantity IS NULL THEN 1 END) AS n_nulls,
       |       CAST(min(l_quantity) AS DECIMAL(18,4)) AS min_d,
       |       CAST(max(l_quantity) AS DECIMAL(18,4)) AS max_d,
       |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_d,
-      |       CAST(stddev_samp(l_quantity) AS DECIMAL(18,4)) AS std_d
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS sumsq_d
       |FROM lineitem
       |UNION ALL
-      |SELECT 'l_extendedprice', count(CASE WHEN l_extendedprice IS NULL THEN 1 END),
+      |SELECT 'l_extendedprice', count(l_extendedprice),
+      |       count(CASE WHEN l_extendedprice IS NULL THEN 1 END),
       |       CAST(min(l_extendedprice) AS DECIMAL(18,4)),
       |       CAST(max(l_extendedprice) AS DECIMAL(18,4)),
       |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)),
-      |       CAST(stddev_samp(l_extendedprice) AS DECIMAL(18,4))
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DECIMAL(38,8))
       |FROM lineitem
       |UNION ALL
-      |SELECT 'l_discount', count(CASE WHEN l_discount IS NULL THEN 1 END),
+      |SELECT 'l_discount', count(l_discount),
+      |       count(CASE WHEN l_discount IS NULL THEN 1 END),
       |       CAST(min(l_discount) AS DECIMAL(18,4)),
       |       CAST(max(l_discount) AS DECIMAL(18,4)),
       |       CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)),
-      |       CAST(stddev_samp(l_discount) AS DECIMAL(18,4))
+      |       CAST(sum(CAST(l_discount AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS DECIMAL(38,8))
       |FROM lineitem
       |ORDER BY col_name""".stripMargin) { (s, dir) =>
     graft.sources.Profile.numericProfile(

@@ -22,8 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Column names are spliced into `stack(...)` SQL text; a quote, backtick
+    * or newline would change the query rather than the data. Reject early. */
+  private[sources] def validateNames(cols: Seq[String]): Unit = cols.foreach { c =>
+    require(c.nonEmpty && !c.exists(ch => ch == '\'' || ch == '`' || ch == '\n' || ch == '\r'),
+      s"profile column name must be non-empty and free of quotes/backticks/newlines: '$c'")
+  }
+
   def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    validateNames(cols)
     val aggs = cols.flatMap { c =>
       Seq(
         count(when(col(c).isNull, lit(1))).as(s"__nn_$c"),
@@ -40,32 +48,42 @@ object Profile {
       s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_s, max_s)"))
   }
 
-  /** The numeric companion of [[profile]]: per-column null count, decimal
-    * min/max, EXACT decimal sum, and stddev — same one-pass + stack shape.
-    * Everything except stddev routes through DECIMAL(18,4) (the repo's
-    * money-rounding convention): decimal min/max/sum are value-exact across
-    * engines where double formatting and summation order are not. The sum
-    * is emitted instead of an average on purpose — decimal sums are exact
-    * in both engines while decimal division rounds by engine-specific
-    * rules; callers derive mean = sum / (rows − nulls) at whatever
-    * precision they need. stddev is inherently a double fold; the decimal
-    * cast collapses cross-engine last-ulp noise. */
+  /** The numeric companion of [[profile]]: per-column value count, null
+    * count, decimal min/max, and the EXACT decimal moments Σx and Σx² —
+    * same one-pass + stack shape.
+    *
+    * Every emitted statistic is VALUE-EXACT across engines, thread counts
+    * and partial-aggregation merge orders: counts are integers, min/max are
+    * order-free, and the sums fold DECIMAL(18,4) values (squares carry the
+    * full scale-8 product, so no intermediate rounding). Derived statistics
+    * are deliberately NOT emitted — a mean divides by an engine-specific
+    * decimal-division rule, and a standard deviation is an order-dependent
+    * double fold whose last-ulp noise can flip a rounding boundary (the
+    * round-4 q92 incident: stddev_samp(l_extendedprice) sat 7e-11 relative
+    * from its 4-dp boundary and hashed differently on the driver's
+    * machine). Callers derive mean = sum_d / n_vals and
+    * stddev² = (sumsq_d − sum_d²/n_vals) / (n_vals − 1) at whatever
+    * precision they need, in ONE engine, where cross-engine determinism no
+    * longer matters.
+    */
   def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "numericProfile needs at least one column")
+    validateNames(cols)
     val d = "decimal(18,4)"
     val aggs = cols.flatMap { c =>
       Seq(
+        count(col(c)).as(s"__nv_$c"),
         count(when(col(c).isNull, lit(1))).as(s"__nn_$c"),
         min(col(c)).cast(d).as(s"__mn_$c"),
         max(col(c)).cast(d).as(s"__mx_$c"),
         sum(col(c).cast(d)).cast("decimal(38,4)").as(s"__sm_$c"),
-        stddev_samp(col(c)).cast(d).as(s"__sd_$c"))
+        sum(col(c).cast(d) * col(c).cast(d)).cast("decimal(38,8)").as(s"__sq_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.map { c =>
-      s"'$c', `__nn_$c`, `__mn_$c`, `__mx_$c`, `__sm_$c`, `__sd_$c`"
+      s"'$c', `__nv_$c`, `__nn_$c`, `__mn_$c`, `__mx_$c`, `__sm_$c`, `__sq_$c`"
     }.mkString(", ")
     one.select(expr(
-      s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, min_d, max_d, sum_d, std_d)"))
+      s"stack(${cols.size}, $stackArgs) AS (col_name, n_vals, n_nulls, min_d, max_d, sum_d, sumsq_d)"))
   }
 }

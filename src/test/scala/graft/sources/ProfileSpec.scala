@@ -16,21 +16,31 @@ class ProfileSpec extends SparkSpec {
       ("x", 1L, 2L, "1", "2")))
   }
 
-  test("numeric profile: decimal extremes, exact sums, stddev") {
+  test("numeric profile: decimal extremes and exact moments") {
     val df = Seq(
       (Some(2.0), 10.0), (Some(4.0), 10.0), (None, 10.0), (Some(6.0), 10.0))
       .toDF("x", "c")
     val out = Profile.numericProfile(df, Seq("x", "c")).orderBy("col_name")
       .collect()
-      .map(r => (r.getString(0), r.getLong(1),
-        r.getDecimal(2), r.getDecimal(3), r.getDecimal(4), r.getDecimal(5)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3), r.getDecimal(4), r.getDecimal(5), r.getDecimal(6)))
     val (cRow, xRow) = (out(0), out(1))
-    assert(xRow._1 == "x" && xRow._2 == 1L)
-    assert(xRow._3.doubleValue == 2.0 && xRow._4.doubleValue == 6.0)
-    assert(xRow._5.doubleValue == 12.0)       // exact decimal sum, nulls skipped
-    assert(xRow._6.doubleValue == 2.0)        // stddev_samp of {2,4,6}
-    assert(cRow._1 == "c" && cRow._2 == 0L && cRow._5.doubleValue == 40.0)
-    assert(cRow._6.doubleValue == 0.0)        // constant column
+    assert(xRow._1 == "x" && xRow._2 == 3L && xRow._3 == 1L)
+    assert(xRow._4.doubleValue == 2.0 && xRow._5.doubleValue == 6.0)
+    assert(xRow._6.doubleValue == 12.0)       // exact decimal sum, nulls skipped
+    assert(xRow._7.doubleValue == 56.0)       // Σx² of {2,4,6}
+    assert(cRow._1 == "c" && cRow._2 == 4L && cRow._3 == 0L)
+    assert(cRow._6.doubleValue == 40.0 && cRow._7.doubleValue == 400.0)
+    // derived stats are exact from the moments: stddev²(x) = (56 − 144/3)/2 = 4
+    val variance = (xRow._7.doubleValue - math.pow(xRow._6.doubleValue, 2) / xRow._2) / (xRow._2 - 1)
+    assert(variance == 4.0)
+  }
+
+  test("profile: injection-shaped column names are rejected") {
+    val df = Seq((1, 2)).toDF("a", "b")
+    intercept[IllegalArgumentException](Profile.profile(df, Seq("a', 1, 1, '', '')--")))
+    intercept[IllegalArgumentException](Profile.numericProfile(df, Seq("a`b")))
+    intercept[IllegalArgumentException](Profile.profile(df, Seq("a\nb")))
   }
 
   test("profile: the approximate variant keeps the schema and nears the counts") {
