@@ -321,7 +321,7 @@ object ScaleStress {
     * sliver-sized sets — the difference that compounds at the 1e9-row
     * histories the operator targets. Outputs asserted identical. */
   def bloomDedup(spark: SparkSession): Unit = {
-    import graft.llm.Dedup
+    import graft.llm.{Dedup, DedupIndex}
     println("== incremental dedup: Bloom screen + streamed confirm vs naive anti-join ==")
     for (n <- Seq(2000000L, 8000000L)) {
       val history = spark.range(n).select(col("id").as("doc_id"),
@@ -350,8 +350,24 @@ object ScaleStress {
           .count()
       }
       assert(nBloom == nNaive, s"dedup shapes diverge: $nBloom vs $nNaive")
+      // the production regime: screen against the persisted 32 B/doc digest
+      // index instead of rescanning (and re-sha256ing) the corpus. Build is
+      // the one-time cost paid at ingest; per-batch cost is the number to
+      // compare against the two rescan shapes above. The local fixture
+      // UNDERSTATES the win: bodies here are ~30 B so index bytes ≈ corpus
+      // bytes — at real KB-to-MB documents the history pass shrinks by the
+      // body/32 ratio on top of skipping the sha256 recompute.
+      val idxPath = java.nio.file.Files
+        .createTempDirectory("graft_stress_idx").resolve("idx").toString
+      val (_, buildS) = time { DedupIndex.build(history, idxPath) }
+      val (nIdx, idxS) = time {
+        DedupIndex.incrementalNewDocs(batch, idxPath, expectedHistoryRows = n)
+          .count()
+      }
+      assert(nIdx == nNaive, s"index path diverges: $nIdx vs $nNaive")
       println(f"history=$n%8d batch=100000 new=$nBloom%6d " +
-        f"bloom+stream=$bloomS%6.1f s naive-shuffle=$naiveS%6.1f s")
+        f"bloom+stream=$bloomS%6.1f s naive-shuffle=$naiveS%6.1f s " +
+        f"indexed=$idxS%6.1f s (one-time build=$buildS%6.1f s)")
       history.unpersist(); batch.unpersist()
     }
   }

@@ -40,6 +40,14 @@ case class GraftBloomAgg(
 
   require(estimatedItems > 0, s"estimatedItems must be positive: $estimatedItems")
   require(numBits > 0, s"numBits must be positive: $numBits")
+  // Every partial-aggregation task allocates numBits/8 bytes and serialize()
+  // copies it again per shuffle/eval, so a caller overstating its history
+  // by an order of magnitude turns into cores × gigabytes of live buffers —
+  // fail the query at plan time instead of OOMing executors. 2^36 bits
+  // (8 GB) covers a 5e9-row history at fpp 0.01 with headroom.
+  require(numBits <= GraftBloomAgg.MaxBits,
+    s"numBits $numBits exceeds the ${GraftBloomAgg.MaxBits} (8 GB/task) " +
+      "ceiling; check expectedHistoryRows against the real history size")
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
@@ -84,4 +92,11 @@ case class GraftBloomAgg(
 
   override protected def withNewChildInternal(newChild: Expression): GraftBloomAgg =
     copy(child = newChild)
+}
+
+object GraftBloomAgg {
+  /** Per-task buffer ceiling: 2^36 bits = 8 GB — a 5e9-row history at
+    * fpp 0.01 needs ~6 GB, anything beyond that is almost certainly a
+    * mis-stated `expectedHistoryRows`. */
+  val MaxBits: Long = 1L << 36
 }

@@ -61,12 +61,43 @@ object Dedup {
     *
     * Returns the genuinely-new rows of `newDocs`. The filter bits are
     * engine-specific (no DuckDB oracle); the no-false-negative /
-    * FP-bounded / exact-confirm properties live in DedupSpec. */
+    * FP-bounded / exact-confirm properties live in DedupSpec.
+    *
+    * Memory: every partial-aggregation task holds a numBits/8-byte buffer
+    * (≈1.2 GB at the 1e9-row/fpp-0.01 ceiling), so a 32-core executor can
+    * transiently hold cores × buffer during the build — size
+    * `expectedHistoryRows` from reality, not from a safety margin; the
+    * aggregate itself refuses filters beyond
+    * [[graft.functions.GraftBloomAgg.MaxBits]].
+    *
+    * This one-shot path re-reads and re-hashes the ENTIRE history corpus
+    * per batch. A daily-ingest pipeline should maintain a [[DedupIndex]]
+    * instead: the same screen+confirm engine fed by a persisted 32 B/doc
+    * digest index — the history pass drops from corpus bytes to index
+    * bytes. */
   def incrementalNewDocs(
       newDocs: DataFrame,
       history: DataFrame,
       expectedHistoryRows: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
+    val h = sha2(col("text"), 256)
+    incrementalNewDocsByHash(
+      newDocs, history.select(h.as("__hh")), expectedHistoryRows, fpp)
+  }
+
+  /** The hash-relation core of [[incrementalNewDocs]]: the history side is
+    * any relation of content-hash hex strings in column `__hh` — the full
+    * corpus re-hashed scan-side (the one-shot path above) or a persisted
+    * 32 B/doc digest index ([[DedupIndex]] — the production shape, where
+    * the per-batch history pass reads the index bytes instead of re-reading
+    * and re-hashing the document bodies). Both Bloom build and exact
+    * confirm stream THIS relation, so the cost of the history pass is
+    * proportional to what the caller hands in. */
+  private[llm] def incrementalNewDocsByHash(
+      newDocs: DataFrame,
+      historyHashes: DataFrame,
+      expectedHistoryRows: Long,
+      fpp: Double): DataFrame = {
     graft.functions.GraftFunctions.register(newDocs.sparkSession)
     val h = sha2(col("text"), 256)
     // bits sized from the target false-positive rate: m = n·ln(1/p)/ln²2
@@ -75,9 +106,9 @@ object Dedup {
         / (math.log(2) * math.log(2))).toLong)
     // empty history ⇒ an all-zero filter (GraftBloomAgg never returns
     // null), so the screen correctly passes everything through as new
-    val bf = history
+    val bf = historyHashes
       .agg(call_function(graft.functions.GraftFunctions.BloomAggName,
-        xxhash64(h), lit(expectedHistoryRows), lit(numBits)).as("bf"))
+        xxhash64(col("__hh")), lit(expectedHistoryRows), lit(numBits)).as("bf"))
       .scalar()
     val maybeDup = call_function(
       graft.functions.GraftFunctions.MightContainName, bf, xxhash64(h))
@@ -91,7 +122,7 @@ object Dedup {
     // broadcasts them in the designed batch≪history regime and degrades
     // to a shuffled join — instead of a driver OOM — if a caller feeds a
     // corpus-sized "batch".
-    val confirmedDups = history.select(h.as("__hh"))
+    val confirmedDups = historyHashes
       .join(screenedHashes, Seq("__hh"), "left_semi")
       .distinct()
     // a batch doc is new iff its hash is not a CONFIRMED duplicate; the

@@ -856,8 +856,37 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q93
+  // Index-backed incremental dedup (DedupIndex): q78's engine fed by the
+  // persisted 32 B/doc digest index instead of a corpus rescan — build the
+  // index from the history slice once, then screen the batch against it.
+  // Same oracle as q78 (the screen+confirm output is exact either way);
+  // value-identity between the two engine paths is additionally asserted
+  // in DedupIndexSpec. Off-bench: writes the index artifact (q49's
+  // single-writer convention).
+  val q93 = Q.offBench(
+    "q93_incremental_dedup_indexed",
+    """WITH hist AS (SELECT text FROM documents WHERE doc_id % 5 <> 0),
+      |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0)
+      |SELECT doc_id FROM batch
+      |WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.text = batch.text)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val idxPath = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_q93_dedup_index").getAbsolutePath
+    DedupIndex.build(
+      docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L), idxPath)
+    DedupIndex.incrementalNewDocs(
+        newDocs = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L),
+        indexPath = idxPath,
+        expectedHistoryRows = 100000L)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
       q47, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
-      q73, q74, q76, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89)
+      q73, q74, q76, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
+      q93)
 }
