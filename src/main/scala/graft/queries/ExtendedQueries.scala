@@ -566,7 +566,41 @@ object ExtendedQueries {
       .orderBy("col_name")
   }
 
+  // ---------------------------------------------------------------- q94
+  // Embedding/array column profiler (sources.Profile.arrayProfile): null
+  // rate, NaN/Inf element counts, dimension consistency, norm² extremes +
+  // exact decimal total. The norm² per row is a strict left double fold
+  // over the array — bit-identical cross-engine (q26 pins the same thing
+  // for dot products) — so min/max ship raw; only the cross-row sum is
+  // decimal-quantized (the q92 lesson: never hash a cross-row double fold).
+  val q94 = Q(
+    "q94_profile_array",
+    """WITH e AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings),
+      |f AS (SELECT emb, len(emb) AS dim,
+      |        len(list_filter(emb, x -> isnan(x))) AS nan_e,
+      |        len(list_filter(emb, x -> NOT isfinite(x) AND NOT isnan(x))) AS inf_e,
+      |        CASE WHEN len(list_filter(emb, x -> isfinite(x))) = 0 THEN 0.0
+      |             ELSE list_reduce(list_transform(list_filter(emb, x -> isfinite(x)),
+      |                                             x -> x*x), (a,b) -> a+b) END AS normsq
+      |      FROM e)
+      |SELECT 'embedding' AS col_name,
+      |       count(emb) AS n_vals,
+      |       count(CASE WHEN emb IS NULL THEN 1 END) AS n_nulls,
+      |       CAST(coalesce(sum(dim), 0) AS BIGINT) AS n_elems,
+      |       CAST(coalesce(sum(nan_e), 0) AS BIGINT) AS n_nan,
+      |       CAST(coalesce(sum(inf_e), 0) AS BIGINT) AS n_inf,
+      |       count(DISTINCT dim) AS n_dims,
+      |       CAST(min(dim) AS INT) AS min_dim,
+      |       CAST(max(dim) AS INT) AS max_dim,
+      |       min(normsq) AS min_normsq,
+      |       max(normsq) AS max_normsq,
+      |       CAST(sum(CAST(normsq AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_normsq_d
+      |FROM f""".stripMargin) { (s, dir) =>
+    graft.sources.Profile.arrayProfile(
+      Tables(s, dir, "embeddings"), Seq("embedding"))
+  }
+
   val all: Seq[Q] =
     Seq(q36, q37, q38, q39, q40, q41, q45, q46, q48, q49, q51, q53, q55,
-      q56, q57, q58, q68, q75, q88, q90, q92)
+      q56, q57, q58, q68, q75, q88, q90, q92, q94)
 }

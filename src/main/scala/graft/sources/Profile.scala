@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One-pass column profiler — the "look before you build" op every
@@ -66,6 +66,58 @@ object Profile {
     * precision they need, in ONE engine, where cross-engine determinism no
     * longer matters.
     */
+  /** The ARRAY(FLOAT/DOUBLE) companion for embedding pipelines: per column —
+    * null rate, NaN / ±Inf element counts, dimension consistency (distinct /
+    * min / max array length), and L2-norm² extremes and total.
+    *
+    * Determinism design (the q92 lesson applied to vectors): cross-ROW
+    * double folds are partial-merge-order-dependent and must never be
+    * hashed, but a per-ROW left fold over one array is a fixed double
+    * sequence — bit-identical across engines (q26's oracle pins exactly
+    * this for dot products). So norm² is computed per row as a strict left
+    * fold over the finite elements (widened float→double binarily first —
+    * casting float STRAIGHT to decimal would round its shortest-string
+    * form, which differs from the double widening); `min`/`max` over rows
+    * are order-free on those bit-identical doubles and ship RAW (q41's
+    * raw-doubles-pass-through convention), and the one cross-row sum
+    * quantizes each row's norm² to DECIMAL(18,6) first so the fold is an
+    * exact decimal sum. Norm² rather than norm: sqrt of each row would be
+    * fine (deterministic unary), but norm² is what downstream variance /
+    * rescaling math consumes and keeps the quantized sum meaningful.
+    * NaN/Inf elements are COUNTED but excluded from norms (one NaN would
+    * otherwise poison every statistic of its column). */
+  def arrayProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "arrayProfile needs at least one column")
+    validateNames(cols)
+    val aggs = cols.flatMap { c =>
+      val arr = col(c).cast("array<double>")
+      val isInf = (x: Column) => abs(x) === lit(Double.PositiveInfinity)
+      val finite = filter(arr, x => !(isnan(x) || isInf(x)))
+      val normsq = aggregate(finite, lit(0.0), (acc, x) => acc + x * x)
+      Seq(
+        count(col(c)).as(s"__nv_$c"),
+        count(when(col(c).isNull, lit(1))).as(s"__nn_$c"),
+        coalesce(sum(size(arr)), lit(0L)).as(s"__ne_$c"),
+        coalesce(sum(size(filter(arr, x => isnan(x)))), lit(0L)).as(s"__na_$c"),
+        coalesce(sum(size(filter(arr, isInf))), lit(0L)).as(s"__ni_$c"),
+        countDistinct(size(arr)).as(s"__nd_$c"),
+        min(size(arr)).as(s"__mnd_$c"),
+        max(size(arr)).as(s"__mxd_$c"),
+        min(normsq).as(s"__mnn_$c"),
+        max(normsq).as(s"__mxn_$c"),
+        sum(normsq.cast("decimal(18,6)")).cast("decimal(38,6)").as(s"__sq_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', `__nv_$c`, `__nn_$c`, `__ne_$c`, `__na_$c`, `__ni_$c`, " +
+        s"`__nd_$c`, `__mnd_$c`, `__mxd_$c`, `__mnn_$c`, `__mxn_$c`, `__sq_$c`"
+    }.mkString(", ")
+    one.select(expr(
+      s"stack(${cols.size}, $stackArgs) AS (col_name, n_vals, n_nulls, " +
+        "n_elems, n_nan, n_inf, n_dims, min_dim, max_dim, min_normsq, " +
+        "max_normsq, sum_normsq_d)"))
+  }
+
   def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "numericProfile needs at least one column")
     validateNames(cols)

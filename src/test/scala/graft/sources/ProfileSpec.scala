@@ -36,6 +36,27 @@ class ProfileSpec extends SparkSpec {
     assert(variance == 4.0)
   }
 
+  test("array profile: nulls, NaN/Inf elements, ragged dims, norm stats") {
+    val df = Seq(
+      (1L, Some(Seq(3.0f, 4.0f))),                       // normsq 25
+      (2L, Some(Seq(1.0f, 2.0f, 2.0f))),                 // ragged dim, normsq 9
+      (3L, None),                                        // null array
+      (4L, Some(Seq(Float.NaN, 2.0f))),                  // NaN excluded from norm
+      (5L, Some(Seq(Float.PositiveInfinity, 1.0f))),     // Inf excluded
+      (6L, Some(Seq.empty[Float])))                      // empty -> normsq 0
+      .toDF("id", "v")
+    val r = Profile.arrayProfile(df, Seq("v")).collect()(0)
+    assert(r.getString(0) == "v")
+    assert(r.getLong(1) == 5L && r.getLong(2) == 1L)     // n_vals, n_nulls
+    assert(r.getLong(3) == 9L)                           // n_elems
+    assert(r.getLong(4) == 1L && r.getLong(5) == 1L)     // n_nan, n_inf
+    assert(r.getLong(6) == 3L)                           // distinct lengths {0,2,3}
+    assert(r.getInt(7) == 0 && r.getInt(8) == 3)         // min/max dim
+    assert(r.getDouble(9) == 0.0)                        // empty array's normsq
+    assert(r.getDouble(10) == 25.0)
+    assert(r.getDecimal(11).doubleValue == 25.0 + 9.0 + 4.0 + 1.0 + 0.0)
+  }
+
   test("profile: injection-shaped column names are rejected") {
     val df = Seq((1, 2)).toDF("a", "b")
     intercept[IllegalArgumentException](Profile.profile(df, Seq("a', 1, 1, '', '')--")))
