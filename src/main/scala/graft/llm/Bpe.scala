@@ -168,13 +168,28 @@ object Bpe {
       merges: Seq[Merge],
       textCol: String = "text",
       idCol: String = "doc_id",
-      rulesPerStage: Int = 32): DataFrame = {
+      rulesPerStage: Int = 32): DataFrame =
+    assemble(docs, wordDict(docs, merges, textCol, rulesPerStage)
+        .withColumnRenamed("syms", "value"),
+      "string", "tokens", textCol, idCol)
+
+  /** NULL text behaves as empty (tokens(NULL) is NULL, which would slip
+    * past BOTH the explode branch and the empties filter — silent row
+    * loss). */
+  private def toks(textCol: String): Column =
+    TextAnalysis.tokens(coalesce(col(textCol), lit("")))
+
+  /** The vocabulary-sized heart of [[encodeCorpus]]: DISTINCT word →
+    * encoded symbol array, the merge table applied in `rulesPerStage`-sized
+    * stages (see encodeCorpus's scaladoc for why). */
+  private[llm] def wordDict(
+      docs: DataFrame,
+      merges: Seq[Merge],
+      textCol: String,
+      rulesPerStage: Int): DataFrame = {
     require(rulesPerStage > 0, s"bad rulesPerStage: $rulesPerStage")
-    // NULL text behaves as empty (tokens(NULL) is NULL, which would slip
-    // past BOTH the explode branch and the empties filter — silent row loss)
-    val toks = TextAnalysis.tokens(coalesce(col(textCol), lit("")))
     val words = docs
-      .select(explode(toks).as("word"))
+      .select(explode(toks(textCol)).as("word"))
       .filter(col("word") =!= "")
       .distinct()
     var dict = words
@@ -185,20 +200,103 @@ object Bpe {
       }
       dict = dict.select(col("word"), folded.as("syms")).localCheckpoint(true)
     }
+    dict
+  }
+
+  /** Join a (word, value) dictionary back onto the corpus and reassemble
+    * per-document arrays in word order; tokenless documents never reach the
+    * explode, so they are reinstated with an empty encoding via a scan-side
+    * filter + union (no join, no shuffle). */
+  private def assemble(
+      docs: DataFrame,
+      dict: DataFrame,
+      elemType: String,
+      outCol: String,
+      textCol: String,
+      idCol: String): DataFrame = {
     val exploded = docs
-      .select(col(idCol), posexplode(toks).as(Seq("pos", "word")))
+      .select(col(idCol), posexplode(toks(textCol)).as(Seq("pos", "word")))
       .filter(col("word") =!= "")
     val encoded = exploded
       .join(dict, "word")
       .groupBy(idCol)
-      .agg(array_sort(collect_list(struct(col("pos"), col("syms")))).as("ps"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("value")))).as("ps"))
       .select(col(idCol),
-        flatten(transform(col("ps"), p => p.getField("syms"))).as("tokens"))
-    // tokenless documents never reach the explode; reinstate them with an
-    // empty encoding via a scan-side filter + union (no join, no shuffle)
+        flatten(transform(col("ps"), p => p.getField("value"))).as(outCol))
     val empties = docs
-      .filter(size(filter(toks, w => w =!= "")) === 0)
-      .select(col(idCol), array().cast("array<string>").as("tokens"))
+      .filter(size(filter(toks(textCol), w => w =!= "")) === 0)
+      .select(col(idCol), array().cast(s"array<$elemType>").as(outCol))
     encoded.unionByName(empties)
+  }
+
+  /** Deterministic symbol → integer-id vocabulary for a merge table: the
+    * corpus' character alphabet (sorted lexicographically) takes ids
+    * 0..A−1, then each merge's output symbol takes the next id in merge-
+    * priority order (first occurrence wins if two merges concatenate to the
+    * same symbol, e.g. (a,bc) and (ab,c)). Engine-independent by
+    * construction — both halves order on plain string/index sort keys — so
+    * id assignment is reproducible across engines and reruns, the property
+    * a tokenizer's vocab file must have.
+    *
+    * The ranking window is deliberately global (single partition): the
+    * input is alphabet + merge-table sized — thousands of rows for real
+    * tokenizers — bounded by construction like the k-centroid collects in
+    * Ivf. Returns (symbol, token_id: int). */
+  def vocab(
+      docs: DataFrame,
+      merges: Seq[Merge],
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chars = docs
+      .select(explode(toks(textCol)).as("word"))
+      .filter(col("word") =!= "")
+      .select(explode(filter(split(col("word"), ""), s => s =!= "")).as("symbol"))
+      .distinct()
+      .select(col("symbol"), lit(0).as("grp"), col("symbol").as("ord_s"),
+        lit(0).as("ord_i"))
+    val mergeSyms = merges.map(m => m.left + m.right).distinct // keep first
+    val mdf = mergeSyms.zipWithIndex
+      .map { case (s, i) => (s, 1, "", i) }
+      .toDF("symbol", "grp", "ord_s", "ord_i")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("grp", "ord_s", "ord_i")
+    chars.unionByName(mdf)
+      .select(col("symbol"), (row_number().over(w) - 1).cast("int").as("token_id"))
+  }
+
+  /** End-to-end text → integer token ids: [[encodeCorpus]]'s dictionary
+    * mapped through a (symbol, token_id) vocab — the numeric encode
+    * contract a training pipeline consumes (the reference's encode step
+    * likewise emits numeric features, not strings:
+    * `/root/reference/conceptnetwork/concept.py:34-39`).
+    *
+    * The id mapping runs at the VOCABULARY level — the distinct-word
+    * dictionary's symbols explode, join the vocab, and reassemble per word
+    * — so the corpus pays exactly [[encodeCorpus]]'s passes and shuffles;
+    * mapping strings to ids adds only vocab-sized work (the "second
+    * broadcast join, deliberately not fused" the encodeCorpus scaladoc
+    * promised, fused at the dictionary where it is free). Symbols missing
+    * from the vocab (encode-time characters the vocab never saw) map to
+    * `oovId` rather than dropping silently. Output (`idCol`, token_ids:
+    * array<int>); NULL/tokenless docs keep an empty array. */
+  def encodeCorpusIds(
+      docs: DataFrame,
+      merges: Seq[Merge],
+      vocab: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      rulesPerStage: Int = 32,
+      oovId: Int = -1): DataFrame = {
+    val dict = wordDict(docs, merges, textCol, rulesPerStage)
+    val mapped = dict
+      .select(col("word"), posexplode(col("syms")).as(Seq("p", "symbol")))
+      .join(vocab, Seq("symbol"), "left")
+      .groupBy("word")
+      .agg(array_sort(collect_list(struct(col("p"),
+        coalesce(col("token_id"), lit(oovId)).as("tid")))).as("pi"))
+      .select(col("word"),
+        transform(col("pi"), x => x.getField("tid")).as("value"))
+    assemble(docs, mapped, "int", "token_ids", textCol, idCol)
   }
 }

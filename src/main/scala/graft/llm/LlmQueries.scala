@@ -884,9 +884,74 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q95
+  // End-to-end BPE text → integer token ids (Bpe.vocab + encodeCorpusIds):
+  // the numeric encode contract a training pipeline consumes. A FIXED merge
+  // table makes the whole path DuckDB-replicable: the oracle folds each
+  // rule left-to-right via a delimited-string replace chain — symbols are
+  // "||"-separated and a rule rewrites '|l||r|' → '|lr|', so each match
+  // consumes one pipe from each side's double separator and the rewrite
+  // restores them, which reproduces mergeAdjacent's single-pass greedy
+  // semantics INCLUDING back-to-back merges ('||t||h||t||h||' folds to
+  // '||th||th||', where a single-pipe encoding would stall after the first
+  // match). Vocab ids: sorted corpus alphabet then merge outputs in rule
+  // order — both expressible as plain window ranks. Ids serialize to CSV
+  // (arrays can't be hash-compared). Learned-merge encodes stay
+  // property-checked (BpeSpec: encodeCorpusIds ≡ encodeWord + vocab map).
+  private val q95Merges = Seq(
+    Bpe.Merge("t", "h", 0), Bpe.Merge("th", "e", 0), Bpe.Merge("i", "n", 0),
+    Bpe.Merge("a", "n", 0), Bpe.Merge("e", "r", 0), Bpe.Merge("o", "n", 0))
+  val q95 = Q(
+    "q95_bpe_token_ids",
+    {
+      val encChain = q95Merges.foldLeft(
+        "'|' || array_to_string(string_split_regex(word, ''), '||') || '|'") {
+        (acc, m) =>
+          s"replace($acc, '|${m.left}||${m.right}|', '|${m.left}${m.right}|')"
+      }
+      val mergeVals = q95Merges.map(m => m.left + m.right).distinct.zipWithIndex
+        .map { case (s, i) => s"('$s', $i)" }.mkString(", ")
+      s"""WITH w0 AS (SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos
+       |            FROM (SELECT doc_id,
+       |                         string_split_regex(trim(coalesce(text, '')), '\\s+') AS ws
+       |                  FROM documents) d),
+       |w AS (SELECT * FROM w0 WHERE word <> ''),
+       |alpha AS (SELECT DISTINCT unnest(string_split_regex(word, '')) AS symbol FROM w),
+       |acount AS (SELECT count(*) AS a FROM alpha),
+       |vocab AS (SELECT symbol,
+       |                 CAST(row_number() OVER (ORDER BY symbol) - 1 AS INT) AS token_id
+       |          FROM alpha
+       |          UNION ALL
+       |          SELECT m.symbol, CAST(ac.a + m.i AS INT)
+       |          FROM (VALUES $mergeVals) m(symbol, i) CROSS JOIN acount ac),
+       |encl AS (SELECT doc_id, pos,
+       |                list_filter(string_split($encChain, '|'), s -> s <> '') AS sl
+       |         FROM w),
+       |syms AS (SELECT doc_id, pos, unnest(sl) AS symbol,
+       |                generate_subscripts(sl, 1) AS o
+       |         FROM encl),
+       |ids AS (SELECT doc_id,
+       |               array_to_string(list(token_id ORDER BY pos, o), ',') AS ids_csv,
+       |               count(*) AS n
+       |        FROM syms JOIN vocab USING (symbol)
+       |        GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce(i.n, 0) AS INT) AS n_tokens,
+       |       coalesce(i.ids_csv, '') AS ids_csv
+       |FROM documents d LEFT JOIN ids i USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+    }) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val v = Bpe.vocab(docs, q95Merges)
+    Bpe.encodeCorpusIds(docs, q95Merges, v)
+      .select(col("doc_id"),
+        size(col("token_ids")).as("n_tokens"),
+        array_join(col("token_ids"), ",").as("ids_csv"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
       q47, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q74, q76, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
-      q93)
+      q93, q95)
 }

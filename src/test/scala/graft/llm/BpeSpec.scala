@@ -98,6 +98,56 @@ class BpeSpec extends SparkSpec {
     assert(out(3).getSeq[String](1).isEmpty) // NULL text must not vanish
   }
 
+  test("vocab: sorted alphabet ids first, then merge outputs in rule order") {
+    val docs = Seq((1L, "hug pun")).toDF("doc_id", "text")
+    val merges = Seq(Bpe.Merge("u", "g", 2L), Bpe.Merge("h", "ug", 2L))
+    val v = Bpe.vocab(docs, merges).orderBy("token_id").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    // alphabet {g,h,n,p,u} sorted -> 0..4; merges ug, hug -> 5, 6
+    assert(v.toSeq == Seq(("g", 0), ("h", 1), ("n", 2), ("p", 3), ("u", 4),
+      ("ug", 5), ("hug", 6)))
+    // duplicate merge outputs keep the first id
+    val dup = Seq(Bpe.Merge("u", "g", 2L), Bpe.Merge("u", "g", 1L))
+    assert(Bpe.vocab(docs, dup).count() == 6)
+  }
+
+  test("encodeCorpusIds equals encodeWord mapped through the vocab") {
+    val docs = toyCorpus
+    val merges = Bpe.learnMerges(docs, numMerges = 3)
+    val v = Bpe.vocab(docs, merges)
+    val got = Bpe.encodeCorpusIds(docs, merges, v)
+      .select(col("doc_id"), concat_ws(",", col("token_ids")).as("ids"))
+    // reference: per-row encodeWord symbols joined to the same vocab
+    val symToId = v.collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    val toId = udfFreeMap(symToId)
+    val ref = docs.select(
+      col("doc_id"),
+      concat_ws(",", transform(flatten(transform(
+        filter(split(trim(col("text")), "\\s+"), w => w =!= ""),
+        w => Bpe.encodeWord(w, merges))), s => element_at(toId, s))).as("ids"))
+    assert(got.count() == docs.count())
+    assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0)
+  }
+
+  // vocab-sized literal map (test-only reference path; the operator itself
+  // joins, never collects)
+  private def udfFreeMap(m: Map[String, Int]) =
+    map(m.toSeq.sortBy(_._1).flatMap { case (k, i) =>
+      Seq(lit(k), lit(i))
+    }: _*)
+
+  test("encodeCorpusIds: OOV symbols map to oovId, empties survive") {
+    val docs = Seq((1L, "hug zap"), (2L, ""), (3L, null)).toDF("doc_id", "text")
+    val merges = Seq(Bpe.Merge("u", "g", 2L))
+    // vocab built from a corpus that never saw z/a/p
+    val v = Bpe.vocab(Seq((1L, "hug")).toDF("doc_id", "text"), merges)
+    val out = Bpe.encodeCorpusIds(docs, merges, v, oovId = -1)
+      .orderBy("doc_id").collect()
+    // vocab: g=0,h=1,u=2,ug=3; "hug"->[1,3]; "zap"->[-1,-1,-1]
+    assert(out(0).getSeq[Int](1) == Seq(1, 3, -1, -1, -1))
+    assert(out(1).getSeq[Int](1).isEmpty && out(2).getSeq[Int](1).isEmpty)
+  }
+
   test("early-stops when no pair reaches minCount and is deterministic") {
     val tiny = Seq((1L, "ab cd")).toDF("doc_id", "text")
     // every pair occurs once -> below default minCount=2 -> no merges
