@@ -26,13 +26,23 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: ONE shuffle on the key (the window); everything before it
   * is scan-side or keys-sized. The window is per-key-sequential by nature —
-  * a single key spanning years at 1-second steps is the skew to watch
-  * (span/step rows in one task); chunk such keys by calendar period
-  * upstream if they exist. Grid instants BEFORE a key's first observation
-  * keep a null value (nothing to carry forward) — callers wanting a
-  * default apply `coalesce` downstream.
+  * a single key spanning years at 1-second steps serializes span/step rows
+  * into one task. `chunkPeriod` is the mitigation: partition the fill
+  * window by (key, calendar period) instead, and seed each chunk with a
+  * CARRY-IN row — the last observation of all prior chunks, computed on
+  * the keys×chunks-sized per-chunk summary, never the row stream — so the
+  * fill inside a chunk sees exactly what the global window would have
+  * carried across the boundary. Output is IDENTICAL with chunking on or
+  * off (ResampleSpec asserts equality); the longest window task shrinks
+  * from span/step to period/step rows. The carry-in seeding is the
+  * standard gaps-and-islands decomposition of a running `last`.
+  * Grid instants BEFORE a key's first observation keep a null value
+  * (nothing to carry forward) — callers wanting a default apply `coalesce`
+  * downstream.
   */
 object Resample {
+
+  private val ChunkPeriods = Set("YEAR", "QUARTER", "MONTH", "WEEK", "DAY", "HOUR")
 
   def forwardFill(
       events: DataFrame,
@@ -40,8 +50,11 @@ object Resample {
       tsCol: String,
       valCol: String,
       idCol: String,
-      stepSeconds: Long): DataFrame = {
+      stepSeconds: Long,
+      chunkPeriod: Option[String] = None): DataFrame = {
     require(stepSeconds > 0, s"bad step: $stepSeconds")
+    chunkPeriod.foreach(p => require(ChunkPeriods(p.toUpperCase),
+      s"chunkPeriod must be one of $ChunkPeriods, got '$p'"))
     // NULL-timestamp rows drop (SQL semantics; RangeJoin's convention) —
     // left in, Spark's NULLS-FIRST window order would leak their value
     // into pre-first-observation grid slots, and engines disagree on NULL
@@ -61,13 +74,44 @@ object Resample {
           expr(s"INTERVAL $stepSeconds SECONDS"))).as(tsCol))
       .withColumn(valCol, lit(null).cast(events.schema(valCol).dataType))
       .withColumn("__g", lit(1))
-    val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol).asc, col("__g").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    obs.withColumn("__g", lit(0))
-      .unionByName(grid)
-      .withColumn(valCol, last(col(valCol), ignoreNulls = true).over(w))
-      .filter(col("__g") === 1)
-      .drop("__g")
+    val union = obs.withColumn("__g", lit(0)).unionByName(grid)
+
+    chunkPeriod match {
+      case None =>
+        val w = Window.partitionBy(keyCol)
+          .orderBy(col(tsCol).asc, col("__g").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        union
+          .withColumn(valCol, last(col(valCol), ignoreNulls = true).over(w))
+          .filter(col("__g") === 1)
+          .drop("__g")
+
+      case Some(p) =>
+        val og = union.withColumn("__c", date_trunc(p, col(tsCol)))
+        // last observation per (key, chunk) — keys×chunks-sized
+        val lastPerChunk = obs
+          .groupBy(col(keyCol), date_trunc(p, col(tsCol)).as("__c"))
+          .agg(max_by(col(valCol), col(tsCol)).as("__lv"))
+        // every chunk the stream touches (incl. observation-free grid
+        // chunks), each seeded with the last value of any PRIOR chunk
+        val wc = Window.partitionBy(keyCol).orderBy("__c")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carry = og.select(col(keyCol), col("__c")).distinct()
+          .join(lastPerChunk, Seq(keyCol, "__c"), "left")
+          .withColumn("__cv", last(col("__lv"), ignoreNulls = true).over(wc))
+          .filter(col("__cv").isNotNull)
+          // the carry-in row sits at the chunk's start instant with flag −1:
+          // before every marker, and before (so overridden by) any real
+          // observation at the same instant
+          .select(col(keyCol), col("__c").as(tsCol), col("__cv").as(valCol),
+            lit(-1).as("__g"), col("__c"))
+        val w = Window.partitionBy(col(keyCol), col("__c"))
+          .orderBy(col(tsCol).asc, col("__g").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        og.unionByName(carry)
+          .withColumn(valCol, last(col(valCol), ignoreNulls = true).over(w))
+          .filter(col("__g") === 1)
+          .drop("__g", "__c")
+    }
   }
 }

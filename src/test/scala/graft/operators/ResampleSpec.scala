@@ -54,4 +54,44 @@ class ResampleSpec extends SparkSpec {
     // 120 takes the id-11 write (7.0) and carries it to 180
     assert(out.toSeq == Seq(120L -> 7.0, 180L -> 7.0))
   }
+
+  test("forward fill: calendar chunking returns the identical output") {
+    val day = 86400L
+    // long-span keys crossing many day-chunks, with: an observation exactly
+    // on a chunk boundary, observation-free chunks in the middle (carry-in
+    // must hop them), a pre-first-obs null region, duplicate-instant writes,
+    // and a second key whose span misaligns with the first's
+    val events = mk(Seq(
+      ("a", 100L, 1.0, 1L), ("a", 130L, 2.0, 2L),
+      ("a", 2 * day, 3.0, 3L),              // exactly on a day boundary
+      ("a", 2 * day, 4.0, 9L),              // same instant, higher id wins
+      ("a", 5 * day + 7000L, 5.0, 4L),      // chunks 3..4 observation-free
+      ("b", day + 50L, 8.0, 5L), ("b", 3 * day + 99L, 9.0, 6L)))
+    for (step <- Seq(3600L, 7200L)) {
+      val plain = Resample.forwardFill(events, "k", "ts", "v", "id", step)
+        .select(col("k"), col("ts"), col("v"))
+      val chunked = Resample.forwardFill(events, "k", "ts", "v", "id", step,
+        chunkPeriod = Some("DAY"))
+        .select(col("k"), col("ts"), col("v"))
+      assert(plain.count() == chunked.count(), s"step=$step")
+      assert(plain.exceptAll(chunked).count() == 0, s"step=$step")
+      assert(chunked.exceptAll(plain).count() == 0, s"step=$step")
+    }
+    // a coarser period than the span degenerates gracefully (single chunk)
+    val coarse = Resample.forwardFill(events, "k", "ts", "v", "id", 3600L,
+      chunkPeriod = Some("YEAR"))
+      .select(col("k"), col("ts"), col("v"))
+    val plain = Resample.forwardFill(events, "k", "ts", "v", "id", 3600L)
+      .select(col("k"), col("ts"), col("v"))
+    assert(plain.exceptAll(coarse).count() == 0)
+    assert(coarse.exceptAll(plain).count() == 0)
+  }
+
+  test("forward fill: chunking rejects unknown periods") {
+    val events = mk(Seq(("a", 100L, 1.0, 1L)))
+    intercept[IllegalArgumentException] {
+      Resample.forwardFill(events, "k", "ts", "v", "id", 60L,
+        chunkPeriod = Some("FORTNIGHT"))
+    }
+  }
 }
