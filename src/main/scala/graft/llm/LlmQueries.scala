@@ -711,11 +711,15 @@ object LlmQueries {
       |           FROM documents),
       |tt AS (SELECT doc_id, token FROM t WHERE token <> ''),
       |lm AS (SELECT token, count(*) AS cnt FROM tt GROUP BY token),
-      |tot AS (SELECT sum(cnt) AS total FROM lm)
-      |SELECT doc_id, count(*) AS n_tokens,
-      |       round(avg(ln(CAST(cnt AS DOUBLE) / total)), 4) AS avg_logprob
-      |FROM tt JOIN lm USING (token) CROSS JOIN tot
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      |tot AS (SELECT sum(cnt) AS total FROM lm),
+      |s AS (SELECT doc_id, count(*) AS n_tokens,
+      |             round(avg(ln(CAST(cnt AS DOUBLE) / total)), 4) AS avg_logprob
+      |      FROM tt JOIN lm USING (token) CROSS JOIN tot
+      |      GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+      |       s.avg_logprob
+      |FROM documents d LEFT JOIN s USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
     TextAnalysis.unigramLogProb(Tables(s, dir, "documents"))
       .orderBy("doc_id")
   }

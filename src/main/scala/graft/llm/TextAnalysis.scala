@@ -158,7 +158,10 @@ object TextAnalysis {
     * decision shape. The default 1 keeps every token (exact self-fit LM).
     * The average is rounded to 4 decimals (q02's lesson: cross-engine
     * double-sum ordering differs in the last ulps, rounding makes it
-    * checkable). */
+    * checkable). NULL/tokenless documents survive with n_tokens = 0 and a
+    * null score (the encodeCorpus convention — a quality gate that silently
+    * DROPS empty documents would un-join them from the corpus without
+    * signal; a null score lets the caller decide their fate). */
   def unigramLogProb(
       docs: org.apache.spark.sql.DataFrame,
       textCol: String = "text",
@@ -172,7 +175,7 @@ object TextAnalysis {
     // tokens' probabilities); 1-row side, broadcast by construction
     val total = broadcast(counts.agg(sum("cnt").as("total")))
     val lm = counts.filter(col("cnt") >= minCount)
-    toks
+    val scored = toks
       .join(lm, Seq("token"), "left")
       .crossJoin(total)
       .groupBy("doc_id")
@@ -181,6 +184,13 @@ object TextAnalysis {
         round(avg(log(
           coalesce(col("cnt").cast("double"), lit(0.5)) / col("total"))), 4)
           .as("avg_logprob"))
+    // tokenless docs never reach the explode; reinstate them scan-side
+    val empties = docs
+      .filter(size(filter(tokens(coalesce(col(textCol), lit(""))),
+        t => t =!= "")) === 0)
+      .select(col("doc_id"), lit(0L).as("n_tokens"),
+        lit(null).cast("double").as("avg_logprob"))
+    scored.unionByName(empties)
   }
 
   /** Exact TF-IDF top terms per document — the interpretable sibling of the

@@ -143,6 +143,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(full(2L) == r4((math.log(2 / total) + math.log(8 / total)) / 2))
   }
 
+  test("unigram log-prob keeps tokenless docs with n_tokens=0 and a null score") {
+    val docs = Seq((1L, "common common"), (2L, ""), (3L, "   "), (4L, null))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(docs).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out(0).getLong(1) == 2L && !out(0).isNullAt(2))
+    Seq(1, 2, 3).foreach { i =>
+      assert(out(i).getLong(1) == 0L, s"row $i n_tokens")
+      assert(out(i).isNullAt(2), s"row $i score must be null, not dropped")
+    }
+  }
+
   test("tf-idf top terms surface document-specific vocabulary first") {
     val docs = Seq(
       (1L, "shared shared spark catalyst catalyst catalyst"),
