@@ -438,6 +438,69 @@ object ScaleStress {
     }
   }
 
+  /** Recall/wall FRONTIER for the ANN family — the operating-point table
+    * users pick configs from, measured rather than prosed:
+    *
+    *  - [[graft.llm.Rp.cosineNearPairs]]: bands × bitsPerBand sweep on
+    *    planted clusters at a real 0.9 threshold. Few wide bands under-
+    *    recall (the pigeonhole gives each pair too few chances); many
+    *    narrow bands admit candidate floods that buy nothing once recall
+    *    saturates — the table shows both cliffs and the efficient middle.
+    *  - [[graft.llm.Ivf]]: nProbe sweep at fixed k — recall climbs with
+    *    probed cells while wall tracks the probed fraction; nProbe = k is
+    *    the exhaustive sanity row (recall 1.0 by construction).
+    *
+    * Ground truth: Rp recall is planted-pair recall (intra-cluster cos
+    * ≈ 0.99, safely above the threshold, so misses are the OPERATOR's —
+    * salting or band luck — not the threshold cut); IVF recall is overlap
+    * with the exact brute-force top-k on the same queries. */
+  def annFrontier(spark: SparkSession, sfDir: String): Unit = {
+    import graft.llm.{Ivf, Rp, Similarity}
+    val emb = Tables(spark, sfDir, "embeddings").cache(); emb.count()
+
+    val r = 8
+    val rep = replicateEmbeddings(emb, r, eps = 0.12)
+      .select("vec_id", "embedding").cache()
+    val n = rep.count()
+    val expected = replicateEmbeddings(emb, r, eps = 0.12)
+      .groupBy("base_id").count()
+      .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")))
+      .head().getLong(0)
+    println(s"== ANN frontier: Rp bands x bits at n=$n, cos>=0.9, planted=$expected ==")
+    for ((bands, bits) <- Seq((2, 16), (4, 16), (10, 8), (20, 12), (32, 12))) {
+      val (pairs, secs) = time {
+        Rp.cosineNearPairs(rep, minCosine = 0.9,
+          bands = bands, bitsPerBand = bits).cache()
+      }
+      val found = pairs.count()
+      val planted = pairs
+        .filter((col("id_a") / r).cast("long") === (col("id_b") / r).cast("long"))
+        .count()
+      println(f"  bands=$bands%3d bits=$bits%2d wall=$secs%6.1f s found=$found%8d " +
+        f"recall=${planted.toDouble / expected}%.3f")
+      pairs.unpersist()
+    }
+    rep.unpersist()
+
+    val k = 16
+    val topK = 10
+    val queries = emb.filter(col("vec_id") < 50).cache(); queries.count()
+    val truth = Similarity.cosineTopK(emb, queries, topK).cache()
+    val truthN = truth.count()
+    val model = Ivf.fit(emb, k = k)
+    println(s"== ANN frontier: IVF nProbe at k=$k cells, top-$topK, ${queries.count()} queries ==")
+    for (nProbe <- Seq(1, 2, 4, 8, 16)) {
+      val (got, secs) = time {
+        val d = Ivf.search(model, queries, topK, nProbe).localCheckpoint(true)
+        d.count()
+        d
+      }
+      val hit = got.join(truth, Seq("q_id", "vec_id"), "left_semi").count()
+      println(f"  nProbe=$nProbe%2d wall=$secs%6.2f s recall@$topK=${hit.toDouble / truthN}%.3f")
+    }
+    model.unpersist(); truth.unpersist(); queries.unpersist(); emb.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.filterNot(_.startsWith("--")).headOption
       .getOrElse("/root/testdata/sf0.1")
@@ -481,6 +544,11 @@ object ScaleStress {
     }
     if (args.contains("--shapes")) {
       candidateShapes(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.contains("--frontier")) {
+      annFrontier(spark, sfDir)
       spark.stop()
       return
     }
