@@ -253,6 +253,51 @@ object CorpusPrep {
       row_number().over(w).as("pos"))
   }
 
+  /** Deterministic negative sampling — K pseudo-random OTHER documents per
+    * document, the contrastive-training counterpart of [[trainingOrder]]:
+    * rerun/engine/retry-stable where a seeded `rand()` join is partition-
+    * order-dependent.
+    *
+    * Construction: a dense 0..N−1 index via two-phase ranking —
+    * [[trainingOrder]]'s per-shard positions plus a shards-sized offset
+    * cumsum (the standard distributed dense-rank: no global window, no
+    * single-partition sort of the corpus) — then the j-th negative of row
+    * i is index (i + step(i,j)) mod N with step = mix(i,j) mod (N−1) + 1,
+    * so a row NEVER draws itself (step ∈ [1, N−1]) and every other row is
+    * reachable. One corpus-sized equi-join maps sampled indexes back to
+    * ids. The same prime-mixing chain as [[domainMix]] keeps the
+    * arithmetic engine-portable and overflow-safe. Distinct negatives per
+    * row are NOT guaranteed for k > 1 (independent draws; collisions are
+    * ~k²/2N — callers needing exactly-distinct sets dedup and redraw).
+    * Fewer than 2 documents ⇒ empty output (no negatives exist). */
+  def negativeSamples(docs: DataFrame, k: Int, shards: Int = 8): DataFrame = {
+    require(k >= 1, s"bad k: $k")
+    import org.apache.spark.sql.expressions.Window
+    val ord = trainingOrder(docs, shards)
+    val wOff = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ord.groupBy("shard").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum("__cnt").over(wOff), lit(0L)))
+      .select(col("shard"), col("__off"))
+    val idx = ord.join(offsets, "shard")
+      .select(col("doc_id"), (col("__off") + col("pos") - 1).as("__idx"))
+    val total = broadcast(idx.agg(count(lit(1)).as("__n")))
+    val mix = pmod(
+      pmod(col("__idx"), lit(1000003L)) * lit(2654435761L)
+        + col("neg_rank") * lit(97003L),
+      lit(999999937L))
+    val cands = idx.crossJoin(total)
+      .filter(col("__n") > 1)
+      .select(col("doc_id"), col("__idx"), col("__n"),
+        explode(sequence(lit(1), lit(k))).as("neg_rank"))
+      .withColumn("__cidx",
+        pmod(col("__idx") + pmod(mix, col("__n") - 1) + 1, col("__n")))
+    cands
+      .join(idx.select(col("doc_id").as("neg_doc_id"), col("__idx").as("__cidx")),
+        "__cidx")
+      .select(col("doc_id"), col("neg_rank").cast("int").as("neg_rank"),
+        col("neg_doc_id"))
+  }
+
   /** Sliding-window document chunking: split each document into fixed-size
     * token windows of `chunkTokens` advancing by `stride` (< chunkTokens ⇒
     * overlapping context, the standard pretraining window shape). Row-local

@@ -953,9 +953,43 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q97
+  // Deterministic negative sampling (CorpusPrep.negativeSamples): K
+  // hash-derived negatives per document for contrastive training —
+  // self-exclusion by construction (step ∈ [1, N−1] on the dense two-phase
+  // rank index), rerun/engine-stable where seeded rand is not. Every stage
+  // is integer arithmetic + the q89 ordering, so the oracle replays it
+  // exactly.
+  val q97 = Q(
+    "q97_negative_samples",
+    """WITH h AS (SELECT doc_id,
+      |                  (((doc_id % 1000003) * 2654435761) % 999999937) % 1000000 AS hk
+      |           FROM documents),
+      |o AS (SELECT doc_id, CAST(hk % 8 AS INT) AS shard,
+      |             row_number() OVER (PARTITION BY hk % 8 ORDER BY hk, doc_id) AS pos
+      |      FROM h),
+      |offs AS (SELECT shard, count(*) AS cnt FROM o GROUP BY shard),
+      |offs2 AS (SELECT shard,
+      |                 coalesce(sum(cnt) OVER (ORDER BY shard
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |          FROM offs),
+      |idx AS (SELECT o.doc_id, off + pos - 1 AS i FROM o JOIN offs2 USING (shard)),
+      |n AS (SELECT count(*) AS total FROM documents),
+      |c AS (SELECT doc_id, i, g.j AS neg_rank,
+      |             (i + ((((i % 1000003) * 2654435761 + g.j * 97003) % 999999937)
+      |                   % (total - 1)) + 1) % total AS ci
+      |      FROM idx CROSS JOIN n CROSS JOIN generate_series(1, 3) g(j))
+      |SELECT c.doc_id, CAST(c.neg_rank AS INT) AS neg_rank,
+      |       x.doc_id AS neg_doc_id
+      |FROM c JOIN idx x ON x.i = c.ci
+      |ORDER BY c.doc_id, c.neg_rank""".stripMargin) { (s, dir) =>
+    CorpusPrep.negativeSamples(Tables(s, dir, "documents"), k = 3, shards = 8)
+      .orderBy("doc_id", "neg_rank")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
       q47, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q74, q76, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
-      q93, q95)
+      q93, q95, q97)
 }

@@ -600,7 +600,37 @@ object ExtendedQueries {
       Tables(s, dir, "embeddings"), Seq("embedding"))
   }
 
+  // ---------------------------------------------------------------- q96
+  // Grouped numeric profiler (sources.Profile.numericProfileBy): q92's
+  // exact decimal moments per GROUP — the per-domain stats a corpus
+  // operator actually reads. Same one-pass shape; the stack unpivot is
+  // row-local so grouping only changes the aggregation keys.
+  val q96 = Q(
+    "q96_profile_grouped",
+    """SELECT l_returnflag, 'l_quantity' AS col_name,
+      |       count(l_quantity) AS n_vals,
+      |       count(CASE WHEN l_quantity IS NULL THEN 1 END) AS n_nulls,
+      |       CAST(min(l_quantity) AS DECIMAL(18,4)) AS min_d,
+      |       CAST(max(l_quantity) AS DECIMAL(18,4)) AS max_d,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_d,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS sumsq_d
+      |FROM lineitem GROUP BY l_returnflag
+      |UNION ALL
+      |SELECT l_returnflag, 'l_extendedprice', count(l_extendedprice),
+      |       count(CASE WHEN l_extendedprice IS NULL THEN 1 END),
+      |       CAST(min(l_extendedprice) AS DECIMAL(18,4)),
+      |       CAST(max(l_extendedprice) AS DECIMAL(18,4)),
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)),
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DECIMAL(38,8))
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag, col_name""".stripMargin) { (s, dir) =>
+    graft.sources.Profile.numericProfileBy(
+        Tables(s, dir, "lineitem"), "l_returnflag",
+        Seq("l_quantity", "l_extendedprice"))
+      .orderBy("l_returnflag", "col_name")
+  }
+
   val all: Seq[Q] =
     Seq(q36, q37, q38, q39, q40, q41, q45, q46, q48, q49, q51, q53, q55,
-      q56, q57, q58, q68, q75, q88, q90, q92, q94)
+      q56, q57, q58, q68, q75, q88, q90, q92, q94, q96)
 }

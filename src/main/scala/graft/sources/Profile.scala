@@ -121,8 +121,28 @@ object Profile {
   def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "numericProfile needs at least one column")
     validateNames(cols)
+    val one = df.agg(numericAggs(cols).head, numericAggs(cols).tail: _*)
+    one.select(numericStack(cols))
+  }
+
+  /** Per-GROUP numeric moments — the per-domain/per-source profile a corpus
+    * pipeline actually reads ("how do token counts differ by source?").
+    * Identical statistics and determinism contract as [[numericProfile]];
+    * the `stack` unpivot is row-local, so grouping changes only the
+    * aggregation keys — still ONE pass, one shuffle on the group key with
+    * map-side partial aggregation absorbing the per-partition volume.
+    * Output: (groupCol, col_name, …stats), one row per group × column. */
+  def numericProfileBy(df: DataFrame, groupCol: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "numericProfileBy needs at least one column")
+    validateNames(groupCol +: cols)
+    df.groupBy(col(groupCol))
+      .agg(numericAggs(cols).head, numericAggs(cols).tail: _*)
+      .select(col(groupCol), numericStack(cols))
+  }
+
+  private def numericAggs(cols: Seq[String]) = {
     val d = "decimal(18,4)"
-    val aggs = cols.flatMap { c =>
+    cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"__nv_$c"),
         count(when(col(c).isNull, lit(1))).as(s"__nn_$c"),
@@ -131,11 +151,13 @@ object Profile {
         sum(col(c).cast(d)).cast("decimal(38,4)").as(s"__sm_$c"),
         sum(col(c).cast(d) * col(c).cast(d)).cast("decimal(38,8)").as(s"__sq_$c"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def numericStack(cols: Seq[String]): Column = {
     val stackArgs = cols.map { c =>
       s"'$c', `__nv_$c`, `__nn_$c`, `__mn_$c`, `__mx_$c`, `__sm_$c`, `__sq_$c`"
     }.mkString(", ")
-    one.select(expr(
-      s"stack(${cols.size}, $stackArgs) AS (col_name, n_vals, n_nulls, min_d, max_d, sum_d, sumsq_d)"))
+    expr(
+      s"stack(${cols.size}, $stackArgs) AS (col_name, n_vals, n_nulls, min_d, max_d, sum_d, sumsq_d)")
   }
 }

@@ -226,6 +226,38 @@ class CorpusPrepSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("negative samples: k per doc, never self, valid ids, reproducible") {
+    val out = CorpusPrep.negativeSamples(docs, k = 3).cache()
+    val n = docs.count()
+    assert(out.count() == 3 * n) // exactly k draws per document
+    assert(out.filter(col("doc_id") === col("neg_doc_id")).count() == 0,
+      "a document must never draw itself")
+    // negatives are real corpus ids
+    assert(out.join(docs.select(col("doc_id").as("neg_doc_id")),
+      Seq("neg_doc_id"), "left_anti").count() == 0)
+    // per (doc, rank) the draw is unique and deterministic across input
+    // partitionings
+    assert(out.select("doc_id", "neg_rank").distinct().count() == 3 * n)
+    val again = CorpusPrep.negativeSamples(docs.repartition(7), k = 3)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    // draws spread: no single negative absorbs a skewed share (loose bound:
+    // uniform expectation is 3, cap at 30)
+    val maxHit = out.groupBy("neg_doc_id").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxHit < 30, s"negative draws look degenerate: max=$maxHit")
+    out.unpersist()
+  }
+
+  test("negative samples: degenerate corpora") {
+    import spark.implicits._
+    val one = Seq((42L, "only doc")).toDF("doc_id", "text")
+    assert(CorpusPrep.negativeSamples(one, k = 2).count() == 0)
+    val two = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val o2 = CorpusPrep.negativeSamples(two, k = 2).collect()
+    assert(o2.length == 4) // each doc draws the other, twice
+    assert(o2.forall(r => r.getLong(0) != r.getLong(2)))
+  }
+
   test("segment dedup removes repeated boilerplate but keeps its first occurrence") {
     import spark.implicits._
     val boiler = (1 to 10).map(i => s"nav$i").mkString(" ") // one exact segment

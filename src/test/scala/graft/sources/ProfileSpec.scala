@@ -57,6 +57,17 @@ class ProfileSpec extends SparkSpec {
     assert(r.getDecimal(11).doubleValue == 25.0 + 9.0 + 4.0 + 1.0 + 0.0)
   }
 
+  test("grouped numeric profile: per-group moments match per-group filters") {
+    val df = Seq(("a", 2.0), ("a", 4.0), ("b", 10.0), ("b", 20.0), ("b", 30.0))
+      .toDF("g", "x")
+    val out = Profile.numericProfileBy(df, "g", Seq("x"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDecimal(6), r.getDecimal(7)))
+    assert(out.map(_._1).toSeq == Seq("a", "b"))
+    assert(out(0)._2 == 2L && out(0)._3.doubleValue == 6.0 && out(0)._4.doubleValue == 20.0)
+    assert(out(1)._2 == 3L && out(1)._3.doubleValue == 60.0 && out(1)._4.doubleValue == 1400.0)
+  }
+
   test("profile: injection-shaped column names are rejected") {
     val df = Seq((1, 2)).toDF("a", "b")
     intercept[IllegalArgumentException](Profile.profile(df, Seq("a', 1, 1, '', '')--")))
