@@ -987,9 +987,66 @@ object LlmQueries {
       .orderBy("doc_id", "neg_rank")
   }
 
+  // ---------------------------------------------------------------- q98
+  // Windowed token co-occurrence (TextAnalysis.cooccurrence): exact PMI
+  // raw material — pairs at distance 1..2, unordered, with per-token
+  // corpus frequencies. Everything integer, so the oracle replays the
+  // whole computation exactly; the (n_ab desc, token_a, token_b) sort is
+  // total (pair is the key), making LIMIT deterministic.
+  val q98 = Q(
+    "q98_cooccurrence",
+    """WITH pos AS (
+      |  SELECT doc_id, i - 1 AS pos, arr[i] AS token
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+      |        FROM documents) d,
+      |       LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) g
+      |  WHERE arr[i] <> ''),
+      |pairs AS (
+      |  SELECT least(a.token, b.token) AS token_a,
+      |         greatest(a.token, b.token) AS token_b,
+      |         count(*) AS n_ab
+      |  FROM pos a JOIN pos b
+      |    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+      |  GROUP BY 1, 2),
+      |freq AS (SELECT token, count(*) AS n FROM pos GROUP BY token)
+      |SELECT token_a, token_b, n_ab, fa.n AS n_a, fb.n AS n_b
+      |FROM pairs
+      |JOIN freq fa ON fa.token = token_a
+      |JOIN freq fb ON fb.token = token_b
+      |ORDER BY n_ab DESC, token_a, token_b
+      |LIMIT 100""".stripMargin) { (s, dir) =>
+    TextAnalysis.cooccurrence(Tables(s, dir, "documents"), window = 2, k = 100)
+  }
+
+  // ---------------------------------------------------------------- q99
+  // Cross-source vocabulary overlap (TextAnalysis.vocabOverlap): exact
+  // distinct-token intersection per source pair + per-source vocab sizes —
+  // callers derive Jaccard from the integers (never hash the division).
+  val q99 = Q(
+    "q99_vocab_overlap",
+    """WITH vocab AS (
+      |  SELECT DISTINCT source, token
+      |  FROM (SELECT source,
+      |               unnest(string_split_regex(trim(text), '\s+')) AS token
+      |        FROM documents)
+      |  WHERE token <> ''),
+      |sizes AS (SELECT source, count(*) AS n_vocab FROM vocab GROUP BY source)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |       count(*) AS n_common,
+      |       sa.n_vocab AS n_vocab_a, sb.n_vocab AS n_vocab_b
+      |FROM vocab a
+      |JOIN vocab b ON a.token = b.token AND a.source < b.source
+      |JOIN sizes sa ON sa.source = a.source
+      |JOIN sizes sb ON sb.source = b.source
+      |GROUP BY 1, 2, 4, 5
+      |ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
+    TextAnalysis.vocabOverlap(Tables(s, dir, "documents"))
+      .orderBy("source_a", "source_b")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
       q47, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q74, q76, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
-      q93, q95, q97)
+      q93, q95, q97, q98, q99)
 }

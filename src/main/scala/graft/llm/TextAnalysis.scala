@@ -307,4 +307,88 @@ object TextAnalysis {
             i => concat_ws(" ", slice(ts, i + 1, lit(k))))))
         .otherwise(array().cast("array<string>"))
     }
+
+  /** Windowed token co-occurrence counts — the raw material of PMI /
+    * word-association analysis (word2vec's skip-gram statistic, computed
+    * exactly). A pair is counted once per (position, offset) occurrence of
+    * two tokens at distance 1..`window` in the same document, unordered
+    * (the pair is emitted lexicographically so "a b" and "b a" collapse).
+    * Emits the top `k` pairs with their exact count plus each member's
+    * exact corpus frequency — everything integer, so callers derive PMI =
+    * ln(n_ab·N / (n_a·n_b)) at whatever precision they want and the
+    * emitted table is hash-exact cross-engine.
+    *
+    * Scale shape: this is deliberately WINDOWED, not per-document
+    * all-pairs — a T-token document yields ≤ T·window pairs, not T², so
+    * boilerplate mega-docs can't detonate the pair space. The pairing is
+    * an equi-join of the positional token table to itself on
+    * (doc_id, pos + offset) after a row-local explode of offsets 1..window
+    * — no range join, no cartesian; Zipf-headed pair counts collapse in
+    * map-side partial aggregation before the one (pair)-keyed shuffle. The
+    * final top-k is a single `orderBy.limit` (per-partition heaps under
+    * TakeOrderedAndProject, no global sort materialization). */
+  def cooccurrence(
+      docs: org.apache.spark.sql.DataFrame,
+      window: Int = 2,
+      k: Int = 100): org.apache.spark.sql.DataFrame = {
+    require(window >= 1, s"bad window: $window")
+    require(k >= 1, s"bad k: $k")
+    val pos = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+      .filter(col("token") =!= "")
+    val left = pos.select(col("doc_id"), col("pos"), col("token").as("__ta"))
+      .withColumn("__d", explode(sequence(lit(1), lit(window))))
+      .withColumn("__pb", col("pos") + col("__d"))
+    val pairs = left.join(
+        pos.select(col("doc_id"), col("pos").as("__pb"), col("token").as("__tb")),
+        Seq("doc_id", "__pb"))
+      .select(
+        least(col("__ta"), col("__tb")).as("token_a"),
+        greatest(col("__ta"), col("__tb")).as("token_b"))
+      .groupBy("token_a", "token_b").agg(count(lit(1)).as("n_ab"))
+    val freq = pos.groupBy("token").agg(count(lit(1)).as("n"))
+    pairs
+      .join(freq.select(col("token").as("token_a"), col("n").as("n_a")), "token_a")
+      .join(freq.select(col("token").as("token_b"), col("n").as("n_b")), "token_b")
+      .select("token_a", "token_b", "n_ab", "n_a", "n_b")
+      .orderBy(col("n_ab").desc, col("token_a"), col("token_b"))
+      .limit(k)
+  }
+
+  /** Cross-source vocabulary overlap — for every pair of corpus sources,
+    * the exact distinct-token intersection and per-source vocabulary
+    * sizes. The drift/contamination dashboard number: a source pair whose
+    * overlap ratio jumps between crawls signals template bleed or
+    * duplicated feeds; callers derive Jaccard = common/(a+b−common) from
+    * the exact integers (never ship the division — hash the counts).
+    *
+    * Scale shape: one distinct on (source, token) collapses the corpus to
+    * vocabulary size per source (map-side partial distinct absorbs the
+    * Zipf head), then a self-equi-join ON TOKEN (never a source×source
+    * cross join) counts intersections; vocab sizes join on the tiny
+    * sources-sized key. Pair ordering `source_a < source_b` halves the
+    * join output and fixes the output orientation. The sizes side carries
+    * NO broadcast hint: its cardinality is data-dependent (sources may be
+    * raw domains at crawl scale) — AQE broadcasts the post-aggregate table
+    * when its measured size fits, the unigramLogProb LM precedent. */
+  def vocabOverlap(
+      docs: org.apache.spark.sql.DataFrame,
+      sourceCol: String = "source"): org.apache.spark.sql.DataFrame = {
+    val vocab = docs
+      .select(col(sourceCol).as("source"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+    val sizes = vocab.groupBy("source").agg(count(lit(1)).as("n_vocab"))
+    val common = vocab.as("a")
+      .join(vocab.as("b"), col("a.token") === col("b.token") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n_vocab", "n_vocab_a"), "source_a")
+      .join(sizes.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n_vocab", "n_vocab_b"), "source_b")
+      .select("source_a", "source_b", "n_common", "n_vocab_a", "n_vocab_b")
+  }
 }

@@ -160,4 +160,47 @@ object Profile {
     expr(
       s"stack(${cols.size}, $stackArgs) AS (col_name, n_vals, n_nulls, min_d, max_d, sum_d, sumsq_d)")
   }
+
+  /** Fixed-bin histogram of a numeric column, optionally per group — the
+    * distribution view behind every "token-length by source" corpus report.
+    * `nBins` equal-width bins over [lo, hi); values below `lo` clamp into
+    * bin 0, values ≥ `hi` into bin nBins−1 (reports should count the tails,
+    * not silently drop them); NULLs are excluded. Bins are emitted DENSELY —
+    * every (group, bin) row exists with a zero count — because a histogram
+    * with invisible gaps misleads exactly where it matters.
+    *
+    * Determinism: the bin index is `floor((x−lo)·nBins/(hi−lo))` on
+    * doubles — single IEEE-exactly-rounded operations, no order-dependent
+    * fold — and emitted edges use the same closed-form expression, so the
+    * whole output is hash-exact cross-engine. Scale shape: one map-side-
+    * combined aggregation on ((group), bin) — the shuffle carries at most
+    * groups×nBins rows; the dense fan-out is row-local over the tiny
+    * distinct-groups set, never over the data. */
+  def histogram(
+      df: DataFrame,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      nBins: Int,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(nBins >= 1, s"bad nBins: $nBins")
+    require(lo < hi, s"bad range: [$lo, $hi)")
+    validateNames(valueCol +: groupCols)
+    val bin = least(lit(nBins - 1), greatest(lit(0),
+      floor((col(valueCol).cast("double") - lit(lo)) * nBins / (hi - lo)).cast("int")))
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy((groupCols.map(col) :+ bin.as("bin")): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val groups =
+      if (groupCols.isEmpty) counts.sparkSession.range(1).select()
+      else df.select(groupCols.map(col): _*).distinct()
+    val dense = groups.select(
+      (groupCols.map(col) :+ explode(sequence(lit(0), lit(nBins - 1))).as("bin")): _*)
+    dense.join(counts, groupCols :+ "bin", "left")
+      .select((groupCols.map(col) ++ Seq(
+        col("bin"),
+        (lit(lo) + col("bin") * (hi - lo) / nBins).as("bin_lo"),
+        (lit(lo) + (col("bin") + 1) * (hi - lo) / nBins).as("bin_hi"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))): _*)
+  }
 }

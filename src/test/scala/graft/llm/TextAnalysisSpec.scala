@@ -177,4 +177,33 @@ class TextAnalysisSpec extends SparkSpec {
       assert(scores.sameElements(scores.sorted.reverse))
     }
   }
+
+  test("cooccurrence: windowed pairs, unordered collapse, exact counts") {
+    // doc1 "a b a": window=1 pairs (a,b)@(0,1), (a,b)@(1,2) -> n_ab=2
+    // doc2 "b c": (b,c) -> 1
+    val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.cooccurrence(docs, window = 1, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(("a", "b", 2L, 2L, 2L), ("b", "c", 1L, 2L, 1L)))
+    // window=2 adds the distance-2 (a,a) self-pair of doc1
+    val w2 = TextAnalysis.cooccurrence(docs, window = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(w2.toSeq == Seq(("a", "b", 2L), ("a", "a", 1L), ("b", "c", 1L)))
+    // pair space never crosses documents
+    assert(!w2.exists(p => p._1 == "a" && p._2 == "c"))
+  }
+
+  test("vocab overlap: exact intersections and per-source vocab sizes") {
+    val docs = Seq(
+      ("s1", "a b c"), ("s1", "c d"),      // s1 vocab {a,b,c,d}
+      ("s2", "c d e"),                     // s2 vocab {c,d,e}
+      ("s3", "x")).toDF("source", "text")  // s3 vocab {x}, no overlap
+    val out = TextAnalysis.vocabOverlap(docs)
+      .orderBy("source_a", "source_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // disjoint pairs are absent (inner join on token) — callers see only
+    // pairs with n_common >= 1
+    assert(out.toSeq == Seq(("s1", "s2", 2L, 4L, 3L)))
+  }
 }

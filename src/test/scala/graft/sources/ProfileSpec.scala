@@ -86,4 +86,29 @@ class ProfileSpec extends SparkSpec {
     assert(aa(1) == ea(1)) // m: 7 distinct, sketch exact at tiny cardinality
     assert(math.abs(aa(0) - ea(0)).toDouble / ea(0) < 0.05)
   }
+
+  test("histogram: dense bins, tail clamping, nulls excluded, grouped") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("a", Some(-5.0)), ("a", Some(0.0)), ("a", Some(9.9)), ("a", Some(10.0)),
+      ("a", Some(45.0)), ("a", None), ("b", Some(25.0)))
+      .toDF("g", "x")
+    val out = Profile.histogram(df, "x", lo = 0.0, hi = 40.0, nBins = 4,
+        groupCols = Seq("g"))
+      .orderBy("g", "bin").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    // every (group, bin) present; -5 clamps into bin 0, 45 into bin 3,
+    // 10.0 lands in bin 1 (half-open bins), null excluded
+    assert(out.toSeq == Seq(
+      ("a", 0, 0.0, 10.0, 3L), ("a", 1, 10.0, 20.0, 1L),
+      ("a", 2, 20.0, 30.0, 0L), ("a", 3, 30.0, 40.0, 1L),
+      ("b", 0, 0.0, 10.0, 0L), ("b", 1, 10.0, 20.0, 0L),
+      ("b", 2, 20.0, 30.0, 1L), ("b", 3, 30.0, 40.0, 0L)))
+    // ungrouped: one dense row per bin over the union
+    val flat = Profile.histogram(df, "x", 0.0, 40.0, 4)
+      .orderBy("bin").collect().map(r => (r.getInt(0), r.getLong(3)))
+    assert(flat.toSeq == Seq((0, 3L), (1, 1L), (2, 1L), (3, 1L)))
+    intercept[IllegalArgumentException](Profile.histogram(df, "x", 5.0, 5.0, 4))
+    intercept[IllegalArgumentException](Profile.histogram(df, "x", 0.0, 1.0, 0))
+  }
 }
