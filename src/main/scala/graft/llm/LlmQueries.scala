@@ -1044,9 +1044,22 @@ object LlmQueries {
       .orderBy("source_a", "source_b")
   }
 
+  // ---------------------------------------------------------------- q104
+  // SemDeDup (Abbas et al. 2023): k-means cells as the blocking key,
+  // within-cell cosine pruning — the planted replica set (q60's fixture)
+  // guarantees true near-dups exist, so the survivor count moving well
+  // below the input count is the visible signal. Seeded/approximate
+  // (cluster-boundary recall) → rows-only driver check; SemDedupSpec
+  // measures recall vs the brute oracle and asserts idempotence.
+  val q104 = Q.noOracle("q104_semdedup") { (s, dir) =>
+    SemDedup.survivors(plantedEmbeddings(s, dir), k = 16, minCosine = 0.85)
+      .select("vec_id")
+      .orderBy("vec_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
       q47, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q74, q76, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
-      q93, q95, q97, q98, q99)
+      q93, q95, q97, q98, q99, q104)
 }

@@ -630,7 +630,160 @@ object ExtendedQueries {
       .orderBy("l_returnflag", "col_name")
   }
 
+  // ---------------------------------------------------------------- q100
+  // Dense fixed-bin histogram per source (sources.Profile.histogram):
+  // n_chars over [0, 600) in 12 bins, tails clamped into the end bins,
+  // every (source, bin) row present with a zero count. Bin index and edges
+  // are single IEEE operations on doubles (no order-dependent fold) —
+  // hash-exact cross-engine.
+  val q100 = Q(
+    "q100_histogram",
+    """WITH g AS (SELECT DISTINCT source FROM documents),
+      |b AS (SELECT CAST(unnest(generate_series(0, 11)) AS INT) AS bin),
+      |c AS (SELECT source,
+      |             least(11, greatest(0,
+      |               CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) * 12 / 600.0) AS INT))) AS bin,
+      |             count(*) AS cnt
+      |      FROM documents WHERE n_chars IS NOT NULL
+      |      GROUP BY 1, 2)
+      |SELECT g.source, b.bin,
+      |       0.0 + b.bin * 600.0 / 12 AS bin_lo,
+      |       0.0 + (b.bin + 1) * 600.0 / 12 AS bin_hi,
+      |       coalesce(c.cnt, 0) AS cnt
+      |FROM g CROSS JOIN b
+      |LEFT JOIN c ON c.source = g.source AND c.bin = b.bin
+      |ORDER BY g.source, b.bin""".stripMargin) { (s, dir) =>
+    graft.sources.Profile.histogram(
+        Tables(s, dir, "documents"), "n_chars",
+        lo = 0.0, hi = 600.0, nBins = 12, groupCols = Seq("source"))
+      .orderBy("source", "bin")
+  }
+
+  // ---------------------------------------------------------------- q101
+  // Per-event sessionization labels (operators.Sessionize): q50 aggregates
+  // sessions, this returns every event with its (session_id, event_seq) —
+  // same >= gap contract, event_id tie-break makes the labeling total.
+  val q101 = Q(
+    "q101_sessionize",
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events),
+      |o AS (
+      |  SELECT event_id, user_id, ts,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
+      |              THEN 1 ELSE 0 END AS nw,
+      |         row_number() OVER w AS rn
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT event_id, user_id, ts, rn,
+      |         CAST(sum(nw) OVER v AS BIGINT) AS session_id,
+      |         max(CASE WHEN nw = 1 THEN rn END) OVER v AS st
+      |  FROM o
+      |  WINDOW v AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id, ts, session_id,
+      |       CAST(rn - st + 1 AS INT) AS event_seq
+      |FROM s
+      |ORDER BY user_id, ts, event_id""".stripMargin) { (s, dir) =>
+    graft.operators.Sessionize.sessionize(Tables(s, dir, "events"))
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        col("session_id"), col("event_seq"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  // ---------------------------------------------------------------- q102
+  // Window distribution functions (B15's distribution siblings): ntile,
+  // percent_rank, cume_dist per nation over customers. The window ORDER BY
+  // carries a c_custkey tie-break — ntile assigns by ROW position, so ties
+  // in acctbal would otherwise make the quartile engine-dependent;
+  // percent_rank/cume_dist are single IEEE divisions of ints (hash-exact).
+  val q102 = Q(
+    "q102_window_distribution",
+    """SELECT c_nationkey, c_custkey,
+      |       CAST(ntile(4) OVER w AS INT) AS quartile,
+      |       percent_rank() OVER w AS pr,
+      |       cume_dist() OVER w AS cd
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_nationkey, c_custkey""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
+  // ---------------------------------------------------------------- q103
+  // Batch FULL OUTER equi-join (B6's last mode): high-balance customers ⟗
+  // their open-order aggregates — unmatched rows survive on BOTH sides.
+  // The join key is re-assembled with coalesce so the output key is never
+  // null (sidesteps the cross-engine null-ordering trap entirely).
+  val q103 = Q(
+    "q103_full_outer_join",
+    """WITH c AS (SELECT c_custkey, c_acctbal FROM customer
+      |           WHERE c_acctbal > 7000),
+      |o AS (SELECT o_custkey, count(*) AS n_open,
+      |             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+      |                  AS DOUBLE) AS tot
+      |      FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey)
+      |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+      |       c_acctbal, n_open, tot
+      |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+      |ORDER BY custkey""".stripMargin) { (s, dir) =>
+    val c = Tables(s, dir, "customer")
+      .filter(col("c_acctbal") > 7000)
+      .select("c_custkey", "c_acctbal")
+    val o = Tables(s, dir, "orders")
+      .filter(col("o_orderstatus") === "O")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_open"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+          .cast("double").as("tot"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_acctbal"), col("n_open"), col("tot"))
+      .orderBy("custkey")
+  }
+
+  // ---------------------------------------------------------------- q105
+  // Time-RANGE window frame (B16's value-range sibling — q41's frames are
+  // ROWS-based): trailing 10-minute sum/count per user, frame bounds on
+  // epoch MICROseconds so both engines see identical membership (epoch
+  // seconds would truncate sub-second timestamps differently than
+  // DuckDB's fractional epoch). The sum folds DECIMAL (q92 lesson: never
+  // hash a windowed double fold); callers derive the moving average.
+  val q105 = Q(
+    "q105_time_range_frame",
+    """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4))
+      |         AS w_sum,
+      |       CAST(count(*) OVER w AS BIGINT) AS w_cnt
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ts, event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-600000000L, Window.currentRow)
+    Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"),
+        sum(col("value").cast("decimal(18,4)")).over(w)
+          .cast("decimal(38,4)").as("w_sum"),
+        count(lit(1)).over(w).as("w_cnt"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   val all: Seq[Q] =
     Seq(q36, q37, q38, q39, q40, q41, q45, q46, q48, q49, q51, q53, q55,
-      q56, q57, q58, q68, q75, q88, q90, q92, q94, q96)
+      q56, q57, q58, q68, q75, q88, q90, q92, q94, q96, q100, q101, q102,
+      q103, q105)
 }
