@@ -521,16 +521,27 @@ object ScaleStress {
       finally walk.close()
     }
     println("== storage layout: sorted-write row-group pruning A/B ==")
+    // Production trap documented by construction: legacy INT96 timestamps
+    // carry no reader-usable min/max statistics — a table written that way
+    // can NEVER row-group-prune on time, sorted or not. Micros-encoded
+    // INT64 timestamps get full stats.
+    val prevTsType = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val events = Tables(spark, sfDir, "events")
       .select("event_id", "ts", "user_id", "value")
     val base = Files.createTempDirectory("graft_layout").toString
     val unsortedPath = s"$base/unsorted"
     val sortedPath = s"$base/sorted"
-    events.write.option("parquet.block.size", 256 * 1024)
+    // the fixture arrives naturally time-ordered; hash-scatter it first so
+    // the A side reflects the real "ingestion order ≠ query order" layout
+    // (events landing partitioned by entity, not time)
+    events.repartition(8, col("event_id"))
+      .write.option("parquet.block.size", 256 * 1024)
       .parquet(unsortedPath)
     events.repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
       .write.option("parquet.block.size", 256 * 1024)
       .parquet(sortedPath)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", prevTsType)
 
     val recordsRead = new java.util.concurrent.atomic.AtomicLong
     val listener = new org.apache.spark.scheduler.SparkListener {
