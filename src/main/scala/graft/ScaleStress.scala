@@ -575,6 +575,70 @@ object ScaleStress {
     }
   }
 
+  /** Dynamic partition pruning A/B — the partition-level sibling of
+    * [[layout]]: a fact table written partitioned on a join key, probed
+    * through a FILTERED dimension. With DPP the dimension's surviving keys
+    * become a runtime subquery filter on the fact scan, so only matching
+    * partitions are listed/read — the mechanism that turns a 100 TB
+    * star-join into a handful-of-partitions scan. Same records-materialized
+    * metric as [[layout]]; the A side disables DPP to show the full-scan
+    * cost the optimization removes. */
+  def dpp(spark: SparkSession, sfDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    def rmTree(p: String): Unit = if (Files.exists(Paths.get(p))) {
+      val walk = Files.walk(Paths.get(p))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+    println("== dynamic partition pruning: filtered-dim star join A/B ==")
+    val base = Files.createTempDirectory("graft_dpp").toString
+    val factPath = s"$base/lineitem_by_month"
+    // fact partitioned by order month (12 partitions), dim = orders with a
+    // one-month filter — DPP should confine the fact scan to that month
+    val li = Tables(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_shipdate")
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+    li.write.partitionBy("ship_month").parquet(factPath)
+    // the dim filter is on a DIFFERENT attribute (quarter) than the join
+    // key, so static constraint propagation cannot pre-prune the fact —
+    // only the runtime DPP subquery can discover the surviving months
+    val dim = Tables(spark, sfDir, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"),
+        quarter(col("o_orderdate")).as("qtr"))
+      .distinct()
+      .filter(col("qtr") === 3)
+      .select("ship_month")
+
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        recordsRead.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      for (enabled <- Seq(false, true)) {
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled",
+          enabled)
+        spark.read.parquet(factPath).count() // warm file listing + cache
+        recordsRead.set(0L)
+        val (_, s) = time {
+          spark.read.parquet(factPath)
+            .join(dim, Seq("ship_month"))
+            .agg(sum("l_quantity")).head()
+        }
+        Thread.sleep(1000)
+        println(f"dpp=${if (enabled) " on" else "off"}%3s: " +
+          f"records_read=${recordsRead.get}%8d wall=$s%5.2f s")
+      }
+    } finally {
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", true)
+      spark.sparkContext.removeSparkListener(listener)
+      rmTree(base)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.filterNot(_.startsWith("--")).headOption
       .getOrElse("/root/testdata/sf0.1")
@@ -628,6 +692,11 @@ object ScaleStress {
     }
     if (args.contains("--layout")) {
       layout(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.contains("--dpp")) {
+      dpp(spark, sfDir)
       spark.stop()
       return
     }

@@ -38,4 +38,21 @@ class SessionizeSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(3), r.getInt(4)))
     assert(again.toSeq == out.toSeq)
   }
+
+  test("sessionize labels re-aggregate to exactly session_window's sessions") {
+    // real fixture: the label operator and Spark's session_window must
+    // carve identical sessions (same >= gap contract)
+    val events = graft.Tables(spark, sf0001, "events")
+      .select("event_id", "user_id", "ts")
+    val fromLabels = Sessionize.sessionize(events, gap = "30 minutes")
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("session_start"),
+        (max(col("ts")) + expr("INTERVAL 30 minutes")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select("session_start", "session_end", "user_id", "n_events")
+    val fromWindows = graft.streaming.StreamingQueries
+      .sessionWindows(events, "30 minutes")
+    assert(fromLabels.exceptAll(fromWindows).count() == 0)
+    assert(fromWindows.exceptAll(fromLabels).count() == 0)
+  }
 }
