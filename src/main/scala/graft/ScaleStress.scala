@@ -462,8 +462,11 @@ object ScaleStress {
     val rep = replicateEmbeddings(emb, r, eps = 0.12)
       .select("vec_id", "embedding").cache()
     val n = rep.count()
-    val expected = replicateEmbeddings(emb, r, eps = 0.12)
-      .groupBy("base_id").count()
+    // base_id ≡ vec_id / r by replicateEmbeddings's id layout — derive the
+    // planted-pair count from the CACHED rep instead of replaying the
+    // whole jitter transform a second time
+    val expected = rep
+      .groupBy((col("vec_id") / r).cast("long").as("base_id")).count()
       .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")))
       .head().getLong(0)
     println(s"== ANN frontier: Rp bands x bits at n=$n, cos>=0.9, planted=$expected ==")

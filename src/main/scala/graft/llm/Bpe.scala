@@ -251,6 +251,10 @@ object Bpe {
     val chars = docs
       .select(explode(toks(textCol)).as("word"))
       .filter(col("word") =!= "")
+      // distinct the WORDS before fanning out characters (the wordDict
+      // shape): the char explode then runs over vocabulary-sized input,
+      // not one row per character of the corpus
+      .distinct()
       .select(explode(filter(split(col("word"), ""), s => s =!= "")).as("symbol"))
       .distinct()
       .select(col("symbol"), lit(0).as("grp"), col("symbol").as("ord_s"),

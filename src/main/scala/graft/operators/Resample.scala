@@ -88,10 +88,16 @@ object Resample {
 
       case Some(p) =>
         val og = union.withColumn("__c", date_trunc(p, col(tsCol)))
-        // last observation per (key, chunk) — keys×chunks-sized
+        // last NON-NULL observation per (key, chunk) — keys×chunks-sized.
+        // The ordering key is nulled for null-valued rows so max_by skips
+        // them: a chunk ending in a NULL observation must carry its last
+        // non-null value forward, exactly like the unchunked path's
+        // last(value, ignoreNulls) (an all-null chunk yields __lv = null
+        // and the running carry below skips it too)
         val lastPerChunk = obs
           .groupBy(col(keyCol), date_trunc(p, col(tsCol)).as("__c"))
-          .agg(max_by(col(valCol), col(tsCol)).as("__lv"))
+          .agg(max_by(col(valCol),
+            when(col(valCol).isNotNull, col(tsCol))).as("__lv"))
         // every chunk the stream touches (incl. observation-free grid
         // chunks), each seeded with the last value of any PRIOR chunk
         val wc = Window.partitionBy(keyCol).orderBy("__c")

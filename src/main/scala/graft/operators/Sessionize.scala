@@ -20,12 +20,14 @@ import org.apache.spark.sql.functions._
   * `event_seq` restarts at 1 within each session. Ties on the timestamp
   * are totally ordered by `event_id` so the labeling is deterministic.
   *
-  * Scale shape: ONE shuffle on the session key and a single
-  * WindowExec pass computes the gap flag (lag), the session counter
-  * (running sum of flags), and the within-session sequence (running
-  * row_number minus the session-start row_number, via a running
-  * conditional max) — three statistics, one sort, no self-join and no
-  * second window on (key, session_id). Per-key volume is the natural
+  * Scale shape: ONE shuffle on the session key, one sort — the gap flag
+  * (lag), the session counter (running sum of flags), and the
+  * within-session sequence (running row_number minus the session-start
+  * row_number, via a running conditional max) plan as stacked Window
+  * operators over the SAME partitioning/ordering, so no re-exchange and
+  * no re-sort between them (PLANS.md q101: three Window nodes, one
+  * Exchange); no self-join and no second window keyed on the
+  * not-yet-known (key, session_id). Per-key volume is the natural
   * partition grain; a years-long hot key serializes its own timeline
   * (inherent to sessionization's sequential semantics) but never blocks
   * other keys.

@@ -121,8 +121,8 @@ object Profile {
   def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "numericProfile needs at least one column")
     validateNames(cols)
-    val one = df.agg(numericAggs(cols).head, numericAggs(cols).tail: _*)
-    one.select(numericStack(cols))
+    val aggs = numericAggs(cols)
+    df.agg(aggs.head, aggs.tail: _*).select(numericStack(cols))
   }
 
   /** Per-GROUP numeric moments — the per-domain/per-source profile a corpus
@@ -135,8 +135,9 @@ object Profile {
   def numericProfileBy(df: DataFrame, groupCol: String, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "numericProfileBy needs at least one column")
     validateNames(groupCol +: cols)
+    val aggs = numericAggs(cols)
     df.groupBy(col(groupCol))
-      .agg(numericAggs(cols).head, numericAggs(cols).tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
       .select(col(groupCol), numericStack(cols))
   }
 
@@ -163,9 +164,12 @@ object Profile {
 
   /** Fixed-bin histogram of a numeric column, optionally per group — the
     * distribution view behind every "token-length by source" corpus report.
-    * `nBins` equal-width bins over [lo, hi); values below `lo` clamp into
-    * bin 0, values ≥ `hi` into bin nBins−1 (reports should count the tails,
-    * not silently drop them); NULLs are excluded. Bins are emitted DENSELY —
+    * `nBins` equal-width bins over [lo, hi); values below `lo` (including
+    * −Inf) clamp into bin 0, values ≥ `hi` (including +Inf) into bin
+    * nBins−1 (reports should count the tails, not silently drop them);
+    * NULL and NaN values are excluded — NaN has no place on the axis. A
+    * NULL GROUP key is a real group and keeps its rows (null-safe dense
+    * join). Bins are emitted DENSELY —
     * every (group, bin) row exists with a zero count — because a histogram
     * with invisible gaps misleads exactly where it matters.
     *
@@ -186,9 +190,15 @@ object Profile {
     require(nBins >= 1, s"bad nBins: $nBins")
     require(lo < hi, s"bad range: [$lo, $hi)")
     validateNames(valueCol +: groupCols)
-    val bin = least(lit(nBins - 1), greatest(lit(0),
-      floor((col(valueCol).cast("double") - lit(lo)) * nBins / (hi - lo)).cast("int")))
-    val counts = df.filter(col(valueCol).isNotNull)
+    val x = col(valueCol).cast("double")
+    // clamp on the LONG floor result BEFORE narrowing to int: a huge or
+    // ±Inf value floors to a long far outside int range, and a non-ANSI
+    // long→int cast would WRAP it into an arbitrary bin instead of the
+    // documented end-bin clamp. NaN can't be ordered into any bin — those
+    // rows are excluded with the NULLs (documented).
+    val bin = least(lit((nBins - 1).toLong), greatest(lit(0L),
+      floor((x - lit(lo)) * nBins / (hi - lo)))).cast("int")
+    val counts = df.filter(x.isNotNull && !x.isNaN)
       .groupBy((groupCols.map(col) :+ bin.as("bin")): _*)
       .agg(count(lit(1)).as("cnt"))
     val groups =
@@ -196,11 +206,17 @@ object Profile {
       else df.select(groupCols.map(col): _*).distinct()
     val dense = groups.select(
       (groupCols.map(col) :+ explode(sequence(lit(0), lit(nBins - 1))).as("bin")): _*)
-    dense.join(counts, groupCols :+ "bin", "left")
-      .select((groupCols.map(col) ++ Seq(
-        col("bin"),
-        (lit(lo) + col("bin") * (hi - lo) / nBins).as("bin_lo"),
-        (lit(lo) + (col("bin") + 1) * (hi - lo) / nBins).as("bin_hi"),
-        coalesce(col("cnt"), lit(0L)).as("cnt"))): _*)
+      .alias("d")
+    // null-safe equality on the group keys: a NULL group is a real group
+    // (dense has its row from distinct()) and a null-rejecting join would
+    // silently zero its counts
+    val joinCond = (groupCols.map(g => col(s"d.$g") <=> counts(g)) :+
+      (col("d.bin") === counts("bin"))).reduce(_ && _)
+    dense.join(counts, joinCond, "left")
+      .select((groupCols.map(g => col(s"d.$g").as(g)) ++ Seq(
+        col("d.bin").as("bin"),
+        (lit(lo) + col("d.bin") * (hi - lo) / nBins).as("bin_lo"),
+        (lit(lo) + (col("d.bin") + 1) * (hi - lo) / nBins).as("bin_hi"),
+        coalesce(counts("cnt"), lit(0L)).as("cnt"))): _*)
   }
 }

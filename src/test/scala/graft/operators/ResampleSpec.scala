@@ -87,6 +87,30 @@ class ResampleSpec extends SparkSpec {
     assert(coarse.exceptAll(plain).count() == 0)
   }
 
+  test("forward fill: chunking equality holds when a chunk ends in a NULL value") {
+    val day = 86400L
+    // chunk 0 ends in a NULL observation (must still carry 5.0 forward,
+    // mirroring last(ignoreNulls)); a later chunk is ALL-null (carry must
+    // hop it without going null)
+    val events = Seq(
+      ("a", 100L, Some(5.0), 1L),
+      ("a", 200L, Option.empty[Double], 2L),
+      ("a", 2 * day + 100L, Some(7.0), 3L),
+      ("a", 4 * day, Option.empty[Double], 4L))
+      .toDF("k", "sec", "v", "id")
+      .select(col("k"), to_timestamp(col("sec")).as("ts"), col("v"), col("id"))
+    val plain = Resample.forwardFill(events, "k", "ts", "v", "id", 3600L)
+      .select(col("k"), col("ts"), col("v"))
+    val chunked = Resample.forwardFill(events, "k", "ts", "v", "id", 3600L,
+      chunkPeriod = Some("DAY"))
+      .select(col("k"), col("ts"), col("v"))
+    assert(plain.exceptAll(chunked).count() == 0)
+    assert(chunked.exceptAll(plain).count() == 0)
+    // the day-1 grid slots specifically hold the pre-null value
+    val d1 = chunked.filter(unix_timestamp(col("ts")) === day).collect()
+    assert(d1.length == 1 && d1(0).getDouble(2) == 5.0)
+  }
+
   test("forward fill: chunking rejects unknown periods") {
     val events = mk(Seq(("a", 100L, 1.0, 1L)))
     intercept[IllegalArgumentException] {

@@ -111,4 +111,21 @@ class ProfileSpec extends SparkSpec {
     intercept[IllegalArgumentException](Profile.histogram(df, "x", 5.0, 5.0, 4))
     intercept[IllegalArgumentException](Profile.histogram(df, "x", 0.0, 1.0, 0))
   }
+
+  test("histogram: huge/Inf values clamp (no int wrap), NaN excluded, NULL group kept") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Some("g"), 1.8e11), (Some("g"), Double.PositiveInfinity),
+      (Some("g"), Double.NegativeInfinity), (Some("g"), Double.NaN),
+      (None: Option[String], 25.0))
+      .toDF("s", "x")
+    val out = Profile.histogram(df, "x", 0.0, 40.0, 4, groupCols = Seq("s"))
+      .orderBy(asc_nulls_first("s"), col("bin")).collect()
+      .map(r => (Option(r.getString(0)), r.getInt(1), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (None, 0, 0L), (None, 1, 0L), (None, 2, 1L), (None, 3, 0L), // null group counted
+      (Some("g"), 0, 1L),  // -Inf clamps low
+      (Some("g"), 1, 0L), (Some("g"), 2, 0L),
+      (Some("g"), 3, 2L))) // 1.8e11 and +Inf clamp high — never wrap
+  }
 }
