@@ -182,16 +182,22 @@ object Bpe {
   /** The vocabulary-sized heart of [[encodeCorpus]]: DISTINCT word →
     * encoded symbol array, the merge table applied in `rulesPerStage`-sized
     * stages (see encodeCorpus's scaladoc for why). */
+  /** The corpus's distinct words — the input grain both the merge-stage
+    * dictionary and the vocabulary alphabet work at (one row per unique
+    * word, never per occurrence). */
+  private[llm] def distinctWords(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(toks(textCol)).as("word"))
+      .filter(col("word") =!= "")
+      .distinct()
+
   private[llm] def wordDict(
       docs: DataFrame,
       merges: Seq[Merge],
       textCol: String,
       rulesPerStage: Int): DataFrame = {
     require(rulesPerStage > 0, s"bad rulesPerStage: $rulesPerStage")
-    val words = docs
-      .select(explode(toks(textCol)).as("word"))
-      .filter(col("word") =!= "")
-      .distinct()
+    val words = distinctWords(docs, textCol)
     var dict = words
       .select(col("word"), filter(split(col("word"), ""), s => s =!= "").as("syms"))
     merges.grouped(rulesPerStage).foreach { group =>
@@ -248,13 +254,9 @@ object Bpe {
       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val chars = docs
-      .select(explode(toks(textCol)).as("word"))
-      .filter(col("word") =!= "")
-      // distinct the WORDS before fanning out characters (the wordDict
-      // shape): the char explode then runs over vocabulary-sized input,
-      // not one row per character of the corpus
-      .distinct()
+    // char fan-out over DISTINCT words (vocabulary-sized), never one row
+    // per character of the corpus
+    val chars = distinctWords(docs, textCol)
       .select(explode(filter(split(col("word"), ""), s => s =!= "")).as("symbol"))
       .distinct()
       .select(col("symbol"), lit(0).as("grp"), col("symbol").as("ord_s"),

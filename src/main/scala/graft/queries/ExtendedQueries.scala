@@ -651,7 +651,8 @@ object ExtendedQueries {
       |       0.0 + (b.bin + 1) * 600.0 / 12 AS bin_hi,
       |       coalesce(c.cnt, 0) AS cnt
       |FROM g CROSS JOIN b
-      |LEFT JOIN c ON c.source = g.source AND c.bin = b.bin
+      |LEFT JOIN c ON c.source IS NOT DISTINCT FROM g.source
+      |           AND c.bin = b.bin
       |ORDER BY g.source, b.bin""".stripMargin) { (s, dir) =>
     graft.sources.Profile.histogram(
         Tables(s, dir, "documents"), "n_chars",

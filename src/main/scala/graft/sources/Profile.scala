@@ -190,7 +190,11 @@ object Profile {
     require(nBins >= 1, s"bad nBins: $nBins")
     require(lo < hi, s"bad range: [$lo, $hi)")
     validateNames(valueCol +: groupCols)
-    val x = col(valueCol).cast("double")
+    // backtick-quote every name reference: a column literally named "a.b"
+    // must resolve as one name, not a qualifier chain (validateNames
+    // already rejects names containing backticks)
+    def qc(g: String) = col(s"`$g`")
+    val x = qc(valueCol).cast("double")
     // clamp on the LONG floor result BEFORE narrowing to int: a huge or
     // ±Inf value floors to a long far outside int range, and a non-ANSI
     // long→int cast would WRAP it into an arbitrary bin instead of the
@@ -199,24 +203,31 @@ object Profile {
     val bin = least(lit((nBins - 1).toLong), greatest(lit(0L),
       floor((x - lit(lo)) * nBins / (hi - lo)))).cast("int")
     val counts = df.filter(x.isNotNull && !x.isNaN)
-      .groupBy((groupCols.map(col) :+ bin.as("bin")): _*)
+      .groupBy((groupCols.map(qc) :+ bin.as("bin")): _*)
       .agg(count(lit(1)).as("cnt"))
     val groups =
       if (groupCols.isEmpty) counts.sparkSession.range(1).select()
-      else df.select(groupCols.map(col): _*).distinct()
+      else df.select(groupCols.map(qc): _*).distinct()
     val dense = groups.select(
-      (groupCols.map(col) :+ explode(sequence(lit(0), lit(nBins - 1))).as("bin")): _*)
-      .alias("d")
-    // null-safe equality on the group keys: a NULL group is a real group
-    // (dense has its row from distinct()) and a null-rejecting join would
-    // silently zero its counts
-    val joinCond = (groupCols.map(g => col(s"d.$g") <=> counts(g)) :+
-      (col("d.bin") === counts("bin"))).reduce(_ && _)
-    dense.join(counts, joinCond, "left")
-      .select((groupCols.map(g => col(s"d.$g").as(g)) ++ Seq(
-        col("d.bin").as("bin"),
-        (lit(lo) + col("d.bin") * (hi - lo) / nBins).as("bin_lo"),
-        (lit(lo) + (col("d.bin") + 1) * (hi - lo) / nBins).as("bin_hi"),
-        coalesce(counts("cnt"), lit(0L)).as("cnt"))): _*)
+      (groupCols.map(qc) :+ explode(sequence(lit(0), lit(nBins - 1))).as("bin")): _*)
+    // the counts side is renamed to synthetic names before the join —
+    // qualified self-join references trip Spark's disambiguation on
+    // literal dotted names, renamed columns never do. The group-key
+    // equality is NULL-SAFE: a NULL group is a real group (dense has its
+    // row from distinct()) and a null-rejecting join would silently zero
+    // its counts.
+    val counts2 = groupCols.zipWithIndex.foldLeft(
+      counts.withColumnRenamed("bin", "__cbin")) { case (d, (g, i)) =>
+        d.withColumnRenamed(g, s"__cg_$i")
+      }
+    val joinCond = (groupCols.zipWithIndex.map { case (g, i) =>
+      qc(g) <=> col(s"__cg_$i")
+    } :+ (col("bin") === col("__cbin"))).reduce(_ && _)
+    dense.join(counts2, joinCond, "left")
+      .select((groupCols.map(qc) ++ Seq(
+        col("bin"),
+        (lit(lo) + col("bin") * (hi - lo) / nBins).as("bin_lo"),
+        (lit(lo) + (col("bin") + 1) * (hi - lo) / nBins).as("bin_hi"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))): _*)
   }
 }

@@ -128,4 +128,13 @@ class ProfileSpec extends SparkSpec {
       (Some("g"), 1, 0L), (Some("g"), 2, 0L),
       (Some("g"), 3, 2L))) // 1.8e11 and +Inf clamp high — never wrap
   }
+
+  test("histogram: a group column literally named with a dot resolves") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(("u", 5.0), ("v", 15.0)).toDF("a.b", "x")
+    val out = Profile.histogram(df, "x", 0.0, 20.0, 2, groupCols = Seq("a.b"))
+      .orderBy(col("`a.b`"), col("bin")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(4)))
+    assert(out.toSeq == Seq(("u", 0, 1L), ("u", 1, 0L), ("v", 0, 0L), ("v", 1, 1L)))
+  }
 }
