@@ -1057,9 +1057,33 @@ object LlmQueries {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------- q107
+  // Tokenizer fertility per source: exact char and BPE-pre-token totals —
+  // the "how many tokens does a GB of this source cost" planning number.
+  // Both totals are integer sums (callers derive chars/token); the BPE
+  // count reuses q55's shared pre-tokenizer regex in both engines.
+  val q107 = Q(
+    "q107_tokenizer_fertility",
+    s"""SELECT source,
+       |       count(*) AS n_docs,
+       |       sum(n_chars) AS total_chars,
+       |       CAST(sum(len(regexp_extract_all(text,
+       |         '${TextAnalysis.BpePretokenPattern}'))) AS BIGINT) AS total_bpe
+       |FROM documents
+       |GROUP BY source
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(TextAnalysis.bpeTokenCount(col("text"))).as("total_bpe"))
+      .orderBy("source")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
       q47, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q74, q76, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
-      q93, q95, q97, q98, q99, q104)
+      q93, q95, q97, q98, q99, q104, q107)
 }

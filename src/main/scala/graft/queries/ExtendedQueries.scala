@@ -783,8 +783,39 @@ object ExtendedQueries {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  // ---------------------------------------------------------------- q106
+  // Correlated subqueries through the SQL surface: an EXISTS filter plus a
+  // correlated SCALAR count, submitted as SQL text (spark.sql) — the one
+  // registry entry that exercises the parser + subquery decorrelation path
+  // (Catalyst rewrites both to joins; every predicate is integer/exact, no
+  // double folds). The oracle runs the identical ANSI text.
+  val q106 = Q(
+    "q106_correlated_subquery",
+    """SELECT c_custkey,
+      |       (SELECT count(*) FROM orders o
+      |        WHERE o.o_custkey = c.c_custkey
+      |          AND o.o_totalprice > 200000) AS n_big
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 200000)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "customer").createOrReplaceTempView("customer")
+    Tables(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c_custkey,
+        |       (SELECT count(*) FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey
+        |          AND o.o_totalprice > 200000) AS n_big
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   val all: Seq[Q] =
     Seq(q36, q37, q38, q39, q40, q41, q45, q46, q48, q49, q51, q53, q55,
       q56, q57, q58, q68, q75, q88, q90, q92, q94, q96, q100, q101, q102,
-      q103, q105)
+      q103, q105, q106)
 }
