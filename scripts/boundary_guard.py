@@ -103,6 +103,21 @@ REGISTRY = {
         SELECT avg(ln(CAST(cnt AS DOUBLE) / total)) AS v
         FROM tt JOIN lm USING (token) CROSS JOIN tot
         GROUP BY doc_id"""),
+    "q108.avg_logprob2": (4, """
+        WITH pos AS (
+          SELECT doc_id, i, arr[i] AS token
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS arr
+                FROM documents) d,
+               LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) g
+          WHERE arr[i] <> ''),
+        bg AS (SELECT a.doc_id, a.token AS ta, b.token AS tb
+               FROM pos a JOIN pos b
+                 ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        lm AS (SELECT ta, tb, count(*) AS nab FROM bg GROUP BY 1, 2),
+        ctx AS (SELECT ta, sum(nab) AS na FROM lm GROUP BY ta)
+        SELECT avg(ln(CAST(nab AS DOUBLE) / na)) AS v
+        FROM bg JOIN lm USING (ta, tb) JOIN ctx USING (ta)
+        GROUP BY doc_id"""),
     "q84.score": (4, """
         WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
                    FROM documents),

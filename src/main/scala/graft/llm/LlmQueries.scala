@@ -1081,9 +1081,40 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- q108
+  // Bigram-LM quality score (TextAnalysis.bigramLogProb): the sequential
+  // fluency signal a unigram gate can't see. Self-fit MLE model — every
+  // scored bigram exists, no smoothing arm; avg rounded to 4 decimals
+  // (boundary-guard probe q108.avg_logprob2); <2-token docs survive with
+  // n_bigrams=0 and a null score.
+  val q108 = Q(
+    "q108_bigram_logprob",
+    """WITH pos AS (
+      |  SELECT doc_id, i, arr[i] AS token
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+      |        FROM documents) d,
+      |       LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) g
+      |  WHERE arr[i] <> ''),
+      |bg AS (SELECT a.doc_id, a.token AS ta, b.token AS tb
+      |       FROM pos a JOIN pos b
+      |         ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+      |lm AS (SELECT ta, tb, count(*) AS nab FROM bg GROUP BY 1, 2),
+      |ctx AS (SELECT ta, sum(nab) AS na FROM lm GROUP BY ta),
+      |s AS (SELECT doc_id, count(*) AS n_bigrams,
+      |             round(avg(ln(CAST(nab AS DOUBLE) / na)), 4) AS avg_logprob2
+      |      FROM bg JOIN lm USING (ta, tb) JOIN ctx USING (ta)
+      |      GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |       s.avg_logprob2
+      |FROM documents d LEFT JOIN s USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.bigramLogProb(Tables(s, dir, "documents"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
       q47, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q74, q76, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
-      q93, q95, q97, q98, q99, q104, q107)
+      q93, q95, q97, q98, q99, q104, q107, q108)
 }

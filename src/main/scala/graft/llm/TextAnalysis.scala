@@ -308,6 +308,55 @@ object TextAnalysis {
         .otherwise(array().cast("array<string>"))
     }
 
+  /** Bigram-LM quality score — the sequential step past [[unigramLogProb]]:
+    * fit a maximum-likelihood bigram model on the corpus itself
+    * (P(b|a) = C(a,b)/ΣC(a,·), probabilities summing to 1 per context) and
+    * score each document by the average log-probability of its bigrams.
+    * Word-salad documents whose unigrams are individually common score far
+    * below fluent text — the signal a unigram gate cannot see. Self-fit ⇒
+    * every scored bigram exists in the model, so no OOV smoothing arm.
+    *
+    * Scale shape: the bigram fan-out is row-local (transform over the
+    * token array — one row per adjacent pair, T−1 per document); ONE
+    * (pair)-keyed shuffle builds the LM with map-side combine absorbing
+    * the Zipf head; context totals aggregate the vocabulary-sized LM, not
+    * the corpus; both join back WITHOUT broadcast hints (crawl-scale
+    * bigram vocabularies are 1e9+ rows — AQE broadcasts the measured
+    * post-aggregate table only when it fits, the unigramLogProb LM
+    * precedent). The average is rounded to 4 decimals (cross-engine
+    * double-sum ordering, q02's lesson) and guarded by
+    * scripts/boundary_guard.py. Documents with <2 tokens survive with
+    * n_bigrams = 0 and a null score (the encodeCorpus convention). */
+  def bigramLogProb(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val arr = filter(tokens(coalesce(col(textCol), lit(""))), t => t =!= "")
+    val bg = docs
+      .select(col("doc_id"),
+        explode(when(size(arr) >= 2,
+          transform(sequence(lit(0), size(arr) - 2), i =>
+            struct(element_at(arr, i + 1).as("ta"),
+              element_at(arr, i + 2).as("tb"))))
+          .otherwise(array().cast("array<struct<ta:string,tb:string>>")))
+          .as("bg"))
+      .select(col("doc_id"), col("bg.ta").as("ta"), col("bg.tb").as("tb"))
+    val lm = bg.groupBy("ta", "tb").agg(count(lit(1)).as("nab"))
+    val ctx = lm.groupBy("ta").agg(sum("nab").as("na"))
+    val scored = bg
+      .join(lm, Seq("ta", "tb"))
+      .join(ctx, Seq("ta"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("nab").cast("double") / col("na"))), 4)
+          .as("avg_logprob2"))
+    val empties = docs
+      .filter(size(arr) < 2)
+      .select(col("doc_id"), lit(0L).as("n_bigrams"),
+        lit(null).cast("double").as("avg_logprob2"))
+    scored.unionByName(empties)
+  }
+
   /** Windowed token co-occurrence counts — the raw material of PMI /
     * word-association analysis (word2vec's skip-gram statistic, computed
     * exactly). A pair is counted once per (position, offset) occurrence of

@@ -178,6 +178,24 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("bigram log-prob: sequence-sensitive where unigrams are blind") {
+    // corpus dominated by the fluent order "the cat sat"; the salad doc
+    // uses EXACTLY the same unigrams in an order the corpus never repeats
+    val docs = (
+      (1L to 8L).map(i => (i, "the cat sat")) ++
+        Seq((9L, "cat the sat"), (10L, "x"), (11L, ""))).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(1L)._1 == 2L && out(9L)._1 == 2L)
+    // fluent doc scores strictly above the same-unigram salad
+    assert(out(1L)._2.get > out(9L)._2.get)
+    // <2-token docs survive with zero bigrams and a null score
+    assert(out(10L) == (0L, None) && out(11L) == (0L, None))
+    // self-fit sanity: every score is a log-prob (<= 0)
+    assert(out.values.flatMap(_._2).forall(_ <= 0.0))
+  }
+
   test("cooccurrence: windowed pairs, unordered collapse, exact counts") {
     // doc1 "a b a": window=1 pairs (a,b)@(0,1), (a,b)@(1,2) -> n_ab=2
     // doc2 "b c": (b,c) -> 1
