@@ -642,6 +642,66 @@ object ScaleStress {
     }
   }
 
+  /** Skewed-join A/B: a fact table where ONE key owns half the rows,
+    * sort-merge-joined to a dimension, under three regimes — AQE skew
+    * handling disabled (the straggler-task shape a naive plan ships),
+    * AQE skew-join enabled (runtime split of the oversized partition),
+    * and the explicit [[graft.operators.SkewJoin.saltedInnerJoin]]
+    * rewrite (the key-salting pattern for engines/joins AQE can't fix,
+    * e.g. the LSH candidate joins). Row counts asserted identical. At
+    * 100 TB the disabled shape is a job that never finishes: one task
+    * sorts half the table while 999 executors idle. */
+  def skew(spark: SparkSession, sfDir: String): Unit = {
+    import graft.operators.SkewJoin
+    println("== skewed join: AQE skew-split vs salting vs naive ==")
+    val n = 16000000L
+    // half the rows share key 0; the rest spread over 100k keys. The
+    // payload makes the hot partition heavy in BYTES, which is what AQE's
+    // size-based skew detection (and a real cluster's straggler) sees.
+    val fact = spark.range(n).select(
+      when(col("id") % 2 === 0, lit(0L))
+        .otherwise(pmod(col("id") * 2654435761L, lit(100000L))).as("k"),
+      concat(lit("payload-padding-for-realistic-row-width-"), col("id"))
+        .as("v"))
+      .cache()
+    val dim = spark.range(100000L).select(col("id").as("k"),
+      concat(lit("dim"), col("id")).as("label")).cache()
+    fact.count(); dim.count()
+    val prevSkew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    val prevThresh = spark.conf
+      .get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    val prevFactor = spark.conf
+      .get("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    try {
+      // local shuffle volumes are MBs; drop AQE's 256MB default threshold
+      // so the skew split triggers at fixture scale like it would at
+      // production partition sizes
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4MB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      var expect = -1L
+      for ((name, aqeSkew, salted) <- Seq(
+          ("aqe-off ", false, false), ("aqe-skew", true, false),
+          ("salted  ", false, true))) {
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqeSkew)
+        val joined =
+          if (salted) SkewJoin.saltedInnerJoin(fact, dim, "k", factor = 32)
+          else fact.hint("merge").join(dim, "k")
+        val (cnt, s) = time { joined.count() }
+        if (expect < 0) expect = cnt
+        assert(cnt == expect, s"row counts diverge: $cnt vs $expect")
+        println(f"$name: rows=$cnt%9d wall=$s%6.2f s")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkew)
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", prevThresh)
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor", prevFactor)
+      fact.unpersist(); dim.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.filterNot(_.startsWith("--")).headOption
       .getOrElse("/root/testdata/sf0.1")
@@ -700,6 +760,11 @@ object ScaleStress {
     }
     if (args.contains("--dpp")) {
       dpp(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.contains("--skew")) {
+      skew(spark, sfDir)
       spark.stop()
       return
     }
