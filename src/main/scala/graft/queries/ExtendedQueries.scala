@@ -814,8 +814,59 @@ object ExtendedQueries {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q109
+  // Native relational UNPIVOT (DataFrame.unpivot — long-form reshaping,
+  // the inverse of q19's pivot): per-order wide money columns to (order,
+  // measure, value) rows. Values route through DECIMAL before the
+  // unpivot so the melted column is value-exact.
+  val q109 = Q(
+    "q109_unpivot",
+    """SELECT o_orderkey, measure, val
+      |FROM (SELECT o_orderkey,
+      |             CAST(o_totalprice AS DECIMAL(18,4)) AS total,
+      |             CAST(o_totalprice * 0.07 AS DECIMAL(18,4)) AS est_tax
+      |      FROM orders WHERE o_orderkey < 1000)
+      |UNPIVOT (val FOR measure IN (total, est_tax))
+      |ORDER BY o_orderkey, measure""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "orders")
+      .filter(col("o_orderkey") < 1000)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,4)").as("total"),
+        (col("o_totalprice") * lit(0.07)).cast("decimal(18,4)").as("est_tax"))
+      .unpivot(Array(col("o_orderkey")), Array(col("total"), col("est_tax")),
+        "measure", "val")
+      .orderBy("o_orderkey", "measure")
+  }
+
+  // ---------------------------------------------------------------- q110
+  // Explicit GROUPING SETS (B12's general form — q07/q56 cover the
+  // rollup/cube specializations) through the SQL surface, with
+  // grouping_id distinguishing the set each row came from.
+  val q110 = Q(
+    "q110_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+      |            AS INT) AS gid,
+      |       count(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+      |                        (o_orderstatus, o_orderpriority))
+      |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) {
+    (s, dir) =>
+      Tables(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+          |            AS INT) AS gid,
+          |       count(*) AS n
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+          |                        (o_orderstatus, o_orderpriority))
+          |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
   val all: Seq[Q] =
     Seq(q36, q37, q38, q39, q40, q41, q45, q46, q48, q49, q51, q53, q55,
       q56, q57, q58, q68, q75, q88, q90, q92, q94, q96, q100, q101, q102,
-      q103, q105, q106)
+      q103, q105, q106, q109, q110)
 }
