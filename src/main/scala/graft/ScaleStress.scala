@@ -702,6 +702,46 @@ object ScaleStress {
     }
   }
 
+  /** Co-occurrence pair-space measurement — q98's design claim made
+    * visible: the WINDOWED pairing emits ≤ T·window pair instances per
+    * document, linear in corpus size and window, where per-document
+    * ALL-PAIRS is T² — a 25× volume blowup already at T=200, and the gap
+    * widens with document length. Synthetic fixed-length docs; the brute
+    * twin runs once, contained, as the denominator. */
+  def cooc(spark: SparkSession): Unit = {
+    println("== co-occurrence: windowed pair volume vs per-doc all-pairs ==")
+    def mkDocs(nDocs: Int) = spark.range(nDocs.toLong).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), lit(200)), i =>
+        concat(lit("w"), pmod(xxhash64(col("id"), i), lit(5000L)))))
+        .as("text"))
+    def pos(docs: DataFrame) = docs
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("p", "t")))
+      .filter(col("t") =!= "")
+    for (r <- Seq(1, 4); w <- Seq(2, 8)) {
+      val p = pos(mkDocs(4000 * r))
+      val (nPairs, s) = time {
+        p.select(col("doc_id"), col("p"), col("t").as("ta"))
+          .withColumn("pb", explode(sequence(col("p") + 1, col("p") + w)))
+          .join(p.select(col("doc_id"), col("p").as("pb"), col("t").as("tb")),
+            Seq("doc_id", "pb"))
+          .count()
+      }
+      println(f"docs=${4000 * r}%6d window=$w%2d pairs=$nPairs%12d wall=$s%6.2f s")
+    }
+    // brute all-pairs twin at the smallest corpus only (quadratic in T)
+    val p = pos(mkDocs(4000))
+    val (nBrute, sb) = time {
+      p.select(col("doc_id"), col("p").as("pa"), col("t").as("ta"))
+        .join(p.select(col("doc_id"), col("p").as("pb"), col("t").as("tb")),
+          Seq("doc_id"))
+        .filter(col("pb") > col("pa"))
+        .count()
+    }
+    println(f"docs=  4000 ALL-PAIRS   pairs=$nBrute%12d wall=$sb%6.2f s")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.filterNot(_.startsWith("--")).headOption
       .getOrElse("/root/testdata/sf0.1")
@@ -765,6 +805,11 @@ object ScaleStress {
     }
     if (args.contains("--skew")) {
       skew(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.contains("--cooc")) {
+      cooc(spark)
       spark.stop()
       return
     }
