@@ -330,15 +330,20 @@ object TextAnalysis {
   def bigramLogProb(
       docs: org.apache.spark.sql.DataFrame,
       textCol: String = "text"): org.apache.spark.sql.DataFrame = {
-    val arr = filter(tokens(coalesce(col(textCol), lit(""))), t => t =!= "")
+    val toksExpr = filter(tokens(coalesce(col(textCol), lit(""))), t => t =!= "")
+    // bind the token array once per row ([[bound]]): element_at inside the
+    // per-index lambda would otherwise re-run the whole split per bigram —
+    // O(T²) splits per document (the winnow lesson, measured 12 s → ~1 s
+    // at sf0.1 on this operator)
+    val bigramsExpr = bound(toksExpr) { arr =>
+      when(size(arr) >= 2,
+        transform(sequence(lit(0), size(arr) - 2), i =>
+          struct(element_at(arr, i + 1).as("ta"),
+            element_at(arr, i + 2).as("tb"))))
+        .otherwise(array().cast("array<struct<ta:string,tb:string>>"))
+    }
     val bg = docs
-      .select(col("doc_id"),
-        explode(when(size(arr) >= 2,
-          transform(sequence(lit(0), size(arr) - 2), i =>
-            struct(element_at(arr, i + 1).as("ta"),
-              element_at(arr, i + 2).as("tb"))))
-          .otherwise(array().cast("array<struct<ta:string,tb:string>>")))
-          .as("bg"))
+      .select(col("doc_id"), explode(bigramsExpr).as("bg"))
       .select(col("doc_id"), col("bg.ta").as("ta"), col("bg.tb").as("tb"))
     val lm = bg.groupBy("ta", "tb").agg(count(lit(1)).as("nab"))
     val ctx = lm.groupBy("ta").agg(sum("nab").as("na"))
@@ -351,7 +356,7 @@ object TextAnalysis {
         round(avg(log(col("nab").cast("double") / col("na"))), 4)
           .as("avg_logprob2"))
     val empties = docs
-      .filter(size(arr) < 2)
+      .filter(size(toksExpr) < 2)
       .select(col("doc_id"), lit(0L).as("n_bigrams"),
         lit(null).cast("double").as("avg_logprob2"))
     scored.unionByName(empties)
