@@ -865,8 +865,56 @@ object ExtendedQueries {
           |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q111
+  // Join-key diagnostics (Profile.joinKeyDiagnostics): the pre-join skew/
+  // fan-out/domain-mismatch report — per key, both sides' counts and the
+  // output contribution n_left × n_right, top-20. events.user_id ⋈
+  // customer.c_custkey: the mismatch case (event users beyond the
+  // customer table show n_right = 0). All integer → hash-exact.
+  val q111 = Q(
+    "q111_join_diagnostics",
+    """WITH l AS (SELECT user_id AS k, count(*) AS nl FROM events GROUP BY 1),
+      |r AS (SELECT c_custkey AS k, count(*) AS nr FROM customer GROUP BY 1)
+      |SELECT coalesce(l.k, r.k) AS k,
+      |       coalesce(nl, 0) AS n_left,
+      |       coalesce(nr, 0) AS n_right,
+      |       coalesce(nl, 0) * coalesce(nr, 0) AS n_out
+      |FROM l FULL OUTER JOIN r ON l.k = r.k
+      |ORDER BY n_out DESC, k LIMIT 20""".stripMargin) { (s, dir) =>
+    graft.sources.Profile.joinKeyDiagnostics(
+      Tables(s, dir, "events"), "user_id",
+      Tables(s, dir, "customer"), "c_custkey", k = 20)
+  }
+
+  // ---------------------------------------------------------------- q112
+  // Deterministic categorical mode per group: most frequent order
+  // priority per status, rank-1 over (count desc, value asc) — the
+  // tie-break makes "mode" well-defined where the bare aggregate is
+  // engine-arbitrary. Identical window construction in both engines.
+  val q112 = Q(
+    "q112_mode_per_group",
+    """SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+      |FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+      |             row_number() OVER (PARTITION BY o_orderstatus
+      |               ORDER BY count(*) DESC, o_orderpriority) AS rk
+      |      FROM orders GROUP BY o_orderstatus, o_orderpriority)
+      |WHERE rk = 1
+      |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("cnt").desc, col("o_orderpriority"))
+    Tables(s, dir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("cnt"))
+      .orderBy("o_orderstatus")
+  }
+
   val all: Seq[Q] =
     Seq(q36, q37, q38, q39, q40, q41, q45, q46, q48, q49, q51, q53, q55,
       q56, q57, q58, q68, q75, q88, q90, q92, q94, q96, q100, q101, q102,
-      q103, q105, q106, q109, q110)
+      q103, q105, q106, q109, q110, q111, q112)
 }

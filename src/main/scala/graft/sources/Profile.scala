@@ -162,6 +162,35 @@ object Profile {
       s"stack(${cols.size}, $stackArgs) AS (col_name, n_vals, n_nulls, min_d, max_d, sum_d, sumsq_d)")
   }
 
+  /** Join-key diagnostics — the "why is my join slow" report run BEFORE
+    * the join: for each key value, both sides' row counts and the output
+    * rows it would contribute (n_left × n_right), top `k` by
+    * contribution. One hot key at the top is the skew/AQE/salting case;
+    * a large n_out total against small inputs is the fan-out-blowup
+    * case; zeros on one side expose mismatched key domains.
+    *
+    * Scale shape: each side collapses to per-key counts first (map-side
+    * combine — the full tables never meet), then a key-equi full outer
+    * join of two counts tables and a TakeOrdered top-k. Everything
+    * integer → hash-exact. */
+  def joinKeyDiagnostics(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      k: Int = 20): DataFrame = {
+    require(k >= 1, s"bad k: $k")
+    validateNames(Seq(leftKey, rightKey))
+    val l = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("n_left"))
+    val r = right.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("n_right"))
+    l.join(r, Seq("k"), "full_outer")
+      .select(col("k"),
+        coalesce(col("n_left"), lit(0L)).as("n_left"),
+        coalesce(col("n_right"), lit(0L)).as("n_right"),
+        (coalesce(col("n_left"), lit(0L)) * coalesce(col("n_right"), lit(0L)))
+          .as("n_out"))
+      .orderBy(col("n_out").desc, col("k"))
+      .limit(k)
+  }
+
   /** Fixed-bin histogram of a numeric column, optionally per group — the
     * distribution view behind every "token-length by source" corpus report.
     * `nBins` equal-width bins over [lo, hi); values below `lo` (including

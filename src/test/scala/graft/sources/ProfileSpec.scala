@@ -129,6 +129,18 @@ class ProfileSpec extends SparkSpec {
       (Some("g"), 3, 2L))) // 1.8e11 and +Inf clamp high — never wrap
   }
 
+  test("join-key diagnostics: skew, fan-out and domain mismatch all visible") {
+    val left = Seq(1L, 1L, 1L, 2L, 3L).toDF("lk")   // key 1 is hot
+    val right = Seq(1L, 1L, 2L, 9L).toDF("rk")      // key 9 unmatched
+    val out = Profile.joinKeyDiagnostics(left, "lk", right, "rk", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2L, 6L),   // hot key dominates output contribution
+      (2L, 1L, 1L, 1L),
+      (3L, 1L, 0L, 0L),   // left-only key: zero contribution, still visible
+      (9L, 0L, 1L, 0L)))  // right-only key exposes the domain mismatch
+  }
+
   test("histogram: a group column literally named with a dot resolves") {
     import org.apache.spark.sql.functions._
     val df = Seq(("u", 5.0), ("v", 15.0)).toDF("a.b", "x")
