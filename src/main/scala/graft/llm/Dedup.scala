@@ -382,4 +382,37 @@ object Dedup {
     shAll.unpersist()
     out
   }
+
+  /** Corpus diff — the "what changed between crawls" report: classify
+    * CONTENT (by hash) as added / removed / retained between two corpus
+    * versions, with distinct-content and per-side document counts. The
+    * first question an incremental-ingest owner asks before re-running
+    * anything expensive downstream: a crawl whose `added` mass is tiny can
+    * skip re-dedup entirely; a huge `removed` signals an upstream filter
+    * change.
+    *
+    * Scale shape: each side collapses to (32-byte digest, count) first —
+    * map-side combine, bodies never travel (the exact-dedup invariant) —
+    * then one digest-keyed full outer join and a 3-row aggregate. A status
+    * with no content yields no row (an empty diff is an empty table, not
+    * fabricated zeros). */
+  def corpusDiff(
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    def byHash(d: DataFrame, cnt: String) = d
+      .groupBy(sha2(col(textCol), 256).as("__h"))
+      .agg(count(lit(1)).as(cnt))
+    byHash(oldDocs, "__no").join(byHash(newDocs, "__nn"), Seq("__h"), "full_outer")
+      .select(
+        when(col("__no").isNull, lit("added"))
+          .when(col("__nn").isNull, lit("removed"))
+          .otherwise(lit("retained")).as("status"),
+        col("__no"), col("__nn"))
+      .groupBy("status")
+      .agg(
+        count(lit(1)).as("n_contents"),
+        coalesce(sum("__no"), lit(0L)).as("n_docs_old"),
+        coalesce(sum("__nn"), lit(0L)).as("n_docs_new"))
+  }
 }

@@ -1112,9 +1112,34 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q113
+  // Corpus diff (Dedup.corpusDiff): added/removed/retained content between
+  // two crawl versions by 32-byte digest — overlapping doc_id slices of
+  // the fixture stand in for consecutive crawls. All integer counts.
+  val q113 = Q(
+    "q113_corpus_diff",
+    """WITH o AS (SELECT sha256(text) AS h, count(*) AS n
+      |           FROM documents WHERE doc_id < 400 GROUP BY 1),
+      |n AS (SELECT sha256(text) AS h, count(*) AS n
+      |      FROM documents WHERE doc_id >= 100 GROUP BY 1)
+      |SELECT CASE WHEN o.h IS NULL THEN 'added'
+      |            WHEN n.h IS NULL THEN 'removed'
+      |            ELSE 'retained' END AS status,
+      |       count(*) AS n_contents,
+      |       CAST(coalesce(sum(o.n), 0) AS BIGINT) AS n_docs_old,
+      |       CAST(coalesce(sum(n.n), 0) AS BIGINT) AS n_docs_new
+      |FROM o FULL OUTER JOIN n ON o.h = n.h
+      |GROUP BY 1 ORDER BY status""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    Dedup.corpusDiff(
+        docs.filter(col("doc_id") < 400),
+        docs.filter(col("doc_id") >= 100))
+      .orderBy("status")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
       q47, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q74, q76, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
-      q93, q95, q97, q98, q99, q104, q107, q108)
+      q93, q95, q97, q98, q99, q104, q107, q108, q113)
 }

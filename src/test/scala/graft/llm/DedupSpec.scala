@@ -235,4 +235,19 @@ class DedupSpec extends SparkSpec {
     val b = Dedup.ngramJaccardPairs(docs, minJaccard = 0.2, maxDocFreq = 1000000)
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
+
+  test("corpus diff classifies content by hash with per-side doc counts") {
+    import spark.implicits._
+    val old = Seq((1L, "kept"), (2L, "kept"), (3L, "dropped")).toDF("doc_id", "text")
+    val nw = Seq((10L, "kept"), (11L, "fresh"), (12L, "fresh")).toDF("doc_id", "text")
+    val out = Dedup.corpusDiff(old, nw).orderBy("status").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("added", 1L, 0L, 2L),      // "fresh": 1 content, 2 new docs
+      ("removed", 1L, 1L, 0L),    // "dropped"
+      ("retained", 1L, 2L, 1L)))  // "kept": 2 old copies, 1 new
+    // identical corpora: pure retained (no fabricated zero rows)
+    val same = Dedup.corpusDiff(old, old).collect()
+    assert(same.length == 1 && same(0).getString(0) == "retained")
+  }
 }
