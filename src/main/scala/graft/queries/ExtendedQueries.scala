@@ -913,8 +913,41 @@ object ExtendedQueries {
       .orderBy("o_orderstatus")
   }
 
+  // ---------------------------------------------------------------- q114
+  // Mergeable HLL sketch columns (Datasketches, B13's incremental form):
+  // per-partition sketches UNIONED stand in for the whole-corpus sketch —
+  // the mechanism that makes distinct-counting incremental at 100 TB
+  // (persist a sketch per ingest batch, union on read; never recount
+  // history). Sketch bytes are engine-specific and the union may promote
+  // the sketch's internal mode (so register-identical equality does NOT
+  // hold), so the hash-checked contract is q08's: a 1%-tolerance
+  // merged-vs-whole flag, a 5%-tolerance estimate-vs-exact flag, and the
+  // exact distinct count.
+  val q114 = Q(
+    "q114_hll_merge",
+    """SELECT 1 AS merge_ok, 1 AS est_ok,
+      |       count(DISTINCT text) AS n_exact
+      |FROM documents""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val halves = docs
+      .groupBy(pmod(col("doc_id"), lit(2L)).as("h"))
+      .agg(hll_sketch_agg(col("text")).as("sk"))
+    val merged = halves
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_m"))
+    val whole = docs.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("text"))).as("est_w"),
+      countDistinct(col("text")).as("n_exact"))
+    merged.crossJoin(whole).select(
+      when(abs(col("est_m") - col("est_w")) <=
+        greatest(col("est_w") * 0.01, lit(1.0)), lit(1)).otherwise(lit(0))
+        .cast("int").as("merge_ok"),
+      when(abs(col("est_m") - col("n_exact")) <= col("n_exact") * 0.05, lit(1))
+        .otherwise(lit(0)).cast("int").as("est_ok"),
+      col("n_exact"))
+  }
+
   val all: Seq[Q] =
     Seq(q36, q37, q38, q39, q40, q41, q45, q46, q48, q49, q51, q53, q55,
       q56, q57, q58, q68, q75, q88, q90, q92, q94, q96, q100, q101, q102,
-      q103, q105, q106, q109, q110, q111, q112)
+      q103, q105, q106, q109, q110, q111, q112, q114)
 }
