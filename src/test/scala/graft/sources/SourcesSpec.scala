@@ -53,4 +53,22 @@ class SourcesSpec extends SparkSpec {
     assert(one.count() == orders.filter(col("o_orderstatus") === "F").count())
     assert(all.count() == orders.count())
   }
+
+  test("schema evolution: mergeSchema unions column sets across file batches") {
+    import spark.implicits._
+    // batch 1 written before a column existed; batch 2 adds `score` —
+    // the additive-evolution shape every long-lived ingest dataset hits
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 0.5), (4L, "d", 0.9)).toDF("id", "name", "score")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", true).parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "name", "score"))
+    val rows = merged.select("id", "score").orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1))))
+    // old-batch rows surface the new column as NULL, new-batch rows carry it
+    assert(rows.toSeq == Seq(
+      (1L, None), (2L, None), (3L, Some(0.5)), (4L, Some(0.9))))
+  }
 }
