@@ -651,7 +651,7 @@ object ScaleStress {
     * e.g. the LSH candidate joins). Row counts asserted identical. At
     * 100 TB the disabled shape is a job that never finishes: one task
     * sorts half the table while 999 executors idle. */
-  def skew(spark: SparkSession, sfDir: String): Unit = {
+  def skew(spark: SparkSession): Unit = {
     import graft.operators.SkewJoin
     println("== skewed join: AQE skew-split vs salting vs naive ==")
     val n = 16000000L
@@ -804,7 +804,7 @@ object ScaleStress {
       return
     }
     if (args.contains("--skew")) {
-      skew(spark, sfDir)
+      skew(spark)
       spark.stop()
       return
     }

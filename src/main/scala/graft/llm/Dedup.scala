@@ -400,10 +400,15 @@ object Dedup {
       oldDocs: DataFrame,
       newDocs: DataFrame,
       textCol: String = "text"): DataFrame = {
-    def byHash(d: DataFrame, cnt: String) = d
-      .groupBy(sha2(col(textCol), 256).as("__h"))
+    def byHash(d: DataFrame, h: String, cnt: String) = d
+      .groupBy(sha2(col(textCol), 256).as(h))
       .agg(count(lit(1)).as(cnt))
-    byHash(oldDocs, "__no").join(byHash(newDocs, "__nn"), Seq("__h"), "full_outer")
+    // null-safe join key: sha2(NULL) is NULL, and a null-rejecting join
+    // would report NULL-text content as simultaneously added AND removed
+    // when nothing changed — the one lie a diff report must never tell
+    byHash(oldDocs, "__ho", "__no")
+      .join(byHash(newDocs, "__hn", "__nn"),
+        col("__ho") <=> col("__hn"), "full_outer")
       .select(
         when(col("__no").isNull, lit("added"))
           .when(col("__nn").isNull, lit("removed"))

@@ -1122,13 +1122,13 @@ object LlmQueries {
       |           FROM documents WHERE doc_id < 400 GROUP BY 1),
       |n AS (SELECT sha256(text) AS h, count(*) AS n
       |      FROM documents WHERE doc_id >= 100 GROUP BY 1)
-      |SELECT CASE WHEN o.h IS NULL THEN 'added'
-      |            WHEN n.h IS NULL THEN 'removed'
+      |SELECT CASE WHEN o.n IS NULL THEN 'added'
+      |            WHEN n.n IS NULL THEN 'removed'
       |            ELSE 'retained' END AS status,
       |       count(*) AS n_contents,
       |       CAST(coalesce(sum(o.n), 0) AS BIGINT) AS n_docs_old,
       |       CAST(coalesce(sum(n.n), 0) AS BIGINT) AS n_docs_new
-      |FROM o FULL OUTER JOIN n ON o.h = n.h
+      |FROM o FULL OUTER JOIN n ON o.h IS NOT DISTINCT FROM n.h
       |GROUP BY 1 ORDER BY status""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
     Dedup.corpusDiff(

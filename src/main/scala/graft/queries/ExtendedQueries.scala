@@ -825,11 +825,14 @@ object ExtendedQueries {
       |FROM (SELECT o_orderkey,
       |             CAST(o_totalprice AS DECIMAL(18,4)) AS total,
       |             CAST(o_totalprice * 0.07 AS DECIMAL(18,4)) AS est_tax
-      |      FROM orders WHERE o_orderkey < 1000)
+      |      FROM orders
+      |      WHERE o_orderkey < 1000 AND o_totalprice IS NOT NULL)
       |UNPIVOT (val FOR measure IN (total, est_tax))
       |ORDER BY o_orderkey, measure""".stripMargin) { (s, dir) =>
+    // NOT NULL on both sides: DuckDB UNPIVOT drops NULL values by default
+    // while Spark's unpivot keeps them — filter the asymmetry out
     Tables(s, dir, "orders")
-      .filter(col("o_orderkey") < 1000)
+      .filter(col("o_orderkey") < 1000 && col("o_totalprice").isNotNull)
       .select(col("o_orderkey"),
         col("o_totalprice").cast("decimal(18,4)").as("total"),
         (col("o_totalprice") * lit(0.07)).cast("decimal(18,4)").as("est_tax"))
@@ -880,7 +883,8 @@ object ExtendedQueries {
       |       coalesce(nr, 0) AS n_right,
       |       coalesce(nl, 0) * coalesce(nr, 0) AS n_out
       |FROM l FULL OUTER JOIN r ON l.k = r.k
-      |ORDER BY n_out DESC, k LIMIT 20""".stripMargin) { (s, dir) =>
+      |ORDER BY n_out DESC, k NULLS FIRST, n_left, n_right
+      |LIMIT 20""".stripMargin) { (s, dir) =>
     graft.sources.Profile.joinKeyDiagnostics(
       Tables(s, dir, "events"), "user_id",
       Tables(s, dir, "customer"), "c_custkey", k = 20)

@@ -179,15 +179,22 @@ object Profile {
       k: Int = 20): DataFrame = {
     require(k >= 1, s"bad k: $k")
     validateNames(Seq(leftKey, rightKey))
-    val l = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("n_left"))
-    val r = right.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("n_right"))
+    // backtick-quoted refs resolve literally (the histogram convention —
+    // a key literally named "a.b" must not parse as a qualifier chain)
+    val l = left.groupBy(col(s"`$leftKey`").as("k"))
+      .agg(count(lit(1)).as("n_left"))
+    val r = right.groupBy(col(s"`$rightKey`").as("k"))
+      .agg(count(lit(1)).as("n_right"))
     l.join(r, Seq("k"), "full_outer")
       .select(col("k"),
         coalesce(col("n_left"), lit(0L)).as("n_left"),
         coalesce(col("n_right"), lit(0L)).as("n_right"),
         (coalesce(col("n_left"), lit(0L)) * coalesce(col("n_right"), lit(0L)))
           .as("n_out"))
-      .orderBy(col("n_out").desc, col("k"))
+      // total order even when NULL keys appear on both sides (two NULL-k
+      // rows are possible — null keys never match, in this report exactly
+      // as in the real join it predicts)
+      .orderBy(col("n_out").desc, col("k"), col("n_left"), col("n_right"))
       .limit(k)
   }
 

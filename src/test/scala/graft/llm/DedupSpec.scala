@@ -249,5 +249,12 @@ class DedupSpec extends SparkSpec {
     // identical corpora: pure retained (no fabricated zero rows)
     val same = Dedup.corpusDiff(old, old).collect()
     assert(same.length == 1 && same(0).getString(0) == "retained")
+    // NULL-text content present on both sides is RETAINED (null-safe hash
+    // join) — never reported as churned
+    val oldN = Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("doc_id", "text")
+    val newN = Seq((9L, Option.empty[String]), (8L, Some("x"))).toDF("doc_id", "text")
+    val dn = Dedup.corpusDiff(oldN, newN).collect()
+    assert(dn.length == 1 && dn(0).getString(0) == "retained" &&
+      dn(0).getLong(1) == 2L)
   }
 }
