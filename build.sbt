@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify consumer parses the LAST stdout line as JSON: pass the
+// forked program's stdout through unprefixed (no "[info] " decoration) and
+// drop sbt's trailing "[success] Total time: ..." line so the program's
+// final println really is the last line of output.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -135,10 +135,12 @@ object Bench {
       t("q61_neardup_planted_brute").map(v => s""""q61_neardup_planted_brute":$v""") ++
       speedup.map(r => s""""q60_q61_speedup":${math.round(r * 100) / 100.0}"""))
       .mkString(",")
+    // stop() BEFORE the final println: its (stderr) shutdown chatter must
+    // not interleave after the JSON line the consumer tail-parses
+    spark.stop()
     println(s"full per-query metrics -> $outPath")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.count(_._3)},""" +
       s""""failed":$failed,"calib":{"before":$calibBefore,"after":$calibAfter},""" +
       s""""queries":{$hl},"full":"$outPath","sf":"$sfDir"}""")
-    spark.stop()
   }
 }

@@ -256,19 +256,26 @@ object Bpe {
     import spark.implicits._
     // char fan-out over DISTINCT words (vocabulary-sized), never one row
     // per character of the corpus
-    val chars = distinctWords(docs, textCol)
+    val alpha = distinctWords(docs, textCol)
       .select(explode(filter(split(col("word"), ""), s => s =!= "")).as("symbol"))
       .distinct()
-      .select(col("symbol"), lit(0).as("grp"), col("symbol").as("ord_s"),
-        lit(0).as("ord_i"))
+    // dense binary-lexicographic rank via a vocabulary-sized broadcast
+    // theta-join (count of strictly-smaller symbols) rather than an
+    // unpartitioned Window: same ids, but no all-rows-to-one-partition
+    // Window plan (and no WindowExec warning per run). The BNL join is
+    // bounded by the alphabet size — the q20/q26 deliberate-broadcast class.
+    val ranked = alpha
+      .join(broadcast(alpha.select(col("symbol").as("__s2"))),
+        col("__s2") < col("symbol"), "left")
+      .groupBy("symbol")
+      .agg(count(col("__s2")).cast("int").as("token_id"))
+    val nAlpha = broadcast(alpha.agg(count(lit(1)).cast("int").as("__a")))
     val mergeSyms = merges.map(m => m.left + m.right).distinct // keep first
     val mdf = mergeSyms.zipWithIndex
-      .map { case (s, i) => (s, 1, "", i) }
-      .toDF("symbol", "grp", "ord_s", "ord_i")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("grp", "ord_s", "ord_i")
-    chars.unionByName(mdf)
-      .select(col("symbol"), (row_number().over(w) - 1).cast("int").as("token_id"))
+      .toDF("symbol", "__i")
+      .crossJoin(nAlpha)
+      .select(col("symbol"), (col("__a") + col("__i")).cast("int").as("token_id"))
+    ranked.unionByName(mdf)
   }
 
   /** End-to-end text → integer token ids: [[encodeCorpus]]'s dictionary

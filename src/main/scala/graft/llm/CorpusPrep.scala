@@ -274,9 +274,16 @@ object CorpusPrep {
     require(k >= 1, s"bad k: $k")
     import org.apache.spark.sql.expressions.Window
     val ord = trainingOrder(docs, shards)
-    val wOff = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ord.groupBy("shard").agg(count(lit(1)).as("__cnt"))
-      .withColumn("__off", coalesce(sum("__cnt").over(wOff), lit(0L)))
+    // exclusive prefix-sum over the ≤`shards`-row counts via a tiny
+    // broadcast theta-join, NOT an unpartitioned window — same result, but
+    // WindowExec's "No Partition Defined" warning would otherwise spray
+    // ~30 lines per bench run and bury real warnings
+    val counts = ord.groupBy("shard").agg(count(lit(1)).as("__cnt"))
+    val offsets = counts
+      .join(broadcast(counts.select(col("shard").as("__s2"), col("__cnt").as("__c2"))),
+        col("__s2") < col("shard"), "left")
+      .groupBy("shard")
+      .agg(coalesce(sum("__c2"), lit(0L)).as("__off"))
       .select(col("shard"), col("__off"))
     val idx = ord.join(offsets, "shard")
       .select(col("doc_id"), (col("__off") + col("pos") - 1).as("__idx"))

@@ -50,7 +50,17 @@ object DedupIndex {
 
   /** Append the digests of `newDocs` that the index has not seen. Run after
     * each accepted batch; repeated updates with the same batch are no-ops
-    * (the anti-join keeps the index duplicate-free). */
+    * (the anti-join keeps the index duplicate-free).
+    *
+    * SINGLE-WRITER contract: the read and the append target the same path
+    * in one job — file listing happens at plan time and new files commit at
+    * job end, so a lone sequential caller is safe, but (a) a failed write
+    * can leave partial files a later read picks up, and (b) two CONCURRENT
+    * updates can both pass the anti-join and insert the same digest,
+    * silently weakening the duplicate-free invariant (dedup results stay
+    * correct — a duplicate index row only re-screens the same digest).
+    * Serialize updates per index path; on write failure, rebuild via
+    * [[build]] or clear the partial files before the next update. */
   def update(newDocs: DataFrame, indexPath: String): Unit = {
     val spark = newDocs.sparkSession
     newDocs.select(digest.as(HashCol)).distinct()

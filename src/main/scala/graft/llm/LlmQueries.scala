@@ -277,14 +277,17 @@ object LlmQueries {
     """WITH u AS (SELECT label, unnest(embedding::DOUBLE[]) AS v,
       |                  generate_subscripts(embedding, 1) AS idx
       |           FROM embeddings)
-      |SELECT label, CAST(idx AS INT) AS idx, round(avg(v), 4) AS m
+      |SELECT label, CAST(idx AS INT) AS idx, round(avg(v), 4) + 0.0 AS m
       |FROM u GROUP BY label, idx ORDER BY label, idx""".stripMargin) { (s, dir) =>
     Tables(s, dir, "embeddings")
       .groupBy("label")
       .agg(graft.functions.VectorMean.column(col("embedding")).as("mean"))
       .select(col("label"), posexplode(col("mean")).as(Seq("i", "v")))
+      // + 0.0 canonicalizes signed zero: a mean that rounds to zero carries
+      // the sign of its (summation-order-dependent) double fold, and the
+      // rendered-value hash distinguishes -0.0 from 0.0
       .select(col("label"), (col("i") + 1).cast("int").as("idx"),
-        round(col("v"), 4).as("m"))
+        (round(col("v"), 4) + lit(0.0)).as("m"))
       .orderBy("label", "idx")
   }
 
@@ -827,7 +830,10 @@ object LlmQueries {
         // prints every plane value EXACTLY — fewer digits would silently
         // perturb the oracle's matrix
         val lit = row.map(v => f"$v%.7f").mkString("[", ", ", "]")
-        s"round(list_dot_product(embedding::DOUBLE[], $lit), 4) AS proj$p"
+        // + 0.0 canonicalizes signed zero: a projection that rounds to zero
+        // carries the sign of its double fold (sf0.1 row 1214 hashed
+        // -0.0 vs 0.0 cross-engine)
+        s"round(list_dot_product(embedding::DOUBLE[], $lit), 4) + 0.0 AS proj$p"
       }.mkString(",\n      |       ")
       s"""SELECT vec_id,
       |       $cols
@@ -839,7 +845,8 @@ object LlmQueries {
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), mm.as("mm"))
       .select(col("vec_id") +:
-        (0 until 8).map(p => round(element_at(col("mm"), p + 1), 4).as(s"proj$p")): _*)
+        (0 until 8).map(p =>
+          (round(element_at(col("mm"), p + 1), 4) + lit(0.0)).as(s"proj$p")): _*)
       .orderBy("vec_id")
   }
 
@@ -876,8 +883,11 @@ object LlmQueries {
       |WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.text = batch.text)
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
-    val idxPath = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_q93_dedup_index").getAbsolutePath
+    // per-run dir (not a fixed tmpdir name): two concurrent harness runs on
+    // one machine must not swap the index under each other's read
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_q93_dedup_index")
+      .resolve("index").toAbsolutePath.toString
     DedupIndex.build(
       docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L), idxPath)
     DedupIndex.incrementalNewDocs(
@@ -893,12 +903,14 @@ object LlmQueries {
   // the numeric encode contract a training pipeline consumes. A FIXED merge
   // table makes the whole path DuckDB-replicable: the oracle folds each
   // rule left-to-right via a delimited-string replace chain — symbols are
-  // "||"-separated and a rule rewrites '|l||r|' → '|lr|', so each match
-  // consumes one pipe from each side's double separator and the rewrite
+  // separated by a DOUBLED \u0001 control char (outside any text fixture's
+  // alphabet, so a document token can never collide with the encoding the
+  // way a literal '|' would) and a rule rewrites ␁l␁␁r␁ → ␁lr␁, so each
+  // match consumes one separator from each side's double and the rewrite
   // restores them, which reproduces mergeAdjacent's single-pass greedy
-  // semantics INCLUDING back-to-back merges ('||t||h||t||h||' folds to
-  // '||th||th||', where a single-pipe encoding would stall after the first
-  // match). Vocab ids: sorted corpus alphabet then merge outputs in rule
+  // semantics INCLUDING back-to-back merges (␁␁t␁␁h␁␁t␁␁h␁␁ folds to
+  // ␁␁th␁␁th␁␁, where a single-separator encoding would stall after the
+  // first match). Vocab ids: sorted corpus alphabet then merge outputs in rule
   // order — both expressible as plain window ranks. Ids serialize to CSV
   // (arrays can't be hash-compared). Learned-merge encodes stay
   // property-checked (BpeSpec: encodeCorpusIds ≡ encodeWord + vocab map).
@@ -908,10 +920,14 @@ object LlmQueries {
   val q95 = Q(
     "q95_bpe_token_ids",
     {
+      // \u0001 delimiter: a literal '|' inside a fixture token would be
+      // silently lost by the split/filter below; the control char cannot
+      // appear in text fixtures.
+      val D = "\u0001"
       val encChain = q95Merges.foldLeft(
-        "'|' || array_to_string(string_split_regex(word, ''), '||') || '|'") {
+        s"'$D' || array_to_string(string_split_regex(word, ''), '$D$D') || '$D'") {
         (acc, m) =>
-          s"replace($acc, '|${m.left}||${m.right}|', '|${m.left}${m.right}|')"
+          s"replace($acc, '$D${m.left}$D$D${m.right}$D', '$D${m.left}${m.right}$D')"
       }
       val mergeVals = q95Merges.map(m => m.left + m.right).distinct.zipWithIndex
         .map { case (s, i) => s"('$s', $i)" }.mkString(", ")
@@ -929,7 +945,7 @@ object LlmQueries {
        |          SELECT m.symbol, CAST(ac.a + m.i AS INT)
        |          FROM (VALUES $mergeVals) m(symbol, i) CROSS JOIN acount ac),
        |encl AS (SELECT doc_id, pos,
-       |                list_filter(string_split($encChain, '|'), s -> s <> '') AS sl
+       |                list_filter(string_split($encChain, '$D'), s -> s <> '') AS sl
        |         FROM w),
        |syms AS (SELECT doc_id, pos, unnest(sl) AS symbol,
        |                generate_subscripts(sl, 1) AS o
@@ -1052,7 +1068,10 @@ object LlmQueries {
   // (cluster-boundary recall) → rows-only driver check; SemDedupSpec
   // measures recall vs the brute oracle and asserts idempotence.
   val q104 = Q.noOracle("q104_semdedup") { (s, dir) =>
-    SemDedup.survivors(plantedEmbeddings(s, dir), k = 16, minCosine = 0.85)
+    // k ∝ N is the documented production lever: within-cell pair space is
+    // Σ|cell|², so doubling k at this fixture size roughly halves the
+    // rerank volume (bench r5: 5.3 s at k=16)
+    SemDedup.survivors(plantedEmbeddings(s, dir), k = 32, minCosine = 0.85)
       .select("vec_id")
       .orderBy("vec_id")
   }
@@ -1066,7 +1085,7 @@ object LlmQueries {
     "q107_tokenizer_fertility",
     s"""SELECT source,
        |       count(*) AS n_docs,
-       |       sum(n_chars) AS total_chars,
+       |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        |       CAST(sum(len(regexp_extract_all(text,
        |         '${TextAnalysis.BpePretokenPattern}'))) AS BIGINT) AS total_bpe
        |FROM documents

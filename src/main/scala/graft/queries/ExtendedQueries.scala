@@ -101,7 +101,7 @@ object ExtendedQueries {
   val q40 = Q(
     "q40_systematic_sample",
     """SELECT count(*) AS n,
-      |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
+      |       CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS VARCHAR) AS DOUBLE) AS sum_price
       |FROM lineitem WHERE l_orderkey % 20 = 0""".stripMargin) { (s, dir) =>
     Tables(s, dir, "lineitem")
       .filter(col("l_orderkey") % 20 === 0)
@@ -223,7 +223,7 @@ object ExtendedQueries {
   val q49 = Q.offBench(
     "q49_csv_roundtrip",
     s"""SELECT count(*) AS n,
-       |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
+       |       CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS VARCHAR) AS DOUBLE) AS sum_price,
        |       min(o_orderdate) AS min_d, max(o_orderdate) AS max_d
        |FROM read_csv('$csvDir/*.csv', header=true,
        |  columns={'o_orderkey':'BIGINT','o_orderdate':'DATE','o_totalprice':'DOUBLE'})""".stripMargin) { (s, dir) =>
@@ -529,35 +529,38 @@ object ExtendedQueries {
 
   // ---------------------------------------------------------------- q92
   // Numeric column profiler (sources.Profile.numericProfile): counts,
-  // decimal min/max, and EXACT decimal moments Σx / Σx² — every column
-  // value-exact cross-engine, no double folds (the round-4 driver red row
-  // was a hashed stddev sitting 7e-11-relative from its 4-dp rounding
-  // boundary). Callers derive mean/stddev from the moments in one engine.
+  // decimal-folded min/max and EXACT decimal moments Σx / Σx² — the folds
+  // are merge-order-free (the round-4 driver red row was a hashed stddev
+  // sitting 7e-11-relative from its 4-dp rounding boundary), and the
+  // FINAL columns cast to DOUBLE on both sides (the round-5 lesson:
+  // engine-side DECIMAL outputs are canonicalized asymmetrically by the
+  // driver and can never hash-match). Callers derive mean/stddev from the
+  // moments in one engine.
   val q92 = Q(
     "q92_profile_numeric",
     """SELECT 'l_quantity' AS col_name,
       |       count(l_quantity) AS n_vals,
       |       count(CASE WHEN l_quantity IS NULL THEN 1 END) AS n_nulls,
-      |       CAST(min(l_quantity) AS DECIMAL(18,4)) AS min_d,
-      |       CAST(max(l_quantity) AS DECIMAL(18,4)) AS max_d,
-      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_d,
-      |       CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS sumsq_d
+      |       CAST(CAST(CAST(min(l_quantity) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS min_d,
+      |       CAST(CAST(CAST(max(l_quantity) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS max_d,
+      |       CAST(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS sum_d,
+      |       CAST(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS VARCHAR) AS DOUBLE) AS sumsq_d
       |FROM lineitem
       |UNION ALL
       |SELECT 'l_extendedprice', count(l_extendedprice),
       |       count(CASE WHEN l_extendedprice IS NULL THEN 1 END),
-      |       CAST(min(l_extendedprice) AS DECIMAL(18,4)),
-      |       CAST(max(l_extendedprice) AS DECIMAL(18,4)),
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)),
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DECIMAL(38,8))
+      |       CAST(CAST(CAST(min(l_extendedprice) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE),
+      |       CAST(CAST(CAST(max(l_extendedprice) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE),
+      |       CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE),
+      |       CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS VARCHAR) AS DOUBLE)
       |FROM lineitem
       |UNION ALL
       |SELECT 'l_discount', count(l_discount),
       |       count(CASE WHEN l_discount IS NULL THEN 1 END),
-      |       CAST(min(l_discount) AS DECIMAL(18,4)),
-      |       CAST(max(l_discount) AS DECIMAL(18,4)),
-      |       CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)),
-      |       CAST(sum(CAST(l_discount AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS DECIMAL(38,8))
+      |       CAST(CAST(CAST(min(l_discount) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE),
+      |       CAST(CAST(CAST(max(l_discount) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE),
+      |       CAST(CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE),
+      |       CAST(CAST(CAST(sum(CAST(l_discount AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS VARCHAR) AS DOUBLE)
       |FROM lineitem
       |ORDER BY col_name""".stripMargin) { (s, dir) =>
     graft.sources.Profile.numericProfile(
@@ -594,7 +597,7 @@ object ExtendedQueries {
       |       CAST(max(dim) AS INT) AS max_dim,
       |       min(normsq) AS min_normsq,
       |       max(normsq) AS max_normsq,
-      |       CAST(sum(CAST(normsq AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_normsq_d
+      |       CAST(CAST(CAST(sum(CAST(normsq AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_normsq_d
       |FROM f""".stripMargin) { (s, dir) =>
     graft.sources.Profile.arrayProfile(
       Tables(s, dir, "embeddings"), Seq("embedding"))
@@ -610,18 +613,18 @@ object ExtendedQueries {
     """SELECT l_returnflag, 'l_quantity' AS col_name,
       |       count(l_quantity) AS n_vals,
       |       count(CASE WHEN l_quantity IS NULL THEN 1 END) AS n_nulls,
-      |       CAST(min(l_quantity) AS DECIMAL(18,4)) AS min_d,
-      |       CAST(max(l_quantity) AS DECIMAL(18,4)) AS max_d,
-      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_d,
-      |       CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS sumsq_d
+      |       CAST(CAST(CAST(min(l_quantity) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS min_d,
+      |       CAST(CAST(CAST(max(l_quantity) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS max_d,
+      |       CAST(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS sum_d,
+      |       CAST(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS VARCHAR) AS DOUBLE) AS sumsq_d
       |FROM lineitem GROUP BY l_returnflag
       |UNION ALL
       |SELECT l_returnflag, 'l_extendedprice', count(l_extendedprice),
       |       count(CASE WHEN l_extendedprice IS NULL THEN 1 END),
-      |       CAST(min(l_extendedprice) AS DECIMAL(18,4)),
-      |       CAST(max(l_extendedprice) AS DECIMAL(18,4)),
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)),
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DECIMAL(38,8))
+      |       CAST(CAST(CAST(min(l_extendedprice) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE),
+      |       CAST(CAST(CAST(max(l_extendedprice) AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE),
+      |       CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE),
+      |       CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS VARCHAR) AS DOUBLE)
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag, col_name""".stripMargin) { (s, dir) =>
     graft.sources.Profile.numericProfileBy(
@@ -730,8 +733,8 @@ object ExtendedQueries {
     """WITH c AS (SELECT c_custkey, c_acctbal FROM customer
       |           WHERE c_acctbal > 7000),
       |o AS (SELECT o_custkey, count(*) AS n_open,
-      |             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
-      |                  AS DOUBLE) AS tot
+      |             CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+      |                       AS VARCHAR) AS DOUBLE) AS tot
       |      FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey)
       |SELECT coalesce(c_custkey, o_custkey) AS custkey,
       |       c_acctbal, n_open, tot
@@ -759,12 +762,15 @@ object ExtendedQueries {
   // epoch MICROseconds so both engines see identical membership (epoch
   // seconds would truncate sub-second timestamps differently than
   // DuckDB's fractional epoch). The sum folds DECIMAL (q92 lesson: never
-  // hash a windowed double fold); callers derive the moving average.
+  // hash a windowed double fold), then the FINAL column casts to DOUBLE on
+  // both sides (round-5 lesson: engine-side DECIMAL outputs can't
+  // hash-match the driver's canonicalization); callers derive the moving
+  // average.
   val q105 = Q(
     "q105_time_range_frame",
     """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
-      |       CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4))
-      |         AS w_sum,
+      |       CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4))
+      |                 AS VARCHAR) AS DOUBLE) AS w_sum,
       |       CAST(count(*) OVER w AS BIGINT) AS w_cnt
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -778,7 +784,7 @@ object ExtendedQueries {
       .select(col("event_id"), col("user_id"),
         col("ts").cast("timestamp_ntz").as("ts"),
         sum(col("value").cast("decimal(18,4)")).over(w)
-          .cast("decimal(38,4)").as("w_sum"),
+          .cast("decimal(38,4)").cast("double").as("w_sum"),
         count(lit(1)).over(w).as("w_cnt"))
       .orderBy("user_id", "ts", "event_id")
   }
@@ -818,10 +824,12 @@ object ExtendedQueries {
   // Native relational UNPIVOT (DataFrame.unpivot — long-form reshaping,
   // the inverse of q19's pivot): per-order wide money columns to (order,
   // measure, value) rows. Values route through DECIMAL before the
-  // unpivot so the melted column is value-exact.
+  // unpivot so the melted column is value-exact, then the final melted
+  // column casts to DOUBLE on both sides (round-5 lesson: engine-side
+  // DECIMAL outputs can't hash-match the driver's canonicalization).
   val q109 = Q(
     "q109_unpivot",
-    """SELECT o_orderkey, measure, val
+    """SELECT o_orderkey, measure, CAST(CAST(val AS VARCHAR) AS DOUBLE) AS val
       |FROM (SELECT o_orderkey,
       |             CAST(o_totalprice AS DECIMAL(18,4)) AS total,
       |             CAST(o_totalprice * 0.07 AS DECIMAL(18,4)) AS est_tax
@@ -838,6 +846,7 @@ object ExtendedQueries {
         (col("o_totalprice") * lit(0.07)).cast("decimal(18,4)").as("est_tax"))
       .unpivot(Array(col("o_orderkey")), Array(col("total"), col("est_tax")),
         "measure", "val")
+      .withColumn("val", col("val").cast("double"))
       .orderBy("o_orderkey", "measure")
   }
 

@@ -105,12 +105,16 @@ object Profile {
         max(size(arr)).as(s"__mxd_$c"),
         min(normsq).as(s"__mnn_$c"),
         max(normsq).as(s"__mxn_$c"),
+        // decimal fold for merge-order-free exactness; final DOUBLE cast in
+        // the stack below (engine-side DECIMAL outputs can't hash-match —
+        // see numericStack's note)
         sum(normsq.cast("decimal(18,6)")).cast("decimal(38,6)").as(s"__sq_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.map { c =>
       s"'$c', `__nv_$c`, `__nn_$c`, `__ne_$c`, `__na_$c`, `__ni_$c`, " +
-        s"`__nd_$c`, `__mnd_$c`, `__mxd_$c`, `__mnn_$c`, `__mxn_$c`, `__sq_$c`"
+        s"`__nd_$c`, `__mnd_$c`, `__mxd_$c`, `__mnn_$c`, `__mxn_$c`, " +
+        s"CAST(`__sq_$c` AS DOUBLE)"
     }.mkString(", ")
     one.select(expr(
       s"stack(${cols.size}, $stackArgs) AS (col_name, n_vals, n_nulls, " +
@@ -154,9 +158,18 @@ object Profile {
     }
   }
 
+  /** Final projection casts every decimal statistic to DOUBLE: the folds
+    * stay exact in decimal (merge-order-free), but an engine-side DECIMAL
+    * output column is asymmetrically canonicalized by downstream pandas
+    * paths (oracle decimals coerce to float64 while engine decimals stay
+    * Decimal objects) and so can never hash-match even when
+    * value-identical — the round-5 six-red-rows incident. The DOUBLE cast
+    * of the already-quantized decimal value is the q02/q103 convention. */
   private def numericStack(cols: Seq[String]): Column = {
     val stackArgs = cols.map { c =>
-      s"'$c', `__nv_$c`, `__nn_$c`, `__mn_$c`, `__mx_$c`, `__sm_$c`, `__sq_$c`"
+      s"'$c', `__nv_$c`, `__nn_$c`, CAST(`__mn_$c` AS DOUBLE), " +
+        s"CAST(`__mx_$c` AS DOUBLE), CAST(`__sm_$c` AS DOUBLE), " +
+        s"CAST(`__sq_$c` AS DOUBLE)"
     }.mkString(", ")
     expr(
       s"stack(${cols.size}, $stackArgs) AS (col_name, n_vals, n_nulls, min_d, max_d, sum_d, sumsq_d)")

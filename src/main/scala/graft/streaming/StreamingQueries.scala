@@ -52,7 +52,7 @@ object StreamingQueries {
     "q23_tumbling_window",
     """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
       |       event_type, count(*) AS cnt,
-      |       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+      |       CAST(CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS VARCHAR) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
     tumbling(Tables(s, dir, "events")).orderBy("window_start", "event_type")
   }
@@ -69,7 +69,7 @@ object StreamingQueries {
       |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type, value FROM e
       |)
       |SELECT window_start, event_type, count(*) AS cnt,
-      |       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+      |       CAST(CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS VARCHAR) AS DOUBLE) AS sum_value
       |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
     sliding(Tables(s, dir, "events")).orderBy("window_start", "event_type")
   }

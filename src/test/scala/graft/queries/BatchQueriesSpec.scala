@@ -14,6 +14,35 @@ class BatchQueriesSpec extends SparkSpec {
       val n = df.count()
       assert(n >= 0, s"${q.name} failed to run")
       assert(df.columns.nonEmpty, s"${q.name} has no columns")
+      // registry lint: an engine-side DECIMAL final column can never
+      // hash-match the driver (its canonicalization coerces ORACLE decimals
+      // to float64 while engine decimals stay Decimal — the round-5
+      // six-red-rows incident). Fold in decimal, cast the output to DOUBLE.
+      val decCols = df.schema.fields.collect {
+        case f if hasDecimal(f.dataType) => f.name
+      }
+      assert(decCols.isEmpty,
+        s"${q.name} emits DECIMAL output column(s) ${decCols.mkString(", ")} — " +
+          "cast the final column to DOUBLE on both engine and oracle sides")
+      // scale lint: an unpartitioned Window moves ALL rows to one
+      // partition — fatal at 100 TB and a WindowExec warning per run
+      import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+      val unpart = df.queryExecution.optimizedPlan.collect {
+        case wnd: LWindow if wnd.partitionSpec.isEmpty => wnd
+      }
+      assert(unpart.isEmpty,
+        s"${q.name} plans ${unpart.size} unpartitioned Window operator(s)")
+    }
+  }
+
+  private def hasDecimal(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: DecimalType    => true
+      case ArrayType(e, _)   => hasDecimal(e)
+      case MapType(k, v, _)  => hasDecimal(k) || hasDecimal(v)
+      case StructType(fs)    => fs.exists(f => hasDecimal(f.dataType))
+      case _                 => false
     }
   }
 

@@ -16,23 +16,29 @@ class ProfileSpec extends SparkSpec {
       ("x", 1L, 2L, "1", "2")))
   }
 
-  test("numeric profile: decimal extremes and exact moments") {
+  test("numeric profile: decimal-folded extremes and exact moments, DOUBLE output") {
     val df = Seq(
       (Some(2.0), 10.0), (Some(4.0), 10.0), (None, 10.0), (Some(6.0), 10.0))
       .toDF("x", "c")
-    val out = Profile.numericProfile(df, Seq("x", "c")).orderBy("col_name")
-      .collect()
+    val prof = Profile.numericProfile(df, Seq("x", "c")).orderBy("col_name")
+    // output convention: the decimal fold stays internal; every emitted
+    // statistic column is DOUBLE (engine-side DECIMAL can't hash-match)
+    import org.apache.spark.sql.types.{DoubleType, DecimalType}
+    assert(!prof.schema.fields.exists(_.dataType.isInstanceOf[DecimalType]))
+    assert(Seq("min_d", "max_d", "sum_d", "sumsq_d")
+      .forall(c => prof.schema(c).dataType == DoubleType))
+    val out = prof.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getDecimal(3), r.getDecimal(4), r.getDecimal(5), r.getDecimal(6)))
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
     val (cRow, xRow) = (out(0), out(1))
     assert(xRow._1 == "x" && xRow._2 == 3L && xRow._3 == 1L)
-    assert(xRow._4.doubleValue == 2.0 && xRow._5.doubleValue == 6.0)
-    assert(xRow._6.doubleValue == 12.0)       // exact decimal sum, nulls skipped
-    assert(xRow._7.doubleValue == 56.0)       // Σx² of {2,4,6}
+    assert(xRow._4 == 2.0 && xRow._5 == 6.0)
+    assert(xRow._6 == 12.0)       // exact decimal sum, nulls skipped
+    assert(xRow._7 == 56.0)       // Σx² of {2,4,6}
     assert(cRow._1 == "c" && cRow._2 == 4L && cRow._3 == 0L)
-    assert(cRow._6.doubleValue == 40.0 && cRow._7.doubleValue == 400.0)
+    assert(cRow._6 == 40.0 && cRow._7 == 400.0)
     // derived stats are exact from the moments: stddev²(x) = (56 − 144/3)/2 = 4
-    val variance = (xRow._7.doubleValue - math.pow(xRow._6.doubleValue, 2) / xRow._2) / (xRow._2 - 1)
+    val variance = (xRow._7 - math.pow(xRow._6, 2) / xRow._2) / (xRow._2 - 1)
     assert(variance == 4.0)
   }
 
@@ -54,7 +60,8 @@ class ProfileSpec extends SparkSpec {
     assert(r.getInt(7) == 0 && r.getInt(8) == 3)         // min/max dim
     assert(r.getDouble(9) == 0.0)                        // empty array's normsq
     assert(r.getDouble(10) == 25.0)
-    assert(r.getDecimal(11).doubleValue == 25.0 + 9.0 + 4.0 + 1.0 + 0.0)
+    // decimal-quantized fold, DOUBLE output (same convention as numericProfile)
+    assert(r.getDouble(11) == 25.0 + 9.0 + 4.0 + 1.0 + 0.0)
   }
 
   test("grouped numeric profile: per-group moments match per-group filters") {
@@ -62,10 +69,10 @@ class ProfileSpec extends SparkSpec {
       .toDF("g", "x")
     val out = Profile.numericProfileBy(df, "g", Seq("x"))
       .orderBy("g").collect()
-      .map(r => (r.getString(0), r.getLong(2), r.getDecimal(6), r.getDecimal(7)))
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(6), r.getDouble(7)))
     assert(out.map(_._1).toSeq == Seq("a", "b"))
-    assert(out(0)._2 == 2L && out(0)._3.doubleValue == 6.0 && out(0)._4.doubleValue == 20.0)
-    assert(out(1)._2 == 3L && out(1)._3.doubleValue == 60.0 && out(1)._4.doubleValue == 1400.0)
+    assert(out(0)._2 == 2L && out(0)._3 == 6.0 && out(0)._4 == 20.0)
+    assert(out(1)._2 == 3L && out(1)._3 == 60.0 && out(1)._4 == 1400.0)
   }
 
   test("profile: injection-shaped column names are rejected") {
