@@ -238,7 +238,79 @@ object StreamingQueries {
       .orderBy(col("view_id").asc_nulls_first, col("click_id").asc_nulls_first)
   }
 
-  val all: Seq[Q] = Seq(q23, q24, q25, q50, q59, q67, q81, q91)
+  // --------------------------------------------------------------- Q116
+  // Index-backed streaming ingest dedup (B42 + DedupIndex): the foreachBatch
+  // ingest loop ([[StreamingDedup]]) run as its batch-sequential rendering —
+  // the SAME `ingestBatch` code the streaming sink executes per micro-batch
+  // (StreamingDedupSpec pins streaming ≡ this composition, the q67/q81/q91
+  // convention). History = doc_id%4==0; three batches carry the remaining
+  // thirds PLUS planted exact row copies exercising all three duplicate
+  // regimes: vs-history (%8==0 rows into batch 1), within-batch (%8==1 rows
+  // doubled in batch 1), vs-earlier-batch (%8==5 rows of batch 1 replayed in
+  // batch 2). Copies are identical rows and the output is the accepted
+  // CONTENT digest, so which copy survives never shows. Oracle: planted
+  // copies are all pre-existing texts, so accepted ≡ distinct non-history
+  // texts absent from history — expressible without restating the planting.
+  val q116 = Q.offBench(
+    "q116_streaming_ingest_dedup",
+    """WITH hist AS (SELECT text FROM documents WHERE doc_id % 4 = 0),
+      |batch AS (SELECT DISTINCT text FROM documents WHERE doc_id % 4 <> 0)
+      |SELECT sha256(batch.text) AS digest FROM batch
+      |WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.text = batch.text)
+      |ORDER BY digest""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    def part(i: Int): DataFrame =
+      docs.filter(pmod(col("doc_id"), lit(4L)) === i.toLong)
+    def slice8(of: DataFrame, r: Int): DataFrame =
+      of.filter(pmod(col("doc_id"), lit(8L)) === r.toLong)
+    val history = part(0)
+    val batches = Seq(
+      part(1).union(slice8(history, 0)).union(slice8(part(1), 1)),
+      part(2).union(slice8(part(1), 5)),
+      part(3))
+    val base = java.nio.file.Files.createTempDirectory("graft_q116_ingest")
+    val idx = base.resolve("index").toString
+    val acc = base.resolve("accepted").toString
+    graft.llm.DedupIndex.build(history, idx)
+    batches.foreach(b => StreamingDedup.ingestBatch(b, idx, acc))
+    s.read.parquet(acc)
+      .select(sha2(col("text"), 256).as("digest"))
+      .orderBy("digest")
+  }
+
+  // --------------------------------------------------------------- Q117
+  // Streaming NEAR-dup ingest (B32 + B42): q116's loop with the exact-digest
+  // screen swapped for the banded-MinHash signature screen
+  // ([[StreamingNearDup]] / [[graft.llm.NearDupIndex]]). Planted near-dups
+  // (fixture texts with one word appended → only the final shingle differs)
+  // exercise the three regimes: vs-history, within-batch keep-first,
+  // vs-earlier-batch. Seeded signatures → deterministic accepted set, but
+  // the near-dup decision is a sketch estimate, not SQL-expressible →
+  // composite registration (rows-only driver check); semantics are pinned
+  // by StreamingNearDupSpec and the estimate-vs-exact-Jaccard property.
+  val q117 = Q.composite("q117_streaming_neardup_ingest") { (s, dir) =>
+    val docs = Tables(s, dir, "documents").select("doc_id", "text")
+    def part(i: Int): DataFrame =
+      docs.filter(pmod(col("doc_id"), lit(4L)) === i.toLong)
+    // near-dup copy: new id, last shingle changed
+    def nd(of: DataFrame, r: Int): DataFrame =
+      of.filter(pmod(col("doc_id"), lit(8L)) === r.toLong)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zzzz")).as("text"))
+    val history = part(0)
+    val batches = Seq(
+      part(1).union(nd(history, 0)),
+      part(2).union(nd(part(1), 1)),
+      part(3))
+    val base = java.nio.file.Files.createTempDirectory("graft_q117_neardup")
+    val idx = base.resolve("index").toString
+    val acc = base.resolve("accepted").toString
+    graft.llm.NearDupIndex.build(history, idx)
+    batches.foreach(b => StreamingNearDup.ingestBatch(b, idx, acc))
+    s.read.parquet(acc).select("doc_id").orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q23, q24, q25, q50, q59, q67, q81, q91, q116, q117)
 
   // ------------------------------------------------------------------------
   // Streaming runners (exercised by StreamingParitySpec; Trigger.AvailableNow
