@@ -111,6 +111,7 @@ object GraftFunctions {
     * the read side takes (filter binary, xxhash64 long). */
   val BloomAggName = "graft_bloom_filter_agg"
   val MightContainName = "graft_might_contain"
+  val NearestCentroidName = "nearest_centroid"
 
   /** Build a [[VectorMatMul]] from a foldable nested-array-literal second
     * argument (the registry's builder sees Expressions only; the matrix is
@@ -142,6 +143,19 @@ object GraftFunctions {
     (FunctionIdentifier(VectorMatMulName),
       new ExpressionInfo(classOf[VectorMatMul].getName, VectorMatMulName),
       matmulFromExprs(_)),
+    (FunctionIdentifier(NearestCentroidName),
+      new ExpressionInfo(classOf[NearestCentroid].getName, NearestCentroidName),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"$NearestCentroidName takes 2 arguments")
+        require(exprs(1).foldable,
+          s"$NearestCentroidName's centroid matrix must be a literal")
+        val rows = exprs(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val cs = Array.tabulate(rows.numElements()) { c =>
+          rows.getArray(c).toFloatArray()
+        }
+        NearestCentroid(exprs.head, cs)
+      }),
     (FunctionIdentifier(SimHash64Name),
       new ExpressionInfo(classOf[SimHash64].getName, SimHash64Name),
       (exprs: Seq[Expression]) => {

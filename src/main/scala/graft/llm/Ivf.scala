@@ -91,19 +91,17 @@ object Ivf {
         .orderBy("h").limit(k)
         .collect().map(_.getSeq[Float](0).toArray)
 
-      def cellExpr(cs: Array[Array[Float]]) = {
-        // argmin over d² = ‖c‖² − 2⟨x,c⟩ (the ‖x‖² term is constant per
-        // row); struct-min orders by distance then cell id — deterministic
-        // ties
-        val cands = cs.zipWithIndex.map { case (c, i) =>
-          val cn = c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
-          struct(
-            (lit(cn) - lit(2.0) * Similarity.dotFast(col("embedding"), typedlit(c)))
-              .as("d"),
-            lit(i).as("c"))
-        }
-        array_min(array(cands.toIndexedSeq: _*)).getField("c")
-      }
+      // argmin over d² = ‖c‖² − 2⟨x,c⟩, ties → lowest cell id, all inside
+      // ONE codegen expression ([[graft.functions.NearestCentroid]]). The
+      // k-inlined struct-min this replaces ran the argmin as an interpreted
+      // higher-order function and recompiled per Lloyd iteration (fresh
+      // centroid literals) — at k=32 that made each assignment pass ~0.9 s
+      // of pure overhead on a 6 000-row fixture (the q104 bench hot spot);
+      // the referenced-object expression is bit-identical (same summation
+      // order, same tie rule) with constant generated source.
+      def cellExpr(cs: Array[Array[Float]]) =
+        call_function(GraftFunctions.NearestCentroidName,
+          col("embedding"), typedlit(cs))
 
       // collapse shuffle-order ulp noise (see determinism note above)
       def stable(x: Double): Float =

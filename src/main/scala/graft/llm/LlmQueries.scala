@@ -310,11 +310,30 @@ object LlmQueries {
   // the bucketed path across machine-state jitter — at 1/2 the bucketed
   // side's fixed costs (replicate + signature + checkpoint, ~6-9 s
   // regardless of n) squeezed the measured ratio to 4.2-4.7×.
-  private def plantedEmbeddings(s: org.apache.spark.sql.SparkSession, dir: String) =
-    graft.ScaleStress.replicateEmbeddings(
-      Tables(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(4L)) < 3L),
-      r = 4, eps = 0.12)
-      .select("vec_id", "embedding")
+  // The synthetic perturb+normalize runs through interpreted higher-order
+  // functions (~3.5 s for the 6 000×64 fixture) and is TEST SCAFFOLDING,
+  // not the operator under measurement — so the fixture is synthesized
+  // ONCE per (session, dir) into a per-run temp parquet and every planted
+  // query (q60/q61/q104) times only its operator over a ~0.1 s scan. A
+  // parquet memo, not a localCheckpoint one: Bench.isolate deliberately
+  // unpersists every RDD between queries, which would kill checkpoint
+  // blocks but cannot touch files. Deterministic (seeded), ~1.5 MB.
+  private val plantedCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  private def plantedEmbeddings(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val path = plantedCache.getOrElseUpdate((s, dir), {
+      val p = java.nio.file.Files.createTempDirectory("graft_planted_emb")
+        .resolve("emb").toString
+      graft.ScaleStress.replicateEmbeddings(
+          Tables(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(4L)) < 3L),
+          r = 4, eps = 0.12)
+        .select("vec_id", "embedding")
+        .write.parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
 
   val q60 = Q.noOracle("q60_neardup_planted") { (s, dir) =>
     Rp.cosineNearPairs(plantedEmbeddings(s, dir),
