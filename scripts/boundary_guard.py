@@ -118,6 +118,33 @@ REGISTRY = {
         SELECT avg(ln(CAST(nab AS DOUBLE) / na)) AS v
         FROM bg JOIN lm USING (ta, tb) JOIN ctx USING (ta)
         GROUP BY doc_id"""),
+    "q118.med_qty": (4, """
+        SELECT quantile_cont(l_quantity, 0.5) AS v FROM lineitem
+        GROUP BY l_returnflag"""),
+    "q118.mad_qty": (4, """
+        WITH med AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS m
+                     FROM lineitem GROUP BY l_returnflag)
+        SELECT quantile_cont(abs(l.l_quantity - m.m), 0.5) AS v
+        FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+        GROUP BY l.l_returnflag"""),
+    # q118.iqr_price carries NO probe by design: rounding a ~5e4-magnitude
+    # double at 4 dp can never clear REL_TOL (max boundary distance 5e-5 <
+    # 1e-9 * 5e4), which is the guard telling us not to hash it.  The query
+    # instead computes price quantiles on integer CENTS (exact quarters in
+    # double under any interpolation formula) and divides once — bit-exact
+    # with no rounding step, so there is no boundary to guard.
+    "q119.char_entropy": (4, """
+        WITH chars AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '[\\s\\S]')) AS ch
+          FROM documents WHERE length(text) > 0)
+        SELECT entropy(ch) AS v FROM chars GROUP BY doc_id"""),
+    # q121.value carries NO round() probe: over 420k interpolated values this
+    # guard found hundreds within engine-round()-divergence distance of a
+    # 4-dp boundary (Spark rounds via BigDecimal decimal strings, DuckDB via
+    # double multiply — near-boundary inputs genuinely diverge).  The query
+    # therefore quantizes with explicit floor(v*1e4 + 0.5)/1e4 on BOTH
+    # sides: the same three IEEE ops on the same bits cannot diverge, even
+    # for boundary-straddling inputs, so there is no boundary to guard.
     "q84.score": (4, """
         WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
                    FROM documents),

@@ -112,6 +112,8 @@ object GraftFunctions {
   val BloomAggName = "graft_bloom_filter_agg"
   val MightContainName = "graft_might_contain"
   val NearestCentroidName = "nearest_centroid"
+  val CharEntropyName = "char_entropy"
+  val MisraGriesName = "misra_gries"
 
   /** Build a [[VectorMatMul]] from a foldable nested-array-literal second
     * argument (the registry's builder sees Expressions only; the matrix is
@@ -174,6 +176,20 @@ object GraftFunctions {
           exprs.head,
           exprs(1).eval().asInstanceOf[Number].longValue(),
           exprs(2).eval().asInstanceOf[Number].longValue())
+      }),
+    (FunctionIdentifier(CharEntropyName),
+      new ExpressionInfo(classOf[CharEntropy].getName, CharEntropyName),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"$CharEntropyName takes 1 argument")
+        CharEntropy(exprs.head)
+      }),
+    (FunctionIdentifier(MisraGriesName),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, MisraGriesName),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"$MisraGriesName takes 2 arguments")
+        require(exprs(1).foldable, s"$MisraGriesName's capacity must be a literal")
+        MisraGriesAgg(
+          exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
       }),
     (FunctionIdentifier(MightContainName),
       new ExpressionInfo(

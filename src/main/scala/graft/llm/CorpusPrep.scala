@@ -399,4 +399,38 @@ object CorpusPrep {
     d.withColumn("chunk",
       floor(coalesce(sum(col("n_tokens")).over(prev), lit(0L)) / budgetTokens))
   }
+
+  /** Leakage-safe train/val/test assignment: the split is a deterministic
+    * hash of the GROUP key (site/domain/source), never the row — so all
+    * documents of a group land in one split by construction, and the
+    * near-duplicates that cluster within a group (same site boilerplate,
+    * same crawl mirror) can never straddle the train/eval boundary (the
+    * contamination the leakage literature warns about — splitting i.i.d.
+    * by row leaks every near-dup pair across the fence).
+    *
+    * The hash is the first 4 hex digits of md5(group) mod 100 — chosen
+    * because BOTH engines (and any future one) compute the identical md5
+    * hex string, so assignment is portable and re-runnable: adding
+    * documents to a group, or re-running at a different scale, never moves
+    * an existing group between splits (stable split = reusable eval set).
+    * Row-local: one md5 per row, no shuffle — at 100 TB the assignment is
+    * a free column on the scan.
+    *
+    * `trainPct`/`valPct` carve [0,100): bucket < trainPct → train,
+    * < trainPct+valPct → val, else test. */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      groupCol: String = "source",
+      trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split percents: train=$trainPct val=$valPct")
+    val bucket = pmod(
+      conv(substring(md5(col(groupCol)), 1, 4), 16, 10).cast("long"),
+      lit(100L))
+    docs.withColumn("split",
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
 }

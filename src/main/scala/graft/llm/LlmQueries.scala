@@ -1175,9 +1175,108 @@ object LlmQueries {
       .orderBy("status")
   }
 
+  // ---------------------------------------------------------------- q119
+  // Character-entropy quality scoring (TextAnalysis.charEntropy): the
+  // information-density signal per document, computed ROW-LOCALLY by the
+  // codegen char_entropy expression — the oracle's explode→entropy()
+  // formulation shuffles one row per character, which at corpus scale is
+  // the whole job; the engine side shuffles nothing. Both sides are
+  // −Σ p·log₂p over code points; the engine folds counts in ascending
+  // code-point order (deterministic), round(4) absorbs the cross-engine
+  // libm ulp.
+  val q119 = Q(
+    "q119_char_entropy",
+    """WITH chars AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch
+      |  FROM documents WHERE length(text) > 0)
+      |SELECT doc_id, round(entropy(ch), 4) AS char_entropy,
+      |       count(DISTINCT ch) AS n_distinct_chars
+      |FROM chars GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    Tables(s, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(
+        col("doc_id"),
+        round(TextAnalysis.charEntropy(col("text")), 4).as("char_entropy"),
+        size(array_distinct(split(col("text"), ""))).cast("long")
+          .as("n_distinct_chars"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q120
+  // Heavy-hitter tokens (TextAnalysis.heavyHitterTokens): Misra-Gries
+  // sketch screen (capacity 400, mergeable TypedImperativeAggregate) →
+  // broadcast semi-join exact confirm of count·100 > n. The oracle is the
+  // exact formulation; MisraGriesSpec asserts the sketch guarantee that
+  // makes the screen sound (no heavy hitter above n/(k+1) can be absent).
+  // Threshold arithmetic is integer (cnt·100 > n) — no rounding anywhere.
+  val q120 = Q(
+    "q120_heavy_hitters",
+    """WITH t AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |tok AS (SELECT token FROM t WHERE token <> ''),
+      |n AS (SELECT count(*) AS n_total FROM tok)
+      |SELECT token, count(*) AS cnt, any_value(n.n_total) AS n_total
+      |FROM tok, n GROUP BY token
+      |HAVING count(*) * 100 > any_value(n.n_total)
+      |ORDER BY token""".stripMargin) { (s, dir) =>
+    TextAnalysis.heavyHitterTokens(
+        Tables(s, dir, "documents"), capacity = 400, denom = 100)
+      .orderBy("token")
+  }
+
+  // ---------------------------------------------------------------- q122
+  // Leakage-safe split (CorpusPrep.leakageSafeSplit): train/val/test
+  // assignment hashed from the GROUP key (source), so same-group
+  // near-duplicates can never straddle the train/eval fence. The hash is
+  // the first 4 hex digits of md5(group) mod 100 — both engines compute
+  // the identical md5 hex string (Spark: conv(hex,16,10); DuckDB: strpos
+  // digit arithmetic), so the assignment itself is cross-engine-checked,
+  // not just the counts. leaked_sources is the global invariant (= 0 by
+  // construction) carried on every row.
+  val q122 = Q(
+    "q122_leakage_safe_split",
+    """WITH a AS (
+      |  SELECT doc_id, source,
+      |         ((strpos('0123456789abcdef', substr(md5(source), 1, 1)) - 1) * 4096
+      |        + (strpos('0123456789abcdef', substr(md5(source), 2, 1)) - 1) * 256
+      |        + (strpos('0123456789abcdef', substr(md5(source), 3, 1)) - 1) * 16
+      |        + (strpos('0123456789abcdef', substr(md5(source), 4, 1)) - 1)) % 100
+      |           AS bucket
+      |  FROM documents),
+      |s AS (SELECT doc_id, source,
+      |             CASE WHEN bucket < 80 THEN 'train'
+      |                  WHEN bucket < 90 THEN 'val'
+      |                  ELSE 'test' END AS split
+      |      FROM a),
+      |l AS (SELECT count(*) AS leaked_sources
+      |      FROM (SELECT source FROM s GROUP BY source
+      |            HAVING count(DISTINCT split) > 1))
+      |SELECT split, count(*) AS n_docs,
+      |       count(DISTINCT source) AS n_sources,
+      |       (SELECT leaked_sources FROM l) AS leaked_sources
+      |FROM s GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
+    val assigned = CorpusPrep.leakageSafeSplit(
+      Tables(s, dir, "documents"), groupCol = "source",
+      trainPct = 80, valPct = 10)
+    val leaks = assigned
+      .groupBy("source")
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1)
+      .agg(count(lit(1)).as("leaked_sources"))
+    assigned
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+      .crossJoin(broadcast(leaks))
+      .orderBy("split")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
       q47, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q74, q76, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
-      q93, q95, q97, q98, q99, q104, q107, q108, q113)
+      q93, q95, q97, q98, q99, q104, q107, q108, q113, q119, q120, q122)
 }

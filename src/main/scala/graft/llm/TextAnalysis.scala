@@ -445,4 +445,53 @@ object TextAnalysis {
         .withColumnRenamed("n_vocab", "n_vocab_b"), "source_b")
       .select("source_a", "source_b", "n_common", "n_vocab_a", "n_vocab_b")
   }
+
+  /** Character-level Shannon entropy of the text — the information-density
+    * quality signal (boilerplate/binary-ish text sits far from natural
+    * language's ~4 bits/char). Row-local via the codegen
+    * [[graft.functions.CharEntropy]] expression: the explode→groupBy(doc,
+    * char) formulation shuffles one row per CHARACTER of the corpus; this
+    * shuffles nothing. */
+  def charEntropy(text: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.register)
+    call_function(graft.functions.GraftFunctions.CharEntropyName, text)
+  }
+
+  /** Exact heavy-hitter tokens via the two-phase sketch-screen shape:
+    * a capacity-`capacity` Misra-Gries sketch over the token stream yields
+    * ≤ capacity CANDIDATES (sound for any threshold ≥ n/(capacity+1): no
+    * true heavy hitter can be absent — [[graft.functions.MisraGriesAgg]]),
+    * then one broadcast semi-join + bounded aggregate exact-confirms
+    * `count·denom > n`. At 100 TB the token stream aggregates map-side
+    * into k-entry sketch buffers and only candidate-token rows reach the
+    * confirming aggregate; the corpus never shuffles on token.
+    *
+    * Returns tokens with exact count strictly greater than n/denom.
+    * Requires capacity ≥ denom (else the screen's error bound n/(k+1)
+    * exceeds the threshold and candidates could be missed). */
+  def heavyHitterTokens(
+      docs: org.apache.spark.sql.DataFrame,
+      capacity: Int,
+      denom: Int): org.apache.spark.sql.DataFrame = {
+    require(capacity >= denom,
+      s"capacity $capacity < denom $denom: the MG bound n/(k+1) must not " +
+        "exceed the n/denom threshold or the screen can miss heavy hitters")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val tok = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val candidates = tok
+      .agg(call_function(graft.functions.GraftFunctions.MisraGriesName,
+        col("token"), lit(capacity)).as("sk"))
+      .select(explode(col("sk")).as(Seq("token", "est")))
+      .select("token")
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    tok.join(broadcast(candidates), "token")
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * denom > col("n_total"))
+      .select("token", "cnt", "n_total")
+  }
 }

@@ -120,4 +120,85 @@ object Resample {
           .drop("__g", "__c")
     }
   }
+
+  /** Time-grid resampling with LINEAR interpolation — [[forwardFill]]'s
+    * sibling for signals where a gap means "the value moved smoothly", not
+    * "the value held" (sensor drift, prices, rates). Grid construction is
+    * identical (dedup → epoch-snapped bounds → exploded grid → union with
+    * marker flag); the fill differs: each grid instant takes
+    *
+    *   prev + (next − prev) · (t − prev_ts) / (next_ts − prev_ts)
+    *
+    * where prev/next are the nearest observations at-or-before / strictly
+    * after (in (ts, marker) order an observation AT a grid instant sorts
+    * before the marker, so prev_ts = t and the marker adopts the observed
+    * value exactly — the formula's fraction is 0, no special case).
+    * STRICT interior semantics: grid slots before the first observation
+    * keep null (nothing to anchor the left end); the grid ends at the
+    * key's max observed ts, so there are no right-open slots by
+    * construction. All arithmetic is IEEE double over epoch-microsecond
+    * longs in a fixed operand order, so results are bit-identical across
+    * engines given identical inputs.
+    *
+    * Scale shape: ONE shuffle on the key feeding TWO window passes over the
+    * same (key, ts, marker) sort — Catalyst plans them over a single
+    * Exchange+Sort (the backward pass reuses the forward pass's ordering;
+    * PLANS.md shows one Exchange). The per-key-sequential caveat and its
+    * chunked mitigation are [[forwardFill]]'s; interpolation's carry-in
+    * needs BOTH boundary observations per chunk (last-before and
+    * first-after), the same gaps-and-islands seeding run in each
+    * direction. */
+  def interpolate(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valCol: String,
+      idCol: String,
+      stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, s"bad step: $stepSeconds")
+    val obs = events
+      .filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol), col(tsCol))
+      .agg(max_by(col(valCol), col(idCol)).as(valCol))
+    val bounds = obs.groupBy(col(keyCol)).agg(
+      to_timestamp(
+        floor(unix_timestamp(min(col(tsCol))) / stepSeconds) * stepSeconds)
+        .as("__t0"),
+      max(col(tsCol)).as("__t1"))
+    val grid = bounds
+      .select(col(keyCol),
+        explode(sequence(col("__t0"), col("__t1"),
+          expr(s"INTERVAL $stepSeconds SECONDS"))).as(tsCol))
+      .withColumn(valCol, lit(null).cast(events.schema(valCol).dataType))
+      .withColumn("__g", lit(1))
+    val union = obs.withColumn("__g", lit(0)).unionByName(grid)
+
+    val ord = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, col("__g").asc)
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // observation timestamp column nulled on marker rows, so the ignoreNulls
+    // last/first pick observation rows only (value and ts stay paired even
+    // when a real observation carries a null value: such a row contributes
+    // neither anchor)
+    val obsTs = when(col("__g") === 0 && col(valCol).isNotNull,
+      unix_micros(col(tsCol)))
+    val obsVal = when(col("__g") === 0, col(valCol))
+    val t = unix_micros(col(tsCol))
+    val prevV = last(obsVal, ignoreNulls = true).over(back)
+    val prevT = last(obsTs, ignoreNulls = true).over(back)
+    val nextV = first(obsVal, ignoreNulls = true).over(fwd)
+    val nextT = first(obsTs, ignoreNulls = true).over(fwd)
+    union
+      .withColumn("__pv", prevV).withColumn("__pt", prevT)
+      .withColumn("__nv", nextV).withColumn("__nt", nextT)
+      .withColumn(valCol,
+        when(col("__pt").isNotNull && col("__nt") > col("__pt"),
+          col("__pv") + (col("__nv") - col("__pv")) *
+            ((t - col("__pt")).cast("double") /
+              (col("__nt") - col("__pt")).cast("double")))
+          .when(col("__pt").isNotNull, col("__pv"))
+          .otherwise(lit(null).cast("double")))
+      .filter(col("__g") === 1)
+      .select(col(keyCol), col(tsCol), col(valCol))
+  }
 }

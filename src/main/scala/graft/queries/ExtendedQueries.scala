@@ -959,8 +959,131 @@ object ExtendedQueries {
       col("n_exact"))
   }
 
+  // ---------------------------------------------------------------- q118
+  // Robust statistics (B11/B13's outlier-resistant siblings): per-group
+  // exact median, MAD (median absolute deviation), and price IQR. The MAD
+  // needs the group median joined back — a two-pass shape: pass 1 is a
+  // groups-sized aggregate, broadcast back onto the fact for pass 2, so
+  // the fact is scanned twice but shuffled only into groups-sized
+  // aggregations (at 100 TB: two scans, no fact-sized shuffle; the exact
+  // `percentile` buffers per-group value counts — fine for bounded-domain
+  // measures like quantity, switch to approx_percentile for unbounded
+  // ones). Spark `percentile` and DuckDB `quantile_cont` are both exact
+  // linear-interpolation quantiles (the q38 parity).
+  //
+  // Determinism: price quantiles are computed on integer CENTS. Quantity is
+  // integer-valued, so its quantiles interpolate integers at quarter
+  // fractions — every sub-term exact in double under EITHER interpolation
+  // formula (a+(b−a)f or (1−f)a+fb), so med/mad are formula-variance-proof
+  // and round(4) is an identity on their exact quarter/sixteenth values.
+  // Raw price quantiles have no such guarantee (arbitrary-mantissa doubles;
+  // and boundary_guard structurally rejects round(4) of ~5e4-magnitude
+  // folds), so the IQR routes through cents: quantiles of integer cents are
+  // exact, their difference is exact, and the single final /100.0 is one
+  // identical IEEE op on identical bits in both engines — bit-exact with no
+  // rounding step at all.
+  val q118 = Q(
+    "q118_robust_stats",
+    """WITH c AS (
+      |  SELECT l_returnflag, l_quantity,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |med AS (
+      |  SELECT l_returnflag,
+      |         quantile_cont(l_quantity, 0.5) AS med_qty,
+      |         quantile_cont(cents, 0.25) AS p25c,
+      |         quantile_cont(cents, 0.75) AS p75c
+      |  FROM c GROUP BY l_returnflag)
+      |SELECT m.l_returnflag,
+      |       round(any_value(m.med_qty), 4) AS med_qty,
+      |       round(quantile_cont(abs(l.l_quantity - m.med_qty), 0.5), 4) AS mad_qty,
+      |       (any_value(m.p75c) - any_value(m.p25c)) / 100.0 AS iqr_price
+      |FROM c l JOIN med m ON l.l_returnflag = m.l_returnflag
+      |GROUP BY m.l_returnflag ORDER BY m.l_returnflag""".stripMargin) { (s, dir) =>
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val med = li.groupBy("l_returnflag").agg(
+      percentile(col("l_quantity"), lit(0.5)).as("med_qty"),
+      percentile(col("cents"), lit(0.25)).as("p25c"),
+      percentile(col("cents"), lit(0.75)).as("p75c"))
+    li.join(broadcast(med), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        round(first(col("med_qty")), 4).as("med_qty"),
+        round(percentile(abs(col("l_quantity") - col("med_qty")), lit(0.5)), 4)
+          .as("mad_qty"),
+        ((first(col("p75c")) - first(col("p25c"))) / 100.0).as("iqr_price"))
+      .orderBy("l_returnflag")
+  }
+
+  // ---------------------------------------------------------------- q121
+  // Time-grid resampling with LINEAR interpolation (Resample.interpolate):
+  // q88's forward-fill swapped for the interior-linear fill — each 15-min
+  // grid slot takes prev + (next−prev)·(t−pt)/(nt−pt) between its
+  // neighboring observations. The fractional arithmetic is IEEE double in
+  // a fixed operand order on both engines, so values are bit-identical
+  // pre-quantization. The 4-dp quantization is deliberately NOT round():
+  // Spark rounds via BigDecimal's decimal-string path while DuckDB rounds
+  // via double-multiply — near a .xxxx5 boundary those genuinely diverge,
+  // and over 420k interpolated values boundary_guard found hundreds within
+  // flip distance. floor(v·1e4 + 0.5)/1e4 instead is the SAME three IEEE
+  // ops on the SAME bits in both engines — divergence-free by construction
+  // (both sides' multiply incurs the identical representation error, so
+  // even boundary-straddling inputs quantize identically).
+  val q121 = Q(
+    "q121_resample_interpolate",
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+      |           FROM events),
+      |o AS (SELECT user_id, ts, arg_max(value, event_id) AS value
+      |      FROM e GROUP BY user_id, ts),
+      |b AS (SELECT user_id,
+      |             CAST(to_timestamp(floor(epoch(min(ts)) / 900) * 900) AS TIMESTAMP) AS t0,
+      |             max(ts) AS t1
+      |      FROM o GROUP BY user_id),
+      |g AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL '900 seconds')) AS ts
+      |      FROM b),
+      |u AS (SELECT user_id, ts, value, 0 AS is_grid FROM o
+      |      UNION ALL
+      |      SELECT user_id, ts, NULL AS value, 1 AS is_grid FROM g),
+      |f AS (SELECT user_id, ts, is_grid,
+      |             last_value(CASE WHEN is_grid = 0 AND value IS NOT NULL
+      |                             THEN value END IGNORE NULLS) OVER (
+      |               PARTITION BY user_id ORDER BY ts, is_grid
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |             last_value(CASE WHEN is_grid = 0 AND value IS NOT NULL
+      |                             THEN epoch_us(ts) END IGNORE NULLS) OVER (
+      |               PARTITION BY user_id ORDER BY ts, is_grid
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+      |             first_value(CASE WHEN is_grid = 0 AND value IS NOT NULL
+      |                              THEN value END IGNORE NULLS) OVER (
+      |               PARTITION BY user_id ORDER BY ts, is_grid
+      |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |             first_value(CASE WHEN is_grid = 0 AND value IS NOT NULL
+      |                              THEN epoch_us(ts) END IGNORE NULLS) OVER (
+      |               PARTITION BY user_id ORDER BY ts, is_grid
+      |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      |      FROM u)
+      |SELECT user_id, ts,
+      |       floor((CASE WHEN pt IS NOT NULL AND nt > pt
+      |                   THEN pv + (nv - pv) * (CAST(epoch_us(ts) - pt AS DOUBLE)
+      |                                          / CAST(nt - pt AS DOUBLE))
+      |                   WHEN pt IS NOT NULL THEN pv
+      |                   ELSE NULL END) * 10000.0 + 0.5) / 10000.0 AS value
+      |FROM f WHERE is_grid = 1
+      |ORDER BY user_id, ts""".stripMargin) { (s, dir) =>
+    graft.operators.Resample.interpolate(
+        Tables(s, dir, "events").select("user_id", "ts", "value", "event_id"),
+        keyCol = "user_id", tsCol = "ts", valCol = "value",
+        idCol = "event_id", stepSeconds = 900L)
+      .select(col("user_id"), col("ts").cast("timestamp_ntz").as("ts"),
+        (floor(col("value") * lit(10000.0) + lit(0.5)) / lit(10000.0))
+          .as("value"))
+      .orderBy("user_id", "ts")
+  }
+
   val all: Seq[Q] =
     Seq(q36, q37, q38, q39, q40, q41, q45, q46, q48, q49, q51, q53, q55,
       q56, q57, q58, q68, q75, q88, q90, q92, q94, q96, q100, q101, q102,
-      q103, q105, q106, q109, q110, q111, q112, q114)
+      q103, q105, q106, q109, q110, q111, q112, q114, q118, q121)
 }

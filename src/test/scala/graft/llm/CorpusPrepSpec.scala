@@ -376,4 +376,43 @@ class CorpusPrepSpec extends SparkSpec {
     assert(once.select("doc_id").exceptAll(twice.select("doc_id")).count() == 0)
     once.unpersist()
   }
+
+  test("leakage-safe split: no group straddles a split, assignment is stable") {
+    val out = CorpusPrep.leakageSafeSplit(docs, "source", 80, 10).cache()
+    // the leakage invariant: every source maps to exactly one split
+    val straddlers = out.groupBy("source")
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1)
+    assert(straddlers.count() == 0)
+    // total preservation and exhaustive labeling
+    assert(out.count() == docs.count())
+    assert(out.filter(!col("split").isin("train", "val", "test")).count() == 0)
+    // determinism: re-running assigns every doc identically (hash of the
+    // group key, no RNG anywhere)
+    val again = CorpusPrep.leakageSafeSplit(docs, "source", 80, 10)
+      .select("doc_id", "split")
+    assert(out.select("doc_id", "split").exceptAll(again).count() == 0)
+    out.unpersist()
+  }
+
+  test("leakage-safe split: adding rows to a group never moves the group") {
+    // stability under growth — the property that makes an eval set reusable:
+    // assignment depends only on the group key, so a half-corpus run and the
+    // full-corpus run agree on every shared source
+    val half = CorpusPrep.leakageSafeSplit(
+      docs.filter(col("doc_id") % 2 === 0), "source", 80, 10)
+      .select("source", "split").distinct()
+    val full = CorpusPrep.leakageSafeSplit(docs, "source", 80, 10)
+      .select("source", "split").distinct()
+    assert(half.exceptAll(full).count() == 0)
+  }
+
+  test("leakage-safe split: bad percents rejected") {
+    intercept[IllegalArgumentException] {
+      CorpusPrep.leakageSafeSplit(docs, "source", 95, 10)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusPrep.leakageSafeSplit(docs, "source", 0, 10)
+    }
+  }
 }

@@ -224,4 +224,26 @@ class TextAnalysisSpec extends SparkSpec {
     // pairs with n_common >= 1
     assert(out.toSeq == Seq(("s1", "s2", 2L, 4L, 3L)))
   }
+
+  test("heavy hitters: sketch screen + exact confirm matches the exact query") {
+    val docs = graft.Tables(spark, sf0001, "documents")
+    val out = TextAnalysis.heavyHitterTokens(docs, capacity = 400, denom = 100)
+    // the exact (corpus-shuffling) formulation the screen replaces
+    val tok = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val exact = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tok.agg(count(lit(1)).as("n_total"))))
+      .filter(col("cnt") * 100 > col("n_total"))
+      .select("token", "cnt", "n_total")
+    assert(out.exceptAll(exact).count() == 0 && exact.exceptAll(out).count() == 0)
+    assert(out.count() > 0) // fixture has stopword-class heavy hitters
+  }
+
+  test("heavy hitters: capacity below denom is rejected (unsound screen)") {
+    val docs = Seq((1L, "a a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.heavyHitterTokens(docs, capacity = 50, denom = 100)
+    }
+  }
 }

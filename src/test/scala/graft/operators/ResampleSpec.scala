@@ -118,4 +118,63 @@ class ResampleSpec extends SparkSpec {
         chunkPeriod = Some("FORTNIGHT"))
     }
   }
+
+  test("interpolate: exact linear values between anchors, flat after last") {
+    // key a: obs at 100→10.0 and 400→40.0; grid 60,120,...,360
+    val events = mk(Seq(("a", 100L, 10.0, 1L), ("a", 400L, 40.0, 2L)))
+    val out = Resample.interpolate(events, "k", "ts", "v", "id", 60L)
+      .select(unix_timestamp(col("ts")).as("sec"), col("v"))
+      .orderBy("sec")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)))
+    // slot 60 precedes the first obs → null; interior slots are exact
+    // fractions of the (100,10)→(400,40) segment: v = 10 + 30·(t−100)/300
+    assert(out.toSeq == Seq(
+      60L -> None,
+      120L -> Some(10.0 + 30.0 * 20 / 300),
+      180L -> Some(10.0 + 30.0 * 80 / 300),
+      240L -> Some(10.0 + 30.0 * 140 / 300),
+      300L -> Some(10.0 + 30.0 * 200 / 300),
+      360L -> Some(10.0 + 30.0 * 260 / 300)))
+  }
+
+  test("interpolate: an observation exactly on a grid instant is adopted") {
+    val events = mk(Seq(("a", 120L, 7.0, 1L), ("a", 240L, 9.0, 2L)))
+    val out = Resample.interpolate(events, "k", "ts", "v", "id", 60L)
+      .select(unix_timestamp(col("ts")).as("sec"), col("v"))
+      .orderBy("sec")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // slots 120 and 240 sit ON observations → exact adopted values, no
+    // drift from the fraction arithmetic (prev_ts = t → fraction 0)
+    assert(out.toSeq == Seq(120L -> 7.0, 180L -> 8.0, 240L -> 9.0))
+  }
+
+  test("interpolate: duplicate instants resolve by max id; null values anchor nothing") {
+    val events = mk(Seq(
+      ("a", 120L, 5.0, 10L), ("a", 120L, 7.0, 11L), ("a", 360L, 11.0, 12L)))
+      .unionByName(Seq(("a", 240L, 99L)).toDF("k", "sec", "id")
+        .select(col("k"), to_timestamp(col("sec")).as("ts"),
+          lit(null).cast("double").as("v"), col("id")))
+    val out = Resample.interpolate(events, "k", "ts", "v", "id", 60L)
+      .select(unix_timestamp(col("ts")).as("sec"), col("v"))
+      .orderBy("sec")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // 120 takes the id-11 write (7.0); the null-valued 240 observation is
+    // NOT an anchor, so 180..300 interpolate on the (120,7)→(360,11) line
+    assert(out.toSeq == Seq(
+      120L -> 7.0, 180L -> 8.0, 240L -> 9.0, 300L -> 10.0, 360L -> 11.0))
+  }
+
+  test("interpolate: matches forwardFill where fill semantics coincide") {
+    // at observation instants and in regions with no interior gap the two
+    // fills agree; this pins the shared grid construction (bounds, dedup,
+    // marker ordering) to one behavior
+    val events = mk(Seq(
+      ("a", 60L, 1.0, 1L), ("a", 120L, 2.0, 2L), ("a", 180L, 3.0, 3L),
+      ("b", 300L, 5.0, 4L)))
+    val ff = Resample.forwardFill(events, "k", "ts", "v", "id", 60L)
+      .select(col("k"), col("ts"), col("v"))
+    val li = Resample.interpolate(events, "k", "ts", "v", "id", 60L)
+      .select(col("k"), col("ts"), col("v"))
+    assert(ff.exceptAll(li).count() == 0 && li.exceptAll(ff).count() == 0)
+  }
 }
