@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Fixture-table access (TESTDATA.md / FIXTURES.md).
   *
@@ -17,27 +17,29 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // events.ts is ns-precision parquet; Spark has no ns timestamp, so read
-      // the raw int64 and truncate to µs (matching DuckDB's ns→µs truncation).
-      // The nanos flag is a session-build concern (GraftSession) — asserting
-      // here instead of setting it keeps a table read free of session-global
-      // side effects a concurrent reader would silently inherit.
-      require(
-        spark.conf.getOption(GraftSession.NanosFlag).contains("true"),
-        s"events.parquet carries ns-precision timestamps: build the session " +
-          s"via GraftSession.builder (or set ${GraftSession.NanosFlag}=true " +
-          "on your own builder) before reading it")
-      normalizeEvents(spark.read.parquet(s"$dir/$name.parquet"))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEvents(spark.read.parquet(s"$dir/$name.parquet"))
+    else spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** ns-int64 `ts` → µs TimestampType (floor division, exact on int64 —
-    * going through double would lose precision above 2^53 ns). */
+  /** Normalize `events.ts` to µs TimestampType whatever layout the fixture
+    * generator produced:
+    *   - ns-int64 (r1–r5 fixtures read under `nanosAsLong`): floor-divide to
+    *     µs — exact on int64; going through double would lose precision
+    *     above 2^53 ns.
+    *   - µs TIMESTAMP_NTZ (r6+ fixtures, `isAdjustedToUTC=0`): cast to
+    *     TIMESTAMP — a value-identity under the engine's pinned UTC session
+    *     timezone ([[GraftSession.builder]]), and required because
+    *     `withWatermark` and the `unix_micros`-based operators reject NTZ.
+    * Every engine read of `events` (batch and streaming) flows through this
+    * one point, so a future fixture-layout change lands here — and
+    * FixtureSchemaSpec fails loudly, naming the drifted column, if a layout
+    * shows up that this method does not recognize. */
   def normalizeEvents(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
 
   /** Register every fixture as a temp view (for spark.sql users / tests). */
   def registerViews(spark: SparkSession, dir: String): Unit =

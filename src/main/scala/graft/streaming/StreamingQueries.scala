@@ -318,16 +318,14 @@ object StreamingQueries {
   // ------------------------------------------------------------------------
 
   /** Read the events fixture as a bounded file stream with the batch schema
-    * (raw ns-int64 `ts` normalized to µs TimestampType, as in batch).
+    * (raw `ts` normalized to µs TimestampType via [[Tables.normalizeEvents]],
+    * exactly as in batch — `withWatermark` rejects TIMESTAMP_NTZ, so the
+    * normalization must happen before any event-time declaration).
     *
     * The file streaming source lists a *directory*, so the single fixture
     * file is staged into a temp dir (hardlink when possible — zero copy). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    require(
-      spark.conf.getOption(graft.GraftSession.NanosFlag).contains("true"),
-      s"events.parquet carries ns-precision timestamps: build the session " +
-        s"via GraftSession.builder (see graft.Tables)")
     val src = Paths.get(s"$dir/events.parquet")
     val streamDir = Files.createTempDirectory("graft-events-stream-")
     val dst = streamDir.resolve("events.parquet")
