@@ -135,19 +135,28 @@ object Resample {
     * value exactly — the formula's fraction is 0, no special case).
     * STRICT interior semantics: grid slots before the first observation
     * keep null (nothing to anchor the left end); the grid ends at the
-    * key's max observed ts, so there are no right-open slots by
-    * construction. All arithmetic is IEEE double over epoch-microsecond
-    * longs in a fixed operand order, so results are bit-identical across
-    * engines given identical inputs.
+    * key's max observed ts — NOTE the bound is `max(ts)` over ALL
+    * observations including null-VALUED ones (a trailing null write
+    * extends the grid, and the slots it opens fill flat from the last
+    * non-null anchor via the `__nt IS NULL → __pv` branch; the oracle SQL
+    * mirrors this, so the contract is cross-engine-pinned). All arithmetic
+    * is IEEE double over epoch-microsecond longs in a fixed operand order,
+    * so results are bit-identical across engines given identical inputs.
     *
-    * Scale shape: ONE shuffle on the key feeding TWO window passes over the
-    * same (key, ts, marker) sort — Catalyst plans them over a single
-    * Exchange+Sort (the backward pass reuses the forward pass's ordering;
-    * PLANS.md shows one Exchange). The per-key-sequential caveat and its
-    * chunked mitigation are [[forwardFill]]'s; interpolation's carry-in
-    * needs BOTH boundary observations per chunk (last-before and
-    * first-after), the same gaps-and-islands seeding run in each
-    * direction. */
+    * Scale shape: ONE shuffle on the key feeding two window passes, both
+    * over ACCUMULATING frames (unboundedPreceding → currentRow — Spark's
+    * O(n) incremental frame): the prev anchor runs `last(ignoreNulls)`
+    * over the ascending (ts, marker) sort; the next anchor runs the SAME
+    * running `last` over the DESCENDING (ts desc, marker desc) sort, which
+    * visits exactly the row set a `first over (currentRow →
+    * unboundedFollowing)` would — without UnboundedFollowing's
+    * rescan-to-partition-end execution (O(n²) per key; the r6/r7 verdicts
+    * measured it at ~21× forwardFill's wall on identical data). Catalyst
+    * plans the two sorts over a single Exchange on the key. The
+    * per-key-sequential caveat and its chunked mitigation are
+    * [[forwardFill]]'s; interpolation's carry-in needs BOTH boundary
+    * observations per chunk (last-before and first-after), the same
+    * gaps-and-islands seeding run in each direction. */
   def interpolate(
       events: DataFrame,
       keyCol: String,
@@ -173,21 +182,30 @@ object Resample {
       .withColumn("__g", lit(1))
     val union = obs.withColumn("__g", lit(0)).unionByName(grid)
 
-    val ord = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, col("__g").asc)
-    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val back = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col("__g").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the next-anchor pass: DESCENDING sort + the same accumulating frame.
+    // At a marker's position the frame holds rows with ts > t plus the
+    // marker itself (same-ts observations sort __g-ascending BELOW the
+    // marker in desc order, so they stay prev-side) — exactly the row set
+    // of first(...) over (currentRow → unboundedFollowing) on the asc
+    // sort, evaluated in O(n) instead of a per-row rescan to partition end
+    val fwd = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).desc, col("__g").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // observation timestamp column nulled on marker rows, so the ignoreNulls
-    // last/first pick observation rows only (value and ts stay paired even
-    // when a real observation carries a null value: such a row contributes
-    // neither anchor)
+    // running lasts pick observation rows only (value and ts stay paired
+    // even when a real observation carries a null value: such a row
+    // contributes neither anchor)
     val obsTs = when(col("__g") === 0 && col(valCol).isNotNull,
       unix_micros(col(tsCol)))
     val obsVal = when(col("__g") === 0, col(valCol))
     val t = unix_micros(col(tsCol))
     val prevV = last(obsVal, ignoreNulls = true).over(back)
     val prevT = last(obsTs, ignoreNulls = true).over(back)
-    val nextV = first(obsVal, ignoreNulls = true).over(fwd)
-    val nextT = first(obsTs, ignoreNulls = true).over(fwd)
+    val nextV = last(obsVal, ignoreNulls = true).over(fwd)
+    val nextT = last(obsTs, ignoreNulls = true).over(fwd)
     union
       .withColumn("__pv", prevV).withColumn("__pt", prevT)
       .withColumn("__nv", nextV).withColumn("__nt", nextT)
