@@ -6,10 +6,15 @@ import org.apache.spark.sql.SparkSession
   * embedding application.
   *
   * `spark.sql.legacy.parquet.nanosAsLong` lives HERE, declared at session
-  * build time, because the events fixture carries ns-precision timestamps:
-  * round 1 set it inside [[Tables.apply]] as a read side effect, which a
-  * concurrent reader of ns-parquet on the shared session would silently
-  * inherit. [[Tables]] now asserts the flag instead of mutating it.
+  * build time, because legacy (r1–r5) events fixtures carried ns-precision
+  * timestamps: round 1 set it inside [[Tables.apply]] as a read side
+  * effect, which a concurrent reader of ns-parquet on the shared session
+  * would silently inherit. Current contract: the flag is set at build
+  * time, [[Tables.normalizeEvents]] normalizes whichever recognized `ts`
+  * layout it reads (ns-int64 / TIMESTAMP_NTZ / TIMESTAMP) and THROWS on
+  * anything else; the NTZ branch additionally requires the UTC session
+  * timezone pinned below, because the NTZ→TIMESTAMP cast is only
+  * value-preserving under UTC.
   */
 object GraftSession {
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Fixture-table access (TESTDATA.md / FIXTURES.md).
   *
@@ -27,18 +27,32 @@ object Tables {
     *     µs — exact on int64; going through double would lose precision
     *     above 2^53 ns.
     *   - µs TIMESTAMP_NTZ (r6+ fixtures, `isAdjustedToUTC=0`): cast to
-    *     TIMESTAMP — a value-identity under the engine's pinned UTC session
-    *     timezone ([[GraftSession.builder]]), and required because
-    *     `withWatermark` and the `unix_micros`-based operators reject NTZ.
+    *     TIMESTAMP — a value-identity ONLY under a UTC session timezone
+    *     (asserted here; [[GraftSession.builder]] pins it), and required
+    *     because `withWatermark` and the `unix_micros`-based operators
+    *     reject NTZ. A non-UTC session would silently shift every event
+    *     instant, so the NTZ branch refuses to proceed instead.
+    *   - plain TIMESTAMP: already the target type, passed through.
     * Every engine read of `events` (batch and streaming) flows through this
-    * one point, so a future fixture-layout change lands here — and
-    * FixtureSchemaSpec fails loudly, naming the drifted column, if a layout
-    * shows up that this method does not recognize. */
+    * one point, so a future fixture-layout change lands here — any OTHER
+    * `ts` layout throws immediately, naming the column and type, and
+    * [[graft.FixtureSchemaSpec]] pins the on-disk schema of every fixture
+    * table at every local SF so drift is caught at test time too. */
   def normalizeEvents(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
-      case _                => df
+      case TimestampNTZType =>
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts is TIMESTAMP_NTZ and the NTZ->TIMESTAMP cast is only " +
+            s"value-preserving under a UTC session timezone, got '$tz' — " +
+            "build the session via GraftSession.builder")
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampType    => df
+      case other            => throw new IllegalStateException(
+        s"unrecognized events.ts layout: $other — known layouts are ns-int64 " +
+          "(legacy nanosAsLong), TIMESTAMP_NTZ, and TIMESTAMP; teach " +
+          "Tables.normalizeEvents the new layout before using this fixture")
     }
 
   /** Register every fixture as a temp view (for spark.sql users / tests). */
