@@ -128,6 +128,14 @@ def main():
     only = set(sys.argv[3:])
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
+    # Verify writes a sentinel naming queries that crashed instead of
+    # dumping parquet — surface those as explicit FAILs here (mirroring the
+    # driver's err rows) rather than as "engine result unreadable"
+    try:
+        with open(f"{out_dir}/_failed.json") as f:
+            crashed = json.load(f)
+    except FileNotFoundError:
+        crashed = {}
 
     con = duckdb.connect()
     for t in TABLES:
@@ -137,6 +145,10 @@ def main():
     failures = 0
     for name in sorted(oracle):
         if only and name not in only:
+            continue
+        if name in crashed:
+            print(f"FAIL {name}: engine query crashed in Verify: {crashed[name]}")
+            failures += 1
             continue
         sql = oracle[name]
         try:
@@ -212,6 +224,14 @@ def main():
             failures += 1
         else:
             print(f"OK   {name} ({oarrow.num_rows} rows)")
+
+    # crashed queries with no oracle entry (rows-only checks) would
+    # otherwise be invisible locally
+    for name in sorted(crashed):
+        if name not in oracle and (not only or name in only):
+            print(f"FAIL {name}: engine query crashed in Verify "
+                  f"(no oracle): {crashed[name]}")
+            failures += 1
 
     sys.exit(1 if failures else 0)
 

@@ -15,11 +15,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Contention self-diagnosis (VERDICT r2 "What's wrong" #1: a machine-
   * contended driver run recorded 5–7× uniform inflation and burned a round
-  * on phantom regressions): a fixed-cost pure-CPU calibration job — no IO,
-  * no shuffle, fully codegen — is timed immediately before and after the
-  * query loop and reported as `calib` in the JSON. Compare against the
-  * quiet-machine nominal recorded in BASELINE.md; calibration inflated by
-  * ≥2× means the RUN is contended and the per-query numbers are
+  * on phantom regressions; r6/r7 item: endpoint-only probing missed MID-RUN
+  * contention on the shuffle-heavy planted family): TWO fixed-cost probes —
+  * a pure-CPU codegen job and a shuffle-sized repartition job — are timed
+  * before the query loop, after it, and INTERLEAVED every 15 queries
+  * (outside every query's timed window), reported as
+  * `calib.{before,after,segments}` in the JSON. Compare against the
+  * quiet-machine nominals recorded in BASELINE.md; a segment whose probes
+  * read ≥2× nominal marks exactly the queries of that segment as
   * machine-state artifacts, not regressions.
   */
 object Bench {
@@ -42,6 +45,25 @@ object Bench {
     val t0 = System.nanoTime()
     // pmod keeps the ANSI-mode sum far from long overflow (2^28 * 997 << 2^63)
     spark.range(1L << 28).select(sum(pmod(xxhash64(col("id")), lit(997L)))).head()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Fixed-cost SHUFFLE probe: 16M hashed longs through a full
+    * repartition-by-key exchange (~128 MB shuffle write+read, no map-side
+    * combine to hide it) then a global sum. The endpoint-only CPU probe
+    * read NOMINAL across two rounds whose planted/LSH family walls sat
+    * 8–12× local records (VERDICT r6 item 5 / r7 item 3): pure-CPU codegen
+    * can't see shuffle-spill or memory-bandwidth contention, which is what
+    * a shuffle-heavy family actually competes for. This probe runs
+    * interleaved between query segments so mid-run contention lands in the
+    * artifact next to the queries it affected. */
+  def calibrateShuffle(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    spark.range(1L << 24)
+      .select(xxhash64(col("id")).as("k"))
+      .repartition(col("k"))
+      .select(sum(pmod(col("k"), lit(997L)))).head()
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -96,16 +118,28 @@ object Bench {
     }
 
     calibrate(spark) // once untimed: JIT the probe itself
+    calibrateShuffle(spark)
     val calibBefore = calibrate(spark)
-    val results = queries.map { q =>
+    val shuffleBefore = calibrateShuffle(spark)
+    // interleaved calibration (VERDICT r7 item 3): every SegEvery queries,
+    // time both probes OUTSIDE any query's window and tag the segment with
+    // the index of the query that preceded it — per-segment inflation vs
+    // the BASELINE.md nominals adjudicates "contention vs regression" for
+    // exactly the queries in that segment instead of for the run as a whole
+    val SegEvery = 15
+    val segments = scala.collection.mutable.ArrayBuffer[(Int, Double, Double)]()
+    val results = queries.zipWithIndex.map { case (q, i) =>
       val t0 = System.nanoTime()
       val ok = try { consume(q.fn(spark, sfDir)); true } catch { case _: Throwable => false }
       val wall = (System.nanoTime() - t0) / 1e9
       val leftover = storageBytes(spark) // what the query would have leaked
       isolate(spark)
+      if ((i + 1) % SegEvery == 0 && i + 1 < queries.size)
+        segments += ((i + 1, calibrate(spark), calibrateShuffle(spark)))
       (q.name, wall, ok, leftover)
     }
     val calibAfter = calibrate(spark)
+    val shuffleAfter = calibrateShuffle(spark)
     // a crashed query reports -1 and is excluded from the headline total
     // instead of silently folding its wall time in
     val qs = results.map { case (k, v, ok, _) => "\"" + k + "\":" + (if (ok) v else -1.0) }
@@ -119,9 +153,17 @@ object Bench {
     // back parsed:null — the full per-query + storage maps pushed the whole
     // record past the captured window). So: the full maps go to a FILE, and
     // the LAST stdout line is a compact (<400 byte) summary that always fits.
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    val segJson = segments
+      .map { case (at, c, s) => s"""{"after_query":$at,"cpu":${r3(c)},"shuffle":${r3(s)}}""" }
+      .mkString("[", ",", "]")
+    val calibJson =
+      s"""{"before":{"cpu":${r3(calibBefore)},"shuffle":${r3(shuffleBefore)}},""" +
+      s""""after":{"cpu":${r3(calibAfter)},"shuffle":${r3(shuffleAfter)}},""" +
+      s""""segments":$segJson}"""
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,""" +
-      s""""storage_bytes":$sb,"calib":{"before":$calibBefore,"after":$calibAfter},"sf":"$sfDir"}"""
+      s""""storage_bytes":$sb,"calib":$calibJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -137,10 +179,21 @@ object Bench {
       .mkString(",")
     // stop() BEFORE the final println: its (stderr) shutdown chatter must
     // not interleave after the JSON line the consumer tail-parses
+    // the stdout tail line must stay small (the consumer keeps only the
+    // tail of stdout — BENCH_r3/r4 were lost to oversized records): segments
+    // compact to [after_query, cpu, shuffle] triples; the labeled form
+    // lives in bench_full.json
+    val segCompact = segments
+      .map { case (at, c, s) => s"[$at,${r3(c)},${r3(s)}]" }
+      .mkString("[", ",", "]")
+    val calibCompact =
+      s"""{"before":[${r3(calibBefore)},${r3(shuffleBefore)}],""" +
+      s""""after":[${r3(calibAfter)},${r3(shuffleAfter)}],""" +
+      s""""segs_cpu_shuffle":$segCompact}"""
     spark.stop()
     println(s"full per-query metrics -> $outPath")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.count(_._3)},""" +
-      s""""failed":$failed,"calib":{"before":$calibBefore,"after":$calibAfter},""" +
+      s""""failed":$failed,"calib":$calibCompact,""" +
       s""""queries":{$hl},"full":"$outPath","sf":"$sfDir"}""")
   }
 }

@@ -417,7 +417,19 @@ object CorpusPrep {
     * a free column on the scan.
     *
     * `trainPct`/`valPct` carve [0,100): bucket < trainPct → train,
-    * < trainPct+valPct → val, else test. */
+    * < trainPct+valPct → val, else test.
+    *
+    * Two documented edge contracts (ADVICE r7):
+    *  - NULL group keys route to 'test', explicitly: md5(NULL) is NULL in
+    *    every engine, so an unknown-provenance document must never land in
+    *    train (the conservative side of the leakage fence). Callers who
+    *    consider a null group a data bug should assert upstream.
+    *  - the bucket is `first-4-md5-hex-digits mod 100`: 65536 % 100 = 36,
+    *    so buckets 0–35 carry ⌈65536/100⌉ preimages and 36–99 carry
+    *    ⌊65536/100⌋ — a ≤1/655 relative skew in split sizes, accepted for
+    *    cross-engine md5 portability (both engines compute the identical
+    *    assignment; a wider substring would shrink the bias but DuckDB's
+    *    integer conv overflows past 15 hex digits). */
   def leakageSafeSplit(
       docs: DataFrame,
       groupCol: String = "source",
@@ -429,7 +441,8 @@ object CorpusPrep {
       conv(substring(md5(col(groupCol)), 1, 4), 16, 10).cast("long"),
       lit(100L))
     docs.withColumn("split",
-      when(bucket < trainPct, lit("train"))
+      when(col(groupCol).isNull, lit("test"))
+        .when(bucket < trainPct, lit("train"))
         .when(bucket < trainPct + valPct, lit("val"))
         .otherwise(lit("test")))
   }

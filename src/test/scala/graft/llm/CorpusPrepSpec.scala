@@ -407,6 +407,19 @@ class CorpusPrepSpec extends SparkSpec {
     assert(half.exceptAll(full).count() == 0)
   }
 
+  test("leakage-safe split: NULL group keys route to test, never train") {
+    // md5(NULL) is NULL in every engine; the contract routes
+    // unknown-provenance documents to the conservative side of the fence
+    val withNull = docs.limit(4)
+      .withColumn("source",
+        when(col("doc_id") % 2 === 0, lit(null).cast("string"))
+          .otherwise(col("source")))
+    val out = CorpusPrep.leakageSafeSplit(withNull, "source", 80, 10)
+    assert(out.filter(col("source").isNull && col("split") =!= "test")
+      .count() == 0)
+    assert(out.filter(col("source").isNull).count() > 0)
+  }
+
   test("leakage-safe split: bad percents rejected") {
     intercept[IllegalArgumentException] {
       CorpusPrep.leakageSafeSplit(docs, "source", 95, 10)
