@@ -840,6 +840,55 @@ object ScaleStress {
     println(f"docs=  4000 ALL-PAIRS   pairs=$nBrute%12d wall=$sb%6.2f s")
   }
 
+  /** Resample scaling A/B — the r8 q121 fix's asymptotics made visible:
+    * both fills now run every window over ACCUMULATING frames, so wall
+    * should scale ~linearly in rows-per-key. The pre-r8 interpolate ran
+    * its next-anchor pass over `currentRow → unboundedFollowing` frames —
+    * a per-row rescan to partition end, O(n²) per key, which at these row
+    * counts would be hours, not seconds (the r7 driver bench paid 81 s at
+    * ~420k grid rows). Per-doubling wall ratios ≈2× are the pass
+    * criterion; a quadratic plan reads ≈4×. Synthetic jittered ~30 s
+    * spacing on few fat keys deliberately concentrates rows into LONG
+    * per-key sequences — the shape that kills a quadratic frame first. */
+  def resample(spark: SparkSession): Unit = {
+    import graft.operators.Resample
+    println("== resample: per-key scaling of forwardFill / interpolate ==")
+    def consume(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def mkEvents(keys: Int, perKey: Int) =
+      spark.range(keys.toLong * perKey).select(
+        pmod(col("id"), lit(keys.toLong)).as("k"),
+        timestamp_micros(
+          (col("id") / keys).cast("long") * 30000000L +
+            pmod(xxhash64(col("id")), lit(29000000L))).as("ts"),
+        (pmod(xxhash64(col("id"), lit(7)), lit(1000L)) / 10.0).as("v"),
+        col("id"))
+    // min-of-2 steady-state walls with cache/GC isolation between trials:
+    // at these sizes a single trial's wall carries multi-second GC noise
+    // that can read as a phantom 4x (observed while building this mode)
+    def minWall(f: => Unit): Double = {
+      f // untimed: JIT + shuffle-path warm
+      Seq.fill(2) {
+        System.gc()
+        time(f)._2
+      }.min
+    }
+    var prevFf, prevLi = -1.0
+    for (perKey <- Seq(250000, 500000, 1000000)) {
+      val ev = mkEvents(8, perKey).cache()
+      ev.count()
+      val ff = minWall(consume(Resample.forwardFill(ev, "k", "ts", "v", "id", 60L)))
+      val li = minWall(consume(Resample.interpolate(ev, "k", "ts", "v", "id", 60L)))
+      val rFf = if (prevFf > 0) f"${ff / prevFf}%4.2fx" else "  - "
+      val rLi = if (prevLi > 0) f"${li / prevLi}%4.2fx" else "  - "
+      println(f"rows/key=$perKey%8d  ffill=$ff%6.2f s (vs prev $rFf)  " +
+        f"interp=$li%6.2f s (vs prev $rLi)")
+      prevFf = ff; prevLi = li
+      ev.unpersist(blocking = true)
+      spark.catalog.clearCache()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.filterNot(_.startsWith("--")).headOption
       .getOrElse("/root/testdata/sf0.1")
@@ -853,6 +902,11 @@ object ScaleStress {
     }
     if (args.contains("--rangejoin")) {
       rangeJoinAB(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.contains("--resample")) {
+      resample(spark)
       spark.stop()
       return
     }
