@@ -108,10 +108,15 @@ object Bench {
       // warm codegen/parquet-reader/shuffle paths and the pure-Column
       // LSH/IVF family (q35 → Rp, q31 → MinHash, q42 → columnar k-means;
       // no timed query touches MLlib anymore) once, untimed — the
-      // model-fit family shows ±40% first-run JIT jitter otherwise
+      // model-fit family shows ±40% first-run JIT jitter otherwise.
+      // q60 is warmed so the planted-fixture parquet memo (interpreted
+      // perturb+normalize synthesis, ~3.5 s of TEST SCAFFOLDING shared by
+      // q60/q61/q104) builds outside every timed window: previously q60 as
+      // first-toucher paid it, deflating the recorded q60/q61 ratio
       val warm = Set(
         "q01_filter_project", "q03_revenue_by_nation", "q23_tumbling_window",
-        "q35_ann_lsh", "q31_minhash_neardup", "q42_ivf_topk")
+        "q35_ann_lsh", "q31_minhash_neardup", "q42_ivf_topk",
+        "q60_neardup_planted")
       SparkEntry.allQueries.filter(q => warm(q.name))
         .foreach(q => try consume(q.fn(spark, sfDir)) catch { case _: Throwable => () })
       isolate(spark) // the warm set leaves checkpoint blocks too

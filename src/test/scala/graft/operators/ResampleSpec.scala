@@ -164,6 +164,20 @@ class ResampleSpec extends SparkSpec {
       120L -> 7.0, 180L -> 8.0, 240L -> 9.0, 300L -> 10.0, 360L -> 11.0))
   }
 
+  test("interpolate plans no UnboundedFollowing frame (the O(n²)-per-key shape)") {
+    // regression pin for the r8 rewrite: the next-anchor pass must stay a
+    // descending-sort ACCUMULATING frame — first(...) over (currentRow →
+    // unboundedFollowing) executes as a per-row rescan to partition end
+    // (81 s vs 7.5 s on the q121 driver data)
+    val events = mk(Seq(("a", 100L, 10.0, 1L), ("a", 400L, 40.0, 2L)))
+    val plan = Resample.interpolate(events, "k", "ts", "v", "id", 60L)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.toLowerCase.contains("specifiedwindowframe"),
+      "expected window frames in the optimized plan")
+    assert(!plan.toLowerCase.contains("unboundedfollowing"),
+      "an UnboundedFollowing frame reappeared in Resample.interpolate")
+  }
+
   test("interpolate: matches forwardFill where fill semantics coincide") {
     // at observation instants and in regions with no interior gap the two
     // fills agree; this pins the shared grid construction (bounds, dedup,
