@@ -145,14 +145,17 @@ object Resample {
     *
     * Scale shape: ONE shuffle on the key feeding two window passes, both
     * over ACCUMULATING frames (unboundedPreceding → currentRow — Spark's
-    * O(n) incremental frame): the prev anchor runs `last(ignoreNulls)`
-    * over the ascending (ts, marker) sort; the next anchor runs the SAME
+    * O(n) incremental frame): the prev anchors run `last(ignoreNulls)`
+    * over the ascending (ts, marker) sort; the next anchors run the SAME
     * running `last` over the DESCENDING (ts desc, marker desc) sort, which
     * visits exactly the row set a `first over (currentRow →
     * unboundedFollowing)` would — without UnboundedFollowing's
     * rescan-to-partition-end execution (O(n²) per key; the r6/r7 verdicts
     * measured it at ~21× forwardFill's wall on identical data). Catalyst
-    * plans the two sorts over a single Exchange on the key. The
+    * plans the two sorts over a single Exchange on the key, ONE Window
+    * node per direction (both anchor columns of a direction are declared
+    * in one projection — chained withColumns would plan a Window node,
+    * i.e. a full pass over the sorted partition, per column). The
     * per-key-sequential caveat and its chunked mitigation are
     * [[forwardFill]]'s; interpolation's carry-in needs BOTH boundary
     * observations per chunk (last-before and first-after), the same
@@ -206,9 +209,13 @@ object Resample {
     val prevT = last(obsTs, ignoreNulls = true).over(back)
     val nextV = last(obsVal, ignoreNulls = true).over(fwd)
     val nextT = last(obsTs, ignoreNulls = true).over(fwd)
+    // one select for all four anchors: chained withColumns left
+    // ExtractWindowExpressions planning one Window node per column (four
+    // passes over the sorted partition); a single projection fuses them
+    // into one Window node per sort direction
     union
-      .withColumn("__pv", prevV).withColumn("__pt", prevT)
-      .withColumn("__nv", nextV).withColumn("__nt", nextT)
+      .select(col("*"), prevV.as("__pv"), prevT.as("__pt"),
+        nextV.as("__nv"), nextT.as("__nt"))
       .withColumn(valCol,
         when(col("__pt").isNotNull && col("__nt") > col("__pt"),
           col("__pv") + (col("__nv") - col("__pv")) *
