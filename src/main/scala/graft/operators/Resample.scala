@@ -44,6 +44,32 @@ object Resample {
 
   private val ChunkPeriods = Set("YEAR", "QUARTER", "MONTH", "WEEK", "DAY", "HOUR")
 
+  /** Deduplicate observations per (key, ts), latest-id wins — SHARING the
+    * fill window's partitioning: the stream is repartitioned on the KEY
+    * first, so the (key, ts) aggregate runs exchange-free (hash(key)
+    * co-locates every finer (key, ts) group — Spark's subset-clustering
+    * rule), the grid branch's keys-sized bounds aggregate is likewise
+    * satisfied, and — because BOTH union children then report the same
+    * hash(key) partitioning — the fill window consumes the union with NO
+    * exchange of its own: the full-width fact crosses the network exactly
+    * once (the bounds branch re-reads a column-pruned (key, ts) copy of
+    * the scan; trading that for caching the dedup output would pin fact-
+    * sized storage, the worse deal at 100 TB). Letting groupBy pick its
+    * own hash(key, ts) partitioning instead cost a fact-sized exchange
+    * into the window on top of per-branch (key, ts) exchanges. NULL-
+    * timestamp rows drop (SQL semantics; RangeJoin's convention) — left
+    * in, Spark's NULLS-FIRST window order would leak their value into
+    * pre-first-observation grid slots, and engines disagree on NULL
+    * ordering, so the behavior would not even be portable. */
+  private def dedupObs(events: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, idCol: String): DataFrame =
+    events
+      .filter(col(tsCol).isNotNull)
+      .select(col(keyCol), col(tsCol), col(valCol), col(idCol))
+      .repartition(col(keyCol))
+      .groupBy(col(keyCol), col(tsCol))
+      .agg(max_by(col(valCol), col(idCol)).as(valCol))
+
   def forwardFill(
       events: DataFrame,
       keyCol: String,
@@ -55,14 +81,7 @@ object Resample {
     require(stepSeconds > 0, s"bad step: $stepSeconds")
     chunkPeriod.foreach(p => require(ChunkPeriods(p.toUpperCase),
       s"chunkPeriod must be one of $ChunkPeriods, got '$p'"))
-    // NULL-timestamp rows drop (SQL semantics; RangeJoin's convention) —
-    // left in, Spark's NULLS-FIRST window order would leak their value
-    // into pre-first-observation grid slots, and engines disagree on NULL
-    // ordering, so the behavior would not even be portable
-    val obs = events
-      .filter(col(tsCol).isNotNull)
-      .groupBy(col(keyCol), col(tsCol))
-      .agg(max_by(col(valCol), col(idCol)).as(valCol))
+    val obs = dedupObs(events, keyCol, tsCol, valCol, idCol)
     val bounds = obs.groupBy(col(keyCol)).agg(
       to_timestamp(
         floor(unix_timestamp(min(col(tsCol))) / stepSeconds) * stepSeconds)
@@ -168,10 +187,7 @@ object Resample {
       idCol: String,
       stepSeconds: Long): DataFrame = {
     require(stepSeconds > 0, s"bad step: $stepSeconds")
-    val obs = events
-      .filter(col(tsCol).isNotNull)
-      .groupBy(col(keyCol), col(tsCol))
-      .agg(max_by(col(valCol), col(idCol)).as(valCol))
+    val obs = dedupObs(events, keyCol, tsCol, valCol, idCol)
     val bounds = obs.groupBy(col(keyCol)).agg(
       to_timestamp(
         floor(unix_timestamp(min(col(tsCol))) / stepSeconds) * stepSeconds)
