@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Scale-contract pins on PHYSICAL PLANS (the FixtureSchemaSpec idea
+  * applied to plan shape): the properties that make the headline operators
+  * survive a 100× scale-up — filters reaching the scan, columns pruned,
+  * dimension joins broadcast, theta/range joins planned as equi+range
+  * rather than nested loops, row-local signals staying shuffle-free,
+  * bounded window frames — are asserted here against the statically
+  * planned query, so a regression fails a spec instead of shipping and
+  * waiting for a bench round to notice (q121's quadratic frame survived
+  * two rounds exactly because nothing pinned its plan). Planning only —
+  * nothing executes; AQE renders its initial plan, which is where these
+  * static properties live.
+  */
+class PlanContractSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q01: filter is pushed to the parquet scan and columns are pruned") {
+    val p = plan("q01_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      "the quantity predicate no longer reaches the scan")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_quantity:") && !readSchema.contains("l_returnflag"),
+      s"column pruning regressed: $readSchema")
+  }
+
+  test("q03: dimension joins broadcast; no sort-merge, loop, or cartesian join") {
+    val p = plan("q03_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), "dimension joins stopped broadcasting")
+    for (bad <- Seq("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"))
+      assert(!p.contains(bad), s"$bad appeared in the star-join plan")
+  }
+
+  test("q06: theta join plans as equi-join + range condition, not a nested loop") {
+    val p = plan("q06_theta_join")
+    for (bad <- Seq("BroadcastNestedLoopJoin", "CartesianProduct"))
+      assert(!p.contains(bad), s"$bad appeared — the theta join degenerated")
+  }
+
+  test("q68/q75: binned range joins never plan a loop or cartesian join") {
+    for (name <- Seq("q68_range_join", "q75_interval_overlap")) {
+      val p = plan(name)
+      for (bad <- Seq("BroadcastNestedLoopJoin", "CartesianProduct"))
+        assert(!p.contains(bad), s"$bad appeared in $name")
+    }
+  }
+
+  test("q119: char entropy stays row-local — no hash exchange anywhere") {
+    // the quality signal's whole point is zero shuffle at corpus scale;
+    // only the output-ordering range exchange is allowed
+    val p = plan("q119_char_entropy")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "a hash shuffle appeared in the row-local entropy query")
+  }
+
+  test("q105/q36: window frames stay bounded-range or accumulating") {
+    // q105's 10-minute trailing window must plan as a RangeFrame (two-
+    // pointer sliding evaluation); no registry window may reintroduce the
+    // O(n²)-per-key UnboundedFollowing rescan q121 shipped with in r6/r7
+    val p105 = plan("q105_time_range_frame").toLowerCase
+    assert(p105.contains("rangeframe"), "q105 lost its RANGE frame")
+    for (name <- Seq("q105_time_range_frame", "q36_asof_join",
+        "q88_resample_ffill", "q121_resample_interpolate", "q10_window_running")) {
+      assert(!plan(name).toLowerCase.contains("unboundedfollowing"),
+        s"an UnboundedFollowing frame appeared in $name")
+    }
+  }
+}
