@@ -57,6 +57,24 @@ class PlanContractSpec extends SparkSpec {
       "a hash shuffle appeared in the row-local entropy query")
   }
 
+  test("LSH candidate joins stay bucketed equi-joins, never loops or all-pairs") {
+    // the near-dup/ANN scale story rests on candidates flowing through
+    // band-bucket equi-joins (q61's brute twin is the DELIBERATE all-pairs
+    // denominator and is not pinned here)
+    val emb = graft.Tables(spark, sf0001, "embeddings")
+    val docs = graft.Tables(spark, sf0001, "documents")
+    val engines = Seq(
+      "rp_cosine (q47)" ->
+        graft.llm.Rp.cosineNearPairs(emb, 0.3, materialize = false),
+      "minhash (q31)" ->
+        graft.llm.MinHash.pairs(docs, materialize = false))
+    for ((name, df) <- engines) {
+      val p = df.queryExecution.executedPlan.toString
+      for (bad <- Seq("BroadcastNestedLoopJoin", "CartesianProduct"))
+        assert(!p.contains(bad), s"$bad appeared in the $name candidate join")
+    }
+  }
+
   test("q105/q36: window frames stay bounded-range or accumulating") {
     // q105's 10-minute trailing window must plan as a RangeFrame (two-
     // pointer sliding evaluation); no registry window may reintroduce the
