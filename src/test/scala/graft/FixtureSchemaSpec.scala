@@ -57,20 +57,27 @@ class FixtureSchemaSpec extends SparkSpec {
     for (dir <- sfDirs; name <- Tables.names) {
       val got = Tables(spark, dir, name).schema
         .map(f => f.name -> f.dataType)
-      val want = expected(name)
-      // name the first drifted column, not just "schemas differ"; the
-      // placeholders label length mismatches (fixture grew / lost a column)
-      want.zipAll(got,
-        "«no-column-expected-here»" -> NullType,
-        "«column-missing-from-fixture»" -> NullType)
-        .collectFirst { case (w, g) if w != g => (w, g) }
-        .foreach { case (w, g) =>
-          fail(s"$dir/$name.parquet drifted at column ${g._1}: expected " +
-            s"${w._1}:${w._2.sql}, read ${g._1}:${g._2.sql} — if the fixture " +
-            "layout legitimately changed, teach Tables/this spec the new layout")
-        }
+      FixtureSchemaSpec.firstDrift(expected(name), got).foreach(d =>
+        fail(s"$dir/$name.parquet drifted at $d — if the fixture layout " +
+          "legitimately changed, teach Tables/this spec the new layout"))
     }
   }
+
+  test("drift detection names the drifted column, not just 'schemas differ'") {
+    // the r6 failure mode in miniature: a re-typed, a renamed, a dropped,
+    // and an extra column must each produce a message naming the culprit
+    val want = Seq("a" -> LongType, "ts" -> TimestampType)
+    def drift(got: Seq[(String, DataType)]): String =
+      FixtureSchemaSpec.firstDrift(want, got).getOrElse(fail("drift missed"))
+    assert(FixtureSchemaSpec.firstDrift(want, want).isEmpty)
+    assert(drift(Seq("a" -> LongType, "ts" -> TimestampNTZType))
+      .contains("expected ts:TIMESTAMP, read ts:TIMESTAMP_NTZ"))
+    assert(drift(Seq("a" -> LongType, "t2" -> TimestampType)).contains("t2"))
+    assert(drift(Seq("a" -> LongType)).contains("column-missing-from-fixture"))
+    assert(drift(want :+ ("x" -> StringType)).contains("no-column-expected-here"))
+  }
+
+  // (companion holds the drift helper so the message format is unit-tested)
 
   test("normalizeEvents: ns-int64 layout floor-divides to exact µs") {
     val df = Seq((1L, 1_500_000_001_999L)).toDF("event_id", "ts")
@@ -112,4 +119,20 @@ class FixtureSchemaSpec extends SparkSpec {
     assert(e.getMessage.contains("events.ts") &&
       e.getMessage.toLowerCase.contains("string"))
   }
+}
+
+object FixtureSchemaSpec {
+  import org.apache.spark.sql.types.{DataType, NullType}
+
+  /** First drifted column between the expected and read layouts, rendered
+    * with the column and both types named; None when identical. The
+    * placeholders label length mismatches (fixture grew / lost a column). */
+  def firstDrift(want: Seq[(String, DataType)],
+      got: Seq[(String, DataType)]): Option[String] =
+    want.zipAll(got,
+      "«no-column-expected-here»" -> NullType,
+      "«column-missing-from-fixture»" -> NullType)
+      .collectFirst { case (w, g) if w != g =>
+        s"column ${g._1}: expected ${w._1}:${w._2.sql}, read ${g._1}:${g._2.sql}"
+      }
 }
