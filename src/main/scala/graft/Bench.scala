@@ -3,15 +3,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR.
   * The LAST stdout line is a compact JSON summary
-  * {"metric","value","unit","n_queries","failed","calib","queries","full","sf"}
+  * {"metric","value","unit","n_queries","failed","calib","retried",
+  *  "healed_total","queries","full","sf"}
   * — deliberately small because the consumer keeps only the tail of stdout;
-  * the full per-query wall-time and storage-byte maps are written to
-  * SPARK_GRAFT_BENCH_OUT (default ./bench_full.json).
+  * the full per-query wall-time / storage-byte / executor-metric maps are
+  * written to SPARK_GRAFT_BENCH_OUT (default ./bench_full.json).
   *
   * Env knobs: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_ONLY (csv of query
   * names, for iteration), SPARK_GRAFT_WARMUP (default 1 — run a small
   * representative set untimed first so steady-state numbers aren't dominated
-  * by JIT/codegen warmup of the first query), SPARK_GRAFT_BENCH_OUT.
+  * by JIT/codegen warmup of the first query), SPARK_GRAFT_BENCH_OUT,
+  * SPARK_GRAFT_BASELINE (per-query quiet-machine record map, default
+  * ./BASELINE_QUERIES.json — drives the contended-outlier retry pass),
+  * SPARK_GRAFT_RETRY (default 1; 0 disables the retry pass).
   *
   * Contention self-diagnosis (VERDICT r2 "What's wrong" #1: a machine-
   * contended driver run recorded 5–7× uniform inflation and burned a round
@@ -24,6 +28,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * quiet-machine nominals recorded in BASELINE.md; a segment whose probes
   * read ≥2× nominal marks exactly the queries of that segment as
   * machine-state artifacts, not regressions.
+  *
+  * Per-query executor metrics (VERDICT r8 "Next round" #1): a
+  * [[QueryMetricsListener]] accumulates shuffle read/write bytes, spill,
+  * input bytes, executor CPU/run time and peak per-task memory for exactly
+  * the tasks inside each query's timed window (listener bus flushed at both
+  * edges), written as `"metrics"` in bench_full.json. This turns
+  * "driver wall ≫ local wall, probes nominal" from a three-round dispute
+  * into arithmetic: same bytes + bigger wall → machine; more bytes → plan
+  * regression.
+  *
+  * Contended-outlier retry pass (VERDICT r8 "Next round" #2): after the
+  * main loop, any query whose wall exceeded 3× its quiet-machine record
+  * (BASELINE_QUERIES.json) while a bracketing probe read ≥1.5× nominal is
+  * rerun ONCE, still isolated, bracketed by its own probe pair; both walls
+  * ship (`"retries"`), so the artifact self-heals from tail contention
+  * (r8 published 37 s for q121 whose true wall was 2.5 s) instead of
+  * burning a round on it. `healed_total` = suite total with each retried
+  * query at min(wall, retry_wall).
   */
 object Bench {
 
@@ -67,6 +89,23 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Quiet-machine probe nominals (BASELINE.md r8 record: CPU 0.44–0.54,
+    * shuffle 0.71–1.02 across all seven interleaved segments) and the
+    * contended threshold. A probe reading ≥1.5× nominal marks its
+    * bracketing segment contended for the retry pass. */
+  private val NominalCpu = 0.50
+  private val NominalShuffle = 0.90
+  private val ContendedFactor = 1.5
+  /** Retry a query only when its wall exceeds this multiple of its
+    * quiet-machine record AND a bracketing probe read contended. */
+  private val RetryWallFactor = 3.0
+  /** Bound on the retry pass (worst case it re-pays the slowest walls; 12
+    * retried outliers is already a run the calib story must explain). */
+  private val MaxRetries = 12
+
+  private def isContended(cpu: Double, shuffle: Double): Boolean =
+    cpu >= NominalCpu * ContendedFactor || shuffle >= NominalShuffle * ContendedFactor
+
   /** Storage bytes (memory + disk) currently pinned by cached / local-
     * checkpointed RDDs — recorded per query so a block-pressure regression
     * is visible in the artifact instead of showing up as mystery wall-time
@@ -91,11 +130,29 @@ object Bench {
     System.gc()
   }
 
+  /** Quiet-machine per-query records ({"name": secs} flat JSON, written by
+    * scripts/update_baseline_queries.py from a quiet local bench_full.json)
+    * — absent file → empty map → retry pass disabled (first run on a new
+    * machine has nothing to compare against, which is correct). */
+  private def loadBaselines(path: String): Map[String, Double] =
+    try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      """"([^"]+)"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val listener = new QueryMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    def flushBus(): Unit =
+      org.apache.spark.GraftListenerBus.flush(spark.sparkContext)
 
     // non-headline queries (composites of individually-timed operators) stay
     // in the correctness contract but out of the default timing set
@@ -133,61 +190,144 @@ object Bench {
     // exactly the queries in that segment instead of for the run as a whole
     val SegEvery = 15
     val segments = scala.collection.mutable.ArrayBuffer[(Int, Double, Double)]()
+    // timed-window protocol: flush+reset the metrics listener at the open
+    // edge (drops warmup/isolation/probe events), flush+snapshot at the
+    // close edge — the flush makes task-end attribution exact (see
+    // QueryMetricsListener)
     val results = queries.zipWithIndex.map { case (q, i) =>
+      flushBus(); listener.snapshotAndReset() // open edge: discard stale events
       val t0 = System.nanoTime()
       val ok = try { consume(q.fn(spark, sfDir)); true } catch { case _: Throwable => false }
       val wall = (System.nanoTime() - t0) / 1e9
+      flushBus()
+      val qm = listener.snapshotAndReset() // close edge: this query's tasks only
       val leftover = storageBytes(spark) // what the query would have leaked
       isolate(spark)
       if ((i + 1) % SegEvery == 0 && i + 1 < queries.size)
         segments += ((i + 1, calibrate(spark), calibrateShuffle(spark)))
-      (q.name, wall, ok, leftover)
+      (q.name, wall, ok, leftover, qm)
     }
     val calibAfter = calibrate(spark)
     val shuffleAfter = calibrateShuffle(spark)
+
+    // ---- contended-outlier retry pass --------------------------------
+    // bracketing probes for query index i: the last probe at position <= i
+    // (position = #queries completed when the probe ran; "before" is
+    // position 0) and the first probe at position > i ("after" = end)
+    def contendedAt(i: Int): Boolean = {
+      val left = segments.filter(_._1 <= i).lastOption
+        .map(s => (s._2, s._3)).getOrElse((calibBefore, shuffleBefore))
+      val right = segments.find(_._1 > i)
+        .map(s => (s._2, s._3)).getOrElse((calibAfter, shuffleAfter))
+      isContended(left._1, left._2) || isContended(right._1, right._2)
+    }
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_QUERIES.json")
+    val baselines = loadBaselines(baselinePath)
+    val retryCandidates =
+      if (sys.env.getOrElse("SPARK_GRAFT_RETRY", "1") != "1") Seq.empty
+      else results.zipWithIndex.collect {
+        case ((name, wall, true, _, _), i)
+            if baselines.get(name).exists(b => wall > RetryWallFactor * b) &&
+              contendedAt(i) =>
+          (name, wall / baselines(name))
+      }.sortBy(-_._2).take(MaxRetries).map(_._1)
+    val retryCalib =
+      if (retryCandidates.isEmpty) None
+      else Some((calibrate(spark), calibrateShuffle(spark)))
+    val retries: Seq[(String, Double, Boolean, QueryMetrics)] =
+      retryCandidates.flatMap { name =>
+        queries.find(_.name == name).map { q =>
+          flushBus(); listener.snapshotAndReset()
+          val t0 = System.nanoTime()
+          val ok = try { consume(q.fn(spark, sfDir)); true } catch { case _: Throwable => false }
+          val wall = (System.nanoTime() - t0) / 1e9
+          flushBus()
+          val qm = listener.snapshotAndReset()
+          isolate(spark)
+          (name, wall, ok, qm)
+        }
+      }
+    val retryCalibAfter =
+      if (retryCandidates.isEmpty) None
+      else Some((calibrate(spark), calibrateShuffle(spark)))
+    val retryWall: Map[String, Double] =
+      retries.collect { case (n, w, true, _) => n -> w }.toMap
+
     // a crashed query reports -1 and is excluded from the headline total
     // instead of silently folding its wall time in
-    val qs = results.map { case (k, v, ok, _) => "\"" + k + "\":" + (if (ok) v else -1.0) }
+    val qs = results.map { case (k, v, ok, _, _) => "\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
-    val sb = results.map { case (k, _, _, b) => "\"" + k + "\":" + b }
+    val sb = results.map { case (k, _, _, b, _) => "\"" + k + "\":" + b }
+      .mkString("{", ",", "}")
+    val mx = results.map { case (k, _, _, _, m) => "\"" + k + "\":" + m.json }
       .mkString("{", ",", "}")
     val failed = results.filter(!_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
+    // healed total: each retried query at min(first wall, retry wall) —
+    // what the suite reads with tail contention factored out
+    val healedTotal = results.filter(_._3)
+      .map { case (k, v, _, _, _) => math.min(v, retryWall.getOrElse(k, v)) }.sum
 
     // The consumer captures only the TAIL of stdout (BENCH_r3/r4 both came
     // back parsed:null — the full per-query + storage maps pushed the whole
     // record past the captured window). So: the full maps go to a FILE, and
-    // the LAST stdout line is a compact (<400 byte) summary that always fits.
+    // the LAST stdout line is a compact summary that always fits.
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     val segJson = segments
       .map { case (at, c, s) => s"""{"after_query":$at,"cpu":${r3(c)},"shuffle":${r3(s)}}""" }
       .mkString("[", ",", "]")
+    val retryCalibJson = (retryCalib, retryCalibAfter) match {
+      case (Some((c1, s1)), Some((c2, s2))) =>
+        s""","retry_before":{"cpu":${r3(c1)},"shuffle":${r3(s1)}},""" +
+          s""""retry_after":{"cpu":${r3(c2)},"shuffle":${r3(s2)}}"""
+      case _ => ""
+    }
     val calibJson =
       s"""{"before":{"cpu":${r3(calibBefore)},"shuffle":${r3(shuffleBefore)}},""" +
       s""""after":{"cpu":${r3(calibAfter)},"shuffle":${r3(shuffleAfter)}},""" +
-      s""""segments":$segJson}"""
+      s""""segments":$segJson$retryCalibJson}"""
+    val retriesJson = retries
+      .map { case (n, w, ok, m) =>
+        val first = results.find(_._1 == n).map(_._2).getOrElse(-1.0)
+        s""""$n":{"wall":${r3(first)},"retry_wall":${if (ok) r3(w) else -1.0},""" +
+          s""""retry_metrics":${m.json}}"""
+      }
+      .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,""" +
-      s""""storage_bytes":$sb,"calib":$calibJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"healed_total":${r3(healedTotal)},""" +
+      s""""unit":"sec","queries":$qs,"failed":$failed,""" +
+      s""""storage_bytes":$sb,"metrics":$mx,"retries":$retriesJson,""" +
+      s""""baseline_file":"$baselinePath","baseline_known":${baselines.size},""" +
+      s""""calib":$calibJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
     def t(name: String): Option[Double] =
       results.find(r => r._1 == name && r._3).map(_._2)
-    // headline A/B: bucketed near-dup vs its brute-force twin at equal n
+    def healed(name: String): Option[Double] =
+      t(name).map(w => math.min(w, retryWall.getOrElse(name, w)))
+    // headline A/B: bucketed near-dup vs its brute-force twin at equal n;
+    // the healed ratio uses retry walls where a contended first wall was
+    // re-measured (both walls are in the artifact)
     val speedup = for (b <- t("q61_neardup_planted_brute"); f <- t("q60_neardup_planted"))
       yield b / f
+    val speedupHealed = for (b <- healed("q61_neardup_planted_brute");
+        f <- healed("q60_neardup_planted")) yield b / f
+    def r2(v: Double): Double = math.round(v * 100) / 100.0
     val hl = (t("q60_neardup_planted").map(v => s""""q60_neardup_planted":$v""") ++
       t("q61_neardup_planted_brute").map(v => s""""q61_neardup_planted_brute":$v""") ++
-      speedup.map(r => s""""q60_q61_speedup":${math.round(r * 100) / 100.0}"""))
+      speedup.map(r => s""""q60_q61_speedup":${r2(r)}""") ++
+      speedupHealed.filter(h => !speedup.contains(h))
+        .map(r => s""""q60_q61_speedup_healed":${r2(r)}"""))
       .mkString(",")
     // stop() BEFORE the final println: its (stderr) shutdown chatter must
     // not interleave after the JSON line the consumer tail-parses
     // the stdout tail line must stay small (the consumer keeps only the
     // tail of stdout — BENCH_r3/r4 were lost to oversized records): segments
     // compact to [after_query, cpu, shuffle] triples; the labeled form
-    // lives in bench_full.json
+    // lives in bench_full.json. (The r8 consumer parsed this nested calib
+    // shape — BENCH_r08.json "parsed" carries it — so the shape is kept.)
     val segCompact = segments
       .map { case (at, c, s) => s"[$at,${r3(c)},${r3(s)}]" }
       .mkString("[", ",", "]")
@@ -198,7 +338,8 @@ object Bench {
     spark.stop()
     println(s"full per-query metrics -> $outPath")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.count(_._3)},""" +
-      s""""failed":$failed,"calib":$calibCompact,""" +
+      s""""failed":$failed,"retried":${retries.size},"healed_total":${r3(healedTotal)},""" +
+      s""""calib":$calibCompact,""" +
       s""""queries":{$hl},"full":"$outPath","sf":"$sfDir"}""")
   }
 }
