@@ -114,6 +114,8 @@ object GraftFunctions {
   val NearestCentroidName = "nearest_centroid"
   val CharEntropyName = "char_entropy"
   val MisraGriesName = "misra_gries"
+  val SignBandKeysName = "sign_band_keys"
+  val FloorBandKeysName = "floor_band_keys"
 
   /** Build a [[VectorMatMul]] from a foldable nested-array-literal second
     * argument (the registry's builder sees Expressions only; the matrix is
@@ -128,6 +130,18 @@ object GraftFunctions {
       rows.getArray(p).toFloatArray()
     }
     VectorMatMul(exprs.head, planes)
+  }
+
+  /** Shared literal-matrix decode for the band-key builders. */
+  private def planesFromExpr(name: String, e: Expression): Array[Array[Float]] = {
+    require(e.foldable, s"$name's plane matrix must be a literal")
+    val rows = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    Array.tabulate(rows.numElements())(p => rows.getArray(p).toFloatArray())
+  }
+
+  private def intLit(name: String, e: Expression): Int = {
+    require(e.foldable, s"$name's shape arguments must be literals")
+    e.eval().asInstanceOf[Number].intValue()
   }
 
   /** Single source of truth for the function family — both registration
@@ -190,6 +204,22 @@ object GraftFunctions {
         require(exprs(1).foldable, s"$MisraGriesName's capacity must be a literal")
         MisraGriesAgg(
           exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
+      }),
+    (FunctionIdentifier(SignBandKeysName),
+      new ExpressionInfo(classOf[SignBandKeys].getName, SignBandKeysName),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4, s"$SignBandKeysName takes 4 arguments")
+        SignBandKeys(exprs.head, planesFromExpr(SignBandKeysName, exprs(1)),
+          intLit(SignBandKeysName, exprs(2)), intLit(SignBandKeysName, exprs(3)))
+      }),
+    (FunctionIdentifier(FloorBandKeysName),
+      new ExpressionInfo(classOf[FloorBandKeys].getName, FloorBandKeysName),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 5, s"$FloorBandKeysName takes 5 arguments")
+        require(exprs(4).foldable, s"$FloorBandKeysName's bucketLength must be a literal")
+        FloorBandKeys(exprs.head, planesFromExpr(FloorBandKeysName, exprs(1)),
+          intLit(FloorBandKeysName, exprs(2)), intLit(FloorBandKeysName, exprs(3)),
+          exprs(4).eval().asInstanceOf[Number].doubleValue())
       }),
     (FunctionIdentifier(MightContainName),
       new ExpressionInfo(

@@ -50,7 +50,10 @@ object MinHash {
       seed: Long = 42L,
       maxBucketSize: Int = Lsh.DefaultMaxBucketSize,
       materialize: Boolean = true): DataFrame = {
-    val shingled0 = docs
+    // spread BEFORE the shingle projection: a single-split corpus file
+    // would otherwise build every shingle array (the dominant scan cost)
+    // on one task — see graft.operators.Parallelism
+    val shingled0 = graft.operators.Parallelism.spread(docs)
       .select(col("doc_id"), TextAnalysis.shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
     // cached: read 3× (signatures + both rerank sides), and the shingle

@@ -83,30 +83,18 @@ object Rp {
     embeddings.select(size(col("embedding"))).limit(1)
       .collect().headOption.map(_.getInt(0))
 
-  /** Internal projection column: every plane dot of a row in ONE
-    * `vector_matmul` call. Band keys then read `element_at(__projs, i)` —
-    * tiny expressions — instead of each inlining a dim-length literal dot.
-    * With 240 planes the literal form blew Janino's 64 KB method limit and
-    * dropped the whole signature stage out of codegen (ERROR + interpreted
-    * fallback); the matrix now rides as a referenced object so generated
-    * code size is constant in the plane count. Bit-identical results (same
-    * per-plane summation order as [[graft.functions.VectorDot]]). */
-  private val ProjsCol = "__projs"
-
-  private def withProjections(
-      embeddings: DataFrame,
-      nPlanes: Int,
-      seed: Long): (DataFrame, Option[Int]) = {
-    GraftFunctions.register(embeddings.sparkSession)
-    probeDim(embeddings) match {
-      case some @ Some(dim) =>
-        val planes = hyperplanes(dim, nPlanes, seed)
-        (embeddings.withColumn(ProjsCol,
-          call_function(GraftFunctions.VectorMatMulName,
-            col("embedding"), typedlit(planes))), some)
-      case None => (embeddings, None)
-    }
-  }
+  // Band keys are emitted by ONE custom expression per row
+  // (graft.functions.SignBandKeys / FloorBandKeys) producing the full
+  // array<struct<t,k>> the candidate stage explodes. Two earlier
+  // formulations both failed at the codegen layer: per-band literal dots
+  // blew Janino's 64 KB method limit (240 inlined 64-float literals →
+  // interpreted fallback), and a shared `__projs` matmul column got
+  // inlined at EVERY element_at reference when the optimizer collapsed the
+  // projection into the generator — 240 copies of the matmul, measured as
+  // ~22 GFLOP for a 92 MFLOP signature stage (bench r9 stage metrics,
+  // 12+ CPU-seconds on the 6 000-row planted fixture). The single-call
+  // array form is immune to both: the planes ride as a referenced object,
+  // and there is only one reference for the optimizer to inline.
 
   /** Shared skeleton: explode per-row bucket keys, self-join on (t, k),
     * score each candidate pair exactly, filter, dedup across tables.
@@ -124,7 +112,7 @@ object Rp {
     * only the post-checkpoint scan) and composition into larger jobs. */
   private def nearPairs(
       embeddings: DataFrame,
-      keys: Seq[Column],
+      keysArray: Option[Column],
       score: Column,
       scoreName: String,
       keep: Column,
@@ -132,7 +120,7 @@ object Rp {
       idOnly: Boolean,
       materialize: Boolean): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    if (keys.isEmpty) // empty input: no planes could be derived (dim probe)
+    if (keysArray.isEmpty) // empty input: no planes could be derived (dim probe)
       return embeddings.select(
         col("vec_id").as("id_a"), col("vec_id").as("id_b"),
         lit(0.0).as(scoreName)).where(lit(false))
@@ -140,8 +128,11 @@ object Rp {
       if (idOnly) Seq.empty[Column]
       else Seq(col("embedding"),
         Similarity.dotFast(col("embedding"), col("embedding")).as("n"))
-    val sig0 = embeddings
-      .select(col("vec_id") +: payload :+ explode(array(keys: _*)).as("tb"): _*)
+    // spread BEFORE the signature projection: a single-split input would
+    // otherwise compute every signature on one task (the exchange moves raw
+    // rows; the key computation runs on its parallel output side)
+    val sig0 = graft.operators.Parallelism.spread(embeddings)
+      .select(col("vec_id") +: payload :+ explode(keysArray.get).as("tb"): _*)
       .withColumn("t", col("tb.t")).withColumn("k", col("tb.k"))
       .drop("tb")
     val sig = if (materialize) sig0.cache() else sig0
@@ -208,19 +199,15 @@ object Rp {
       maxBucketSize: Int = Lsh.DefaultMaxBucketSize,
       idOnly: Boolean = false,
       materialize: Boolean = true): DataFrame = {
-    val (prepped, dimOpt) = withProjections(embeddings, numTables * projsPerTable, seed)
-    val keys = dimOpt.toSeq.flatMap { _ =>
-      (0 until numTables).map { t =>
-        val floors = (0 until projsPerTable).map { p =>
-          floor(element_at(col(ProjsCol), lit(t * projsPerTable + p + 1))
-            / bucketLength).cast("long")
-        }
-        struct(lit(t).as("t"), array(floors: _*).as("k"))
-      }
+    GraftFunctions.register(embeddings.sparkSession)
+    val keysArray = probeDim(embeddings).map { dim =>
+      val planes = hyperplanes(dim, numTables * projsPerTable, seed)
+      call_function(GraftFunctions.FloorBandKeysName, col("embedding"),
+        typedlit(planes), lit(numTables), lit(projsPerTable), lit(bucketLength))
     }
     val d2 = col("n_a") -
       lit(2.0) * Similarity.dotFast(col("emb_a"), col("emb_b")) + col("n_b")
-    nearPairs(prepped, keys,
+    nearPairs(embeddings, keysArray,
       round(sqrt(greatest(d2, lit(0.0))), 4), "dist",
       col("dist") <= threshold, maxBucketSize, idOnly, materialize)
   }
@@ -251,19 +238,15 @@ object Rp {
       maxBucketSize: Int = Lsh.DefaultMaxBucketSize,
       idOnly: Boolean = false,
       materialize: Boolean = true): DataFrame = {
-    val (prepped, dimOpt) = withProjections(embeddings, bands * bitsPerBand, seed)
-    val keys = dimOpt.toSeq.flatMap { _ =>
-      (0 until bands).map { bd =>
-        val bits = (0 until bitsPerBand).map { i =>
-          when(element_at(col(ProjsCol), lit(bd * bitsPerBand + i + 1)) >= 0,
-            lit(1L << i)).otherwise(lit(0L))
-        }
-        struct(lit(bd).as("t"), bits.reduce(_ + _).as("k"))
-      }
+    GraftFunctions.register(embeddings.sparkSession)
+    val keysArray = probeDim(embeddings).map { dim =>
+      val planes = hyperplanes(dim, bands * bitsPerBand, seed)
+      call_function(GraftFunctions.SignBandKeysName, col("embedding"),
+        typedlit(planes), lit(bands), lit(bitsPerBand))
     }
     val sim = Similarity.dotFast(col("emb_a"), col("emb_b")) /
       sqrt(col("n_a") * col("n_b"))
-    nearPairs(prepped, keys,
+    nearPairs(embeddings, keysArray,
       round(sim, 4), "cos_sim",
       col("cos_sim") >= minCosine, maxBucketSize, idOnly, materialize)
   }

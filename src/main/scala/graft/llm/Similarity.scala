@@ -77,8 +77,17 @@ object Similarity {
     * scale, run it per LSH/IVF candidate bucket instead of globally. */
   def cosineNearDupPairs(embeddings: DataFrame, minCosine: Double): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
-      dotFast(col("embedding"), col("embedding")).as("n_a"))
+    // The inequality join plans as a broadcast nested loop, whose
+    // parallelism is the STREAMED side's partition count — and a small
+    // fixture parquet arrives as one file split, so without an explicit
+    // spread the whole O(n²) pair scan runs in a handful of tasks (bench
+    // r9 metrics: 5 tasks, cpu ≈ wall ≈ 50 s on a 32-core machine, i.e.
+    // effectively serial). graft.operators.Parallelism.spread fans the
+    // streamed side across the session's shuffle parallelism; AQE does not
+    // re-coalesce an explicit numPartitions repartition.
+    val a = graft.operators.Parallelism.spread(embeddings)
+      .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+        dotFast(col("embedding"), col("embedding")).as("n_a"))
     val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
       dotFast(col("embedding"), col("embedding")).as("n_b"))
     val sim = dotFast(col("emb_a"), col("emb_b")) / sqrt(col("n_a") * col("n_b"))
