@@ -223,12 +223,16 @@ object Bench {
     }
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_QUERIES.json")
     val baselines = loadBaselines(baselinePath)
+    // SPARK_GRAFT_FORCE_RETRY=1 (harness testing only) waives the
+    // contended-probe condition so the retry machinery can be exercised on
+    // a quiet machine; the wall-vs-baseline condition still applies
+    val forceRetry = sys.env.get("SPARK_GRAFT_FORCE_RETRY").contains("1")
     val retryCandidates =
       if (sys.env.getOrElse("SPARK_GRAFT_RETRY", "1") != "1") Seq.empty
       else results.zipWithIndex.collect {
         case ((name, wall, true, _, _), i)
             if baselines.get(name).exists(b => wall > RetryWallFactor * b) &&
-              contendedAt(i) =>
+              (contendedAt(i) || forceRetry) =>
           (name, wall / baselines(name))
       }.sortBy(-_._2).take(MaxRetries).map(_._1)
     val retryCalib =
@@ -307,17 +311,27 @@ object Bench {
       results.find(r => r._1 == name && r._3).map(_._2)
     def healed(name: String): Option[Double] =
       t(name).map(w => math.min(w, retryWall.getOrElse(name, w)))
-    // headline A/B: bucketed near-dup vs its brute-force twin at equal n;
-    // the healed ratio uses retry walls where a contended first wall was
-    // re-measured (both walls are in the artifact)
+    // headline A/B: bucketed near-dup vs its brute-force twin at equal n.
+    // As of r9 the WALL ratio at fixture n is near 1 BY DESIGN — the brute
+    // twin now parallelizes honestly (pre-r9 it ran ~serial on a 1-split
+    // scan, which is what inflated every earlier ≥5× wall figure) and both
+    // walls at n=6000 are stage-floor-bound. The scale-transferable number
+    // is the WORK ratio (executor CPU), which grows ∝n: brute is O(n²)
+    // work, bucketed ~O(n). Both ship in the tail; the wall-separation
+    // curve lives in ScaleStress --planted and BASELINE.md.
     val speedup = for (b <- t("q61_neardup_planted_brute"); f <- t("q60_neardup_planted"))
       yield b / f
     val speedupHealed = for (b <- healed("q61_neardup_planted_brute");
         f <- healed("q60_neardup_planted")) yield b / f
+    def cpuOf(name: String): Option[Double] =
+      results.find(r => r._1 == name && r._3).map(_._5.cpuSec).filter(_ > 0)
+    val workRatio = for (b <- cpuOf("q61_neardup_planted_brute");
+        f <- cpuOf("q60_neardup_planted")) yield b / f
     def r2(v: Double): Double = math.round(v * 100) / 100.0
     val hl = (t("q60_neardup_planted").map(v => s""""q60_neardup_planted":$v""") ++
       t("q61_neardup_planted_brute").map(v => s""""q61_neardup_planted_brute":$v""") ++
       speedup.map(r => s""""q60_q61_speedup":${r2(r)}""") ++
+      workRatio.map(r => s""""q60_q61_work_ratio":${r2(r)}""") ++
       speedupHealed.filter(h => !speedup.contains(h))
         .map(r => s""""q60_q61_speedup_healed":${r2(r)}"""))
       .mkString(",")

@@ -889,6 +889,69 @@ object ScaleStress {
     }
   }
 
+  /** Wall-separation curve for the planted near-dup A/B (the r9 q60/q61
+    * re-basing's scale exhibit): brute-force O(n²) pair scoring vs the
+    * bucketed LSH path, at growing corpus size n with FIXED planted
+    * structure (4 near-dup replicas per base vector — the corpus is grown
+    * by adding more base vectors, NOT denser clusters, so bucketed
+    * candidate work stays ∝n and the curve isolates the asymptotics).
+    * At fixture n both walls are stage-floor-bound and read near parity
+    * on 32 cores; here brute walls grow ~4× per doubling (quadratic work,
+    * honestly parallelized — the pre-r9 serial-denominator artifact is
+    * exactly what this mode exists to not repeat) while bucketed walls
+    * grow ~1.2–1.5×, and the executor-CPU ratio grows linearly in n. */
+  def plantedCurve(spark: SparkSession, sfDir: String): Unit = {
+    println("== planted near-dup A/B: brute vs bucketed across corpus size ==")
+    def consume(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val listener = new QueryMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    def flush(): Unit = org.apache.spark.GraftListenerBus.flush(spark.sparkContext)
+    def isolate(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+    val base = Tables(spark, sfDir, "embeddings")
+    var prevBrute, prevBucketed = -1.0
+    for (corpusScale <- Seq(1, 2, 4)) {
+      // grow the corpus: far-replicas (large eps ⇒ ~isotropic after
+      // normalization, no planted structure) × near-replicas (the planted
+      // clusters). n = 2000 × scale × 4 at sf0.1.
+      val grown =
+        if (corpusScale == 1) base
+        else replicateEmbeddings(base, corpusScale, eps = 8.0)
+          .select("vec_id", "embedding")
+      val p = java.nio.file.Files.createTempDirectory("planted_curve")
+        .resolve("e").toString
+      replicateEmbeddings(grown, 4, eps = 0.12)
+        .select("vec_id", "embedding").write.parquet(p)
+      val fx = spark.read.parquet(p)
+      val n = fx.count()
+      def measure(f: => Unit): (Double, Double) = {
+        f // untimed: JIT + shuffle-path warm
+        Seq.fill(2) {
+          isolate()
+          flush(); listener.snapshotAndReset()
+          val (_, w) = time(f)
+          flush()
+          (w, listener.snapshotAndReset().cpuSec)
+        }.minBy(_._1)
+      }
+      val (bw, bc) = measure(consume(
+        llm.Rp.cosineNearPairs(fx, 0.85, bands = 20, bitsPerBand = 12)))
+      val (rw, rc) = measure(consume(
+        llm.Similarity.cosineNearDupPairs(fx, 0.85)))
+      def ratio(cur: Double, prev: Double): String =
+        if (prev > 0) f"${cur / prev}%4.2fx" else "  - "
+      println(f"n=$n%6d  bucketed=$bw%6.2f s/${bc}%7.1f cpu-s (vs prev ${ratio(bw, prevBucketed)})  " +
+        f"brute=$rw%6.2f s/${rc}%7.1f cpu-s (vs prev ${ratio(rw, prevBrute)})  " +
+        f"wall-ratio=${rw / bw}%4.2fx  work-ratio=${rc / bc}%4.2fx")
+      prevBrute = rw; prevBucketed = bw
+      isolate()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.filterNot(_.startsWith("--")).headOption
       .getOrElse("/root/testdata/sf0.1")
@@ -937,6 +1000,11 @@ object ScaleStress {
     }
     if (args.contains("--shapes")) {
       candidateShapes(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.contains("--planted")) {
+      plantedCurve(spark, sfDir)
       spark.stop()
       return
     }

@@ -40,23 +40,25 @@ import graft.functions.GraftFunctions
   * Embeddings ride INLINE through the bucket join by default (vs
   * [[MinHash]]'s id-only candidates + join-back); `idOnly = true` selects
   * the other shape (ids through the self-join, dedup, embeddings joined
-  * back for the rerank). A/B at sf0.1 measured inline 3.7–5.4 s vs
-  * id-join 5.7–6.0 s (identical 14686-row output) — the distinct shuffle
-  * over 3.7M candidate ids plus two join-backs costs more here than
-  * shuffling 56k array-payload rows. Even under FORCED no-broadcast on
-  * planted clusters (`ScaleStress --shapes`, 32k×64-dim, cos≥0.9) inline
-  * still wins, 18.9 s vs 40.6 s, identical 236887 pairs: 64-float rows are
-  * simply not wide enough for the join-back tax to pay off on one node.
-  * The id-only shape is the CLUSTER recommendation only where the corpus
-  * is orders of magnitude wider than its ids (e.g. ≥1k-dim embeddings or
-  * full document payloads) or the bucket-join shuffle no longer fits local
-  * disk — both shapes are property-tested identical (RpSpec), so the
-  * switch is a pure physical re-plan.
+  * back for the rerank). Pre-r9 A/Bs showed inline clearly ahead (3.7–5.4 s
+  * vs 5.7–6.0 s at sf0.1; 18.9 s vs 40.6 s under forced no-broadcast on
+  * 32k planted vectors) — but those runs predate the r9 spread/band-key
+  * fixes and were dominated by the duplicated-matmul defect both shapes
+  * shared; re-measured after the fixes the shapes are within noise of each
+  * other at fixture scale (inline 1.5–2.4 s vs idOnly 1.6–2.3 s on the
+  * 6 000-row planted set; 1.7–2.5 s vs 1.8 s at the q47 config), so the
+  * default stays inline (one join beats three at equal wall). The id-only
+  * shape remains the CLUSTER recommendation where the corpus is orders of
+  * magnitude wider than its ids (≥1k-dim embeddings, full document
+  * payloads) or the bucket-join shuffle no longer fits local disk — both
+  * shapes are property-tested identical (RpSpec), so the switch is a pure
+  * physical re-plan.
   *
-  * Cache lifecycle: the signature relation feeds both self-join sides; left
-  * lazy it is recomputed inside the join stage where the fused 112-dot
-  * generator falls off the fast path (measured 10 s vs 3.5 s), so it is
-  * cached for the duration of the call. The returned pair set is
+  * Cache lifecycle: the signature relation feeds both self-join sides plus
+  * the hot-bucket occupancy probe, so it is cached for the duration of the
+  * call (with the r9 single-expression band keys the recompute is merely a
+  * few×, not the pre-r9 pathology, but one materialization is still
+  * cheaper than three evaluations). The returned pair set is
   * materialized with an eager `localCheckpoint`: lineage is cut (no
   * dependency on the unpersisted signature cache) and the blocks are
   * released by the ContextCleaner when the caller drops the DataFrame — no
