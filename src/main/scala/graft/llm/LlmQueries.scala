@@ -665,6 +665,78 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q76a
+  // The deterministic SLICE of the q76 training-prep composite under the
+  // hash gate (the q43a move applied to the full hygiene chain): quality
+  // gate → PII scrub → exact dedup → benchmark decontamination → domain
+  // mix, i.e. q76's pipeline with the seeded near-dup stage skipped —
+  // every remaining stage is deterministic arithmetic both engines can
+  // evaluate identically, so the composite's stage WIRING (scrub feeding
+  // the dedup hash, scrubbed bench shingles probing scrubbed train text,
+  // mix rates applied post-decontamination) is value-checked, not just
+  // each stage in isolation (q43a/q65/q69/q74). q76 itself stays the
+  // rows-only full composite; its seeded suffix is property-tested in
+  // CorpusPrepSpec.
+  val q76a = Q(
+    "q76a_training_prep_prefix",
+    s"""WITH scrub AS (
+      |  SELECT doc_id, lang, source,
+      |         regexp_replace(regexp_replace(regexp_replace(text,
+      |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |           '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b', '<PHONE>', 'g'),
+      |           '\\b[0-9]{9,}\\b', '<ID>', 'g') AS text
+      |  FROM documents
+      |  WHERE n_chars >= 100 AND lang IN ('en','es','fr','de','zh')
+      |    AND len(string_split_regex(trim(text), '\\s+')) > 0
+      |    AND doc_id % 10 <> 0),
+      |k AS (SELECT min(doc_id) AS doc_id FROM scrub GROUP BY sha256(text)),
+      |ded AS (SELECT scrub.* FROM scrub JOIN k USING (doc_id)),
+      |dts AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM ded),
+      |dsh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(ts)-4),
+      |               i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' ||
+      |                    ts[i+4] || ' ' || ts[i+5]))) AS shingle
+      |        FROM dts WHERE len(ts) >= 5),
+      |bsc AS (SELECT regexp_replace(regexp_replace(regexp_replace(text,
+      |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |          '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b', '<PHONE>', 'g'),
+      |          '\\b[0-9]{9,}\\b', '<ID>', 'g') AS text
+      |       FROM documents WHERE doc_id % 10 = 0),
+      |bts AS (SELECT string_split_regex(trim(text), '\\s+') AS ts FROM bsc),
+      |bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(len(ts)-4),
+      |               i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' ||
+      |                    ts[i+4] || ' ' || ts[i+5]))) AS shingle
+      |        FROM bts WHERE len(ts) >= 5),
+      |flag AS (SELECT DISTINCT doc_id FROM dsh JOIN bsh USING (shingle)),
+      |decon AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM flag)),
+      |rates(source, rate_pct) AS (VALUES ${
+         mixRates.toSeq.sorted.map { case (s, r) => s"('$s', $r)" }.mkString(", ")
+       })
+      |SELECT doc_id, lang, source, length(text) AS n_chars
+      |FROM decon JOIN rates USING (source)
+      |WHERE (((doc_id % 1000003) * 2654435761) % 999999937) % 100 < rate_pct
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val cfg = CorpusPrep.Config()
+    val scrubbed = CorpusPrep.qualityFilter(
+        docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L), cfg)
+      .withColumn("text", TextAnalysis.redactPii(col("text")))
+    val deduped = CorpusPrep.exactDedup(scrubbed)
+    val bench = docs.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+      .withColumn("text", TextAnalysis.redactPii(col("text")))
+    // k=5 shingles (vs the pipeline default k=3): at sf0.1 the fixture's
+    // common-vocabulary text makes 3-token shingle collisions so dense
+    // that decontamination drops ALL 4500 train docs — a vacuous check.
+    // 5-token shingles flag 8/7/~240 docs at sf0.001/0.01/0.1, so both
+    // the dropped set and the survivor set stay populated at every SF.
+    val flagged = CorpusPrep.contaminated(deduped, bench, minShared = 1, k = 5)
+      .select("doc_id")
+    val decon = deduped.join(flagged, Seq("doc_id"), "left_anti")
+    CorpusPrep.domainMix(decon, mixRates)
+      .select(col("doc_id"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- q77
   // Segment-level dedup (CorpusPrep.segmentDedup): the C4-style boilerplate
   // pass — globally-first occurrence of each 10-token segment survives,
@@ -1298,6 +1370,6 @@ object LlmQueries {
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
       q47, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
-      q73, q74, q76, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
+      q73, q74, q76, q76a, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
       q93, q95, q97, q98, q99, q104, q107, q108, q113, q119, q120, q122)
 }
