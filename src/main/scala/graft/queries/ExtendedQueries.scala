@@ -1000,9 +1000,13 @@ object ExtendedQueries {
       |       (any_value(m.p75c) - any_value(m.p25c)) / 100.0 AS iqr_price
       |FROM c l JOIN med m ON l.l_returnflag = m.l_returnflag
       |GROUP BY m.l_returnflag ORDER BY m.l_returnflag""".stripMargin) { (s, dir) =>
-    val li = Tables(s, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_quantity"),
-        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    // spread: exact percentile buffers over a 1-split scan ran near-serial
+    // (13 tasks, bench r9 metrics; 3.2 → 2.4 s A/B) — see
+    // graft.operators.Parallelism (winners-only policy in Profile.spread)
+    val li = graft.operators.Parallelism.spread(
+        Tables(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents")))
     val med = li.groupBy("l_returnflag").agg(
       percentile(col("l_quantity"), lit(0.5)).as("med_qty"),
       percentile(col("cents"), lit(0.25)).as("p25c"),

@@ -22,6 +22,18 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** The exact-distinct/moment profilers are compute-per-row heavy (the
+    * Expand replicates the scan stream per distinct column), so a 1-split
+    * fixture scan serializes the whole pass — q90 measured 6 tasks with
+    * cpu ≈ wall ≈ 6.9 s on 32 cores (bench r9 metrics); spreading halved
+    * it (5.5 → 3.1 s A/B) and won on q92/q96/q118 too. Applied ONLY on
+    * those measured winners: the lighter passes (arrayProfile, histogram)
+    * and the text-analysis explodes LOST the same A/B — their per-row work
+    * is too cheap to buy back the extra exchange. No-op for real
+    * multi-split tables. */
+  private def spread(df: DataFrame): DataFrame =
+    graft.operators.Parallelism.spread(df)
+
   /** Column names are spliced into `stack(...)` SQL text; a quote, backtick
     * or newline would change the query rather than the data. Reject early. */
   private[sources] def validateNames(cols: Seq[String]): Unit = cols.foreach { c =>
@@ -40,7 +52,7 @@ object Profile {
         min(col(c)).cast("string").as(s"__mn_$c"),
         max(col(c)).cast("string").as(s"__mx_$c"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one = spread(df).agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.map { c =>
       s"'$c', `__nn_$c`, `__nd_$c`, `__mn_$c`, `__mx_$c`"
     }.mkString(", ")
@@ -126,7 +138,7 @@ object Profile {
     require(cols.nonEmpty, "numericProfile needs at least one column")
     validateNames(cols)
     val aggs = numericAggs(cols)
-    df.agg(aggs.head, aggs.tail: _*).select(numericStack(cols))
+    spread(df).agg(aggs.head, aggs.tail: _*).select(numericStack(cols))
   }
 
   /** Per-GROUP numeric moments — the per-domain/per-source profile a corpus
@@ -140,7 +152,7 @@ object Profile {
     require(cols.nonEmpty, "numericProfileBy needs at least one column")
     validateNames(groupCol +: cols)
     val aggs = numericAggs(cols)
-    df.groupBy(col(groupCol))
+    spread(df).groupBy(col(groupCol))
       .agg(aggs.head, aggs.tail: _*)
       .select(col(groupCol), numericStack(cols))
   }
