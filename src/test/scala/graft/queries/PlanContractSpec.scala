@@ -82,6 +82,19 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("compute-starved scans are spread: brute pair scan and profiler fan out") {
+    // the r9 finding: a small parquet input is ONE split, and operators
+    // whose cost is per-row compute (the O(n²) pair scorer, the profiler's
+    // distinct Expand) inherit that parallelism — q61 measured 5 tasks
+    // with cpu ≈ wall ≈ 50 s on 32 cores. Parallelism.spread plans a
+    // round-robin exchange below the compute; pin it so a refactor can't
+    // quietly reintroduce the serial plan.
+    for (name <- Seq("q61_neardup_planted_brute", "q90_profile")) {
+      assert(plan(name).contains("RoundRobinPartitioning"),
+        s"$name lost its spread exchange — the compute stage runs at scan parallelism")
+    }
+  }
+
   test("q105/q36: window frames stay bounded-range or accumulating") {
     // q105's 10-minute trailing window must plan as a RangeFrame (two-
     // pointer sliding evaluation); no registry window may reintroduce the
