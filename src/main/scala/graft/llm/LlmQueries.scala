@@ -1367,9 +1367,50 @@ object LlmQueries {
       .orderBy("split")
   }
 
+  // ---------------------------------------------------------------- q123
+  // REAL audio decode (B35 upgraded from stub): deterministic triangle-wave
+  // PCM is encoded to spec-compliant RIFF/WAVE bytes (Wav.encodePcm16, a
+  // real encoder), then decoded back through the byte-level parser
+  // (Multimodal.decodeWav). The ORACLE never sees WAV bytes — it derives
+  // the same features purely arithmetically from the wave construction —
+  // so a hash-match certifies the encoder+parser round-trip against an
+  // independent derivation, not parser-vs-itself. Integer waveform (no
+  // trig: sin() would differ across engines at the ULP), exact integer
+  // duration (n·125 µs at 8 kHz), rms = one sqrt of an exact integer
+  // ratio — bit-identical without any rounding step. Malformed-payload
+  // quarantine (valid=false) is spec-tested in WavSpec, not here.
+  val q123 = Q(
+    "q123_wav_decode",
+    """WITH d AS (SELECT doc_id, 160 + doc_id % 64 AS n, 3 + doc_id % 5 AS step
+      |           FROM documents),
+      |s AS (SELECT doc_id, n, step, unnest(range(n)) AS i FROM d),
+      |v AS (SELECT doc_id, n, ((i * step) % 4096 - 2048) * 8 AS smp FROM s)
+      |SELECT doc_id,
+      |       8000 AS sample_rate,
+      |       CAST(any_value(n) AS BIGINT) AS n_samples,
+      |       CAST(any_value(n) AS BIGINT) * 125 AS duration_us,
+      |       CAST(max(abs(smp)) AS INT) AS peak,
+      |       sqrt(CAST(sum(smp * smp) AS DOUBLE) / any_value(n)) AS rms
+      |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val wavs = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val n = (160 + id % 64).toInt
+        val step = (3 + id % 5).toInt
+        val samples = Array.tabulate[Short](n) { i =>
+          (((i.toLong * step) % 4096 - 2048) * 8).toShort
+        }
+        Multimodal.Blob(id, Wav.encodePcm16(8000, samples))
+      }
+    Multimodal.decodeWav(wavs)
+      .select(col("doc_id"), col("sample_rate"),
+        col("n_samples"), col("duration_us"), col("peak"), col("rms"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
       q47, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q74, q76, q76a, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
-      q93, q95, q97, q98, q99, q104, q107, q108, q113, q119, q120, q122)
+      q93, q95, q97, q98, q99, q104, q107, q108, q113, q119, q120, q122, q123)
 }

@@ -6,8 +6,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing (B35): opaque binary payloads + typed metadata
   * co-resident with relational columns, decoded partition-batched.
   *
-  * The decode step is a clearly-marked deterministic STUB (no image/audio
-  * codecs in this environment); everything around it — the typed schema, the
+  * Decode comes in two tiers. [[decodeWav]] is a REAL decoder: RIFF/WAVE
+  * PCM-16 is self-describing byte arithmetic ([[Wav]]), needs no native
+  * codec, and its features are oracle-checked (q123). Compressed formats
+  * (JPEG/MP3/H.264) stay a clearly-marked deterministic STUB
+  * ([[decode]]/[[frameSample]]/[[resize]] — no codec libraries in this
+  * environment); everything around them — the typed schema, the
   * `Dataset[Blob]` encoder, partition-wise batch iteration, and the output
   * feature schema — is the real shape a production decode (JNI codec, ONNX
   * feature extractor) drops into. `mapPartitions` is deliberate: a real
@@ -92,6 +96,52 @@ object Multimodal {
           i += 1
         }
         Resized(b.doc_id, out)
+      }
+    }
+  }
+
+  /** REAL audio decode: per-blob WAV features via the spec-complete
+    * [[Wav]] PCM-16 parser. Malformed payloads (wrong magic, truncated
+    * chunk, compressed format) come back `valid = false` with zeroed
+    * features instead of failing the scan — quarantine-routing is the
+    * pipeline contract for dirty binary columns. `duration_us` and `peak`
+    * are exact integers; `rms` is one sqrt of an exact integer ratio, so
+    * the whole row is value-comparable across engines (q123's oracle
+    * derives the same features arithmetically, WITHOUT a WAV parser —
+    * the byte-level encoder/parser round-trip is what the check pins). */
+  final case class WavFeatures(
+      doc_id: Long,
+      valid: Boolean,
+      sample_rate: Int,
+      channels: Int,
+      n_samples: Long,
+      duration_us: Long,
+      peak: Int,
+      rms: Double)
+
+  def decodeWav(blobs: Dataset[Blob]): Dataset[WavFeatures] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        Wav.parse(b.payload) match {
+          case Some(pcm) =>
+            val n = pcm.samples.length.toLong
+            var sumSq = 0L
+            var peak = 0
+            pcm.samples.foreach { s =>
+              sumSq += s.toLong * s.toLong
+              val a = math.abs(s.toInt)
+              if (a > peak) peak = a
+            }
+            // frames = interleaved sample groups; duration counts frames
+            val frames = n / pcm.channels
+            WavFeatures(b.doc_id, valid = true, pcm.sampleRate, pcm.channels,
+              n, frames * 1000000L / pcm.sampleRate, peak,
+              if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n.toDouble))
+          case None =>
+            WavFeatures(b.doc_id, valid = false, 0, 0, 0L, 0L, 0, 0.0)
+        }
       }
     }
   }
