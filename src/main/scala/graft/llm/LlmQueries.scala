@@ -1408,9 +1408,62 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q124
+  // REAL image decode (B35's image twin of q123): deterministic modular
+  // RGB pixels are encoded to spec-compliant 24-bit BI_RGB BMP bytes —
+  // bottom-up rows WITH 4-byte row padding, the two places real parser
+  // bugs live — then decoded back through the byte-level parser
+  // (Multimodal.decodeBmp). The oracle re-derives width/height/channel
+  // sums/luma purely arithmetically, so a hash match certifies the codec
+  // round-trip against an independent derivation. Widths 8..15 include
+  // every row-padding class (w%4 ∈ {0,1,2,3}); channel sums exact ints,
+  // luma = one exact-int division.
+  val q124 = Q(
+    "q124_bmp_decode",
+    """WITH d AS (SELECT doc_id, 8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h
+      |           FROM documents),
+      |p AS (SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM d),
+      |c AS (SELECT doc_id, w, h,
+      |             (i % w) AS x, (i // w) AS y FROM p),
+      |v AS (SELECT doc_id, w, h,
+      |             (x * 7 + y * 3 + doc_id) % 256 AS r,
+      |             (x * 5 + y * 11 + 2 * doc_id) % 256 AS g,
+      |             (x * 13 + y + 3 * doc_id) % 256 AS b
+      |      FROM c)
+      |SELECT doc_id,
+      |       CAST(any_value(w) AS INT) AS width,
+      |       CAST(any_value(h) AS INT) AS height,
+      |       CAST(any_value(w) * any_value(h) AS BIGINT) AS n_pixels,
+      |       CAST(sum(r) AS BIGINT) AS sum_r,
+      |       CAST(sum(g) AS BIGINT) AS sum_g,
+      |       CAST(sum(b) AS BIGINT) AS sum_b,
+      |       CAST(299 * sum(r) + 587 * sum(g) + 114 * sum(b) AS DOUBLE)
+      |         / (1000.0 * any_value(w) * any_value(h)) AS mean_luma
+      |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val bmps = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (8 + id % 8).toInt
+        val h = (4 + id % 4).toInt
+        val px = Array.tabulate(w * h) { i =>
+          val x = i % w; val y = i / w
+          val r = ((x * 7 + y * 3 + id) % 256).toInt
+          val g = ((x * 5 + y * 11 + 2 * id) % 256).toInt
+          val b = ((x * 13 + y + 3 * id) % 256).toInt
+          (r << 16) | (g << 8) | b
+        }
+        Multimodal.Blob(id, Bmp.encode24(w, h, px))
+      }
+    Multimodal.decodeBmp(bmps)
+      .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+        col("sum_r"), col("sum_g"), col("sum_b"), col("mean_luma"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
       q47, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q74, q76, q76a, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
-      q93, q95, q97, q98, q99, q104, q107, q108, q113, q119, q120, q122, q123)
+      q93, q95, q97, q98, q99, q104, q107, q108, q113, q119, q120, q122, q123,
+      q124)
 }

@@ -146,6 +146,51 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode: per-blob BMP features via the spec-complete
+    * [[Bmp]] 24-bit codec — same contract as [[decodeWav]]: malformed
+    * payloads quarantine as `valid = false`, channel sums are exact
+    * integers and each mean is one exact-int division, so the row is
+    * value-comparable across engines (q124's oracle re-derives the
+    * features arithmetically, without any BMP parser). */
+  final case class BmpFeatures(
+      doc_id: Long,
+      valid: Boolean,
+      width: Int,
+      height: Int,
+      n_pixels: Long,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long,
+      mean_luma: Double)
+
+  def decodeBmp(blobs: Dataset[Blob]): Dataset[BmpFeatures] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        Bmp.parse(b.payload) match {
+          case Some(img) =>
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            img.pixels.foreach { p =>
+              sr += (p >> 16) & 0xff
+              sg += (p >> 8) & 0xff
+              sb += p & 0xff
+            }
+            val n = img.pixels.length.toLong
+            // integer Rec.601-style luma weights (29.9/58.7/11.4% scaled
+            // ×1000) keep the numerator exact; ONE double division at the
+            // end is bit-identical across engines
+            val luma = if (n == 0) 0.0
+              else (299L * sr + 587L * sg + 114L * sb).toDouble / (1000.0 * n)
+            BmpFeatures(b.doc_id, valid = true, img.width, img.height,
+              n, sr, sg, sb, luma)
+          case None =>
+            BmpFeatures(b.doc_id, valid = false, 0, 0, 0L, 0L, 0L, 0L, 0.0)
+        }
+      }
+    }
+  }
+
   /** STUB decode: where a real pipeline would run an image/audio codec and
     * feature extractor per batch, we emit deterministic byte statistics so
     * the full plumbing stays testable end-to-end (oracle-checkable too,
