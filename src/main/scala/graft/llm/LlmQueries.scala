@@ -1460,10 +1460,97 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q125
+  // REAL audio framing (the production upgrade of q54's byte-slice frame
+  // sampler): q123's WAV fixture decoded and windowed into 64-sample
+  // frames at hop 32 (50% overlap, the standard STFT convention; ragged
+  // tail dropped), per-frame peak / strict-sign-change zero crossings /
+  // exact-ratio rms. The oracle re-derives every frame arithmetically
+  // from the triangle-wave construction — no WAV bytes on its side — so
+  // the hash certifies decode + framing + per-window features together.
+  val q125 = Q(
+    "q125_audio_frames",
+    """WITH d AS (SELECT doc_id, 160 + doc_id % 64 AS n, 3 + doc_id % 5 AS step
+      |           FROM documents),
+      |f AS (SELECT doc_id, step, unnest(range((n - 64) // 32 + 1)) AS fr
+      |      FROM d WHERE n >= 64),
+      |s AS (SELECT doc_id, fr, step, unnest(range(64)) AS k FROM f),
+      |v AS (SELECT doc_id, fr,
+      |             (((fr * 32 + k) * step) % 4096 - 2048) * 8 AS smp,
+      |             CASE WHEN k = 0 THEN NULL
+      |                  ELSE (((fr * 32 + k - 1) * step) % 4096 - 2048) * 8
+      |             END AS prev
+      |      FROM s)
+      |SELECT doc_id, CAST(fr AS INT) AS frame_idx, 64 AS n_samples,
+      |       CAST(max(abs(smp)) AS INT) AS peak,
+      |       CAST(coalesce(sum(CASE WHEN prev IS NOT NULL AND smp <> 0
+      |                                AND prev <> 0 AND ((smp < 0) <> (prev < 0))
+      |                              THEN 1 END), 0) AS INT) AS zero_crossings,
+      |       sqrt(CAST(sum(smp * smp) AS DOUBLE) / 64) AS rms
+      |FROM v GROUP BY doc_id, fr ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val wavs = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val n = (160 + id % 64).toInt
+        val step = (3 + id % 5).toInt
+        val samples = Array.tabulate[Short](n) { i =>
+          (((i.toLong * step) % 4096 - 2048) * 8).toShort
+        }
+        Multimodal.Blob(id, Wav.encodePcm16(8000, samples))
+      }
+    Multimodal.audioFrames(wavs, frameSamples = 64, hopSamples = 32)
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  // ---------------------------------------------------------------- q126
+  // REAL image downscale (the production upgrade of q54's resize stub):
+  // q124's BMP fixture decoded and mean-pooled onto a 4×2 grid with exact
+  // area mapping (source pixel (x,y) → cell (x·outW/w, y·outH/h), integer
+  // floor). Channel sums exact ints, each mean one exact-int division;
+  // the oracle bins the same modular pixels arithmetically.
+  val q126 = Q(
+    "q126_image_resize",
+    """WITH d AS (SELECT doc_id, 8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h
+      |           FROM documents),
+      |p AS (SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM d),
+      |c AS (SELECT doc_id, w, h, (i % w) AS x, (i // w) AS y FROM p),
+      |v AS (SELECT doc_id,
+      |             CAST(x * 4 // w AS INT) AS cell_x,
+      |             CAST(y * 2 // h AS INT) AS cell_y,
+      |             (x * 7 + y * 3 + doc_id) % 256 AS r,
+      |             (x * 5 + y * 11 + 2 * doc_id) % 256 AS g,
+      |             (x * 13 + y + 3 * doc_id) % 256 AS b
+      |      FROM c)
+      |SELECT doc_id, cell_x, cell_y, CAST(count(*) AS BIGINT) AS n_px,
+      |       CAST(sum(r) AS DOUBLE) / count(*) AS mean_r,
+      |       CAST(sum(g) AS DOUBLE) / count(*) AS mean_g,
+      |       CAST(sum(b) AS DOUBLE) / count(*) AS mean_b
+      |FROM v GROUP BY doc_id, cell_x, cell_y
+      |ORDER BY doc_id, cell_y, cell_x""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val bmps = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (8 + id % 8).toInt
+        val h = (4 + id % 4).toInt
+        val px = Array.tabulate(w * h) { i =>
+          val x = i % w; val y = i / w
+          val r = ((x * 7 + y * 3 + id) % 256).toInt
+          val g = ((x * 5 + y * 11 + 2 * id) % 256).toInt
+          val b = ((x * 13 + y + 3 * id) % 256).toInt
+          (r << 16) | (g << 8) | b
+        }
+        Multimodal.Blob(id, Bmp.encode24(w, h, px))
+      }
+    Multimodal.resizeImage(bmps, outW = 4, outH = 2)
+      .toDF()
+      .orderBy("doc_id", "cell_y", "cell_x")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
       q47, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q74, q76, q76a, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
       q93, q95, q97, q98, q99, q104, q107, q108, q113, q119, q120, q122, q123,
-      q124)
+      q124, q125, q126)
 }

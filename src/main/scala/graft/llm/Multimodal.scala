@@ -191,6 +191,101 @@ object Multimodal {
     }
   }
 
+  /** One analysis window of decoded audio — REAL audio framing over
+    * [[Wav]]-decoded PCM (the production shape of every spectral/VAD
+    * front-end: fixed-length windows at a fixed hop, 0..n rows per blob).
+    * `rms` is one sqrt of an exact integer ratio; `zero_crossings` counts
+    * strict sign changes — both engine-exact. */
+  final case class AudioFrame(
+      doc_id: Long,
+      frame_idx: Int,
+      n_samples: Int,
+      peak: Int,
+      zero_crossings: Int,
+      rms: Double)
+
+  /** Frame mono PCM into `frameSamples`-long windows every `hopSamples`
+    * (ragged tail dropped — the standard STFT convention); undecodable or
+    * multi-channel payloads contribute zero rows (quarantine-by-omission;
+    * use [[decodeWav]]'s valid flag to audit them). */
+  def audioFrames(
+      blobs: Dataset[Blob], frameSamples: Int, hopSamples: Int): Dataset[AudioFrame] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    require(frameSamples > 0 && hopSamples > 0)
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        Wav.parse(b.payload).filter(_.channels == 1).iterator.flatMap { pcm =>
+          val s = pcm.samples
+          val nFrames =
+            if (s.length < frameSamples) 0
+            else (s.length - frameSamples) / hopSamples + 1
+          Iterator.range(0, nFrames).map { f =>
+            val from = f * hopSamples
+            var sumSq = 0L
+            var peak = 0
+            var zc = 0
+            var j = from
+            while (j < from + frameSamples) {
+              val v = s(j).toInt
+              sumSq += v.toLong * v
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              if (j > from && (s(j - 1) < 0) != (v < 0) && v != 0 && s(j - 1) != 0) zc += 1
+              j += 1
+            }
+            AudioFrame(b.doc_id, f, frameSamples, peak, zc,
+              math.sqrt(sumSq.toDouble / frameSamples))
+          }
+        }
+      }
+    }
+  }
+
+  /** One pooled cell of a REAL image downscale over [[Bmp]]-decoded
+    * pixels: source pixel (x, y) lands in cell (x·outW/w, y·outH/h)
+    * (exact integer floor — the area-mapping thumbnail construction),
+    * channel sums exact, each mean one exact-int division. */
+  final case class PooledCell(
+      doc_id: Long, cell_x: Int, cell_y: Int, n_px: Long,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Downscale to an `outW`×`outH` mean-pooled grid; undecodable payloads
+    * contribute zero rows. Requires source dims ≥ target dims (pooling,
+    * not interpolation — upscaling needs a resampling kernel). */
+  def resizeImage(blobs: Dataset[Blob], outW: Int, outH: Int): Dataset[PooledCell] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    require(outW > 0 && outH > 0)
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        Bmp.parse(b.payload)
+          .filter(img => img.width >= outW && img.height >= outH)
+          .iterator.flatMap { img =>
+            val sums = Array.ofDim[Long](outW * outH, 4) // r, g, b, count
+            var i = 0
+            while (i < img.pixels.length) {
+              val x = i % img.width
+              val y = i / img.width
+              val cell = (y.toLong * outH / img.height).toInt * outW +
+                (x.toLong * outW / img.width).toInt
+              val p = img.pixels(i)
+              val s = sums(cell)
+              s(0) += (p >> 16) & 0xff; s(1) += (p >> 8) & 0xff
+              s(2) += p & 0xff; s(3) += 1
+              i += 1
+            }
+            Iterator.range(0, outW * outH).map { c =>
+              val s = sums(c)
+              val n = s(3)
+              PooledCell(b.doc_id, c % outW, c / outW, n,
+                s(0).toDouble / n, s(1).toDouble / n, s(2).toDouble / n)
+            }
+          }
+      }
+    }
+  }
+
   /** STUB decode: where a real pipeline would run an image/audio codec and
     * feature extractor per batch, we emit deterministic byte statistics so
     * the full plumbing stays testable end-to-end (oracle-checkable too,

@@ -47,4 +47,48 @@ class MultimodalSpec extends SparkSpec {
     // 2-byte payload into 4 bins: two empty buckets pool to 0.0
     assert(out(2L).count(_ == 0.0) == 2)
   }
+
+  test("audioFrames: STFT windowing, ragged tail dropped, non-mono quarantined") {
+    val tone = Array.tabulate[Short](100)(i => ((i % 20 - 10) * 100).toShort)
+    val blobs = Seq(
+      Multimodal.Blob(1L, Wav.encodePcm16(8000, tone)),
+      Multimodal.Blob(2L, Wav.encodePcm16(8000, tone, channels = 2)), // stereo: skipped
+      Multimodal.Blob(3L, "junk".getBytes("UTF-8")),
+      Multimodal.Blob(4L, Wav.encodePcm16(8000, tone.take(10)))) // shorter than a frame
+      .toDS()
+    val frames = Multimodal.audioFrames(blobs, frameSamples = 64, hopSamples = 32)
+      .collect()
+    // only doc 1 yields frames: (100-64)/32+1 = 2 of them
+    assert(frames.forall(_.doc_id == 1L))
+    assert(frames.map(_.frame_idx).sorted.toSeq == Seq(0, 1))
+    // frame 0 recomputed by hand
+    val w = tone.take(64).map(_.toInt)
+    val expectRms = math.sqrt(w.map(v => v.toLong * v).sum.toDouble / 64)
+    val f0 = frames.find(_.frame_idx == 0).get
+    assert(f0.peak == w.map(math.abs).max)
+    assert(f0.rms == expectRms)
+    val expectZc = w.sliding(2).count(p =>
+      p(0) != 0 && p(1) != 0 && (p(0) < 0) != (p(1) < 0))
+    assert(f0.zero_crossings == expectZc)
+  }
+
+  test("resizeImage: exact area-mapped pooling; undecodable/too-small skipped") {
+    // 4x2 image onto a 2x1 grid: left cell = pixels x<2, right = x>=2
+    val px = Array(
+      0x010203, 0x040506, 0x070809, 0x0a0b0c,
+      0x0d0e0f, 0x101112, 0x131415, 0x161718)
+    val blobs = Seq(
+      Multimodal.Blob(1L, Bmp.encode24(4, 2, px)),
+      Multimodal.Blob(2L, "junk".getBytes("UTF-8")),
+      Multimodal.Blob(3L, Bmp.encode24(1, 1, Array(0xffffff)))) // smaller than grid
+      .toDS()
+    val cells = Multimodal.resizeImage(blobs, outW = 2, outH = 1).collect()
+    assert(cells.forall(_.doc_id == 1L))
+    assert(cells.length == 2)
+    val left = cells.find(c => c.cell_x == 0).get
+    val leftPx = Seq(px(0), px(1), px(4), px(5))
+    assert(left.n_px == 4L)
+    assert(left.mean_r == leftPx.map(p => (p >> 16) & 0xff).sum.toDouble / 4)
+    assert(left.mean_b == leftPx.map(p => p & 0xff).sum.toDouble / 4)
+  }
 }
