@@ -952,6 +952,74 @@ object ScaleStress {
     }
   }
 
+  /** Decode-throughput curve for the real media codecs (B35): WAV PCM-16
+    * and 24-bit BMP blobs synthesized once to parquet at growing corpus
+    * sizes, then decoded through [[llm.Multimodal.decodeWav]]/`decodeBmp`
+    * with walls + executor CPU from the metrics listener. What the curve
+    * must show for the 100 TB story: per-doubling wall ratios ≤ ~2×
+    * (linear work — decode is row-local, zero shuffle) and stable MB/s.
+    * Payloads ~1.6 KB (WAV) / ~0.9 KB (BMP) per row. */
+  def codecThroughput(spark: SparkSession): Unit = {
+    import spark.implicits._
+    println("== codec throughput: WAV / BMP decode across corpus size ==")
+    val listener = new QueryMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    def flush(): Unit = org.apache.spark.GraftListenerBus.flush(spark.sparkContext)
+    def consume(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    var prevWav, prevBmp = -1.0
+    for (nBlobs <- Seq(100000, 200000, 400000)) {
+      val dir = java.nio.file.Files.createTempDirectory("codec_tp")
+      val wavPath = dir.resolve("wav").toString
+      val bmpPath = dir.resolve("bmp").toString
+      spark.range(nBlobs.toLong).as[Long].map { id =>
+        val n = (2000 + id % 128).toInt // ~4 KB payloads
+        val samples = Array.tabulate[Short](n)(i =>
+          (((i.toLong * (3 + id % 5)) % 4096 - 2048) * 8).toShort)
+        llm.Multimodal.Blob(id, llm.Wav.encodePcm16(8000, samples))
+      }.write.parquet(wavPath)
+      spark.range(nBlobs.toLong).as[Long].map { id =>
+        val w = (32 + id % 8).toInt // ~3 KB payloads
+        val h = (28 + id % 4).toInt
+        val px = Array.tabulate(w * h) { i =>
+          val x = i % w; val y = i / w
+          ((((x * 7 + y * 3 + id) % 256).toInt) << 16) |
+            ((((x * 5 + y * 11 + 2 * id) % 256).toInt) << 8) |
+            (((x * 13 + y + 3 * id) % 256).toInt)
+        }
+        llm.Multimodal.Blob(id, llm.Bmp.encode24(w, h, px))
+      }.write.parquet(bmpPath)
+      // true decoded-payload volume (task inputMetrics undercount columnar
+      // scans; MB/s must divide by the bytes the codec actually walks)
+      def payloadBytes(path: String): Long =
+        spark.read.parquet(path)
+          .agg(sum(length(col("payload")))).head().getLong(0)
+      def measure(path: String, f: org.apache.spark.sql.Dataset[llm.Multimodal.Blob] => DataFrame): (Double, Double) = {
+        val blobs = spark.read.parquet(path).as[llm.Multimodal.Blob]
+        f(blobs) // untimed warm
+        Seq.fill(2) {
+          System.gc()
+          flush(); listener.snapshotAndReset()
+          val t0 = System.nanoTime()
+          consume(f(blobs))
+          val w = (System.nanoTime() - t0) / 1e9
+          flush()
+          (w, listener.snapshotAndReset().cpuSec)
+        }.minBy(_._1)
+      }
+      val wavBytes = payloadBytes(wavPath)
+      val bmpBytes = payloadBytes(bmpPath)
+      val (ww, wc) = measure(wavPath, b => llm.Multimodal.decodeWav(b).toDF())
+      val (bw, bc) = measure(bmpPath, b => llm.Multimodal.decodeBmp(b).toDF())
+      def ratio(cur: Double, prev: Double): String =
+        if (prev > 0) f"${cur / prev}%4.2fx" else "  - "
+      println(f"n=$nBlobs%7d  wav=$ww%5.2f s (${wavBytes / ww / 1e6}%7.1f MB/s, ${wc * 1e6 / nBlobs}%5.1f cpu-us/row, vs prev ${ratio(ww, prevWav)})  " +
+        f"bmp=$bw%5.2f s (${bmpBytes / bw / 1e6}%7.1f MB/s, ${bc * 1e6 / nBlobs}%5.1f cpu-us/row, vs prev ${ratio(bw, prevBmp)})")
+      prevWav = ww; prevBmp = bw
+      spark.catalog.clearCache()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.filterNot(_.startsWith("--")).headOption
       .getOrElse("/root/testdata/sf0.1")
@@ -1005,6 +1073,11 @@ object ScaleStress {
     }
     if (args.contains("--planted")) {
       plantedCurve(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.contains("--codec")) {
+      codecThroughput(spark)
       spark.stop()
       return
     }
