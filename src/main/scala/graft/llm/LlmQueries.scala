@@ -204,6 +204,74 @@ object LlmQueries {
       .orderBy("q_id", "rk")
   }
 
+  // ---------------------------------------------------------------- q42a
+  // The deterministic SLICE of IVF under the hash gate (the q43a/q76a move
+  // applied to ANN): only the k-means FIT is seeded — assignment, probe
+  // selection, and exact rerank are pure arithmetic once centroids are
+  // fixed. Here the centroids are pinned to the first 12 corpus vectors,
+  // and the whole SEARCH path (NearestCentroid assignment with its
+  // ‖c‖²−2⟨x,c⟩ strict-< lowest-index tie rule, nProbe=4 probe ranking on
+  // the identical quantity, cell-restricted cosine rerank) is value-checked
+  // against DuckDB replicating the same double arithmetic. q42 keeps the
+  // seeded end-to-end pipeline under its recall property (IvfSpec). The
+  // rounded `sim` column is covered by boundary_guard's q26.sim probe —
+  // q42a's sims are a subset of those query×corpus cosines.
+  val q42a = Q(
+    "q42a_ivf_search_fixed",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cell, v AS c, list_dot_product(v, v) AS cn
+      |         FROM e WHERE vec_id < 12),
+      |a0 AS (SELECT e.vec_id, cent.cell,
+      |              cent.cn - 2 * list_dot_product(e.v, cent.c) AS d
+      |       FROM e CROSS JOIN cent),
+      |asg AS (SELECT vec_id, cell FROM (
+      |          SELECT vec_id, cell,
+      |                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |          FROM a0) WHERE rn = 1),
+      |q AS (SELECT vec_id AS q_id, v AS qv, list_dot_product(v, v) AS qn
+      |      FROM e WHERE vec_id < 3),
+      |probes AS (SELECT q_id, cell FROM (
+      |             SELECT q.q_id, cent.cell,
+      |                    row_number() OVER (PARTITION BY q.q_id
+      |                      ORDER BY cent.cn - 2 * list_dot_product(q.qv, cent.c),
+      |                               cent.cell) AS rn
+      |             FROM q CROSS JOIN cent) WHERE rn <= 4),
+      |scored AS (SELECT p.q_id, asg.vec_id,
+      |                  round(list_dot_product(q.qv, e.v)
+      |                        / sqrt(q.qn * list_dot_product(e.v, e.v)), 4) AS sim
+      |           FROM probes p
+      |           JOIN asg ON asg.cell = p.cell
+      |           JOIN q ON q.q_id = p.q_id
+      |           JOIN e ON e.vec_id = asg.vec_id
+      |           WHERE asg.vec_id <> p.q_id)
+      |SELECT q_id, CAST(rk AS INT) AS rk, vec_id, sim FROM (
+      |  SELECT q_id, vec_id, sim,
+      |         row_number() OVER (PARTITION BY q_id
+      |                            ORDER BY sim DESC, vec_id) AS rk
+      |  FROM scored) WHERE rk <= 5
+      |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables(s, dir, "embeddings")
+    // bounded driver-side collect (12 rows): the pinned centroid matrix
+    // must ride as plan literals, same as Ivf.fitColumnar's own centroids
+    val cs: Array[Array[Float]] = emb.filter(col("vec_id") < 12)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val centroidDf = cs.zipWithIndex.toSeq
+      .map { case (c, i) =>
+        (i, c, c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      }
+      .toDF("cell", "centroid", "centroid_n")
+    val indexed = emb.withColumn("cell",
+        call_function(graft.functions.GraftFunctions.NearestCentroidName,
+          col("embedding"), typedlit(cs)))
+      .select("vec_id", "embedding", "cell")
+    Ivf.search(Ivf.Model(centroidDf, indexed),
+        emb.filter(col("vec_id") < 3), topK = 5, nProbe = 4)
+      .orderBy("q_id", "rk")
+  }
+
   // ---------------------------------------------------------------- q43
   // Full corpus-prep composite (quality → exact dedup → near-dup → enrich) —
   // rows-only (seeded MinHash inside); invariants property-tested
@@ -1548,7 +1616,7 @@ object LlmQueries {
   }
 
   def all: Seq[Q] =
-    Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q43, q43a, q44,
+    Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q42a, q43, q43a, q44,
       q47, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q74, q76, q76a, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
       q93, q95, q97, q98, q99, q104, q107, q108, q113, q119, q120, q122, q123,
