@@ -73,6 +73,21 @@ REGISTRY = {
         SELECT list_dot_product(qe, ce)
                / sqrt(list_dot_product(qe, qe) * list_dot_product(ce, ce)) AS v
         FROM q JOIN c ON vec_id <> q_id"""),
+    # covers q44 AND q47a (whose candidate pairs are a subset of all
+    # pairs). Domain-restricted to v >= 0.29: the hashed column only
+    # contains pairs the rounded value keeps (>= 0.3), and 0.29 comfortably
+    # covers the filter's own decision boundary — while the UNRESTRICTED
+    # all-pairs probe false-positives (the sf0.1 fixture's ~2M cosines put
+    # ~6 values inside the tolerance window, ALL below 0.26, i.e. in rows
+    # the hashed set structurally cannot contain).
+    "q44.cos_sim": (4, """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                          list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n
+                   FROM embeddings)
+        SELECT s FROM (
+          SELECT list_dot_product(a.v, b.v) / sqrt(a.n * b.n) AS s
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        WHERE s >= 0.29"""),
     "q28.stop_ratio": (4, f"""
         WITH d AS (SELECT string_split_regex(trim(text), '\\s+') AS ts
                    FROM documents)

@@ -334,6 +334,52 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // ---------------------------------------------------------------- q47a
+  // The LSH bucketed path itself under the hash gate (the deterministic-
+  // slice move applied to the q47 ENGINE): Rp's hyperplanes are seeded but
+  // JDK-pinned (java.util.Random's LCG + nextGaussian are spec-fixed), so
+  // at a small config (4 bands × 4 bits = 16 planes) the SAME planes can
+  // ride as double literals inside the oracle SQL — shortest-round-trip
+  // Double.toString rendering is exact — and DuckDB replicates the entire
+  // candidate derivation: per-band sign keys, ≥1-shared-band pairing, and
+  // the rounded cosine rerank. A hash match certifies the engine's
+  // bucketing + rerank machinery end-to-end, not recall (the result is BY
+  // CONSTRUCTION candidates∩threshold; recall stays property-tested in
+  // RpSpec at the production config). Salting cannot perturb the pair set
+  // here: max band-bucket occupancy ≤ n = 2000 < the 4096 cap.
+  private val q47aPlanes = Rp.hyperplanes(dim = 64, n = 16, seed = 42L)
+
+  val q47a = Q(
+    "q47a_bucketed_cosine_fixed_planes", {
+      def lst(p: Array[Float]): String =
+        p.map(_.toDouble.toString).mkString("[", ", ", "]::DOUBLE[]")
+      def bandKey(t: Int): String =
+        (0 until 4).map { i =>
+          s"(CASE WHEN list_dot_product(v, ${lst(q47aPlanes(t * 4 + i))}) >= 0 " +
+            s"THEN ${1 << i} ELSE 0 END)"
+        }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |                  list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n
+        |           FROM embeddings),
+        |sig AS (SELECT vec_id, v, n,
+        |               ${bandKey(0)} AS k0,
+        |               ${bandKey(1)} AS k1,
+        |               ${bandKey(2)} AS k2,
+        |               ${bandKey(3)} AS k3
+        |        FROM e),
+        |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |                round(list_dot_product(a.v, b.v) / sqrt(a.n * b.n), 4) AS cos_sim
+        |         FROM sig a JOIN sig b
+        |           ON a.vec_id < b.vec_id
+        |          AND (a.k0 = b.k0 OR a.k1 = b.k1 OR a.k2 = b.k2 OR a.k3 = b.k3))
+        |SELECT id_a, id_b, cos_sim FROM cand
+        |WHERE cos_sim >= 0.3 ORDER BY id_a, id_b""".stripMargin
+    }) { (s, dir) =>
+    Rp.cosineNearPairs(Tables(s, dir, "embeddings"), minCosine = 0.3,
+        bands = 4, bitsPerBand = 4, seed = 42L)
+      .orderBy("id_a", "id_b")
+  }
+
   // ---------------------------------------------------------------- q52
   // Custom UDAF (SURVEY §2.7): vector-mean centroid per label through the
   // Aggregator/udaf surface — only buffers shuffle (k×64 doubles), not the
@@ -1617,7 +1663,7 @@ object LlmQueries {
 
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q42a, q43, q43a, q44,
-      q47, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
+      q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q74, q76, q76a, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
       q93, q95, q97, q98, q99, q104, q107, q108, q113, q119, q120, q122, q123,
       q124, q125, q126)
