@@ -192,6 +192,50 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // ---------------------------------------------------------------- q35a
+  // FloorBandKeys' twin of q47a (which certifies SignBandKeys): the L2
+  // floor-bucket LSH engine under the hash gate at a 4-table × 3-proj
+  // config, the JDK-pinned planes riding as double literals in the oracle.
+  // DuckDB replicates the per-table floor-bucket key ARRAYS, the
+  // ≥1-shared-table candidate pairing, and the rounded exact-L2 rerank —
+  // certifying the second of the two band-key expressions end-to-end.
+  private val q35aPlanes = Rp.hyperplanes(dim = 64, n = 12, seed = 42L)
+
+  val q35a = Q(
+    "q35a_l2_lsh_fixed_planes", {
+      def lst(p: Array[Float]): String =
+        p.map(_.toDouble.toString).mkString("[", ", ", "]::DOUBLE[]")
+      def tableKey(t: Int): String =
+        (0 until 3).map { i =>
+          s"CAST(floor(list_dot_product(v, ${lst(q35aPlanes(t * 3 + i))}) / 1.5) AS BIGINT)"
+        }.mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |                  list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n
+        |           FROM embeddings),
+        |sig AS (SELECT vec_id, v, n,
+        |               ${tableKey(0)} AS k0,
+        |               ${tableKey(1)} AS k1,
+        |               ${tableKey(2)} AS k2,
+        |               ${tableKey(3)} AS k3
+        |        FROM e),
+        |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |                round(sqrt(greatest(
+        |                  a.n - 2 * list_dot_product(a.v, b.v) + b.n, 0)), 4) AS dist
+        |         FROM sig a JOIN sig b
+        |           ON a.vec_id < b.vec_id
+        |          AND (a.k0 = b.k0 OR a.k1 = b.k1 OR a.k2 = b.k2 OR a.k3 = b.k3))
+        |SELECT id_a, id_b, dist FROM cand
+        |WHERE dist <= 1.2 ORDER BY id_a, id_b""".stripMargin
+    }) { (s, dir) =>
+    // threshold 1.2 (not q35's 1.0): at 1.0 the isotropic fixture yields
+    // 0 qualifying pairs at sf0.001 — empty-vs-empty proves nothing; 1.2
+    // keeps the result populated at every SF (~1.5k/1.5k/24k pairs under
+    // the bound before bucketing)
+    Rp.l2NearPairs(Tables(s, dir, "embeddings"), threshold = 1.2,
+        numTables = 4, projsPerTable = 3, bucketLength = 1.5, seed = 42L)
+      .orderBy("id_a", "id_b")
+  }
+
   // ---------------------------------------------------------------- q42
   // IVF ANN (seeded k-means cells + probed exact rerank) — rows-only; recall
   // vs exact brute force is property-tested (IvfSpec). Runs on the
@@ -1662,7 +1706,7 @@ object LlmQueries {
   }
 
   def all: Seq[Q] =
-    Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q42, q42a, q43, q43a, q44,
+    Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q74, q76, q76a, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
       q93, q95, q97, q98, q99, q104, q107, q108, q113, q119, q120, q122, q123,
