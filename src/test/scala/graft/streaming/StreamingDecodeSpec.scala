@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.llm.{Bmp, Multimodal, Wav}
+
+/** B35 × B37: the real media decoders run unchanged inside Structured
+  * Streaming — `decodeWav`/`decodeBmp` are `Dataset` transformations
+  * (mapPartitions, no aggregation state), so a streaming blob ingest is
+  * the same code path as batch; this spec pins the parity including the
+  * quarantine rows, which a streaming pipeline must carry (not drop) so
+  * dirty payloads land in an auditable sink. Source = parquet file stream
+  * (the repo's streaming-spec convention), Trigger.AvailableNow. */
+class StreamingDecodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val tone: Array[Short] =
+    Array.tabulate(300)(i => (((i * 31) % 4096 - 2048) * 8).toShort)
+
+  private def stage(blobs: Seq[Multimodal.Blob]): String = {
+    val dir = Files.createTempDirectory("graft-blobs-").toString
+    blobs.toDS().write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def streamOf(dir: String) =
+    spark.readStream
+      .schema(Seq.empty[Multimodal.Blob].toDS().schema)
+      .parquet(dir)
+      .as[Multimodal.Blob]
+
+  test("streaming WAV decode ≡ batch decode, quarantine rows included") {
+    val blobs = Seq(
+      Multimodal.Blob(1L, Wav.encodePcm16(8000, tone)),
+      Multimodal.Blob(2L, "not audio at all".getBytes("UTF-8")),
+      Multimodal.Blob(3L, Wav.encodePcm16(16000, tone)))
+    val q = Multimodal.decodeWav(streamOf(stage(blobs)))
+      .writeStream.format("memory").queryName("wav_decoded")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-").toString)
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("wav_decoded")
+      .as[Multimodal.WavFeatures].collect().sortBy(_.doc_id).toSeq
+    val batch = Multimodal.decodeWav(blobs.toDS()).collect().sortBy(_.doc_id).toSeq
+    assert(streamed == batch)
+    assert(streamed.count(!_.valid) == 1, "quarantine row missing from the stream")
+  }
+
+  test("streaming BMP decode ≡ batch decode") {
+    val px = Array.tabulate(40)(i => (i * 97) % 0x1000000)
+    val imgs = Seq(
+      Multimodal.Blob(1L, Bmp.encode24(10, 4, px)),
+      Multimodal.Blob(2L, "junk".getBytes("UTF-8")))
+    val q = Multimodal.decodeBmp(streamOf(stage(imgs)))
+      .writeStream.format("memory").queryName("bmp_decoded")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-").toString)
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("bmp_decoded")
+      .as[Multimodal.BmpFeatures].collect().sortBy(_.doc_id).toSeq
+    val batch = Multimodal.decodeBmp(imgs.toDS()).collect().sortBy(_.doc_id).toSeq
+    assert(streamed == batch)
+  }
+}
