@@ -786,6 +786,43 @@ object LlmQueries {
       .orderBy("q_id", "rk")
   }
 
+  // ---------------------------------------------------------------- q73a
+  // The int8 quantized-ANN path under the hash gate (q73 stays rows-only
+  // for historical continuity; this twin value-checks the SAME machinery):
+  // the quantization chain is deterministic double arithmetic — per-vector
+  // scale m = max|x|/127 (float operands promote to double identically in
+  // both engines), grid q_i = round(x_i / m) half-away-from-zero (Spark
+  // HALF_UP ≡ DuckDB round for every sign), and the integer-grid cosine is
+  // exact-int dots under one sqrt+division — so DuckDB can replicate
+  // quantize → score → top-k bit-for-bit. The fixture has no zero vectors,
+  // but the m=0→1.0 guard is replicated anyway for faithfulness.
+  val q73a = Q(
+    "q73a_ann_quantized_checked",
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |sd AS (SELECT vec_id, embedding,
+      |              CASE WHEN m > 0 THEN m ELSE 1.0 END AS s
+      |       FROM (SELECT vec_id, embedding,
+      |                    list_max(list_transform(embedding, x -> abs(x))) / 127.0 AS m
+      |             FROM e)),
+      |qz AS (SELECT vec_id,
+      |              list_transform(embedding, x -> round(CAST(x AS DOUBLE) / s)) AS q
+      |       FROM sd),
+      |n AS (SELECT vec_id, q, list_dot_product(q, q) AS nn FROM qz),
+      |qq AS (SELECT vec_id AS q_id, q AS qv, nn AS qn FROM n WHERE vec_id < 3),
+      |scored AS (SELECT qq.q_id, n.vec_id,
+      |                  round(list_dot_product(qq.qv, n.q) / sqrt(qq.qn * n.nn), 4) AS sim
+      |           FROM n JOIN qq ON n.vec_id <> qq.q_id)
+      |SELECT q_id, CAST(rk AS INT) AS rk, vec_id, sim FROM (
+      |  SELECT q_id, vec_id, sim,
+      |         row_number() OVER (PARTITION BY q_id
+      |                            ORDER BY sim DESC, vec_id) AS rk
+      |  FROM scored) WHERE rk <= 5
+      |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    Similarity.cosineTopKQuantized(emb, emb.filter(col("vec_id") < 3), k = 5)
+      .orderBy("q_id", "rk")
+  }
+
   // ---------------------------------------------------------------- q74
   // Domain mixing (CorpusPrep.domainMix): per-source keep rates over a
   // deterministic multiplicative hash — both engines evaluate the identical
@@ -1708,7 +1745,7 @@ object LlmQueries {
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
-      q73, q74, q76, q76a, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
+      q73, q73a, q74, q76, q76a, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
       q93, q95, q97, q98, q99, q104, q107, q108, q113, q119, q120, q122, q123,
       q124, q125, q126)
 }
