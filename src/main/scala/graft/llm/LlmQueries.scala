@@ -1383,6 +1383,47 @@ object LlmQueries {
       .orderBy("vec_id")
   }
 
+  // --------------------------------------------------------------- q104a
+  // SemDeDup's assignment+prune machinery under the hash gate (the q42a
+  // move applied to semantic dedup): cells pinned to the first-12-vector
+  // centroids via SemDedup's prebuilt-clustering hook — itself the
+  // production path for deduping against an EXISTING IVF index — then the
+  // within-cell pairing, unrounded cos ≥ 0.3 cut (identical double bits
+  // in both engines, no rounding step to guard), and keep-smallest-id
+  // survivor rule are all deterministic. Output is pure BIGINT ids, so
+  // the row is boundary-proof by construction. The loose 0.3 threshold
+  // (vs q104's realistic 0.85) keeps drops non-vacuous on the isotropic
+  // fixture; the seeded planted-cluster pipeline stays q104 + SemDedupSpec.
+  val q104a = Q(
+    "q104a_semdedup_fixed_cells",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |                  list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n
+      |           FROM embeddings),
+      |cent AS (SELECT vec_id AS cell, v AS c, list_dot_product(v, v) AS cn
+      |         FROM e WHERE vec_id < 12),
+      |asg AS (SELECT vec_id, cell FROM (
+      |          SELECT e.vec_id, cent.cell,
+      |                 row_number() OVER (PARTITION BY e.vec_id
+      |                   ORDER BY cent.cn - 2 * list_dot_product(e.v, cent.c),
+      |                            cent.cell) AS rn
+      |          FROM e CROSS JOIN cent) WHERE rn = 1),
+      |drop AS (SELECT DISTINCT b.vec_id
+      |         FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |         JOIN e ea ON ea.vec_id = a.vec_id
+      |         JOIN e eb ON eb.vec_id = b.vec_id
+      |         WHERE list_dot_product(ea.v, eb.v) / sqrt(ea.n * eb.n) >= 0.3)
+      |SELECT vec_id FROM e
+      |WHERE vec_id NOT IN (SELECT vec_id FROM drop)
+      |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val cs: Array[Array[Float]] = emb.filter(col("vec_id") < 12)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    SemDedup.survivors(emb, minCosine = 0.3, centroids = Some(cs))
+      .select("vec_id")
+      .orderBy("vec_id")
+  }
+
   // ---------------------------------------------------------------- q107
   // Tokenizer fertility per source: exact char and BPE-pre-token totals —
   // the "how many tokens does a GB of this source cost" planning number.
@@ -1746,6 +1787,6 @@ object LlmQueries {
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q73a, q74, q76, q76a, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
-      q93, q95, q97, q98, q99, q104, q107, q108, q113, q119, q120, q122, q123,
+      q93, q95, q97, q98, q99, q104, q104a, q107, q108, q113, q119, q120, q122, q123,
       q124, q125, q126)
 }

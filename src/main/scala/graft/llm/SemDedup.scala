@@ -29,11 +29,27 @@ object SemDedup {
 
   /** Near-duplicate pairs within shared cells: (id_a < id_b, cos ≥
     * minCosine). The candidate-generation half — callers wanting the
-    * pruned corpus use [[survivors]]. */
+    * pruned corpus use [[survivors]].
+    *
+    * `centroids`: when supplied, the k-means fit is skipped and vectors
+    * are assigned to the GIVEN cells (codegen argmin, identical tie rule
+    * to the fit path) — the production move when an IVF index already
+    * exists (dedup reuses its clustering instead of fitting a second
+    * one), and the hook that makes the assignment+prune machinery
+    * deterministic for the q104a oracle. */
   def pairs(embeddings: DataFrame, k: Int = 16, minCosine: Double = 0.95,
-      iters: Int = 3, seed: Long = 42L): DataFrame = {
-    val idx = Ivf.fitColumnar(embeddings, k = k, iters = iters, seed = seed)
-      .indexed
+      iters: Int = 3, seed: Long = 42L,
+      centroids: Option[Array[Array[Float]]] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val idx = centroids match {
+      case Some(cs) =>
+        embeddings.withColumn("cell",
+          call_function(graft.functions.GraftFunctions.NearestCentroidName,
+            col("embedding"), typedlit(cs)))
+          .select("vec_id", "embedding", "cell")
+      case None =>
+        Ivf.fitColumnar(embeddings, k = k, iters = iters, seed = seed).indexed
+    }
     val a = idx.select(col("cell"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"))
     val b = idx.select(col("cell"), col("vec_id").as("id_b"),
@@ -49,8 +65,9 @@ object SemDedup {
     * near-duplicate of smaller id in its cluster. Survivor set is
     * deterministic given (k, iters, seed) and idempotent. */
   def survivors(embeddings: DataFrame, k: Int = 16, minCosine: Double = 0.95,
-      iters: Int = 3, seed: Long = 42L): DataFrame = {
-    val drop = pairs(embeddings, k, minCosine, iters, seed)
+      iters: Int = 3, seed: Long = 42L,
+      centroids: Option[Array[Array[Float]]] = None): DataFrame = {
+    val drop = pairs(embeddings, k, minCosine, iters, seed, centroids)
       .select(col("id_b").as("vec_id")).distinct()
     embeddings.join(drop, Seq("vec_id"), "left_anti")
   }
