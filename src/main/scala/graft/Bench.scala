@@ -139,8 +139,14 @@ object Bench {
       val txt = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
         java.nio.charset.StandardCharsets.UTF_8)
+      // per-ENTRY tolerance: one malformed numeric token (a hand-edit, a
+      // truncated write) must not silently discard every record and turn
+      // the whole retry pass off — skip the bad entry, keep the rest
       """"([^"]+)"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        .flatMap { m =>
+          try Some(m.group(1) -> m.group(2).toDouble)
+          catch { case _: NumberFormatException => None }
+        }.toMap
     } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {

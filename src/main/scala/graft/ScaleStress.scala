@@ -958,7 +958,7 @@ object ScaleStress {
     * with walls + executor CPU from the metrics listener. What the curve
     * must show for the 100 TB story: per-doubling wall ratios ≤ ~2×
     * (linear work — decode is row-local, zero shuffle) and stable MB/s.
-    * Payloads ~1.6 KB (WAV) / ~0.9 KB (BMP) per row. */
+    * Payloads ~4 KB (WAV) / ~3 KB (BMP) per row. */
   def codecThroughput(spark: SparkSession): Unit = {
     import spark.implicits._
     println("== codec throughput: WAV / BMP decode across corpus size ==")

@@ -77,10 +77,22 @@ object Bmp {
     val planes = buf.getShort()
     val bits = buf.getShort()
     val compression = buf.getInt()
-    if (width <= 0 || rawHeight == 0 || planes != 1 ||
+    // width/height sanity BEFORE any arithmetic on them: crafted headers
+    // must quarantine (None), never throw — Int.MinValue survives
+    // math.abs (stays negative, making the truncation product negative so
+    // the old check false-passed into a negative-size allocation), and
+    // widths ≥ ~715M overflow rowStride's int math into a tiny stride that
+    // passes the bounds check and then indexes past the buffer. The pixel
+    // count is also bounded long-side so width*height cannot wrap. The cap
+    // is generous for real bitmaps (any genuine image this large could not
+    // fit the payload anyway — the byte-length check would reject it).
+    val MaxDim = 1 << 24
+    if (width <= 0 || width > MaxDim || rawHeight == 0 ||
+      rawHeight == Int.MinValue || planes != 1 ||
       bits != 24 || compression != BiRgb) return None
     val topDown = rawHeight < 0
     val height = math.abs(rawHeight)
+    if (height > MaxDim || width.toLong * height > Int.MaxValue) return None
     val stride = rowStride(width)
     if (dataOffset < 0 || dataOffset.toLong + stride.toLong * height > bytes.length)
       return None // truncated pixel data

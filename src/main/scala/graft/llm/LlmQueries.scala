@@ -1603,6 +1603,43 @@ object LlmQueries {
       .orderBy("split")
   }
 
+  // Shared media-blob fixtures: ONE definition each so the paired
+  // queries (q123/q125 on WAV, q124/q126 on BMP) can never drift from
+  // their "same fixture" contract — their oracles hard-code the same
+  // integer constructions. Deterministic integer waveforms/pixels only
+  // (no trig: sin() differs across engines at the ULP). The WAV step
+  // range 37..63 makes the sawtooth wrap ~every 65–110 samples, so
+  // q125's 64-sample frames carry 0–2 zero crossings (mean ≈ 1.5 at
+  // sf0.001) — with the old 3..7 step the wave never crossed zero and
+  // the zero-crossing check was vacuous (r9 review finding).
+  private def wavFixture(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val n = (160 + id % 64).toInt
+      val step = (37 + id % 27).toInt
+      val samples = Array.tabulate[Short](n) { i =>
+        (((i.toLong * step) % 4096 - 2048) * 8).toShort
+      }
+      Multimodal.Blob(id, Wav.encodePcm16(8000, samples))
+    }
+  }
+
+  private def bmpFixture(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val w = (8 + id % 8).toInt
+      val h = (4 + id % 4).toInt
+      val px = Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        val r = ((x * 7 + y * 3 + id) % 256).toInt
+        val g = ((x * 5 + y * 11 + 2 * id) % 256).toInt
+        val b = ((x * 13 + y + 3 * id) % 256).toInt
+        (r << 16) | (g << 8) | b
+      }
+      Multimodal.Blob(id, Bmp.encode24(w, h, px))
+    }
+  }
+
   // ---------------------------------------------------------------- q123
   // REAL audio decode (B35 upgraded from stub): deterministic triangle-wave
   // PCM is encoded to spec-compliant RIFF/WAVE bytes (Wav.encodePcm16, a
@@ -1617,7 +1654,7 @@ object LlmQueries {
   // quarantine (valid=false) is spec-tested in WavSpec, not here.
   val q123 = Q(
     "q123_wav_decode",
-    """WITH d AS (SELECT doc_id, 160 + doc_id % 64 AS n, 3 + doc_id % 5 AS step
+    """WITH d AS (SELECT doc_id, 160 + doc_id % 64 AS n, 37 + doc_id % 27 AS step
       |           FROM documents),
       |s AS (SELECT doc_id, n, step, unnest(range(n)) AS i FROM d),
       |v AS (SELECT doc_id, n, ((i * step) % 4096 - 2048) * 8 AS smp FROM s)
@@ -1628,17 +1665,7 @@ object LlmQueries {
       |       CAST(max(abs(smp)) AS INT) AS peak,
       |       sqrt(CAST(sum(smp * smp) AS DOUBLE) / any_value(n)) AS rms
       |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    import s.implicits._
-    val wavs = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
-      .map { id =>
-        val n = (160 + id % 64).toInt
-        val step = (3 + id % 5).toInt
-        val samples = Array.tabulate[Short](n) { i =>
-          (((i.toLong * step) % 4096 - 2048) * 8).toShort
-        }
-        Multimodal.Blob(id, Wav.encodePcm16(8000, samples))
-      }
-    Multimodal.decodeWav(wavs)
+    Multimodal.decodeWav(wavFixture(s, dir))
       .select(col("doc_id"), col("sample_rate"),
         col("n_samples"), col("duration_us"), col("peak"), col("rms"))
       .orderBy("doc_id")
@@ -1676,21 +1703,7 @@ object LlmQueries {
       |       CAST(299 * sum(r) + 587 * sum(g) + 114 * sum(b) AS DOUBLE)
       |         / (1000.0 * any_value(w) * any_value(h)) AS mean_luma
       |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    import s.implicits._
-    val bmps = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
-      .map { id =>
-        val w = (8 + id % 8).toInt
-        val h = (4 + id % 4).toInt
-        val px = Array.tabulate(w * h) { i =>
-          val x = i % w; val y = i / w
-          val r = ((x * 7 + y * 3 + id) % 256).toInt
-          val g = ((x * 5 + y * 11 + 2 * id) % 256).toInt
-          val b = ((x * 13 + y + 3 * id) % 256).toInt
-          (r << 16) | (g << 8) | b
-        }
-        Multimodal.Blob(id, Bmp.encode24(w, h, px))
-      }
-    Multimodal.decodeBmp(bmps)
+    Multimodal.decodeBmp(bmpFixture(s, dir))
       .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
         col("sum_r"), col("sum_g"), col("sum_b"), col("mean_luma"))
       .orderBy("doc_id")
@@ -1706,7 +1719,7 @@ object LlmQueries {
   // the hash certifies decode + framing + per-window features together.
   val q125 = Q(
     "q125_audio_frames",
-    """WITH d AS (SELECT doc_id, 160 + doc_id % 64 AS n, 3 + doc_id % 5 AS step
+    """WITH d AS (SELECT doc_id, 160 + doc_id % 64 AS n, 37 + doc_id % 27 AS step
       |           FROM documents),
       |f AS (SELECT doc_id, step, unnest(range((n - 64) // 32 + 1)) AS fr
       |      FROM d WHERE n >= 64),
@@ -1724,17 +1737,7 @@ object LlmQueries {
       |                              THEN 1 END), 0) AS INT) AS zero_crossings,
       |       sqrt(CAST(sum(smp * smp) AS DOUBLE) / 64) AS rms
       |FROM v GROUP BY doc_id, fr ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
-    import s.implicits._
-    val wavs = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
-      .map { id =>
-        val n = (160 + id % 64).toInt
-        val step = (3 + id % 5).toInt
-        val samples = Array.tabulate[Short](n) { i =>
-          (((i.toLong * step) % 4096 - 2048) * 8).toShort
-        }
-        Multimodal.Blob(id, Wav.encodePcm16(8000, samples))
-      }
-    Multimodal.audioFrames(wavs, frameSamples = 64, hopSamples = 32)
+    Multimodal.audioFrames(wavFixture(s, dir), frameSamples = 64, hopSamples = 32)
       .toDF()
       .orderBy("doc_id", "frame_idx")
   }
@@ -1764,21 +1767,7 @@ object LlmQueries {
       |       CAST(sum(b) AS DOUBLE) / count(*) AS mean_b
       |FROM v GROUP BY doc_id, cell_x, cell_y
       |ORDER BY doc_id, cell_y, cell_x""".stripMargin) { (s, dir) =>
-    import s.implicits._
-    val bmps = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
-      .map { id =>
-        val w = (8 + id % 8).toInt
-        val h = (4 + id % 4).toInt
-        val px = Array.tabulate(w * h) { i =>
-          val x = i % w; val y = i / w
-          val r = ((x * 7 + y * 3 + id) % 256).toInt
-          val g = ((x * 5 + y * 11 + 2 * id) % 256).toInt
-          val b = ((x * 13 + y + 3 * id) % 256).toInt
-          (r << 16) | (g << 8) | b
-        }
-        Multimodal.Blob(id, Bmp.encode24(w, h, px))
-      }
-    Multimodal.resizeImage(bmps, outW = 4, outH = 2)
+    Multimodal.resizeImage(bmpFixture(s, dir), outW = 4, outH = 2)
       .toDF()
       .orderBy("doc_id", "cell_y", "cell_x")
   }

@@ -79,6 +79,32 @@ class LshBandKeysSpec extends SparkSpec {
     assert(withNullElem(0).isNullAt(0))
   }
 
+  test("boundary_guard's q35a probe literals match Rp.hyperplanes — no silent drift") {
+    // the Python guard hard-codes the 12 plane vectors as DOUBLE literals
+    // (it cannot call the JDK Gaussian); LlmQueries.q35a regenerates ITS
+    // literals from Rp.hyperplanes at runtime. If the derivation, seed, or
+    // config ever changes, the query adapts and the guard silently checks
+    // the wrong candidate domain — this pin turns that drift into a red
+    // test naming the culprit.
+    val guardSrc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("scripts/boundary_guard.py")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val probeStart = guardSrc.indexOf("\"q35a.dist\"")
+    assert(probeStart >= 0, "q35a.dist probe missing from boundary_guard.py")
+    val probe = guardSrc.substring(probeStart,
+      guardSrc.indexOf("\"\"\"),", probeStart))
+    val lists = """\[([-0-9.eE, ]+)\]::DOUBLE\[\]""".r
+      .findAllMatchIn(probe)
+      .map(_.group(1).split(",").map(_.trim.toDouble).toSeq).toSeq
+    val expected = Rp.hyperplanes(dim = 64, n = 12, seed = 42L)
+      .map(_.toSeq.map(_.toDouble))
+    assert(lists.length == expected.length,
+      s"guard probe carries ${lists.length} plane literals, engine uses ${expected.length}")
+    for ((row, i) <- expected.zipWithIndex)
+      assert(lists(i) == row,
+        s"guard probe plane $i drifted from Rp.hyperplanes(64, 12, 42)")
+  }
+
   test("the signature plan evaluates the projections once: no vector_matmul appears") {
     // the r9 defect this family fixes: a shared __projs matmul column was
     // inlined at every element_at reference when the optimizer collapsed

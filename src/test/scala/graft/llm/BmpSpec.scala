@@ -48,7 +48,27 @@ class BmpSpec extends SparkSpec {
       "wrong magic" -> { val b = good.clone(); b(0) = 'X'; b },
       "truncated pixels" -> java.util.Arrays.copyOfRange(good, 0, good.length - 7),
       "8-bit depth" -> { val b = good.clone(); b(28) = 8; b },
-      "RLE compression" -> { val b = good.clone(); b(30) = 1; b })
+      "RLE compression" -> { val b = good.clone(); b(30) = 1; b },
+      // crafted-header hardening (r9 review): each of these previously
+      // threw out of parse instead of quarantining
+      "height = Int.MinValue (abs stays negative)" -> {
+        val b = good.clone()
+        java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          .putInt(22, Int.MinValue)
+        b
+      },
+      "width overflows rowStride int math" -> {
+        val b = good.clone()
+        java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          .putInt(18, 715827883)
+        b
+      },
+      "width*height wraps the pixel count" -> {
+        val b = good.clone()
+        val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(18, 1 << 20).putInt(22, 1 << 20)
+        b
+      })
     for ((label, bytes) <- cases)
       assert(Bmp.parse(bytes).isEmpty, s"parser accepted: $label")
   }

@@ -73,7 +73,7 @@ class WavSpec extends SparkSpec {
     for (r <- df.take(20)) {
       val id = r.getLong(0)
       val n = (160 + id % 64).toInt
-      val step = (3 + id % 5).toInt
+      val step = (37 + id % 27).toInt
       val samples = Array.tabulate(n)(i => ((i.toLong * step) % 4096 - 2048) * 8)
       assert(r.getLong(2) == n.toLong)
       assert(r.getLong(3) == n.toLong * 125)
