@@ -25,6 +25,16 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   *    bench time, complementing PlanContractSpec's static pins).
   *  - `cpuSec`/`runSec`: summed executor CPU vs occupancy; their ratio is
   *    per-query scheduling density (runSec ≫ cpuSec → tasks sat blocked).
+  *  - `gcSec`: summed task-attributed JVM GC time (VERDICT r9 — the three
+  *    driver-inflated queries were exactly the allocation-heavy ones while
+  *    the allocation-free CPU probe read nominal; GC was the leading
+  *    hypothesis and was invisible. Note jvmGCTime is wall-clock of GC
+  *    pauses overlapping the task, counted once PER RUNNING TASK — 32
+  *    concurrent tasks through one 1-s pause sum to 32 gc_sec — so read it
+  *    as a share of runSec, not of wall).
+  *  - `fetchWaitSec`: summed shuffle-fetch blocked time — separates "the
+  *    exchange moved slowly" from "the CPU work was slow" on shuffle-heavy
+  *    queries.
   *  - `peakTaskMem`: max per-task peak execution memory — the partition
   *    sizing signal (would this query's tasks fit a 4 GB executor?).
   */
@@ -37,6 +47,8 @@ final case class QueryMetrics(
     inputBytes: Long,
     cpuSec: Double,
     runSec: Double,
+    gcSec: Double,
+    fetchWaitSec: Double,
     peakTaskMem: Long) {
 
   private def r2(v: Double): Double = math.round(v * 100) / 100.0
@@ -46,7 +58,8 @@ final case class QueryMetrics(
   def json: String =
     s"""{"tasks":$tasks,"shuf_r":$shuffleRead,"shuf_w":$shuffleWrite,""" +
       s""""spill_mem":$spillMem,"spill_disk":$spillDisk,"input":$inputBytes,""" +
-      s""""cpu_sec":${r2(cpuSec)},"run_sec":${r2(runSec)},"peak_task_mem":$peakTaskMem}"""
+      s""""cpu_sec":${r2(cpuSec)},"run_sec":${r2(runSec)},"gc_sec":${r2(gcSec)},""" +
+      s""""fetch_wait_sec":${r2(fetchWaitSec)},"peak_task_mem":$peakTaskMem}"""
 }
 
 /** SparkListener that accumulates [[QueryMetrics]] between snapshots.
@@ -70,6 +83,8 @@ final class QueryMetricsListener extends SparkListener {
   private val input = new LongAdder
   private val cpuNs = new LongAdder
   private val runMs = new LongAdder
+  private val gcMs = new LongAdder
+  private val fetchWaitMs = new LongAdder
   private val peak = new AtomicLong(0L)
 
   override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
@@ -83,6 +98,8 @@ final class QueryMetricsListener extends SparkListener {
       input.add(tm.inputMetrics.bytesRead)
       cpuNs.add(tm.executorCpuTime)
       runMs.add(tm.executorRunTime)
+      gcMs.add(tm.jvmGCTime)
+      fetchWaitMs.add(tm.shuffleReadMetrics.fetchWaitTime)
       val p = tm.peakExecutionMemory
       var cur = peak.get()
       while (p > cur && !peak.compareAndSet(cur, p)) cur = peak.get()
@@ -102,5 +119,7 @@ final class QueryMetricsListener extends SparkListener {
       inputBytes = input.sumThenReset(),
       cpuSec = cpuNs.sumThenReset() / 1e9,
       runSec = runMs.sumThenReset() / 1e3,
+      gcSec = gcMs.sumThenReset() / 1e3,
+      fetchWaitSec = fetchWaitMs.sumThenReset() / 1e3,
       peakTaskMem = peak.getAndSet(0L))
 }

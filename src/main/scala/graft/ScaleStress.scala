@@ -5,6 +5,19 @@ import org.apache.spark.sql.functions._
 
 import graft.llm.{MinHash, Rp}
 
+/** Recursive delete for the multi-hundred-MB parquet fixtures the stress
+  * modes synthesize per scale point — leaving them to accumulate leaks
+  * several GB of /tmp per invocation (ADVICE r9). */
+private object TempDirs {
+  def rmTree(root: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount) // children before parents
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: java.io.IOException => () } // best-effort cleanup
+}
+
 /** Scale-stress harness for the LSH dedup/similarity family — the evidence
   * behind BASELINE.md's "would this hold at 100×?" section.
   *
@@ -922,8 +935,8 @@ object ScaleStress {
         if (corpusScale == 1) base
         else replicateEmbeddings(base, corpusScale, eps = 8.0)
           .select("vec_id", "embedding")
-      val p = java.nio.file.Files.createTempDirectory("planted_curve")
-        .resolve("e").toString
+      val tmpRoot = java.nio.file.Files.createTempDirectory("planted_curve")
+      val p = tmpRoot.resolve("e").toString
       replicateEmbeddings(grown, 4, eps = 0.12)
         .select("vec_id", "embedding").write.parquet(p)
       val fx = spark.read.parquet(p)
@@ -949,6 +962,7 @@ object ScaleStress {
         f"wall-ratio=${rw / bw}%4.2fx  work-ratio=${rc / bc}%4.2fx")
       prevBrute = rw; prevBucketed = bw
       isolate()
+      TempDirs.rmTree(tmpRoot)
     }
   }
 
@@ -1017,6 +1031,7 @@ object ScaleStress {
         f"bmp=$bw%5.2f s (${bmpBytes / bw / 1e6}%7.1f MB/s, ${bc * 1e6 / nBlobs}%5.1f cpu-us/row, vs prev ${ratio(bw, prevBmp)})")
       prevWav = ww; prevBmp = bw
       spark.catalog.clearCache()
+      TempDirs.rmTree(dir)
     }
   }
 

@@ -85,6 +85,10 @@ object Wav {
           buf.position(fmtEnd) // skip fmt extensions + pad byte
         case DATA =>
           if (!ok) return None // data before fmt: undecodable
+          // a payload that isn't a whole number of frames (2 bytes ×
+          // channels) is a ragged interleave — quarantine it rather than
+          // silently truncating into slightly-wrong duration/rms features
+          if (size % (2 * channels) != 0) return None
           val n = size / 2
           val out = new Array[Short](n)
           var i = 0

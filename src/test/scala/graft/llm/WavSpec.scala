@@ -49,6 +49,21 @@ class WavSpec extends SparkSpec {
         val fmt = java.util.Arrays.copyOfRange(good, 12, 36)
         val data = java.util.Arrays.copyOfRange(good, 36, good.length)
         hdr ++ data ++ fmt
+      },
+      "ragged interleave (stereo data not a whole number of frames)" -> {
+        // stereo stream whose data chunk holds an odd sample count:
+        // size % (2*channels) != 0 must quarantine, not truncate into
+        // slightly-wrong duration/rms features (ADVICE r9)
+        val stereo = Wav.encodePcm16(8000, tone, channels = 2)
+        val buf = ByteBuffer.wrap(stereo.clone()).order(ByteOrder.LITTLE_ENDIAN)
+        buf.putInt(40, tone.length * 2 - 2) // shrink data size by one sample
+        java.util.Arrays.copyOfRange(buf.array(), 0, stereo.length - 2)
+      },
+      "odd-sized data chunk" -> {
+        val mono = Wav.encodePcm16(8000, tone)
+        val buf = ByteBuffer.wrap(mono.clone()).order(ByteOrder.LITTLE_ENDIAN)
+        buf.putInt(40, tone.length * 2 - 1) // data size not a multiple of 2
+        java.util.Arrays.copyOfRange(buf.array(), 0, mono.length - 1)
       })
     for ((label, bytes) <- cases)
       assert(Wav.parse(bytes).isEmpty, s"parser accepted: $label")
