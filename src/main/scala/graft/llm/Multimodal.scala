@@ -1,21 +1,26 @@
 package graft.llm
 
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (B35): opaque binary payloads + typed metadata
   * co-resident with relational columns, decoded partition-batched.
   *
-  * Decode comes in two tiers. [[decodeWav]] is a REAL decoder: RIFF/WAVE
-  * PCM-16 is self-describing byte arithmetic ([[Wav]]), needs no native
-  * codec, and its features are oracle-checked (q123). Compressed formats
-  * (JPEG/MP3/H.264) stay a clearly-marked deterministic STUB
-  * ([[decode]]/[[frameSample]]/[[resize]] — no codec libraries in this
-  * environment); everything around them — the typed schema, the
-  * `Dataset[Blob]` encoder, partition-wise batch iteration, and the output
-  * feature schema — is the real shape a production decode (JNI codec, ONNX
-  * feature extractor) drops into. `mapPartitions` is deliberate: a real
-  * decoder amortizes model/codec init once per partition, not per row.
+  * Decode comes in two tiers. REAL decoders: [[decodeWav]] (RIFF/WAVE
+  * PCM-16 — self-describing byte arithmetic, [[Wav]]), [[decodeBmp]]
+  * (24-bit BI_RGB, [[Bmp]]) and [[decodePng]] (deflate-compressed PNG via
+  * the JDK's ImageIO, [[Png]] — lossless, so pixels round-trip exactly);
+  * each is oracle-checked (q123/q124/q127). LOSSY formats (JPEG/MP3/H.264)
+  * stay a clearly-marked deterministic STUB
+  * ([[decode]]/[[frameSample]]/[[resize]] — their decoders genuinely need
+  * native codec libraries, absent in this environment); everything around
+  * them — the typed schema, the `Dataset[Blob]` encoder, partition-wise
+  * batch iteration, and the output feature schema — is the real shape a
+  * production decode (JNI codec, ONNX feature extractor) drops into.
+  * `mapPartitions` is deliberate: a real decoder amortizes model/codec
+  * init once per partition, not per row.
   */
 object Multimodal {
 
@@ -146,13 +151,13 @@ object Multimodal {
     }
   }
 
-  /** REAL image decode: per-blob BMP features via the spec-complete
-    * [[Bmp]] 24-bit codec — same contract as [[decodeWav]]: malformed
-    * payloads quarantine as `valid = false`, channel sums are exact
-    * integers and each mean is one exact-int division, so the row is
-    * value-comparable across engines (q124's oracle re-derives the
-    * features arithmetically, without any BMP parser). */
-  final case class BmpFeatures(
+  /** REAL image decode features, shared by the [[Bmp]] (q124) and [[Png]]
+    * (q127) decoders — same contract as [[decodeWav]]: malformed payloads
+    * quarantine as `valid = false`, channel sums are exact integers and
+    * each mean is one exact-int division, so the row is value-comparable
+    * across engines (the q124/q127 oracles re-derive the features
+    * arithmetically, without any image parser on their side). */
+  final case class ImageFeatures(
       doc_id: Long,
       valid: Boolean,
       width: Int,
@@ -163,29 +168,57 @@ object Multimodal {
       sum_b: Long,
       mean_luma: Double)
 
-  def decodeBmp(blobs: Dataset[Blob]): Dataset[BmpFeatures] = {
+  /** Feature math over decoded top-down 0xRRGGBB pixels (both codecs
+    * normalize to this layout). Integer Rec.601-style luma weights
+    * (29.9/58.7/11.4% scaled ×1000) keep the numerator exact; ONE double
+    * division at the end is bit-identical across engines. */
+  private def rgbFeatures(docId: Long, width: Int, height: Int,
+      pixels: Array[Int]): ImageFeatures = {
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    pixels.foreach { p =>
+      sr += (p >> 16) & 0xff
+      sg += (p >> 8) & 0xff
+      sb += p & 0xff
+    }
+    val n = pixels.length.toLong
+    val luma = if (n == 0) 0.0
+      else (299L * sr + 587L * sg + 114L * sb).toDouble / (1000.0 * n)
+    ImageFeatures(docId, valid = true, width, height, n, sr, sg, sb, luma)
+  }
+
+  private def invalidImage(docId: Long): ImageFeatures =
+    ImageFeatures(docId, valid = false, 0, 0, 0L, 0L, 0L, 0L, 0.0)
+
+  def decodeBmp(blobs: Dataset[Blob]): Dataset[ImageFeatures] = {
     val spark = blobs.sparkSession
     import spark.implicits._
     blobs.mapPartitions { it =>
       it.map { b =>
         Bmp.parse(b.payload) match {
-          case Some(img) =>
-            var (sr, sg, sb) = (0L, 0L, 0L)
-            img.pixels.foreach { p =>
-              sr += (p >> 16) & 0xff
-              sg += (p >> 8) & 0xff
-              sb += p & 0xff
-            }
-            val n = img.pixels.length.toLong
-            // integer Rec.601-style luma weights (29.9/58.7/11.4% scaled
-            // ×1000) keep the numerator exact; ONE double division at the
-            // end is bit-identical across engines
-            val luma = if (n == 0) 0.0
-              else (299L * sr + 587L * sg + 114L * sb).toDouble / (1000.0 * n)
-            BmpFeatures(b.doc_id, valid = true, img.width, img.height,
-              n, sr, sg, sb, luma)
-          case None =>
-            BmpFeatures(b.doc_id, valid = false, 0, 0, 0L, 0L, 0L, 0L, 0.0)
+          case Some(img) => rgbFeatures(b.doc_id, img.width, img.height, img.pixels)
+          case None => invalidImage(b.doc_id)
+        }
+      }
+    }
+  }
+
+  /** REAL compressed-image decode: per-blob PNG features via the JDK
+    * ImageIO-backed [[Png]] codec — PNG is lossless, so the decoded 8-bit
+    * RGB pixels equal the encoded ones exactly and the q127 oracle's
+    * arithmetic derivation certifies the whole deflate round-trip. Same
+    * quarantine contract as [[decodeBmp]]. */
+  def decodePng(blobs: Dataset[Blob]): Dataset[ImageFeatures] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      // per-partition codec init: keep ImageIO's stream cache in memory —
+      // the default spills every ImageInputStream to a /tmp cache file,
+      // a per-row disk write a 100 TB scan cannot afford
+      ImageIO.setUseCache(false)
+      it.map { b =>
+        Png.parse(b.payload) match {
+          case Some(img) => rgbFeatures(b.doc_id, img.width, img.height, img.pixels)
+          case None => invalidImage(b.doc_id)
         }
       }
     }

@@ -64,7 +64,7 @@ class StreamingDecodeSpec extends SparkSpec {
       .start()
     q.awaitTermination()
     val streamed = spark.table("bmp_decoded")
-      .as[Multimodal.BmpFeatures].collect().sortBy(_.doc_id).toSeq
+      .as[Multimodal.ImageFeatures].collect().sortBy(_.doc_id).toSeq
     val batch = Multimodal.decodeBmp(imgs.toDS()).collect().sortBy(_.doc_id).toSeq
     assert(streamed == batch)
   }
