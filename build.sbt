@@ -29,8 +29,22 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Commit AND pre-touch the whole heap at JVM startup (the r10 "large-heap
+// inflation" finding, BASELINE.md): with the JVM's default lazily-committed
+// heap, a large -Xmx (the bench driver's env sets 64g — proven by a
+// byte-exact peak_task_mem match) made every allocation-heavy query re-pay
+// kernel first-touch page zeroing INSIDE its timed window — q60/q88/q121
+// walls sat 3.7–6.2× their records for four rounds while the allocation-
+// light calib probes read nominal, because Bench's System.gc() between
+// queries lets G1 uncommit free regions that the next query then faults
+// back in. Xms=Xmx stops G1 ever uncommitting; AlwaysPreTouch moves the
+// one-time zeroing to startup, outside every timed window. Measured at
+// 64g: lazy q60=10.2s / q88=15.9s / q121=4.4s → committed 3.0 / 1.9 /
+// 1.7 s (records are 2.29 / 1.89 / 2.11).
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )
