@@ -54,8 +54,17 @@ def main() -> None:
     for path in sys.argv[1:]:
         with open(path) as f:
             run = json.load(f)
-        metrics = run.get("metrics", {})
-        for name, wall in run["queries"].items():
+        metrics = dict(run.get("metrics", {}))
+        walls = dict(run["queries"])
+        # a retry wall is a valid quiet observation too (the retry pass
+        # reruns isolated, bracketed by its own probes) — min-merge it
+        for name, rec in run.get("retries", {}).items():
+            rw = rec.get("retry_wall", -1)
+            if rw is not None and rw > 0 and rw < walls.get(name, math.inf):
+                walls[name] = rw
+                if "retry_metrics" in rec:
+                    metrics[name] = rec["retry_metrics"]
+        for name, wall in walls.items():
             if wall is None or wall < 0:
                 continue
             wall = round(wall, 3)
