@@ -975,17 +975,18 @@ object ScaleStress {
     * Payloads ~4 KB (WAV) / ~3 KB (BMP) per row. */
   def codecThroughput(spark: SparkSession): Unit = {
     import spark.implicits._
-    println("== codec throughput: WAV / BMP decode across corpus size ==")
+    println("== codec throughput: WAV / BMP / PNG decode across corpus size ==")
     val listener = new QueryMetricsListener
     spark.sparkContext.addSparkListener(listener)
     def flush(): Unit = org.apache.spark.GraftListenerBus.flush(spark.sparkContext)
     def consume(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    var prevWav, prevBmp = -1.0
+    var prevWav, prevBmp, prevPng = -1.0
     for (nBlobs <- Seq(100000, 200000, 400000)) {
       val dir = java.nio.file.Files.createTempDirectory("codec_tp")
       val wavPath = dir.resolve("wav").toString
       val bmpPath = dir.resolve("bmp").toString
+      val pngPath = dir.resolve("png").toString
       spark.range(nBlobs.toLong).as[Long].map { id =>
         val n = (2000 + id % 128).toInt // ~4 KB payloads
         val samples = Array.tabulate[Short](n)(i =>
@@ -1003,6 +1004,20 @@ object ScaleStress {
         }
         llm.Multimodal.Blob(id, llm.Bmp.encode24(w, h, px))
       }.write.parquet(bmpPath)
+      spark.range(nBlobs.toLong).as[Long].map { id =>
+        // same pixel plane as the BMP fixture, deflate-compressed — the
+        // ImageIO path's per-row cost (stream setup + inflate + raster
+        // copy) is what this column isolates vs the hand-rolled codecs
+        val w = (32 + id % 8).toInt
+        val h = (28 + id % 4).toInt
+        val px = Array.tabulate(w * h) { i =>
+          val x = i % w; val y = i / w
+          ((((x * 7 + y * 3 + id) % 256).toInt) << 16) |
+            ((((x * 5 + y * 11 + 2 * id) % 256).toInt) << 8) |
+            (((x * 13 + y + 3 * id) % 256).toInt)
+        }
+        llm.Multimodal.Blob(id, llm.Png.encodeRgb(w, h, px))
+      }.write.parquet(pngPath)
       // true decoded-payload volume (task inputMetrics undercount columnar
       // scans; MB/s must divide by the bytes the codec actually walks)
       def payloadBytes(path: String): Long =
@@ -1023,13 +1038,16 @@ object ScaleStress {
       }
       val wavBytes = payloadBytes(wavPath)
       val bmpBytes = payloadBytes(bmpPath)
+      val pngBytes = payloadBytes(pngPath)
       val (ww, wc) = measure(wavPath, b => llm.Multimodal.decodeWav(b).toDF())
       val (bw, bc) = measure(bmpPath, b => llm.Multimodal.decodeBmp(b).toDF())
+      val (pw, pc) = measure(pngPath, b => llm.Multimodal.decodePng(b).toDF())
       def ratio(cur: Double, prev: Double): String =
         if (prev > 0) f"${cur / prev}%4.2fx" else "  - "
       println(f"n=$nBlobs%7d  wav=$ww%5.2f s (${wavBytes / ww / 1e6}%7.1f MB/s, ${wc * 1e6 / nBlobs}%5.1f cpu-us/row, vs prev ${ratio(ww, prevWav)})  " +
-        f"bmp=$bw%5.2f s (${bmpBytes / bw / 1e6}%7.1f MB/s, ${bc * 1e6 / nBlobs}%5.1f cpu-us/row, vs prev ${ratio(bw, prevBmp)})")
-      prevWav = ww; prevBmp = bw
+        f"bmp=$bw%5.2f s (${bmpBytes / bw / 1e6}%7.1f MB/s, ${bc * 1e6 / nBlobs}%5.1f cpu-us/row, vs prev ${ratio(bw, prevBmp)})  " +
+        f"png=$pw%5.2f s (${pngBytes / pw / 1e6}%7.1f MB/s compressed, ${pc * 1e6 / nBlobs}%5.1f cpu-us/row, vs prev ${ratio(pw, prevPng)})")
+      prevWav = ww; prevBmp = bw; prevPng = pw
       spark.catalog.clearCache()
       TempDirs.rmTree(dir)
     }

@@ -1832,10 +1832,97 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q128
+  // REAL palette-image decode: a 16-color palette and an index plane, both
+  // deterministic modular constructions, encoded to REAL LZW-compressed
+  // GIF bytes (Gif.encodeIndexed — explicit IndexColorModel, no
+  // quantizer in the path) and decoded back through ImageIO. Palette and
+  // LZW are both lossless, so the oracle re-derives every decoded pixel
+  // as palette[(x*3 + y*5 + id) % 16] arithmetically — a hash match
+  // certifies the palette encoding, the LZW round-trip, and the feature
+  // math together.
+  val q128 = Q(
+    "q128_gif_decode",
+    """WITH d AS (SELECT doc_id, 10 + doc_id % 6 AS w, 6 + doc_id % 3 AS h
+      |           FROM documents),
+      |p AS (SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM d),
+      |c AS (SELECT doc_id, w, h, (i % w) AS x, (i // w) AS y FROM p),
+      |k AS (SELECT doc_id, w, h, (x * 3 + y * 5 + doc_id) % 16 AS k FROM c),
+      |v AS (SELECT doc_id, w, h,
+      |             (k * 17 + doc_id) % 256 AS r,
+      |             (k * 29 + 2 * doc_id) % 256 AS g,
+      |             (k * 13 + 3 * doc_id) % 256 AS b
+      |      FROM k)
+      |SELECT doc_id,
+      |       CAST(any_value(w) AS INT) AS width,
+      |       CAST(any_value(h) AS INT) AS height,
+      |       CAST(any_value(w) * any_value(h) AS BIGINT) AS n_pixels,
+      |       CAST(sum(r) AS BIGINT) AS sum_r,
+      |       CAST(sum(g) AS BIGINT) AS sum_g,
+      |       CAST(sum(b) AS BIGINT) AS sum_b,
+      |       CAST(299 * sum(r) + 587 * sum(g) + 114 * sum(b) AS DOUBLE)
+      |         / (1000.0 * any_value(w) * any_value(h)) AS mean_luma
+      |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val blobs = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val w = (10 + id % 6).toInt
+      val h = (6 + id % 3).toInt
+      val palette = Array.tabulate(16) { k =>
+        val r = ((k * 17 + id) % 256).toInt
+        val g = ((k * 29 + 2 * id) % 256).toInt
+        val b = ((k * 13 + 3 * id) % 256).toInt
+        (r << 16) | (g << 8) | b
+      }
+      val indices = Array.tabulate[Byte](w * h) { i =>
+        val x = i % w; val y = i / w
+        ((x * 3 + y * 5 + id) % 16).toByte
+      }
+      Multimodal.Blob(id, Gif.encodeIndexed(w, h, palette, indices))
+    }
+    Multimodal.decodeGif(blobs)
+      .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+        col("sum_r"), col("sum_g"), col("sum_b"), col("mean_luma"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q129
+  // REAL lossy-image decode, rows-only BY NATURE (SURVEY §2.9): JPEG's
+  // DCT quantization makes the decoded pixels a codec-defined
+  // approximation, so no cross-engine arithmetic oracle can exist at any
+  // config — the feature values depend on the JDK decoder's IDCT, not on
+  // a spec-forced bit pattern. JpegSpec bounds the round-trip error
+  // (gradients at q=0.95: luma within 3, mean channel error ≤ 2, max ≤ 16
+  // — the max is 4:2:0 chroma subsampling; solid 8×8-aligned blocks
+  // near-exact) and pins the quarantine contract; here the full Spark
+  // path decodes a gradient fixture and must mark every row valid.
+  val q129 = Q.noOracle("q129_jpeg_decode") { (s, dir) =>
+    import s.implicits._
+    val blobs = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val w = (16 + id % 8).toInt
+      val h = (8 + id % 4).toInt
+      // smooth gradient: the JPEG-friendly fixture (high-frequency
+      // modular noise would stress quantization, which is JpegSpec's
+      // job, not the plumbing query's)
+      val px = Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        val r = (x * 255 / (w - 1) + id % 7).toInt.min(255)
+        val g = (y * 255 / (h - 1) + id % 5).toInt.min(255)
+        val b = ((x + y) * 255 / (w + h - 2) + id % 3).toInt.min(255)
+        (r << 16) | (g << 8) | b
+      }
+      Multimodal.Blob(id, Jpeg.encodeRgb(w, h, px))
+    }
+    Multimodal.decodeJpeg(blobs)
+      .filter(col("valid"))
+      .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+        col("mean_luma"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q73a, q74, q76, q76a, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
       q93, q95, q97, q98, q99, q104, q104a, q107, q108, q113, q119, q120, q122, q123,
-      q124, q125, q126, q127)
+      q124, q125, q126, q127, q128, q129)
 }

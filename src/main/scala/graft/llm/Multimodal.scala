@@ -8,19 +8,25 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing (B35): opaque binary payloads + typed metadata
   * co-resident with relational columns, decoded partition-batched.
   *
-  * Decode comes in two tiers. REAL decoders: [[decodeWav]] (RIFF/WAVE
-  * PCM-16 — self-describing byte arithmetic, [[Wav]]), [[decodeBmp]]
-  * (24-bit BI_RGB, [[Bmp]]) and [[decodePng]] (deflate-compressed PNG via
-  * the JDK's ImageIO, [[Png]] — lossless, so pixels round-trip exactly);
-  * each is oracle-checked (q123/q124/q127). LOSSY formats (JPEG/MP3/H.264)
-  * stay a clearly-marked deterministic STUB
-  * ([[decode]]/[[frameSample]]/[[resize]] — their decoders genuinely need
-  * native codec libraries, absent in this environment); everything around
-  * them — the typed schema, the `Dataset[Blob]` encoder, partition-wise
-  * batch iteration, and the output feature schema — is the real shape a
-  * production decode (JNI codec, ONNX feature extractor) drops into.
-  * `mapPartitions` is deliberate: a real decoder amortizes model/codec
-  * init once per partition, not per row.
+  * Decode comes in tiers. REAL decoders with EXACT oracles: [[decodeWav]]
+  * (RIFF/WAVE PCM-16 — self-describing byte arithmetic, [[Wav]]),
+  * [[decodeBmp]] (24-bit BI_RGB, [[Bmp]]), [[decodePng]]
+  * (deflate-compressed PNG via the JDK's ImageIO, [[Png]]) and
+  * [[decodeGif]] (palette+LZW GIF, [[Gif]]) — all lossless, so pixels/
+  * samples round-trip exactly and each is hash-checked against a
+  * parser-free arithmetic oracle (q123/q124/q127/q128). REAL but LOSSY:
+  * [[decodeJpeg]] ([[Jpeg]], also JDK ImageIO) — DCT quantization means
+  * no exact cross-engine derivation of the decoded pixels exists, so it
+  * is property-bounded (JpegSpec) and registered rows-only (q129).
+  * Audio/video compression (MP3/H.264) stays a clearly-marked
+  * deterministic STUB ([[decode]]/[[frameSample]]/[[resize]] — those
+  * decoders genuinely need native codec libraries, absent in this
+  * environment); everything around them — the typed schema, the
+  * `Dataset[Blob]` encoder, partition-wise batch iteration, and the
+  * output feature schema — is the real shape a production decode (JNI
+  * codec, ONNX feature extractor) drops into. `mapPartitions` is
+  * deliberate: a real decoder amortizes model/codec init once per
+  * partition, not per row.
   */
 object Multimodal {
 
@@ -315,6 +321,42 @@ object Multimodal {
                 s(0).toDouble / n, s(1).toDouble / n, s(2).toDouble / n)
             }
           }
+      }
+    }
+  }
+
+  /** REAL palette-image decode: per-blob GIF features via the ImageIO-
+    * backed [[Gif]] codec — palette + LZW are both lossless, so the q128
+    * oracle's arithmetic derivation certifies the full round-trip. Same
+    * quarantine contract as the other image decoders. */
+  def decodeGif(blobs: Dataset[Blob]): Dataset[ImageFeatures] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      ImageIO.setUseCache(false) // see decodePng
+      it.map { b =>
+        Gif.parse(b.payload) match {
+          case Some(img) => rgbFeatures(b.doc_id, img.width, img.height, img.pixels)
+          case None => invalidImage(b.doc_id)
+        }
+      }
+    }
+  }
+
+  /** REAL lossy-image decode: per-blob JPEG features via [[Jpeg]]. The
+    * features are exact functions of the DECODED pixels, but those pixels
+    * are a codec-defined approximation of whatever was encoded, so q129
+    * registers rows-only; JpegSpec bounds the round-trip error. */
+  def decodeJpeg(blobs: Dataset[Blob]): Dataset[ImageFeatures] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      ImageIO.setUseCache(false) // see decodePng
+      it.map { b =>
+        Jpeg.parse(b.payload) match {
+          case Some(img) => rgbFeatures(b.doc_id, img.width, img.height, img.pixels)
+          case None => invalidImage(b.doc_id)
+        }
       }
     }
   }

@@ -1,9 +1,6 @@
 package graft.llm
 
 import java.awt.image.BufferedImage
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-
-import javax.imageio.ImageIO
 
 /** Real PNG codec via the JDK's built-in ImageIO reader/writer — the
   * compressed-format tier of B35 that IS implementable without native
@@ -26,11 +23,6 @@ import javax.imageio.ImageIO
   */
 object Png {
 
-  /** Decoded 8-bit RGB image: `pixels(y*width + x) = 0xRRGGBB`, top-down
-    * row-major — the same layout [[Bmp.Img]] uses, so downstream feature
-    * math is codec-agnostic. */
-  final case class Img(width: Int, height: Int, pixels: Array[Int])
-
   /** The 8-byte PNG signature (RFC 2083 §3.1). */
   private val Magic =
     Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
@@ -49,49 +41,20 @@ object Png {
       s"pixels.length ${pixels.length} != ${width}x$height")
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
     img.setRGB(0, 0, width, height, pixels, 0, width)
-    val out = new ByteArrayOutputStream(64 + pixels.length)
-    val wrote = ImageIO.write(img, "png", out)
-    require(wrote, "JDK PNG writer unavailable") // never on a compliant JDK
-    out.toByteArray
+    ImageIoCodec.encode(img, "png")
   }
 
-  /** Parse PNG bytes to 8-bit RGB; None for anything malformed. Alpha (if
-    * the file carries it) is dropped — the RGB channels pass through
-    * unchanged for 8-bit-depth images, which is what the feature math
-    * consumes. 16-bit-depth PNGs decode via ImageIO's own 8-bit
-    * conversion; the q127 oracle only ever meets 8-bit fixtures. */
-  def parse(bytes: Array[Byte], maxPixels: Long = DefaultMaxPixels): Option[Img] = {
-    if (bytes == null || bytes.length < Magic.length) return None
-    var i = 0
-    while (i < Magic.length) {
-      if (bytes(i) != Magic(i)) return None
-      i += 1
-    }
-    try {
-      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
-      try {
-        val readers = ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) return None
-        val reader = readers.next()
-        try {
-          reader.setInput(iis, true /* seekForwardOnly */, true /* ignoreMetadata */)
-          // dimensions come from the IHDR alone — bounds-check BEFORE
-          // reader.read() allocates the raster
-          val w = reader.getWidth(0)
-          val h = reader.getHeight(0)
-          if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return None
-          val img = reader.read(0)
-          val px = new Array[Int](w * h)
-          img.getRGB(0, 0, w, h, px, 0, w)
-          var j = 0
-          while (j < px.length) { px(j) &= 0xffffff; j += 1 }
-          Some(Img(w, h, px))
-        } finally reader.dispose()
-      } finally iis.close()
-    } catch {
-      // IIOException (CRC/deflate corruption), OOB from truncated streams,
-      // anything else an adversarial payload provokes: quarantine
-      case _: Exception => None
-    }
+  /** Parse PNG bytes to 8-bit RGB; None for anything malformed (wrong
+    * magic, truncated stream, CRC/deflate corruption, crafted dimensions
+    * past `maxPixels` — bounds-checked from the IHDR before the raster
+    * allocates). Alpha (if the file carries it) is dropped — the RGB
+    * channels pass through unchanged for 8-bit-depth images, which is
+    * what the feature math consumes. 16-bit-depth PNGs decode via
+    * ImageIO's own 8-bit conversion; the q127 oracle only ever meets
+    * 8-bit fixtures. */
+  def parse(bytes: Array[Byte], maxPixels: Long = DefaultMaxPixels): Option[RgbImage] = {
+    if (!ImageIoCodec.hasMagic(bytes, Magic)) return None
+    ImageIoCodec.decodeRgb(bytes, maxPixels)
+      .map { case (w, h, px) => RgbImage(w, h, px) }
   }
 }

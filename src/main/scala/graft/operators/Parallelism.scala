@@ -42,6 +42,11 @@ object Parallelism {
     if (!isNarrowScan(df.queryExecution.analyzed)) df
     else {
       val target = df.sparkSession.sessionState.conf.numShufflePartitions
+      // repartition only below HALF the target: at ≥ target/2 splits the
+      // worst-case stage wall is already ≤ 2× ideal — under the exchange's
+      // own cost for the small inputs this guards — while a tighter
+      // (`< target`) check would pay the shuffle to fix mere remainder
+      // imbalance (e.g. 20 splits on 32 cores)
       if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
     }
   }

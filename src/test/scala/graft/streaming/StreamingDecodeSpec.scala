@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.SparkSpec
-import graft.llm.{Bmp, Multimodal, Wav}
+import graft.llm.{Bmp, Multimodal, Png, Wav}
 
 /** B35 × B37: the real media decoders run unchanged inside Structured
   * Streaming — `decodeWav`/`decodeBmp` are `Dataset` transformations
@@ -67,5 +67,24 @@ class StreamingDecodeSpec extends SparkSpec {
       .as[Multimodal.ImageFeatures].collect().sortBy(_.doc_id).toSeq
     val batch = Multimodal.decodeBmp(imgs.toDS()).collect().sortBy(_.doc_id).toSeq
     assert(streamed == batch)
+  }
+
+  test("streaming PNG decode ≡ batch decode (ImageIO path under streaming)") {
+    val px = Array.tabulate(40)(i => (i * 131) % 0x1000000)
+    val imgs = Seq(
+      Multimodal.Blob(1L, Png.encodeRgb(8, 5, px)),
+      Multimodal.Blob(2L, "junk".getBytes("UTF-8")))
+    val q = Multimodal.decodePng(streamOf(stage(imgs)))
+      .writeStream.format("memory").queryName("png_decoded")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-").toString)
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("png_decoded")
+      .as[Multimodal.ImageFeatures].collect().sortBy(_.doc_id).toSeq
+    val batch = Multimodal.decodePng(imgs.toDS()).collect().sortBy(_.doc_id).toSeq
+    assert(streamed == batch)
+    assert(streamed.count(!_.valid) == 1)
   }
 }
