@@ -614,7 +614,9 @@ object LlmQueries {
       |       array_to_string(fp, ',') AS fp
       |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val fp = TextAnalysis.winnow(col("text"))
-    Tables(s, dir, "documents")
+    // spread: winnow runs a sha256 PER GRAM inside one projection — ~2
+    // cpu-s that a 4-split scan serialized (r10 A/B: 2.24 → 0.93 s wall)
+    graft.operators.Parallelism.spread(Tables(s, dir, "documents"))
       .select(col("doc_id"), size(fp).cast("long").as("n_hashes"),
         concat_ws(",", fp).as("fp"))
       .orderBy("doc_id")
