@@ -1921,10 +1921,40 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q130
+  // Cross-document SUBSTRING-level dedup (SubstringDedup.repeatedSpans —
+  // the Lee-et-al repeated-n-gram construction): every 8-token window
+  // occurring in ≥2 distinct documents, summarized per doc. The oracle
+  // runs the string-keyed configuration (hashKeys=false) so DuckDB can
+  // replicate the whole operator; SubstringDedupSpec pins the 128-bit
+  // hash-keyed scale path to identical output on the fixture. All output
+  // columns are integers — hash-exact.
+  val q130 = Q(
+    "q130_substring_dedup",
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      |           FROM documents),
+      |g AS (SELECT doc_id, i AS start_idx,
+      |             array_to_string(ts[i+1:i+8], ' ') AS gram
+      |      FROM d, unnest(range(len(ts) - 7)) AS t(i)
+      |      WHERE len(ts) >= 8),
+      |r AS (SELECT gram FROM g GROUP BY gram
+      |      HAVING count(DISTINCT doc_id) >= 2)
+      |SELECT doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_repeated_spans,
+      |       CAST(count(DISTINCT gram) AS BIGINT) AS n_repeated_grams,
+      |       CAST(min(start_idx) AS INT) AS first_idx
+      |FROM g WHERE gram IN (SELECT gram FROM r)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    SubstringDedup.repeatedSpans(
+        Tables(s, dir, "documents"), n = 8, minDocs = 2, hashKeys = false)
+      .withColumn("first_idx", col("first_idx").cast("int"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q73a, q74, q76, q76a, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
       q93, q95, q97, q98, q99, q104, q104a, q107, q108, q113, q119, q120, q122, q123,
-      q124, q125, q126, q127, q128, q129)
+      q124, q125, q126, q127, q128, q129, q130)
 }
