@@ -1951,10 +1951,59 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q131
+  // REAL MP3 container metadata (Mp3 frame-header walk — public MPEG-1
+  // Layer III bit arithmetic; SAMPLE decode stays stubbed, it genuinely
+  // needs a native codec). The fixture synthesizes spec-valid VBR frame
+  // chains (per-frame bitrate index + padding bit, one sample rate, an
+  // ID3v2 prefix on 4 of 5 docs) and the oracle re-derives n_frames /
+  // sample_rate / audio_bytes (Σ spec frame lengths 144·kbps·1000/rate
+  // + pad, integer division) / duration_us (n·1152·10⁶/rate) purely
+  // arithmetically — a hash match certifies the bit-level header
+  // encode/parse round-trip, the syncsafe ID3v2 skip, and the
+  // frame-length formula.
+  val q131 = Q(
+    "q131_mp3_meta",
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS ri,
+      |                  CAST(20 + doc_id % 10 AS INT) AS n
+      |           FROM documents),
+      |r AS (SELECT doc_id, n,
+      |             CASE ri WHEN 0 THEN 44100 WHEN 1 THEN 48000
+      |                     ELSE 32000 END AS rate
+      |      FROM d),
+      |f AS (SELECT doc_id, n, rate,
+      |             [0,32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+      |               [CAST(1 + (doc_id + j) % 14 AS INT) + 1] AS kbps,
+      |             CAST((doc_id + j) % 2 AS INT) AS pad
+      |      FROM r, unnest(range(n)) AS t(j)),
+      |a AS (SELECT doc_id, any_value(n) AS n, any_value(rate) AS rate,
+      |             sum(144 * kbps * 1000 // rate + pad) AS audio_bytes
+      |      FROM f GROUP BY doc_id)
+      |SELECT doc_id,
+      |       CAST(n AS INT) AS n_frames,
+      |       CAST(rate AS INT) AS sample_rate,
+      |       CAST(audio_bytes AS BIGINT) AS audio_bytes,
+      |       CAST(CAST(n AS BIGINT) * 1152 * 1000000 // rate AS BIGINT) AS duration_us
+      |FROM a ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val blobs = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      Multimodal.Blob(id, Mp3.encodeFrames(
+        sampleRateIdx = (id % 3).toInt,
+        bitrateIdx = j => (1 + (id + j) % 14).toInt,
+        padding = j => ((id + j) % 2).toInt,
+        nFrames = (20 + id % 10).toInt,
+        id3Bytes = ((id % 5) * 7).toInt))
+    }
+    Multimodal.decodeMp3Meta(blobs)
+      .select(col("doc_id"), col("n_frames"), col("sample_rate"),
+        col("audio_bytes"), col("duration_us"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q73a, q74, q76, q76a, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
       q93, q95, q97, q98, q99, q104, q104a, q107, q108, q113, q119, q120, q122, q123,
-      q124, q125, q126, q127, q128, q129, q130)
+      q124, q125, q126, q127, q128, q129, q130, q131)
 }

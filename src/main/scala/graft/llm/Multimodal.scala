@@ -361,6 +361,35 @@ object Multimodal {
     }
   }
 
+  /** REAL MP3 container metadata: frame-header walk ([[Mp3]] — public
+    * bit arithmetic, no codec) yielding the duration/rate/size fields a
+    * pipeline actually filters on; SAMPLE decode stays in the stub tier
+    * below (genuinely needs a native codec). Oracle-checked (q131): the
+    * fixture synthesizes spec-valid VBR frame chains and the oracle
+    * re-derives every field arithmetically. */
+  final case class Mp3Meta(
+      doc_id: Long,
+      valid: Boolean,
+      n_frames: Int,
+      sample_rate: Int,
+      audio_bytes: Long,
+      duration_us: Long)
+
+  def decodeMp3Meta(blobs: Dataset[Blob]): Dataset[Mp3Meta] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        Mp3.parse(b.payload) match {
+          case Some(m) =>
+            Mp3Meta(b.doc_id, valid = true, m.nFrames, m.sampleRate,
+              m.audioBytes, m.durationUs)
+          case None => Mp3Meta(b.doc_id, valid = false, 0, 0, 0L, 0L)
+        }
+      }
+    }
+  }
+
   /** STUB decode: where a real pipeline would run an image/audio codec and
     * feature extractor per batch, we emit deterministic byte statistics so
     * the full plumbing stays testable end-to-end (oracle-checkable too,
