@@ -2000,10 +2000,117 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // Shared fixture for the image near-dup pair (q132 hash / q133 join):
+  // groups of 4 docs share one pixel construction (group id g = doc_id/4
+  // drives dims and the modular pattern) and differ only by a uniform
+  // per-doc brightness shift (+doc_id%4; channels built mod 252 so the
+  // shift can't wrap a byte) — dHash is invariant under uniform shifts,
+  // so every group is a planted hamming-0 clique, the exact structure an
+  // image near-dup pass must find. Cross-group repeats of the modular
+  // pattern (g ≡ g' mod lcm(252, dims-cycle)) add larger cliques; both
+  // engines derive the same arithmetic, so the oracle agrees wherever
+  // the construction lands.
+  private def dhashFixture(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val g = id / 4
+      val w = (16 + g % 8).toInt
+      val h = (12 + g % 4).toInt
+      val sh = (id % 4).toInt
+      val px = Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        val r = ((x * 7 + y * 3 + g) % 252 + sh).toInt
+        val gg = ((x * 5 + y * 11 + 2 * g) % 252 + sh).toInt
+        val b = ((x * 13 + y + 3 * g) % 252 + sh).toInt
+        (r << 16) | (gg << 8) | b
+      }
+      Multimodal.Blob(id, Bmp.encode24(w, h, px))
+    }
+  }
+
+  /** The q132/q133 oracle's shared derivation: fixture pixels → 9×8
+    * pooled scaled-luma cells → cross-multiplied comparisons → 64 bits
+    * as two BIGINT halves. Kept as one constant so the two oracles can
+    * never drift from each other. */
+  private val DhashOracleCte =
+    """WITH d AS (SELECT doc_id, doc_id // 4 AS g FROM documents),
+      |dim AS (SELECT doc_id, g,
+      |               CAST(16 + g % 8 AS INT) AS w, CAST(12 + g % 4 AS INT) AS h,
+      |               CAST(doc_id % 4 AS INT) AS sh FROM d),
+      |p AS (SELECT doc_id, w, h, sh, g, unnest(range(w * h)) AS i FROM dim),
+      |c AS (SELECT doc_id, w, h,
+      |             (i % w) AS x, (i // w) AS y,
+      |             ((i % w) * 7 + (i // w) * 3 + g) % 252 + sh AS r,
+      |             ((i % w) * 5 + (i // w) * 11 + 2 * g) % 252 + sh AS gr,
+      |             ((i % w) * 13 + (i // w) + 3 * g) % 252 + sh AS b
+      |      FROM p),
+      |l AS (SELECT doc_id,
+      |             CAST(x * 9 // w AS INT) AS cx, CAST(y * 8 // h AS INT) AS cy,
+      |             299 * r + 587 * gr + 114 * b AS lum
+      |      FROM c),
+      |cell AS (SELECT doc_id, cx, cy, sum(lum) AS s, count(*) AS n
+      |         FROM l GROUP BY doc_id, cx, cy),
+      |bit AS (SELECT a.doc_id, a.cy * 8 + a.cx AS i,
+      |               CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS bit
+      |        FROM cell a JOIN cell b
+      |          ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+      |        WHERE a.cx < 8),
+      |hsh AS (SELECT doc_id,
+      |               CAST(sum(CASE WHEN i >= 32
+      |                             THEN bit * (1::BIGINT << (i - 32)) ELSE 0 END)
+      |                    AS BIGINT) AS dhash_hi,
+      |               CAST(sum(CASE WHEN i < 32
+      |                             THEN bit * (1::BIGINT << i) ELSE 0 END)
+      |                    AS BIGINT) AS dhash_lo
+      |        FROM bit GROUP BY doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------- q132
+  // Perceptual image hash (ImageHash.dHash): decoded pixels → 9×8 exact
+  // integer pooling → 64 difference bits. Unlike the text near-dup keys
+  // (xxhash64 → rows-only), every step is plain integer arithmetic, so
+  // the hash itself sits under the DuckDB hash gate — the image branch
+  // of the dedup family is oracle-certified end-to-end.
+  val q132 = Q(
+    "q132_image_dhash",
+    DhashOracleCte +
+      """
+        |SELECT doc_id, dhash_hi, dhash_lo FROM hsh ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    ImageHash.dHash(dhashFixture(s, dir))
+      .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q133
+  // Image near-dup pairs (ImageHash.nearDupPairs): 4×16-bit banding —
+  // pigeonhole-EXACT at hamming ≤ 3, so unlike the recall-property text
+  // LSH the whole candidate join + bit_count rerank is hash-checked; the
+  // fixture plants hamming-0 cliques (brightness-shifted groups).
+  val q133 = Q(
+    "q133_image_neardup",
+    DhashOracleCte +
+      """,
+        |band AS (
+        |  SELECT doc_id, dhash_hi, dhash_lo, 0 AS band, dhash_lo & 65535 AS key FROM hsh
+        |  UNION ALL SELECT doc_id, dhash_hi, dhash_lo, 1, (dhash_lo >> 16) & 65535 FROM hsh
+        |  UNION ALL SELECT doc_id, dhash_hi, dhash_lo, 2, dhash_hi & 65535 FROM hsh
+        |  UNION ALL SELECT doc_id, dhash_hi, dhash_lo, 3, (dhash_hi >> 16) & 65535 FROM hsh)
+        |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.dhash_hi, c.dhash_hi)) +
+        |            bit_count(xor(a.dhash_lo, c.dhash_lo)) AS INT) AS hamming
+        |FROM band a JOIN band c
+        |  ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+        |WHERE bit_count(xor(a.dhash_hi, c.dhash_hi)) +
+        |      bit_count(xor(a.dhash_lo, c.dhash_lo)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    ImageHash.nearDupPairs(ImageHash.dHash(dhashFixture(s, dir)).toDF(), maxHamming = 3)
+      .withColumn("hamming", col("hamming").cast("int"))
+      .orderBy("id_a", "id_b")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q73a, q74, q76, q76a, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
       q93, q95, q97, q98, q99, q104, q104a, q107, q108, q113, q119, q120, q122, q123,
-      q124, q125, q126, q127, q128, q129, q130, q131)
+      q124, q125, q126, q127, q128, q129, q130, q131, q132, q133)
 }
