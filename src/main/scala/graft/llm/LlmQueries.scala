@@ -2107,10 +2107,48 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // ---------------------------------------------------------------- q134
+  // REAL MP4 container metadata (Mp4 — ISO BMFF box walk, the video twin
+  // of q131's MP3 header walk; H.264 SAMPLE decode stays stubbed, it
+  // genuinely needs a native codec). Fixture synthesizes spec-shaped
+  // files — ftyp brand, optional free-box padding, moov[mvhd v0 OR v1 +
+  // n trak[tkhd]], empty mdat — and the oracle re-derives timescale /
+  // duration / duration_us (one integer division) / n_tracks
+  // arithmetically: a hash match certifies the box walk, both mvhd
+  // layouts, and the free-box skip.
+  val q134 = Q(
+    "q134_mp4_meta",
+    """WITH d AS (SELECT doc_id,
+      |                  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 600
+      |                       WHEN 1 THEN 1000 ELSE 90000 END AS ts,
+      |                  1000 + doc_id % 9000 AS dur,
+      |                  CAST(1 + doc_id % 3 AS INT) AS n_tracks
+      |           FROM documents)
+      |SELECT doc_id,
+      |       CAST(ts AS BIGINT) AS timescale,
+      |       CAST(dur AS BIGINT) AS duration_units,
+      |       CAST(CAST(dur AS BIGINT) * 1000000 // ts AS BIGINT) AS duration_us,
+      |       n_tracks
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val blobs = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      Multimodal.Blob(id, Mp4.encode(
+        timescale = Array(600, 1000, 90000)((id % 3).toInt),
+        duration = 1000 + id % 9000,
+        nTracks = (1 + id % 3).toInt,
+        mvhdVersion = (id % 2).toInt,
+        freeBytes = ((id % 4) * 5).toInt))
+    }
+    Multimodal.decodeMp4Meta(blobs)
+      .select(col("doc_id"), col("timescale"), col("duration_units"),
+        col("duration_us"), col("n_tracks"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q73a, q74, q76, q76a, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
       q93, q95, q97, q98, q99, q104, q104a, q107, q108, q113, q119, q120, q122, q123,
-      q124, q125, q126, q127, q128, q129, q130, q131, q132, q133)
+      q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134)
 }

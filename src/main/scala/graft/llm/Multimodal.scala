@@ -390,6 +390,33 @@ object Multimodal {
     }
   }
 
+  /** REAL MP4 container metadata ([[Mp4]] box walk — the video twin of
+    * [[decodeMp3Meta]]): timescale/duration/track count from the
+    * `moov`/`mvhd`/`trak` headers, no codec involved; SAMPLE decode
+    * (H.264/H.265) stays stubbed. Oracle-checked (q134). */
+  final case class Mp4Meta(
+      doc_id: Long,
+      valid: Boolean,
+      timescale: Long,
+      duration_units: Long,
+      duration_us: Long,
+      n_tracks: Int)
+
+  def decodeMp4Meta(blobs: Dataset[Blob]): Dataset[Mp4Meta] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        Mp4.parse(b.payload) match {
+          case Some(m) =>
+            Mp4Meta(b.doc_id, valid = true, m.timescale, m.duration,
+              m.durationUs, m.nTracks)
+          case None => Mp4Meta(b.doc_id, valid = false, 0L, 0L, 0L, 0)
+        }
+      }
+    }
+  }
+
   /** STUB decode: where a real pipeline would run an image/audio codec and
     * feature extractor per batch, we emit deterministic byte statistics so
     * the full plumbing stays testable end-to-end (oracle-checkable too,
