@@ -95,6 +95,22 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("q130/q133: the r10 dedup joins stay equi-joins, never loops or all-pairs") {
+    // q130's repeated-gram semi-join and q133's band-key join carry the
+    // same scale contract as the text LSH family: candidates flow through
+    // key equi-joins (broadcast or shuffled), and a planner regression to
+    // a nested loop would turn the corpus-scale pair space into the join
+    // input
+    for (name <- Seq("q130_substring_dedup", "q133_image_neardup")) {
+      val p = plan(name)
+      for (bad <- Seq("BroadcastNestedLoopJoin", "CartesianProduct"))
+        assert(!p.contains(bad), s"$bad appeared in $name")
+    }
+    // q130's gram fan-out must not run at scan parallelism (the r10 A/B)
+    assert(plan("q130_substring_dedup").contains("RoundRobinPartitioning"),
+      "q130 lost its spread exchange below the window fan-out")
+  }
+
   test("q105/q36: window frames stay bounded-range or accumulating") {
     // q105's 10-minute trailing window must plan as a RangeFrame (two-
     // pointer sliding evaluation); no registry window may reintroduce the
