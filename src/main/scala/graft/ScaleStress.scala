@@ -819,6 +819,55 @@ object ScaleStress {
     * ALL-PAIRS is T² — a 25× volume blowup already at T=200, and the gap
     * widens with document length. Synthetic fixed-length docs; the brute
     * twin runs once, contained, as the denominator. */
+  /** q130's scale evidence: wall + shuffle bytes of the cross-document
+    * repeated-n-gram pass across corpus doublings, for BOTH key choices.
+    * What the numbers must show for 100 TB: wall ~linear in corpus size
+    * (the fan-out is row-local; the shuffle is one count-distinct over
+    * gram keys), and the 128-bit hash keys cutting exchange bytes vs
+    * shuffling the ~50-byte gram strings themselves — the reason
+    * hashKeys=true is the default and the string-keyed configuration
+    * exists only for the DuckDB oracle. Corpus: 200-token docs, every
+    * 4th doc opening with one of 5 shared 40-token boilerplate
+    * prefixes (the repeated-substring structure the operator hunts),
+    * remaining tokens doc-unique. */
+  def substringDedup(spark: SparkSession): Unit = {
+    println("== substring dedup (q130 engine): corpus growth x key choice ==")
+    val listener = new QueryMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    def flush(): Unit = org.apache.spark.GraftListenerBus.flush(spark.sparkContext)
+    def consume(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def mkDocs(nDocs: Int) = spark.range(nDocs.toLong).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        concat_ws(" ", transform(sequence(lit(1), lit(40)), i =>
+          when(pmod(col("id"), lit(4)) === 0,
+            concat(lit("b"), pmod(col("id"), lit(20)), lit("_"), i))
+            .otherwise(concat(lit("u"), xxhash64(col("id"), i))))),
+        concat_ws(" ", transform(sequence(lit(1), lit(160)), i =>
+          concat(lit("w"), pmod(xxhash64(col("id"), lit(7L), i), lit(50000L))))))
+        .as("text"))
+    val prevWall = scala.collection.mutable.Map[Boolean, Double]()
+    for (n <- Seq(20000, 40000, 80000)) {
+      val docs = mkDocs(n).localCheckpoint(true) // pay synthesis once per point
+      for ((label, hk) <- Seq("hash128" -> true, "string " -> false)) {
+        val q = llm.SubstringDedup.repeatedSpans(docs, n = 8, minDocs = 2,
+          hashKeys = hk)
+        consume(q) // untimed warm
+        System.gc()
+        flush(); listener.snapshotAndReset()
+        val (_, wall) = time(consume(q))
+        flush()
+        val m = listener.snapshotAndReset()
+        def ratio = prevWall.get(hk).map(p => f"${wall / p}%4.2fx").getOrElse("  - ")
+        println(f"docs=$n%6d  key=$label  wall=$wall%6.2f s (vs prev $ratio)  " +
+          f"shuffle_w=${m.shuffleWrite / 1e6}%7.1f MB  cpu=${m.cpuSec}%6.1f s")
+        prevWall(hk) = wall
+      }
+      docs.unpersist(blocking = true)
+    }
+  }
+
   def cooc(spark: SparkSession): Unit = {
     println("== co-occurrence: windowed pair volume vs per-doc all-pairs ==")
     def mkDocs(nDocs: Int) = spark.range(nDocs.toLong).select(
@@ -1141,6 +1190,11 @@ object ScaleStress {
     }
     if (args.contains("--cooc")) {
       cooc(spark)
+      spark.stop()
+      return
+    }
+    if (args.contains("--substring")) {
+      substringDedup(spark)
       spark.stop()
       return
     }
