@@ -1781,7 +1781,11 @@ object LlmQueries {
   // encoded input exactly and the arithmetic oracle transfers.
   private def pngFixture(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import s.implicits._
-    Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    // spread: deflate encode is ~1 cpu-s the 4-split scan serialized
+    // (r10 A/B over the media fixtures: applied to the >=0.7-cpu-s
+    // members only; the WAV/BMP/MP4 fixtures are light and LOST)
+    graft.operators.Parallelism.spread(
+        Tables(s, dir, "documents").select(col("doc_id"))).as[Long].map { id =>
       val w = (9 + id % 7).toInt
       val h = (5 + id % 5).toInt
       val px = Array.tabulate(w * h) { i =>
@@ -1866,7 +1870,8 @@ object LlmQueries {
       |         / (1000.0 * any_value(w) * any_value(h)) AS mean_luma
       |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val blobs = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    val blobs = graft.operators.Parallelism.spread(
+        Tables(s, dir, "documents").select(col("doc_id"))).as[Long].map { id =>
       val w = (10 + id % 6).toInt
       val h = (6 + id % 3).toInt
       val palette = Array.tabulate(16) { k =>
@@ -1899,7 +1904,8 @@ object LlmQueries {
   // path decodes a gradient fixture and must mark every row valid.
   val q129 = Q.noOracle("q129_jpeg_decode") { (s, dir) =>
     import s.implicits._
-    val blobs = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    val blobs = graft.operators.Parallelism.spread(
+        Tables(s, dir, "documents").select(col("doc_id"))).as[Long].map { id =>
       val w = (16 + id % 8).toInt
       val h = (8 + id % 4).toInt
       // smooth gradient: the JPEG-friendly fixture (high-frequency
@@ -1986,7 +1992,8 @@ object LlmQueries {
       |       CAST(CAST(n AS BIGINT) * 1152 * 1000000 // rate AS BIGINT) AS duration_us
       |FROM a ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val blobs = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    val blobs = graft.operators.Parallelism.spread(
+        Tables(s, dir, "documents").select(col("doc_id"))).as[Long].map { id =>
       Multimodal.Blob(id, Mp3.encodeFrames(
         sampleRateIdx = (id % 3).toInt,
         bitrateIdx = j => (1 + (id + j) % 14).toInt,
@@ -2012,6 +2019,9 @@ object LlmQueries {
   // the construction lands.
   private def dhashFixture(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import s.implicits._
+    // NO spread here: the A/B lost (q132 0.40 → 0.68 s, q133 flat) —
+    // the per-row encode+hash is light enough that the exchange costs
+    // more than the serialism, unlike the deflate/DCT fixtures below
     Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
       val g = id / 4
       val w = (16 + g % 8).toInt
