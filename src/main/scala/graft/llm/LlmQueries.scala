@@ -2155,10 +2155,109 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // Shared fixture for the audio near-dup pair (q135 hash / q136 join):
+  // groups of 3 docs share one waveform (group g = doc_id/3 drives length
+  // and step) at amplitudes ×1/×2/×3 (max |sample| 24 576 < 2¹⁵) —
+  // AudioHash is amplitude-invariant, so every group is a planted
+  // hamming-0 clique, the structure an audio near-dup pass must find
+  // (same recording, different gain).
+  private def ahashFixture(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val g = id / 3
+      val n = (200 + g % 50).toInt
+      val step = (37 + g % 27).toInt
+      val amp = (1 + id % 3).toInt
+      val samples = Array.tabulate[Short](n) { j =>
+        // per-frame energy ENVELOPE (19 levels, two-modulus group
+        // coefficients): a bare sawtooth is energy-flat, which collapsed
+        // the 5000-doc corpus onto ~270 hashes and exploded the pair set
+        // (probed while building); (g%97, g%89) give every fixture group
+        // a distinct coefficient pair, so energy profiles — and hashes —
+        // are ~unique per group (1562 distinct / 1667 groups at sf0.1,
+        // 14.5k pairs). Max |sample| = 512·19·3 = 29 184 < 2¹⁵.
+        val f = j.toLong * AudioHash.Frames / n
+        val env = 1 + ((g % 97) * (f + 1) + (g % 89) * (f * f + 1)) % 19
+        ((((j.toLong * step) % 4096 - 2048) / 4) * env * amp).toShort
+      }
+      Multimodal.Blob(id, Wav.encodePcm16(8000, samples))
+    }
+  }
+
+  /** q135/q136's shared oracle derivation: fixture waveform → 33 exact
+    * floor-mapped frames → energy sums → cross-multiplied comparisons →
+    * 32 bits in one BIGINT. One constant so the two can't drift. */
+  private val AhashOracleCte =
+    """WITH d AS (SELECT doc_id, doc_id // 3 AS g FROM documents),
+      |w AS (SELECT doc_id, g, CAST(200 + g % 50 AS INT) AS n,
+      |             CAST(37 + g % 27 AS INT) AS step,
+      |             CAST(1 + doc_id % 3 AS INT) AS amp FROM d),
+      |s AS (SELECT doc_id, g, n, step, amp, unnest(range(n)) AS j FROM w),
+      |v AS (SELECT doc_id, f,
+      |             (((j * step) % 4096 - 2048) // 4)
+      |               * (1 + ((g % 97) * (f + 1) + (g % 89) * (f * f + 1)) % 19)
+      |               * amp AS smp
+      |      FROM (SELECT *, CAST(j * 33 // n AS INT) AS f FROM s)),
+      |e AS (SELECT doc_id, f, sum(CAST(smp AS BIGINT) * smp) AS en,
+      |             count(*) AS cnt
+      |      FROM v GROUP BY doc_id, f),
+      |bit AS (SELECT a.doc_id, a.f AS i,
+      |               CASE WHEN a.en * b.cnt > b.en * a.cnt THEN 1 ELSE 0 END AS bit
+      |        FROM e a JOIN e b
+      |          ON a.doc_id = b.doc_id AND b.f = a.f + 1
+      |        WHERE a.f < 32),
+      |hsh AS (SELECT doc_id,
+      |               CAST(sum(bit * (1::BIGINT << i)) AS BIGINT) AS ahash
+      |        FROM bit GROUP BY doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------- q135
+  // Perceptual AUDIO hash (AudioHash.aHash — the audio member of the
+  // dedup family, q132's time-domain twin): 33 exact floor-mapped frames
+  // over decoded PCM, energy per frame, one bit per adjacent pair via
+  // cross-multiplied comparisons. All-integer ⇒ the hash itself is under
+  // the DuckDB gate; amplitude invariance is spec-pinned.
+  val q135 = Q(
+    "q135_audio_ahash",
+    AhashOracleCte +
+      """
+        |SELECT h.doc_id, CAST(w.n AS INT) AS n_samples, h.ahash
+        |FROM hsh h JOIN w ON w.doc_id = h.doc_id
+        |ORDER BY h.doc_id""".stripMargin) { (s, dir) =>
+    AudioHash.aHash(ahashFixture(s, dir))
+      .select(col("doc_id"), col("n_samples"), col("ahash"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q136
+  // Audio near-dup pairs (AudioHash.nearDupPairs): 4×8-bit banding —
+  // pigeonhole-EXACT at hamming ≤ 3 — over q135's hash; the fixture's
+  // amplitude-scaled groups are planted hamming-0 cliques. Completes the
+  // oracle-certified near-dup matrix: text (property-tested by xxhash64
+  // necessity), image (q133), audio (here).
+  val q136 = Q(
+    "q136_audio_neardup",
+    AhashOracleCte +
+      """,
+        |band AS (
+        |  SELECT doc_id, ahash, 0 AS band, ahash & 255 AS key FROM hsh
+        |  UNION ALL SELECT doc_id, ahash, 1, (ahash >> 8) & 255 FROM hsh
+        |  UNION ALL SELECT doc_id, ahash, 2, (ahash >> 16) & 255 FROM hsh
+        |  UNION ALL SELECT doc_id, ahash, 3, (ahash >> 24) & 255 FROM hsh)
+        |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.ahash, c.ahash)) AS INT) AS hamming
+        |FROM band a JOIN band c
+        |  ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+        |WHERE bit_count(xor(a.ahash, c.ahash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    AudioHash.nearDupPairs(AudioHash.aHash(ahashFixture(s, dir)).toDF(), maxHamming = 3)
+      .withColumn("hamming", col("hamming").cast("int"))
+      .orderBy("id_a", "id_b")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q73a, q74, q76, q76a, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
       q93, q95, q97, q98, q99, q104, q104a, q107, q108, q113, q119, q120, q122, q123,
-      q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134)
+      q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136)
 }
