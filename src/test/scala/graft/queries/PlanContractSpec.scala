@@ -101,7 +101,8 @@ class PlanContractSpec extends SparkSpec {
     // key equi-joins (broadcast or shuffled), and a planner regression to
     // a nested loop would turn the corpus-scale pair space into the join
     // input
-    for (name <- Seq("q130_substring_dedup", "q133_image_neardup")) {
+    for (name <- Seq("q130_substring_dedup", "q133_image_neardup",
+        "q136_audio_neardup")) {
       val p = plan(name)
       for (bad <- Seq("BroadcastNestedLoopJoin", "CartesianProduct"))
         assert(!p.contains(bad), s"$bad appeared in $name")
