@@ -103,8 +103,12 @@ object Bench {
   private val NominalShuffle = 0.90
   private val ContendedFactor = 1.5
   /** Retry a query when its wall exceeds this multiple of its
-    * quiet-machine record (wall-only gate — see the scaladoc). */
-  private val RetryWallFactor = 3.0
+    * quiet-machine record (wall-only gate — see the scaladoc). 2× rather
+    * than the r9 3×: q88's 2.09× driver outlier sat BELOW the old factor,
+    * so even the un-gated pass could never have adjudicated it (r10
+    * self-review) — and with MaxRetries bounding the pass and retries
+    * costing only their own walls, the looser gate is cheap. */
+  private val RetryWallFactor = 2.0
   /** Bound on the retry pass (worst case it re-pays the slowest walls; 12
     * retried outliers is already a run the calib story must explain). */
   private val MaxRetries = 12

@@ -101,13 +101,21 @@ object BatchQueries {
   }
 
   // ---------------------------------------------------------------- Q04
+  // "dormant customers": no order on/after the cutoff. The original
+  // every-customer-has-orders form hash-matched an EMPTY result at
+  // sf0.001/0.01 (r10 self-review: a vacuous oracle certifies nothing —
+  // an inverted predicate would stay green); the date-filtered right
+  // side yields 3/8/142 rows at the three SFs, probed before commit.
   val q04 = Q(
     "q04_anti_join",
     """SELECT c_custkey, c_name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= DATE '1998-06-01')
       |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
     val c = t(s, dir, "customer")
     val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit(java.sql.Date.valueOf("1998-06-01")))
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
