@@ -45,6 +45,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+)
+// Scoped to `run` (Bench/Verify/ScaleStress), NOT Test: a test JVM with
+// SPARK_DRIVER_MEM=64g exported would otherwise commit+zero 64 GB at
+// startup for a suite that needs none of it (r10 review).
+run / javaOptions ++= Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:+AlwaysPreTouch",
 )

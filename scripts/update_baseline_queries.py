@@ -72,8 +72,17 @@ def main() -> None:
             met = {k: v for k, v in met.items() if v is not None}
             cur = best.get(name)
             if cur is None or wall < cur["wall"]:
-                # new record: wall and metrics from the same run
-                best[name] = {"wall": wall, **met}
+                if not met and cur is not None and "cpu_sec" in cur:
+                    # a METRICS-LESS run (legacy bench_full.json) set a new
+                    # record: keep the old metrics rather than discarding
+                    # them, with metrics_wall disclosing their provenance
+                    old_met = {k: cur[k] for k in FIELDS if k in cur}
+                    best[name] = {"wall": wall, **old_met,
+                                  "metrics_wall": cur.get("metrics_wall",
+                                                          cur["wall"])}
+                else:
+                    # new record: wall and metrics from the same run
+                    best[name] = {"wall": wall, **met}
             elif met and wall < cur.get(
                     "metrics_wall",
                     cur["wall"] if "cpu_sec" in cur else math.inf):

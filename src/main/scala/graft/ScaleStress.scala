@@ -12,8 +12,11 @@ private object TempDirs {
   def rmTree(root: java.nio.file.Path): Unit =
     try {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount) // children before parents
+      val walk = java.nio.file.Files.walk(root)
+      val entries =
+        try walk.iterator().asScala.toVector
+        finally walk.close() // Files.walk holds a directory-stream fd
+      entries.sortBy(-_.getNameCount) // children before parents
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     } catch { case _: java.io.IOException => () } // best-effort cleanup
 }

@@ -14,9 +14,9 @@ import org.apache.spark.sql.functions._
   * PCM stream into 33 frames (exact floor mapping `j·33/n` — variable
   * frame lengths, every frame non-empty for n ≥ 33), take each frame's
   * ENERGY (Σ s², exact long), and emit one bit per adjacent frame pair —
-  * energy-mean rising ⇒ 1 — via cross-multiplied comparisons
-  * (`eL·nR > eR·nL`, no division, no rounding), giving 32 bits in one
-  * BIGINT-safe Int. The hash is invariant under amplitude scaling
+  * bit f set ⇔ frame f's energy mean EXCEEDS frame f+1's (falling edge)
+  * — via cross-multiplied comparisons (`eL·nR > eR·nL`, no division, no
+  * rounding), giving 32 bits in one BIGINT-safe Int. The hash is invariant under amplitude scaling
   * (energies scale by c², both comparison sides equally) — the audio
   * analog of dHash's brightness invariance, and the reason it is a
   * NEAR-dup key: the same recording at different gain hashes
@@ -95,25 +95,16 @@ object AudioHash {
   def nearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x8 banding is pigeonhole-exact only for hamming <= 3, got $maxHamming")
-    val h = hashes.filter(col("valid")).select(col("doc_id"), col("ahash"))
     val mask = lit(0xffL)
-    val banded = h.select(col("doc_id"), col("ahash"),
-      posexplode(array(
+    Banding.nearDupPairs(
+      hashes.filter(col("valid")).select(col("doc_id"), col("ahash")),
+      hashCols = Seq("ahash"),
+      bandKeys = Seq(
         col("ahash").bitwiseAND(mask),
         shiftright(col("ahash"), 8).bitwiseAND(mask),
         shiftright(col("ahash"), 16).bitwiseAND(mask),
-        shiftright(col("ahash"), 24).bitwiseAND(mask))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "key")
-    val a = banded.select(col("band"), col("key"),
-      col("doc_id").as("id_a"), col("ahash").as("h_a"))
-    val b = banded.select(col("band"), col("key"),
-      col("doc_id").as("id_b"), col("ahash").as("h_b"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+        shiftright(col("ahash"), 24).bitwiseAND(mask)),
+      hamming = bit_count(col("ahash_a").bitwiseXOR(col("ahash_b"))),
+      maxHamming = maxHamming)
   }
 }

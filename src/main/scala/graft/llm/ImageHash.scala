@@ -106,27 +106,18 @@ object ImageHash {
   def nearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16 banding is pigeonhole-exact only for hamming <= 3, got $maxHamming")
-    val h = hashes.filter(col("valid"))
-      .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"))
     val mask = lit(0xffffL)
-    val banded = h.select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
-      posexplode(array(
+    Banding.nearDupPairs(
+      hashes.filter(col("valid"))
+        .select(col("doc_id"), col("dhash_hi"), col("dhash_lo")),
+      hashCols = Seq("dhash_hi", "dhash_lo"),
+      bandKeys = Seq(
         col("dhash_lo").bitwiseAND(mask),
         shiftright(col("dhash_lo"), 16).bitwiseAND(mask),
         col("dhash_hi").bitwiseAND(mask),
-        shiftright(col("dhash_hi"), 16).bitwiseAND(mask))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "key")
-    val a = banded.select(col("band"), col("key"), col("doc_id").as("id_a"),
-      col("dhash_hi").as("hi_a"), col("dhash_lo").as("lo_a"))
-    val b = banded.select(col("band"), col("key"), col("doc_id").as("id_b"),
-      col("dhash_hi").as("hi_b"), col("dhash_lo").as("lo_b"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
-          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+        shiftright(col("dhash_hi"), 16).bitwiseAND(mask)),
+      hamming = bit_count(col("dhash_hi_a").bitwiseXOR(col("dhash_hi_b"))) +
+        bit_count(col("dhash_lo_a").bitwiseXOR(col("dhash_lo_b"))),
+      maxHamming = maxHamming)
   }
 }

@@ -124,9 +124,15 @@ object Mp4 {
         children(ms, me).flatMap { kids =>
           val mvhds = kids.filter(_._1 == MVHD)
           if (mvhds.size != 1) None
-          else parseMvhd(bytes, mvhds.head._2, mvhds.head._3).map { case (ts, dur) =>
-            Meta(ts, dur, dur * 1000000L / ts, kids.count(_._1 == TRAK))
-          }
+          else parseMvhd(bytes, mvhds.head._2, mvhds.head._3)
+            // a spec-valid v1 duration can be any uint63; quarantine the
+            // range where duration·10⁶ would wrap Long (~292 millennia at
+            // timescale 1) rather than silently overflowing — the same
+            // exact-or-None contract AudioHash enforces with its cap
+            .filter { case (_, dur) => dur <= Long.MaxValue / 1000000L }
+            .map { case (ts, dur) =>
+              Meta(ts, dur, dur * 1000000L / ts, kids.count(_._1 == TRAK))
+            }
         }
       }
     }

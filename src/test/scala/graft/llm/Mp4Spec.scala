@@ -30,6 +30,14 @@ class Mp4Spec extends SparkSpec {
     assert(m.duration == big && m.durationUs == big * 1000000L / 1000L)
   }
 
+  test("a v1 duration that would overflow duration_us quarantines, not wraps") {
+    val wayTooLong = Long.MaxValue / 1000L // duration*1e6 would wrap Long
+    assert(Mp4.parse(Mp4.encode(90000, wayTooLong, 1, mvhdVersion = 1)).isEmpty)
+    // the largest representable duration still parses
+    val edge = Long.MaxValue / 1000000L
+    assert(Mp4.parse(Mp4.encode(90000, edge, 1, mvhdVersion = 1)).nonEmpty)
+  }
+
   test("malformed payloads are rejected, never thrown on") {
     val good = Mp4.encode(600, 500L, 1)
     def patchI32(b: Array[Byte], at: Int, v: Int): Array[Byte] = {
