@@ -2254,10 +2254,108 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // Shared fixture for the video pair (q137 meta / q138 frame sample):
+  // deterministic uncompressed AVI per doc — dims reuse q124's padding
+  // classes (w%4 ∈ {0..3}), microsecond-per-frame and frame count vary
+  // per doc, JUNK padding (0/5/10/15 bytes — odd sizes exercise the RIFF
+  // even-pad skip) sits between hdrl and movi, and each frame's pixels
+  // carry a frame-index term so a sampler that decodes the WRONG frame
+  // (off-by-one seek, missed JUNK skip) hash-mismatches, not just one
+  // that decodes wrong bytes.
+  private def aviFixture(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val w = (8 + id % 8).toInt
+      val h = (4 + id % 4).toInt
+      val nFrames = (2 + id % 3).toInt
+      val frames = Seq.tabulate(nFrames) { f =>
+        Array.tabulate(w * h) { i =>
+          val x = i % w; val y = i / w
+          val r = ((x * 7 + y * 3 + id + 11 * f) % 256).toInt
+          val g = ((x * 5 + y * 11 + 2 * id + 7 * f) % 256).toInt
+          val b = ((x * 13 + y + 3 * id + 5 * f) % 256).toInt
+          (r << 16) | (g << 8) | b
+        }
+      }
+      Multimodal.Blob(id, Avi.encode(
+        width = w, height = h,
+        usPerFrame = 33000 + (id % 5) * 1000,
+        frames = frames,
+        junkBytes = ((id % 4) * 5).toInt))
+    }
+  }
+
+  // ---------------------------------------------------------------- q137
+  // REAL video-container metadata (Avi header walk — the uncompressed-AVI
+  // counterpart of q134's MP4 box walk, except here the SAMPLES are
+  // decodable too, q138). The walk validates the 'vids' stream headers
+  // and never touches the movi payload; the oracle re-derives every
+  // field arithmetically from the fixture construction, so a hash match
+  // certifies the chunk walk, the avih/strh/strf field layout, and the
+  // odd-JUNK even-pad skip.
+  val q137 = Q(
+    "q137_avi_meta",
+    """WITH d AS (SELECT doc_id,
+      |                  CAST(8 + doc_id % 8 AS INT) AS width,
+      |                  CAST(4 + doc_id % 4 AS INT) AS height,
+      |                  CAST(33000 + (doc_id % 5) * 1000 AS BIGINT) AS us_per_frame,
+      |                  CAST(2 + doc_id % 3 AS INT) AS n_frames
+      |           FROM documents)
+      |SELECT doc_id, width, height, us_per_frame, n_frames,
+      |       1 AS n_streams,
+      |       us_per_frame * n_frames AS duration_us
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Multimodal.decodeAviMeta(aviFixture(s, dir))
+      .select(col("doc_id"), col("width"), col("height"), col("us_per_frame"),
+        col("n_frames"), col("n_streams"), col("duration_us"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q138
+  // REAL video frame sampling (the production upgrade of q54's byte-slice
+  // stub): Avi.sampleFrames walks the movi chunk list, SEEKS over
+  // non-sampled frames (declared-size position arithmetic, no pixel
+  // walk) and DIB-decodes every 2nd frame to exact channel sums + luma.
+  // The per-frame pixel term (11f/7f/5f) means the oracle pins WHICH
+  // frame was decoded, not just how; ts_us pins the presentation-time
+  // arithmetic a pipeline joins transcripts against.
+  val q138 = Q(
+    "q138_video_frames",
+    """WITH d AS (SELECT doc_id, 8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h,
+      |                  33000 + (doc_id % 5) * 1000 AS upf,
+      |                  2 + doc_id % 3 AS nf
+      |           FROM documents),
+      |f AS (SELECT doc_id, w, h, upf, unnest(range(nf)) AS fi FROM d),
+      |fs AS (SELECT * FROM f WHERE fi % 2 = 0),
+      |p AS (SELECT doc_id, w, h, upf, fi, unnest(range(w * h)) AS i FROM fs),
+      |c AS (SELECT doc_id, w, h, upf, fi, (i % w) AS x, (i // w) AS y FROM p),
+      |v AS (SELECT doc_id, w, h, upf, fi,
+      |             (x * 7 + y * 3 + doc_id + 11 * fi) % 256 AS r,
+      |             (x * 5 + y * 11 + 2 * doc_id + 7 * fi) % 256 AS g,
+      |             (x * 13 + y + 3 * doc_id + 5 * fi) % 256 AS b
+      |      FROM c)
+      |SELECT doc_id,
+      |       CAST(fi AS INT) AS frame_idx,
+      |       CAST(fi * any_value(upf) AS BIGINT) AS ts_us,
+      |       CAST(any_value(w) AS INT) AS width,
+      |       CAST(any_value(h) AS INT) AS height,
+      |       CAST(sum(r) AS BIGINT) AS sum_r,
+      |       CAST(sum(g) AS BIGINT) AS sum_g,
+      |       CAST(sum(b) AS BIGINT) AS sum_b,
+      |       CAST(299 * sum(r) + 587 * sum(g) + 114 * sum(b) AS DOUBLE)
+      |         / (1000.0 * any_value(w) * any_value(h)) AS mean_luma
+      |FROM v GROUP BY doc_id, fi ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+    Multimodal.videoFrames(aviFixture(s, dir), stride = 2)
+      .select(col("doc_id"), col("frame_idx"), col("ts_us"), col("width"),
+        col("height"), col("sum_r"), col("sum_g"), col("sum_b"), col("mean_luma"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q73a, q74, q76, q76a, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
       q93, q95, q97, q98, q99, q104, q104a, q107, q108, q113, q119, q120, q122, q123,
-      q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136)
+      q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
+      q137, q138)
 }

@@ -417,6 +417,81 @@ object Multimodal {
     }
   }
 
+  /** REAL video-container metadata ([[Avi]] header walk): dims, frame
+    * timing, frame/stream counts from avih + the validated 'vids' strl —
+    * WITHOUT touching the movi frame payload, which is what a 100 TB
+    * metadata scan must never do. Exact integers throughout (duration is
+    * one integer product), oracle-checked (q137). */
+  final case class AviMeta(
+      doc_id: Long,
+      valid: Boolean,
+      width: Int,
+      height: Int,
+      us_per_frame: Long,
+      n_frames: Int,
+      n_streams: Int,
+      duration_us: Long)
+
+  def decodeAviMeta(blobs: Dataset[Blob]): Dataset[AviMeta] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        Avi.parseMeta(b.payload) match {
+          case Some(m) =>
+            AviMeta(b.doc_id, valid = true, m.width, m.height, m.usPerFrame,
+              m.nFrames, m.nStreams, m.usPerFrame * m.nFrames)
+          case None => AviMeta(b.doc_id, valid = false, 0, 0, 0L, 0, 0, 0L)
+        }
+      }
+    }
+  }
+
+  /** One REAL sampled video frame: [[Avi.sampleFrames]] walks the movi
+    * chunk list, SEEKS over non-sampled frames (position arithmetic, no
+    * pixel decode — the keyframe-sampler access pattern q54's byte-slice
+    * stub only mimicked) and decodes every `stride`-th DIB frame to exact
+    * channel sums + one-division luma, the same engine-exact feature
+    * contract as [[ImageFeatures]]. `ts_us` is the frame's presentation
+    * time (exact integer product — what a training pipeline joins against
+    * transcripts/subtitles). Undecodable payloads contribute zero rows
+    * (quarantine-by-omission; [[decodeAviMeta]]'s valid flag audits them). */
+  final case class VideoFrame(
+      doc_id: Long,
+      frame_idx: Int,
+      ts_us: Long,
+      width: Int,
+      height: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long,
+      mean_luma: Double)
+
+  def videoFrames(blobs: Dataset[Blob], stride: Int): Dataset[VideoFrame] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    require(stride > 0)
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        Avi.sampleFrames(b.payload, stride).iterator.flatMap { case (meta, frames) =>
+          frames.iterator.map { case (idx, img) =>
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            img.pixels.foreach { p =>
+              sr += (p >> 16) & 0xff
+              sg += (p >> 8) & 0xff
+              sb += p & 0xff
+            }
+            val n = img.pixels.length.toLong
+            val luma = if (n == 0) 0.0
+              else (299L * sr + 587L * sg + 114L * sb).toDouble / (1000.0 * n)
+            VideoFrame(b.doc_id, idx, idx.toLong * meta.usPerFrame,
+              img.width, img.height, sr, sg, sb, luma)
+          }
+        }
+      }
+    }
+  }
+
   /** STUB decode: where a real pipeline would run an image/audio codec and
     * feature extractor per batch, we emit deterministic byte statistics so
     * the full plumbing stays testable end-to-end (oracle-checkable too,
