@@ -2351,11 +2351,48 @@ object LlmQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  // ---------------------------------------------------------------- q139
+  // EXACT edit-distance similarity join (EditDistance.passJoin — segment-
+  // pigeonhole candidates + banded levenshtein rerank, no O(n²) stage).
+  // Corpus = documents capped at 64 chars (so the ORACLE's brute
+  // length-filtered levenshtein join stays tractable — the engine path is
+  // length-agnostic) + planted one-edit variants: a char deleted at 21
+  // for doc_id%5=0, a '#' substituted at 41 for doc_id%7=0 ('#' never
+  // occurs in the fixture text, so the edit is always a real edit). The
+  // oracle is BRUTE FORCE — it certifies the pigeonhole candidate scheme
+  // exactly, planted and coincidental pairs alike.
+  val q139 = Q(
+    "q139_edit_distance_join",
+    """WITH base AS (SELECT doc_id, substr(text, 1, 64) AS t FROM documents),
+      |corpus AS (
+      |  SELECT doc_id * 3 AS id, t AS text FROM base
+      |  UNION ALL
+      |  SELECT doc_id * 3 + 1, substr(t, 1, 20) || substr(t, 22)
+      |  FROM base WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id * 3 + 2, substr(t, 1, 40) || '#' || substr(t, 42)
+      |  FROM base WHERE doc_id % 7 = 0)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |       CAST(levenshtein(a.text, b.text) AS INT) AS dist
+      |FROM corpus a JOIN corpus b
+      |  ON a.id < b.id AND abs(length(a.text) - length(b.text)) <= 2
+      |WHERE levenshtein(a.text, b.text) <= 2
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val base = Tables(s, dir, "documents")
+      .selectExpr("doc_id", "substr(text, 1, 64) AS t")
+    val corpus = base.selectExpr("doc_id * 3 AS id", "t AS text")
+      .unionAll(base.filter("doc_id % 5 = 0")
+        .selectExpr("doc_id * 3 + 1 AS id", "substr(t, 1, 20) || substr(t, 22) AS text"))
+      .unionAll(base.filter("doc_id % 7 = 0")
+        .selectExpr("doc_id * 3 + 2 AS id", "substr(t, 1, 40) || '#' || substr(t, 42) AS text"))
+    EditDistance.passJoin(corpus, k = 2).orderBy("id_a", "id_b")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q73a, q74, q76, q76a, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
       q93, q95, q97, q98, q99, q104, q104a, q107, q108, q113, q119, q120, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
-      q137, q138)
+      q137, q138, q139)
 }
