@@ -2388,11 +2388,104 @@ object LlmQueries {
     EditDistance.passJoin(corpus, k = 2).orderBy("id_a", "id_b")
   }
 
+  // Shared fixture for the URL pair (q140 canonicalize / q141 dedup):
+  // deterministic mangled URLs, two docs per group j = doc_id div 2, four
+  // classes by j % 4. Within every group the two RAW urls differ (case,
+  // dot-segments, tracking params, escape casing, default port, fragment)
+  // but canonicalize to the SAME string — so q141's dup groups exist ONLY
+  // if the normalizer erases exactly the right things. Class 3 is
+  // malformed both ways (no-scheme / embedded space) → quarantine.
+  private def urlFixture(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(s, dir, "documents")
+      .selectExpr("doc_id", "doc_id div 2 AS j")
+      .selectExpr("doc_id", "j",
+        "concat('host', cast(j % 97 AS string)) AS h", "j % 4 AS c")
+      .selectExpr("doc_id",
+        """CASE
+          |  WHEN c = 0 AND doc_id % 2 = 0
+          |    THEN concat('HTTPS://WWW.', upper(h), '.COM/a/b/../c?id=', cast(j AS string))
+          |  WHEN c = 0
+          |    THEN concat('https://www.', h, '.com/a/c?id=', cast(j AS string), '&utm_source=x')
+          |  WHEN c = 1 AND doc_id % 2 = 0
+          |    THEN concat('http://', h, '.org:80/p/./q/?b=2&a=1&ref=', cast(j AS string), '#frag')
+          |  WHEN c = 1
+          |    THEN concat('HTTP://', h, '.org/p/q/?a=1&ref=', cast(j AS string), '&b=2')
+          |  WHEN c = 2 AND doc_id % 2 = 0
+          |    THEN concat('https://', h, '.net:8443/%7Euser%2fdocs/%41', cast(j AS string))
+          |  WHEN c = 2
+          |    THEN concat('https://', h, '.net:8443/~user%2Fdocs/A', cast(j AS string), '#x')
+          |  WHEN doc_id % 2 = 0 THEN concat('ftp:/broken ', cast(j AS string))
+          |  ELSE concat('://nohost', cast(j AS string))
+          |END AS url""".stripMargin)
+
+  private val UrlOracleCte =
+    """WITH d AS (SELECT doc_id,
+      |                  CAST((doc_id - doc_id % 2) / 2 AS BIGINT) AS j
+      |           FROM documents),
+      |e AS (SELECT doc_id, j, 'host' || CAST(j % 97 AS VARCHAR) AS h,
+      |             j % 4 AS c
+      |      FROM d),
+      |canon AS (SELECT doc_id, j, h, c, c < 3 AS valid,
+      |       CASE WHEN c = 0 THEN 'https://www.' || h || '.com/a/c?id=' || CAST(j AS VARCHAR)
+      |            WHEN c = 1 THEN 'http://' || h || '.org/p/q/?a=1&b=2&ref=' || CAST(j AS VARCHAR)
+      |            WHEN c = 2 THEN 'https://' || h || '.net:8443/~user%2Fdocs/A' || CAST(j AS VARCHAR)
+      |            ELSE '' END AS canonical,
+      |       CASE WHEN c = 0 THEN 'www.' || h || '.com'
+      |            WHEN c = 1 THEN h || '.org'
+      |            WHEN c = 2 THEN h || '.net'
+      |            ELSE '' END AS host
+      |      FROM e)""".stripMargin
+
+  // ---------------------------------------------------------------- q140
+  // URL canonicalization (Url.canonicalize — the web-corpus normalization
+  // pass): the oracle re-derives every canonical string ARITHMETICALLY
+  // from the fixture classes, so a hash match certifies scheme/host
+  // lowering, default-port stripping, dot-segment resolution, unreserved
+  // percent-decoding + escape-hex uppercasing, tracking-param dropping,
+  // stable query sorting, and fragment removal — each class exercises a
+  // distinct subset. Row-local mapPartitions; no shuffle but the output
+  // sort.
+  val q140 = Q(
+    "q140_url_canonicalize",
+    UrlOracleCte +
+      """
+        |SELECT doc_id, valid, canonical, host
+        |FROM canon ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Url.canonicalizeAll(urlFixture(s, dir).as[(Long, String)])
+      .select(col("doc_id"), col("valid"), col("canonical"), col("host"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q141
+  // Canonical-URL web dedup: group on q140's canonical string. Every
+  // surviving group exists ONLY because normalization united two
+  // differently-mangled raws — a dedup that keyed on raw URLs (or on a
+  // canonicalizer missing any rule) returns zero groups / hash-mismatches.
+  val q141 = Q(
+    "q141_url_dedup",
+    UrlOracleCte +
+      """
+        |SELECT canonical, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM canon WHERE valid
+        |GROUP BY canonical HAVING count(*) > 1
+        |ORDER BY canonical""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Url.canonicalizeAll(urlFixture(s, dir).as[(Long, String)])
+      .filter(col("valid"))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("canonical")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q73a, q74, q76, q76a, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
       q93, q95, q97, q98, q99, q104, q104a, q107, q108, q113, q119, q120, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
-      q137, q138, q139)
+      q137, q138, q139, q140, q141)
 }
