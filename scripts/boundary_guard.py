@@ -210,6 +210,34 @@ SELECT dist AS v FROM cand WHERE dist <= 1.20006"""),
     # therefore quantizes with explicit floor(v*1e4 + 0.5)/1e4 on BOTH
     # sides: the same three IEEE ops on the same bits cannot diverge, even
     # for boundary-straddling inputs, so there is no boundary to guard.
+    # q142 quantizes per-term BM25 weights with floor(w*1e4 + 0.5) on both
+    # sides (the q121 same-ops convention), so the only cross-engine
+    # divergence source is ln()'s libm ulp — this probe asserts no per-term
+    # weight sits within noise of a .00005 quantization boundary. Domain =
+    # exactly the (query-term, doc) pairs the retrieval join produces.
+    "q142.term_weight": (4, """
+        WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+                   FROM documents),
+        tt AS (SELECT doc_id, term FROM t WHERE term <> ''),
+        tfq AS (SELECT doc_id, term, count(*) AS tf FROM tt GROUP BY 1, 2),
+        dlq AS (SELECT doc_id, count(*) AS dl FROM tt GROUP BY 1),
+        dfq AS (SELECT term, count(*) AS df
+                FROM (SELECT DISTINCT doc_id, term FROM tt) GROUP BY term),
+        meta AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                        (SELECT CAST(sum(dl) AS DOUBLE) FROM dlq) /
+                          (SELECT count(*) FROM documents) AS avgdl),
+        qraw AS (SELECT doc_id AS qid,
+                        unnest((string_split_regex(trim(text), '\\s+'))[1:3]) AS term
+                 FROM documents WHERE doc_id % 50 = 0),
+        qt AS (SELECT DISTINCT qid, term FROM qraw WHERE term <> '')
+        SELECT ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+               * (CAST(tf AS DOUBLE) * 2.2)
+               / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))) AS v
+        FROM qt
+        JOIN tfq f ON qt.term = f.term
+        JOIN dlq d ON f.doc_id = d.doc_id
+        JOIN dfq g ON f.term = g.term
+        CROSS JOIN meta m"""),
     "q84.score": (4, """
         WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
                    FROM documents),

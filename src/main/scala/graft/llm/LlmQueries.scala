@@ -2481,11 +2481,61 @@ object LlmQueries {
       .orderBy("canonical")
   }
 
+  // ---------------------------------------------------------------- q142
+  // BM25 retrieval (TextAnalysis.bm25TopDocs): top-10 docs per term query
+  // through the inverted-posting equi-join. The per-term Okapi weight is
+  // the SAME expression string in engine and oracle (Bm25TermExpr — only
+  // ln's libm ulp can differ, boundary-probed), quantized to integer 1e-4
+  // units before the per-(query, doc) sum so the cross-row fold is an
+  // exact BIGINT sum and the (score desc, doc_id) ranking is fully
+  // deterministic. Queries = first 3 tokens of every 50th doc.
+  val q142 = Q(
+    "q142_bm25_retrieval",
+    s"""WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      |           FROM documents),
+      |tt AS (SELECT doc_id, term FROM t WHERE term <> ''),
+      |tfq AS (SELECT doc_id, term, count(*) AS tf FROM tt GROUP BY 1, 2),
+      |dlq AS (SELECT doc_id, count(*) AS dl FROM tt GROUP BY 1),
+      |dfq AS (SELECT term, count(*) AS df
+      |        FROM (SELECT DISTINCT doc_id, term FROM tt) GROUP BY term),
+      |meta AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+      |                (SELECT CAST(sum(dl) AS DOUBLE) FROM dlq) /
+      |                  (SELECT count(*) FROM documents) AS avgdl),
+      |qraw AS (SELECT doc_id AS qid,
+      |                unnest((string_split_regex(trim(text), '\\s+'))[1:3]) AS term
+      |         FROM documents WHERE doc_id % 50 = 0),
+      |qt AS (SELECT DISTINCT qid, term FROM qraw WHERE term <> ''),
+      |flat AS (SELECT qt.qid, f.doc_id, f.tf, d.dl, g.df, m.n_docs, m.avgdl
+      |         FROM qt
+      |         JOIN tfq f ON qt.term = f.term
+      |         JOIN dlq d ON f.doc_id = d.doc_id
+      |         JOIN dfq g ON f.term = g.term
+      |         CROSS JOIN meta m),
+      |sc AS (SELECT qid, doc_id,
+      |              CAST(floor((${TextAnalysis.Bm25TermExpr}) * 10000.0 + 0.5) AS BIGINT) AS q4
+      |       FROM flat),
+      |agg AS (SELECT qid, doc_id, CAST(count(*) AS INT) AS n_hit, sum(q4) AS s
+      |        FROM sc GROUP BY 1, 2),
+      |r AS (SELECT qid, doc_id, n_hit, s,
+      |             row_number() OVER (PARTITION BY qid
+      |                                ORDER BY s DESC, doc_id) AS rk
+      |      FROM agg)
+      |SELECT qid, CAST(rk AS INT) AS rk, doc_id, n_hit,
+      |       CAST(s AS DOUBLE) / 10000.0 AS score
+      |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("qid"),
+        explode(slice(split(trim(col("text")), "\\s+"), 1, 3)).as("term"))
+      .filter(col("term") =!= "").distinct()
+    TextAnalysis.bm25TopDocs(docs, queries, k = 10).orderBy("qid", "rk")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q73a, q74, q76, q76a, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
       q93, q95, q97, q98, q99, q104, q104a, q107, q108, q113, q119, q120, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
-      q137, q138, q139, q140, q141)
+      q137, q138, q139, q140, q141, q142)
 }

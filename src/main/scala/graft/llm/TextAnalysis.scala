@@ -494,4 +494,63 @@ object TextAnalysis {
       .filter(col("cnt") * denom > col("n_total"))
       .select("token", "cnt", "n_total")
   }
+
+  /** One BM25 term contribution (Okapi, k1=1.2 b=0.75, the Lucene-style
+    * always-positive idf) as a SHARED expression string — the oracle SQL
+    * embeds the identical text, so both engines run the same IEEE op
+    * sequence on the same bits and only `ln`'s libm ulp can differ
+    * (guarded by the q142 boundary probe). Columns it references:
+    * tf, df, dl, n_docs (longs) and avgdl (double). */
+  val Bm25TermExpr: String =
+    "ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))" +
+      " * (CAST(tf AS DOUBLE) * 2.2)" +
+      " / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))"
+
+  /** BM25 retrieval (B34): score documents against a set of term queries
+    * through the inverted-posting equi-join — the decontamination /
+    * eval-set-search shape ("which training docs score highest against
+    * this eval query"). Per-term contributions are quantized to integer
+    * 1e-4 units (`floor(w·1e4 + 0.5)` — same three IEEE ops both engines,
+    * the q121 convention) BEFORE the per-(query, doc) sum, so the
+    * cross-row fold is an exact BIGINT sum — order-free, hashable — and
+    * ranking (quantized score desc, doc_id) is fully deterministic.
+    * Scale shape: postings and doc-length join map-side-combined
+    * aggregates; corpus stats ride a 1-row broadcast; top-k per query is
+    * a rank-window over the (query, doc) aggregate, never the corpus.
+    *
+    * @param queries columns (`qid`: long, `term`: string), distinct terms
+    * @return (qid, rk, doc_id, n_hit, score) — top `k` docs per query
+    */
+  def bm25TopDocs(
+      docs: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      k: Int = 10): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val df = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val meta = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum("dl").as("sum_dl")))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val perTerm = queries
+      .join(tf, "term")
+      .join(dl, "doc_id")
+      .join(df, "term")
+      .crossJoin(broadcast(meta))
+      .withColumn("q4",
+        expr(s"CAST(floor(($Bm25TermExpr) * 10000.0 + 0.5) AS BIGINT)"))
+    val agg = perTerm.groupBy("qid", "doc_id")
+      .agg(count(lit(1)).cast("int").as("n_hit"), sum("q4").as("s"))
+    val w = Window.partitionBy("qid").orderBy(col("s").desc, col("doc_id"))
+    agg
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .withColumn("score", col("s").cast("double") / lit(10000.0))
+      .select("qid", "rk", "doc_id", "n_hit", "score")
+  }
 }

@@ -246,4 +246,28 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.heavyHitterTokens(docs, capacity = 50, denom = 100)
     }
   }
+
+  test("bm25: hand-computed single-term corpus ranks by tf/length") {
+    // 3 docs, query = {x}: df(x)=2, N=3 → idf = ln(1 + 1.5/2.5);
+    // doc 1 (tf=2, dl=2) must out-rank doc 2 (tf=1, dl=3); doc 3 no hit
+    val docs = Seq((1L, "x x"), (2L, "x y z"), (3L, "y z")).toDF("doc_id", "text")
+    val queries = Seq((100L, "x")).toDF("qid", "term")
+    val rows = TextAnalysis.bm25TopDocs(docs, queries, k = 10)
+      .collect().sortBy(r => r.getInt(1))
+    assert(rows.map(_.getLong(2)).toSeq == Seq(1L, 2L), "rank order wrong")
+    val avgdl = (2 + 3 + 2) / 3.0
+    val idf = math.log(1.0 + 1.5 / 2.5)
+    def w(tf: Int, dl: Int): Double =
+      math.floor(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))) * 10000.0 + 0.5) / 10000.0
+    assert(rows.map(_.getDouble(4)).toSeq == Seq(w(2, 2), w(1, 3)))
+    assert(rows.map(_.getInt(3)).toSeq == Seq(1, 1)) // n_hit
+  }
+
+  test("bm25: multi-term sum is exact and n_hit counts matched terms") {
+    val docs = Seq((1L, "a b c"), (2L, "a a"), (3L, "c")).toDF("doc_id", "text")
+    val queries = Seq((7L, "a"), (7L, "c")).toDF("qid", "term")
+    val rows = TextAnalysis.bm25TopDocs(docs, queries, k = 10).collect()
+      .map(r => (r.getLong(2), r.getInt(3))).toMap
+    assert(rows(1L) == 2 && rows(2L) == 1 && rows(3L) == 1)
+  }
 }
