@@ -2531,11 +2531,52 @@ object LlmQueries {
     TextAnalysis.bm25TopDocs(docs, queries, k = 10).orderBy("qid", "rk")
   }
 
+  // ---------------------------------------------------------------- q143
+  // Cross-modal temporal alignment: REAL decoded video frames (q138's
+  // sampler — container walk, frame seek, presentation-time arithmetic)
+  // as-of-joined to a per-doc subtitle track (windows of doc-varying
+  // width), the transcripts-to-frames alignment a multimodal training
+  // pipeline runs. Engine = AsOf.join (union+window, ONE shuffle on
+  // doc_id — no range-join blowup); oracle re-derives each frame's
+  // subtitle ARITHMETICALLY (greatest start ≤ ts ≡ ts div width), so a
+  // hash match certifies decoder timing AND as-of boundary semantics
+  // together.
+  val q143 = Q(
+    "q143_frame_subtitle_align",
+    """WITH d AS (SELECT doc_id,
+      |                  33000 + (doc_id % 5) * 1000 AS upf,
+      |                  2 + doc_id % 3 AS nf,
+      |                  45000 + (doc_id % 5) * 5000 AS w
+      |           FROM documents),
+      |f AS (SELECT doc_id, upf, w, unnest(range(nf)) AS fi FROM d),
+      |fs AS (SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+      |              CAST(fi * upf AS BIGINT) AS ts_us, w
+      |       FROM f WHERE fi % 2 = 0)
+      |SELECT doc_id, frame_idx, ts_us,
+      |       CAST(ts_us // w AS INT) AS sub_idx,
+      |       'sub' || CAST(ts_us // w AS VARCHAR) AS label
+      |FROM fs ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+    val frames = Multimodal.videoFrames(aviFixture(s, dir), stride = 2)
+      .toDF().select(col("doc_id"), col("frame_idx"), col("ts_us"))
+    val subs = Tables(s, dir, "documents")
+      .selectExpr("doc_id", "45000 + (doc_id % 5) * 5000 AS w")
+      .withColumn("sub_idx", explode(sequence(lit(0), lit(3))))
+      .selectExpr("doc_id", "CAST(sub_idx * w AS BIGINT) AS start_us",
+        "CAST(sub_idx AS INT) AS sub_idx",
+        "concat('sub', cast(sub_idx AS string)) AS label")
+    graft.operators.AsOf.join(frames, subs,
+        key = "doc_id", leftTs = "ts_us", rightTs = "start_us",
+        payload = Seq("sub_idx", "label"))
+      .select(col("doc_id"), col("frame_idx"), col("ts_us"),
+        col("asof_sub_idx").as("sub_idx"), col("asof_label").as("label"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q73a, q74, q76, q76a, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
       q93, q95, q97, q98, q99, q104, q104a, q107, q108, q113, q119, q120, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
-      q137, q138, q139, q140, q141, q142)
+      q137, q138, q139, q140, q141, q142, q143)
 }
