@@ -871,6 +871,64 @@ object ScaleStress {
     }
   }
 
+  /** Edit-distance join (q139 engine): passJoin wall growth with ~5%
+    * planted one-edit twins, vs the brute all-pairs banded-levenshtein
+    * twin at the smallest corpus only (quadratic by construction — its
+    * pair count, not its DP, is the scale killer). The claim that
+    * transfers: passJoin's wall tracks the planted-pair count (≈ n/20)
+    * and its shuffle is the fixed-width segment/probe rows (O(k³·n)),
+    * while brute's pair space squares per doubling. ~60-char strings,
+    * k=2. */
+  def editDistance(spark: SparkSession): Unit = {
+    println("== edit-distance join (q139 engine): passJoin growth vs brute twin ==")
+    val listener = new QueryMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    def flush(): Unit = org.apache.spark.GraftListenerBus.flush(spark.sparkContext)
+    def mkCorpus(n: Int): DataFrame = {
+      val base = spark.range(n.toLong).select(
+        (col("id") * 2).as("id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(8)), i =>
+          concat(lit("w"), pmod(xxhash64(col("id"), i), lit(50000L))))).as("text"))
+      val twins = base.filter(pmod(col("id"), lit(40)) === 0)
+        .select((col("id") + 1).as("id"),
+          expr("concat(substr(text, 1, 5), '#', substr(text, 7))").as("text"))
+      base.unionAll(twins)
+    }
+    var prevWall = Double.NaN
+    for (n <- Seq(8000, 16000, 32000, 64000)) {
+      val corpus = mkCorpus(n).localCheckpoint(true)
+      val q = llm.EditDistance.passJoin(corpus, k = 2)
+      q.count() // untimed warm
+      System.gc()
+      flush(); listener.snapshotAndReset()
+      val (pairs, wall) = time(q.count())
+      flush()
+      val m = listener.snapshotAndReset()
+      val ratio = if (prevWall.isNaN) "  - " else f"${wall / prevWall}%4.2fx"
+      println(f"docs=$n%6d  passJoin wall=$wall%6.2f s (vs prev $ratio)  " +
+        f"pairs=$pairs%7d  shuffle_w=${m.shuffleWrite / 1e6}%7.1f MB  " +
+        f"cpu=${m.cpuSec}%6.1f s")
+      prevWall = wall
+      if (n == 8000) {
+        // brute twin: every length-window pair through banded levenshtein
+        val d = corpus.select(col("id"), col("text"), length(col("text")).as("len"))
+        val (bPairs, bWall) = time {
+          d.as("a").join(d.as("b"),
+              col("a.id") < col("b.id") &&
+                abs(col("a.len") - col("b.len")) <= 2 &&
+                expr("levenshtein(a.text, b.text, 3)") =!= -1 &&
+                expr("levenshtein(a.text, b.text, 3)") <= 2)
+            .count()
+        }
+        println(f"docs=$n%6d  BRUTE    wall=$bWall%6.2f s              " +
+          f"pairs=$bPairs%7d  (pair space squares per doubling — " +
+          "the curve brute cannot follow)")
+        assert(bPairs == pairs, s"brute $bPairs != passJoin $pairs")
+      }
+      corpus.unpersist(blocking = true)
+    }
+  }
+
   def cooc(spark: SparkSession): Unit = {
     println("== co-occurrence: windowed pair volume vs per-doc all-pairs ==")
     def mkDocs(nDocs: Int) = spark.range(nDocs.toLong).select(
@@ -1198,6 +1256,11 @@ object ScaleStress {
     }
     if (args.contains("--substring")) {
       substringDedup(spark)
+      spark.stop()
+      return
+    }
+    if (args.contains("--editdist")) {
+      editDistance(spark)
       spark.stop()
       return
     }
