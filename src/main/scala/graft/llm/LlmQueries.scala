@@ -2572,11 +2572,78 @@ object LlmQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  // ---------------------------------------------------------------- q144
+  // REAL subtitle-format parse (Srt — the transcript track's wire format):
+  // each doc carries a generated .srt with doc-varying cue count/step, an
+  // hour-crossing offset for odd-vs-even docs (exercises the HH field),
+  // and a multi-line payload on cue 0. The parser walks numbered cues,
+  // `HH:MM:SS,mmm --> HH:MM:SS,mmm` timing lines, blank-line separation;
+  // the oracle re-derives every cue arithmetically, so a hash match
+  // certifies the timestamp parse (h/m/s/ms decomposition to µs) and the
+  // cue walk — the format q143's alignment would consume in production.
+  val q144 = Q(
+    "q144_srt_parse",
+    """WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS n,
+      |                  (doc_id % 2) * 3661000 AS off,
+      |                  1000 + 100 * (doc_id % 7) AS step
+      |           FROM documents),
+      |c AS (SELECT doc_id, off, step, unnest(range(n)) AS i FROM d)
+      |SELECT doc_id, CAST(i + 1 AS INT) AS idx,
+      |       CAST((off + i * step) * 1000 AS BIGINT) AS start_us,
+      |       CAST((off + i * step + 900) * 1000 AS BIGINT) AS end_us,
+      |       'line' || CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR) ||
+      |         CASE WHEN i = 0 THEN chr(10) || 'cont' ELSE '' END AS text
+      |FROM c ORDER BY doc_id, idx""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val srts = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val n = (2 + id % 3).toInt
+      val off = (id % 2) * 3661000L
+      val step = 1000L + 100L * (id % 7)
+      val cues = Seq.tabulate(n) { i =>
+        val start = off + i * step
+        val text = s"line${id}_$i" + (if (i == 0) "\ncont" else "")
+        (start, start + 900L, text)
+      }
+      (id, Srt.encode(cues))
+    }
+    Srt.parseAll(srts)
+      .select(col("doc_id"), col("idx"), col("start_us"), col("end_us"), col("text"))
+      .orderBy("doc_id", "idx")
+  }
+
+  // ---------------------------------------------------------------- q145
+  // REAL compressed-text scan (Gzip — the WARC-convention member walk):
+  // each doc's first-100-chars ride as gzip bytes, every 3rd doc as TWO
+  // concatenated members (the crawl layout), decoded with CRC32 + ISIZE
+  // verification per member. The oracle re-derives the decoded text as
+  // plain substr arithmetic, so a hash match certifies the full header
+  // walk → inflate → verify → UTF-8 path; member splitting is invisible
+  // to the oracle by construction (decode must re-join them exactly).
+  val q145 = Q(
+    "q145_gzip_text",
+    """SELECT doc_id, true AS valid,
+      |       substr(text, 1, 100) AS text,
+      |       CAST(length(substr(text, 1, 100)) AS INT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val blobs = Tables(s, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 100).as("t"))
+      .as[(Long, String)].map { case (id, t) =>
+        val members =
+          if (id % 3 == 0 && t.length > 50) Seq(t.substring(0, 50), t.substring(50))
+          else Seq(t)
+        Multimodal.Blob(id, Gzip.encodeMembers(members))
+      }
+    Gzip.decodeAll(blobs)
+      .select(col("doc_id"), col("valid"), col("text"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q73a, q74, q76, q76a, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
       q93, q95, q97, q98, q99, q104, q104a, q107, q108, q113, q119, q120, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
-      q137, q138, q139, q140, q141, q142, q143)
+      q137, q138, q139, q140, q141, q142, q143, q144, q145)
 }
