@@ -2639,11 +2639,63 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q146
+  // REAL crawl ingest (.warc.gz): the full chain a web-corpus pipeline
+  // runs before any text op — gzip member walk (one member per record,
+  // the WARC convention, CRC-verified) → WARC record walk (version line,
+  // headers, Content-Length-delimited payload, record separator) → HTTP
+  // response split (status line, headers, body). Every 4th doc carries a
+  // leading warcinfo record (mixed record types, byte-exact skip); the
+  // oracle re-derives every field arithmetically, so one hash certifies
+  // all three protocol layers end-to-end.
+  val q146 = Q(
+    "q146_warc_ingest",
+    """WITH r AS (
+      |  SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS warc_type, '' AS target_uri,
+      |         -1 AS http_status, '' AS content_type,
+      |         'crawl ' || CAST(doc_id AS VARCHAR) AS body
+      |  FROM documents WHERE doc_id % 4 = 0
+      |  UNION ALL
+      |  SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END, 'response',
+      |         'https://host' || CAST(doc_id % 97 AS VARCHAR) || '.com/page' ||
+      |           CAST(doc_id AS VARCHAR),
+      |         CAST(200 + (doc_id % 2) * 104 AS INT), 'text/html',
+      |         substr(text, 1, 80)
+      |  FROM documents)
+      |SELECT doc_id, CAST(rec_idx AS INT) AS rec_idx, warc_type, target_uri,
+      |       http_status, content_type, body
+      |FROM r ORDER BY doc_id, rec_idx""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val blobs = Tables(s, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 80).as("t"))
+      .as[(Long, String)].map { case (id, t) =>
+        val response = new String(Warc.encodeResponse(
+          uri = s"https://host${id % 97}.com/page$id",
+          date = "2026-01-01T00:00:00Z",
+          status = (200 + (id % 2) * 104).toInt,
+          contentType = "text/html",
+          body = t), "UTF-8")
+        val members =
+          if (id % 4 == 0)
+            Seq(new String(Warc.encodeInfo("warcinfo", s"crawl $id"), "UTF-8"), response)
+          else Seq(response)
+        Multimodal.Blob(id, Gzip.encodeMembers(members))
+      }
+    val unzipped = blobs.map { b =>
+      Multimodal.Blob(b.doc_id,
+        Gzip.decode(b.payload).map(_.getBytes("UTF-8")).getOrElse(Array.emptyByteArray))
+    }
+    Warc.ingest(unzipped)
+      .select(col("doc_id"), col("rec_idx"), col("warc_type"), col("target_uri"),
+        col("http_status"), col("content_type"), col("body"))
+      .orderBy("doc_id", "rec_idx")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q73a, q74, q76, q76a, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
       q93, q95, q97, q98, q99, q104, q104a, q107, q108, q113, q119, q120, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
-      q137, q138, q139, q140, q141, q142, q143, q144, q145)
+      q137, q138, q139, q140, q141, q142, q143, q144, q145, q146)
 }
