@@ -112,6 +112,18 @@ class PlanContractSpec extends SparkSpec {
       "q130 lost its spread exchange below the window fan-out")
   }
 
+  test("q139/q141: the r11 dedup joins stay equi-joins, never loops or all-pairs") {
+    // q139's segment-pigeonhole candidate join (EditDistanceSpec pins the
+    // operator on a synthetic corpus; this pins the REGISTERED fixture
+    // plan) and q141's canonical-URL group-dedup carry the same contract:
+    // a planner regression to a nested loop would square the corpus
+    for (name <- Seq("q139_edit_distance_join", "q141_url_dedup")) {
+      val p = plan(name)
+      for (bad <- Seq("BroadcastNestedLoopJoin", "CartesianProduct"))
+        assert(!p.contains(bad), s"$bad appeared in $name")
+    }
+  }
+
   test("q105/q36: window frames stay bounded-range or accumulating") {
     // q105's 10-minute trailing window must plan as a RangeFrame (two-
     // pointer sliding evaluation); no registry window may reintroduce the
