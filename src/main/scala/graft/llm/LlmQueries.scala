@@ -2691,11 +2691,90 @@ object LlmQueries {
       .orderBy("doc_id", "rec_idx")
   }
 
+  // ---------------------------------------------------------------- q147
+  // Container-invariant VIDEO dedup — completes the oracle-certified
+  // dedup matrix across text (q21/q130), image (q132/q133), audio
+  // (q135/q136), video (here). Fixture: two docs per group j = doc_id
+  // div 2 share the same PIXELS but different CONTAINER bytes (JUNK
+  // padding and frame timing vary by doc parity), so a byte-level dedup
+  // splits every pair and only decode-level identity unites them. The
+  // per-doc signature aggregates decoded frame features — dims, frame
+  // count, channel sums, and a frame-position-weighted term (catches
+  // reordered frames) — and pairs fall out of a signature equi-join.
+  // Oracle re-derives every signature arithmetically from the fixture's
+  // modular pixels.
+  val q147 = Q(
+    "q147_video_dedup",
+    """WITH d AS (SELECT doc_id,
+      |                  CAST((doc_id - doc_id % 2) / 2 AS BIGINT) AS j
+      |           FROM documents),
+      |g AS (SELECT doc_id, j, 8 + j % 8 AS w, 4 + j % 4 AS h,
+      |             2 + j % 3 AS nf
+      |      FROM d),
+      |f AS (SELECT doc_id, j, w, h, unnest(range(nf)) AS fi FROM g),
+      |p AS (SELECT doc_id, j, w, h, fi, unnest(range(w * h)) AS i FROM f),
+      |c AS (SELECT doc_id, j, w, h, fi, (i % w) AS x, (i // w) AS y FROM p),
+      |v AS (SELECT doc_id, fi,
+      |             (x * 7 + y * 3 + j + 11 * fi) % 256 AS r,
+      |             (x * 5 + y * 11 + 2 * j + 7 * fi) % 256 AS g,
+      |             (x * 13 + y + 3 * j + 5 * fi) % 256 AS b
+      |      FROM c),
+      |s AS (SELECT doc_id, CAST(sum(r) AS BIGINT) AS sr,
+      |             CAST(sum(g) AS BIGINT) AS sg, CAST(sum(b) AS BIGINT) AS sb,
+      |             CAST(sum((fi + 1) * r) AS BIGINT) AS swr
+      |      FROM v GROUP BY doc_id),
+      |sig AS (SELECT g.doc_id, g.w, g.h, g.nf, s.sr, s.sg, s.sb, s.swr
+      |        FROM g JOIN s ON g.doc_id = s.doc_id)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(a.nf AS INT) AS n_frames
+      |FROM sig a JOIN sig b
+      |  ON a.doc_id < b.doc_id AND a.w = b.w AND a.h = b.h AND a.nf = b.nf
+      | AND a.sr = b.sr AND a.sg = b.sg AND a.sb = b.sb AND a.swr = b.swr
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val blobs = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val j = id / 2
+      val w = (8 + j % 8).toInt
+      val h = (4 + j % 4).toInt
+      val nFrames = (2 + j % 3).toInt
+      val frames = Seq.tabulate(nFrames) { f =>
+        Array.tabulate(w * h) { i =>
+          val x = i % w; val y = i / w
+          val r = ((x * 7 + y * 3 + j + 11 * f) % 256).toInt
+          val g = ((x * 5 + y * 11 + 2 * j + 7 * f) % 256).toInt
+          val b = ((x * 13 + y + 3 * j + 5 * f) % 256).toInt
+          (r << 16) | (g << 8) | b
+        }
+      }
+      // container varies by doc parity; pixels do not
+      Multimodal.Blob(id, Avi.encode(
+        width = w, height = h,
+        usPerFrame = 33000 + (j % 5) * 1000 + (id % 2) * 500,
+        frames = frames,
+        junkBytes = ((id % 2) * 7).toInt))
+    }
+    val sig = Multimodal.videoFrames(blobs, stride = 1).toDF()
+      .groupBy("doc_id")
+      .agg(first(col("width")).as("w"), first(col("height")).as("h"),
+        count(lit(1)).cast("int").as("nf"),
+        sum(col("sum_r")).as("sr"), sum(col("sum_g")).as("sg"),
+        sum(col("sum_b")).as("sb"),
+        sum((col("frame_idx") + 1) * col("sum_r")).as("swr"))
+    sig.as("a").join(sig.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+          col("a.w") === col("b.w") && col("a.h") === col("b.h") &&
+          col("a.nf") === col("b.nf") && col("a.sr") === col("b.sr") &&
+          col("a.sg") === col("b.sg") && col("a.sb") === col("b.sb") &&
+          col("a.swr") === col("b.swr"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.nf").as("n_frames"))
+      .orderBy("id_a", "id_b")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q73a, q74, q76, q76a, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
       q93, q95, q97, q98, q99, q104, q104a, q107, q108, q113, q119, q120, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
-      q137, q138, q139, q140, q141, q142, q143, q144, q145, q146)
+      q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147)
 }

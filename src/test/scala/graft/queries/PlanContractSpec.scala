@@ -117,7 +117,8 @@ class PlanContractSpec extends SparkSpec {
     // operator on a synthetic corpus; this pins the REGISTERED fixture
     // plan) and q141's canonical-URL group-dedup carry the same contract:
     // a planner regression to a nested loop would square the corpus
-    for (name <- Seq("q139_edit_distance_join", "q141_url_dedup")) {
+    for (name <- Seq("q139_edit_distance_join", "q141_url_dedup",
+        "q147_video_dedup")) {
       val p = plan(name)
       for (bad <- Seq("BroadcastNestedLoopJoin", "CartesianProduct"))
         assert(!p.contains(bad), s"$bad appeared in $name")
