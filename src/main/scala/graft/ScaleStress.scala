@@ -913,11 +913,12 @@ object ScaleStress {
         // brute twin: every length-window pair through banded levenshtein
         val d = corpus.select(col("id"), col("text"), length(col("text")).as("len"))
         val (bPairs, bWall) = time {
+          // single threshold-2 predicate: -1 iff dist > 2, so the banded
+          // DP runs once per pair (a second conjunct would re-run it)
           d.as("a").join(d.as("b"),
               col("a.id") < col("b.id") &&
                 abs(col("a.len") - col("b.len")) <= 2 &&
-                expr("levenshtein(a.text, b.text, 3)") =!= -1 &&
-                expr("levenshtein(a.text, b.text, 3)") <= 2)
+                expr("levenshtein(a.text, b.text, 2)") =!= -1)
             .count()
         }
         println(f"docs=$n%6d  BRUTE    wall=$bWall%6.2f s              " +

@@ -27,13 +27,17 @@ import java.nio.{ByteBuffer, ByteOrder}
 object Avi {
 
   /** Container metadata from the header walk alone (no frame decode —
-    * a 100 TB metadata scan must not touch the movi payload). */
+    * a 100 TB metadata scan must not touch the movi payload).
+    * `vidsStream` is the 0-based strl index of the validated video
+    * stream — movi frame chunks carry it in their fourcc ('00db',
+    * '01db', …), so an audio-first file stores video as '01db'. */
   final case class Meta(
       width: Int,
       height: Int,
       usPerFrame: Long,
       nFrames: Int,
-      nStreams: Int)
+      nStreams: Int,
+      vidsStream: Int)
 
   private val RIFF = 0x46464952 // "RIFF" LE
   private val AVI_ = 0x20495641 // "AVI " LE
@@ -62,7 +66,8 @@ object Avi {
       height: Int,
       usPerFrame: Long,
       frames: Seq[Array[Int]],
-      junkBytes: Int = 0): Array[Byte] = {
+      junkBytes: Int = 0,
+      audioFirst: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dims: ${width}x$height")
     require(usPerFrame > 0 && usPerFrame <= Int.MaxValue, s"bad usPerFrame: $usPerFrame")
     require(frames.nonEmpty, "empty video")
@@ -74,7 +79,11 @@ object Avi {
     val strhSize = 56
     val avihSize = 56
     val strlSize = 4 + (8 + strhSize) + (8 + strfSize)
-    val hdrlSize = 4 + (8 + avihSize) + (8 + strlSize)
+    // a leading data-less 'auds' strl (strh + 16-byte WAVEFORMATEX strf)
+    // makes video stream 1 → movi frames become '01db'
+    val audStrlSize = 4 + (8 + strhSize) + (8 + 16)
+    val hdrlSize = 4 + (8 + avihSize) + (8 + strlSize) +
+      (if (audioFirst) 8 + audStrlSize else 0)
     val junkPadded = junkBytes + (junkBytes & 1)
     val moviSize = 4 + frames.length * (8 + frameBytes) // frameBytes is even
     val riffSize = 4 + (8 + hdrlSize) +
@@ -89,9 +98,23 @@ object Avi {
       .putInt(usPerFrame.toInt)
       .putInt((frameBytes.toLong * 1000000L / usPerFrame).toInt)
       .putInt(0).putInt(0)
-      .putInt(frames.length).putInt(0).putInt(1).putInt(frameBytes)
+      .putInt(frames.length).putInt(0)
+      .putInt(if (audioFirst) 2 else 1).putInt(frameBytes)
       .putInt(width).putInt(height)
       .putInt(0).putInt(0).putInt(0).putInt(0)
+    if (audioFirst) {
+      buf.putInt(LIST).putInt(audStrlSize).putInt(STRL)
+      buf.putInt(STRH).putInt(strhSize)
+        .putInt(0x73647561).putInt(0).putInt(0) // 'auds', no handler
+        .putShort(0).putShort(0).putInt(0)
+        .putInt(1).putInt(8000).putInt(0).putInt(0).putInt(0)
+        .putInt(-1).putInt(0)
+        .putShort(0).putShort(0).putShort(0).putShort(0)
+      // minimal WAVEFORMATEX: PCM, mono, 8 kHz, 16-bit
+      buf.putInt(STRF).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+    }
     buf.putInt(LIST).putInt(strlSize).putInt(STRL)
     // strh: fccType, fccHandler, dwFlags, wPriority, wLanguage,
     // dwInitialFrames, dwScale, dwRate, dwStart, dwLength,
@@ -114,8 +137,9 @@ object Avi {
       while (i < junkPadded) { buf.put(0.toByte); i += 1 }
     }
     buf.putInt(LIST).putInt(moviSize).putInt(MOVI)
+    val frameId = DB00 + (if (audioFirst) 1 << 8 else 0) // '00db' / '01db'
     frames.foreach { px =>
-      buf.putInt(DB00).putInt(frameBytes)
+      buf.putInt(frameId).putInt(frameBytes)
       var row = height - 1 // bottom-up storage: last image row first
       while (row >= 0) {
         var x = 0
@@ -156,13 +180,16 @@ object Avi {
           // 3·width·height can still wrap Int for crafted near-cap dims
           val frameBytes = rowStride(meta.width).toLong * meta.height
           val out = Vector.newBuilder[(Int, Bmp.Img)]
+          // the video stream's frame fourcc: 'NNdb' with NN = strl index
+          val dbId = DB00 +
+            (meta.vidsStream / 10) + ((meta.vidsStream % 10) << 8)
           var idx = 0
           var bad = false
           while (!bad && movi.remaining() >= 8) {
             val id = movi.getInt()
             val size = movi.getInt()
             if (size < 0 || size > movi.remaining()) bad = true
-            else if (id == DB00) {
+            else if (id == dbId) {
               if (size.toLong != frameBytes) bad = true // desynced/ragged frame
               else {
                 if (idx % stride == 0) out += idx -> decodeFrame(movi, meta)
@@ -219,8 +246,11 @@ object Avi {
     None // no movi list: not a playable AVI
   }
 
-  /** Parse the hdrl LIST payload: avih dims/timing + the first 'vids'
-    * strl validated as 24-bit BI_RGB DIB matching the avih dims. */
+  /** Parse the hdrl LIST payload: avih dims/timing (which the spec puts
+    * FIRST — a strl before avih quarantines), then the first 'vids' strl,
+    * validated as 24-bit BI_RGB DIB whose strf dims MATCH the avih dims
+    * (a contradiction means one of them lies about the frame layout).
+    * The strl's 0-based index becomes [[Meta.vidsStream]]. */
   private def hdrl(buf: ByteBuffer, size: Int): Option[Meta] = {
     val end = buf.position() + size
     if (end > buf.limit()) return None
@@ -229,11 +259,13 @@ object Avi {
     var usPerFrame = -1L
     var nFrames = -1
     var nStreams = -1
-    var vidsOk = false
+    var strlIdx = -1
+    var vidsStream = -1
     while (buf.position() + 8 <= end) {
       val id = buf.getInt()
       val sz = buf.getInt()
-      if (sz < 0 || buf.position() + sz > end) return None
+      // overflow-safe: position+sz can wrap Int for a crafted near-cap sz
+      if (sz < 0 || sz > end - buf.position()) return None
       val next = math.min(buf.position() + sz + (sz & 1), end)
       id match {
         case AVIH =>
@@ -250,27 +282,34 @@ object Avi {
             width <= 0 || width > MaxDim || height <= 0 || height > MaxDim ||
             width.toLong * height > Int.MaxValue) return None
         case LIST =>
-          if (sz >= 4 && buf.getInt() == STRL && !vidsOk) {
-            vidsOk = strl(buf, next)
-            // a non-video first stream is fine (audio strl); keep walking
+          if (sz >= 4 && buf.getInt() == STRL) {
+            strlIdx += 1
+            if (strlIdx > 99) return None // fourcc digits cap the stream count
+            if (vidsStream < 0) {
+              if (width < 0) return None // strl before avih: out-of-spec
+              if (strl(buf, next, width, height)) vidsStream = strlIdx
+              // a non-video stream (audio strl) is fine; keep walking
+            }
           }
         case _ => () // JUNK, odml, …
       }
       buf.position(next)
     }
     buf.position(end + (size & 1) min buf.limit())
-    if (width > 0 && vidsOk) Some(Meta(width, height, usPerFrame, nFrames, nStreams))
+    if (width > 0 && vidsStream >= 0)
+      Some(Meta(width, height, usPerFrame, nFrames, nStreams, vidsStream))
     else None
   }
 
-  /** True iff this strl is a 'vids' stream whose strf is 24-bit BI_RGB. */
-  private def strl(buf: ByteBuffer, end: Int): Boolean = {
+  /** True iff this strl is a 'vids' stream whose strf is a 24-bit BI_RGB
+    * BITMAPINFOHEADER agreeing with the avih dims. */
+  private def strl(buf: ByteBuffer, end: Int, avihW: Int, avihH: Int): Boolean = {
     var isVids = false
     var dibOk = false
     while (buf.position() + 8 <= end) {
       val id = buf.getInt()
       val sz = buf.getInt()
-      if (sz < 0 || buf.position() + sz > end) return false
+      if (sz < 0 || sz > end - buf.position()) return false
       val next = math.min(buf.position() + sz + (sz & 1), end)
       id match {
         case STRH =>
@@ -286,7 +325,7 @@ object Avi {
           val planes = buf.getShort()
           val bits = buf.getShort()
           val comp = buf.getInt()
-          dibOk = w > 0 && h > 0 && planes == 1 && bits == 24 && comp == 0
+          dibOk = w == avihW && h == avihH && planes == 1 && bits == 24 && comp == 0
         case _ => ()
       }
       buf.position(next)

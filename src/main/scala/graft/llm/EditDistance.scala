@@ -111,11 +111,14 @@ object EditDistance {
     // merges them, and hash collisions die at the rerank)
     val cand = pigeonhole.union(symdel).distinct()
     val byId = d.select(col("id"), col("text"))
+    // threshold AT k: levenshtein(a,b,k) is the exact distance when ≤ k
+    // and -1 otherwise, so ONE predicate both filters and bounds —
+    // a second `<= k` conjunct would re-evaluate the DP per row
     cand
       .join(byId.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
       .join(byId.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
-      .withColumn("dist", expr(s"levenshtein(text_a, text_b, ${k + 1})"))
-      .filter(col("dist") =!= -1 && col("dist") <= k)
+      .withColumn("dist", expr(s"levenshtein(text_a, text_b, $k)"))
+      .filter(col("dist") =!= -1)
       .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
   }
 

@@ -45,7 +45,10 @@ object Srt {
     require(cues.nonEmpty, "empty cue list")
     cues.zipWithIndex.map { case ((sMs, eMs, text), i) =>
       require(sMs >= 0 && eMs > sMs, s"bad cue times: $sMs -> $eMs")
-      require(text.nonEmpty && !text.contains("\n\n"), s"bad cue text: $text")
+      // a leading/trailing '\n' or embedded '\r' would emit payload the
+      // parser itself rejects (blank first line) or silently rewrites
+      require(text.nonEmpty && !text.contains("\n\n") && !text.contains('\r') &&
+        !text.startsWith("\n") && !text.endsWith("\n"), s"bad cue text: $text")
       s"${i + 1}\n${fmt(sMs)} --> ${fmt(eMs)}\n$text"
     }.mkString("", "\n\n", "\n")
   }

@@ -100,7 +100,7 @@ object Warc {
       case Some(l) if l.nonEmpty && l.length <= 9 && l.forall(_.isDigit) => l.toInt
       case _ => return None
     }
-    if (off + len > b.length) return None
+    if (len > b.length - off) return None // overflow-safe form of off+len > length
     val payload = java.util.Arrays.copyOfRange(b, off, off + len)
     off += len
     // record separator: two CRLFs

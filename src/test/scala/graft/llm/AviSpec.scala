@@ -21,7 +21,7 @@ class AviSpec extends SparkSpec {
         frames = video(w, 4, 3), junkBytes = junk)
       val m = Avi.parseMeta(bytes)
         .getOrElse(fail(s"parseMeta failed at w=$w junk=$junk"))
-      assert(m == Avi.Meta(w, 4, 40000L, 3, 1), s"meta diverged at w=$w junk=$junk")
+      assert(m == Avi.Meta(w, 4, 40000L, 3, 1, 0), s"meta diverged at w=$w junk=$junk")
     }
   }
 
@@ -85,12 +85,28 @@ class AviSpec extends SparkSpec {
         b
       },
       "strf says RLE compression" -> patchInt(good, 188, 1),
-      "header dims disagree with frame chunk size" -> patchInt(good, 64, 9)
+      "avih dims disagree with strf dims" -> patchInt(good, 64, 9),
+      "crafted avih chunk size (position+sz wraps Int)" ->
+        patchInt(good, 28, Int.MaxValue),
+      "crafted strl LIST size" -> patchInt(good, 104, Int.MaxValue)
     )
     cases.foreach { case (label, bytes) =>
-      assert(Avi.parseMeta(bytes).isEmpty || label == "header dims disagree with frame chunk size",
-        s"parseMeta accepted: $label")
+      assert(Avi.parseMeta(bytes).isEmpty, s"parseMeta accepted: $label")
       assert(Avi.sampleFrames(bytes, 1).isEmpty, s"sampleFrames accepted: $label")
+    }
+  }
+
+  test("audio-first layout: video is stream 1, frames are '01db'") {
+    val bytes = Avi.encode(8, 4, 40000L, video(8, 4, 3), junkBytes = 5,
+      audioFirst = true)
+    val m = Avi.parseMeta(bytes).getOrElse(fail("parseMeta failed"))
+    assert(m == Avi.Meta(8, 4, 40000L, 3, 2, 1),
+      "vids strl index / stream count wrong")
+    val (_, got) = Avi.sampleFrames(bytes, 1).getOrElse(fail("sampleFrames failed"))
+    assert(got.map(_._1) == (0 until 3))
+    got.foreach { case (idx, img) =>
+      assert(img.pixels.sameElements(frame(8, 4, idx)),
+        s"frame $idx pixels diverged under the '01db' fourcc")
     }
   }
 
