@@ -2770,11 +2770,45 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  // ---------------------------------------------------------------- q148
+  // REAL HTML-to-text extraction (Html.extract — the step between q146's
+  // HTTP bodies and every text operator): script element dropped WITH
+  // its content (which itself contains markup — a regex-strip extractor
+  // would leak it), tags → separators, named + decimal + hex character
+  // references decoded, comment vanishing, whitespace collapse, first
+  // <title> captured. The oracle re-derives title/text/n_chars
+  // arithmetically from the fixture construction, so a hash match
+  // certifies every rule at corpus scale. Row-local; no shuffle but the
+  // output sort.
+  val q148 = Q(
+    "q148_html_extract",
+    """SELECT doc_id,
+      |       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+      |       'Doc ' || CAST(doc_id AS VARCHAR) || ' ' ||
+      |         trim(substr(text, 1, 60)) || ' a & b <t> AB' AS text,
+      |       CAST(length('Doc ' || CAST(doc_id AS VARCHAR) || ' ' ||
+      |         trim(substr(text, 1, 60)) || ' a & b <t> AB') AS INT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val pages = Tables(s, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
+      .as[(Long, String)].map { case (id, t) =>
+        (id,
+          s"""<html><head><title>Doc $id</title>""" +
+            s"""<script>var x = "<p>not text</p>";</script></head>""" +
+            s"""<body><h1>Doc $id</h1><p>$t</p>""" +
+            s"""<p>a &amp; b &lt;t&gt; &#65;&#x42;</p><!-- hidden --></body></html>""")
+      }
+    Html.extractAll(pages)
+      .select(col("doc_id"), col("title"), col("text"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q73a, q74, q76, q76a, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
       q93, q95, q97, q98, q99, q104, q104a, q107, q108, q113, q119, q120, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
-      q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147)
+      q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148)
 }
