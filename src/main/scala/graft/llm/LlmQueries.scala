@@ -2804,11 +2804,77 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q149
+  // The END-TO-END crawl pipeline, composed from this round's operators:
+  // .warc.gz blobs (gzip member walk) → WARC records → HTTP split →
+  // HTML-to-text extraction → URL canonicalization → canonical-URL dedup
+  // (keep-lowest-id). Fixture: two docs per group carry the SAME page
+  // under differently-mangled URLs (q140's four classes) with different
+  // bodies, so the output exists only if every stage is right: a break
+  // in gzip/WARC/HTML loses rows, a canonicalization miss splits groups,
+  // and the keeper's title/n_chars pin WHICH doc survived. Class-3
+  // groups (malformed URLs) quarantine out entirely.
+  val q149 = Q(
+    "q149_crawl_pipeline",
+    """WITH d AS (SELECT doc_id, text,
+      |                  CAST((doc_id - doc_id % 2) / 2 AS BIGINT) AS j
+      |           FROM documents),
+      |e AS (SELECT doc_id, text, j, 'host' || CAST(j % 97 AS VARCHAR) AS h,
+      |             j % 4 AS c
+      |      FROM d)
+      |SELECT doc_id,
+      |       CASE WHEN c = 0 THEN 'https://www.' || h || '.com/a/c?id=' || CAST(j AS VARCHAR)
+      |            WHEN c = 1 THEN 'http://' || h || '.org/p/q/?a=1&b=2&ref=' || CAST(j AS VARCHAR)
+      |            ELSE 'https://' || h || '.net:8443/~user%2Fdocs/A' || CAST(j AS VARCHAR)
+      |       END AS canonical,
+      |       2 AS n_dups,
+      |       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+      |       CAST(length(trim(substr(text, 1, 40)) || ' a & b') AS INT) AS n_chars
+      |FROM e WHERE c < 3 AND doc_id % 2 = 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val blobs = Tables(s, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("t"))
+      .as[(Long, String)].map { case (id, t) =>
+        val j = id / 2
+        val h = s"host${j % 97}"
+        val url = (j % 4, id % 2) match {
+          case (0, 0) => s"HTTPS://WWW.${h.toUpperCase}.COM/a/b/../c?id=$j"
+          case (0, _) => s"https://www.$h.com/a/c?id=$j&utm_source=x"
+          case (1, 0) => s"http://$h.org:80/p/./q/?b=2&a=1&ref=$j#frag"
+          case (1, _) => s"HTTP://$h.org/p/q/?a=1&ref=$j&b=2"
+          case (2, 0) => s"https://$h.net:8443/%7Euser%2fdocs/%41$j"
+          case (2, _) => s"https://$h.net:8443/~user%2Fdocs/A$j#x"
+          case (_, 0) => s"ftp:/broken $j"
+          case _      => s"://nohost$j"
+        }
+        val html = s"<title>Doc $id</title><p>$t</p><p>a &amp; b</p>"
+        Multimodal.Blob(id, Gzip.encodeMembers(Seq(new String(
+          Warc.encodeResponse(url, "2026-01-01T00:00:00Z", 200, "text/html", html),
+          "UTF-8"))))
+      }
+    val records = Warc.ingest(blobs.map(b => Multimodal.Blob(b.doc_id,
+        Gzip.decode(b.payload).map(_.getBytes("UTF-8")).getOrElse(Array.emptyByteArray))))
+      .filter(col("warc_type") === "response")
+    val urls = Url.canonicalizeAll(
+        records.select(col("doc_id"), col("target_uri")).as[(Long, String)])
+      .filter(col("valid")).select(col("doc_id"), col("canonical"))
+    val pages = Html.extractAll(
+        records.select(col("doc_id"), col("body")).as[(Long, String)])
+      .select(col("doc_id"), col("title"), col("n_chars"))
+    val joined = urls.join(pages, "doc_id")
+    val keep = joined.groupBy("canonical")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).cast("int").as("n_dups"))
+    keep.join(joined, Seq("canonical", "doc_id"))
+      .select(col("doc_id"), col("canonical"), col("n_dups"), col("title"),
+        col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q73a, q74, q76, q76a, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
       q93, q95, q97, q98, q99, q104, q104a, q107, q108, q113, q119, q120, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
-      q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148)
+      q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149)
 }
