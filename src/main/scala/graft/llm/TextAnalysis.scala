@@ -526,13 +526,16 @@ object TextAnalysis {
       queries: org.apache.spark.sql.DataFrame,
       k: Int = 10): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // one explode → tf; dl and df DERIVE from tf (Σtf per doc, rows per
+    // term) instead of re-scanning the exploded tokens — at corpus scale
+    // the token explode is the dominant cost and must run once
     val toks = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .filter(col("term") =!= "")
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val df = toks.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+      .localCheckpoint(false)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val meta = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(dl.agg(sum("dl").as("sum_dl")))
       .select(col("n_docs"),
