@@ -2870,11 +2870,42 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q150
+  // REAL audio-metadata tags (Id3 — the sidecar a music/podcast corpus
+  // joins against, like q144's subtitles for video): each doc's blob is
+  // a full ID3v2 tag followed by real MP3 frames, alternating v2.3/v2.4
+  // per doc parity — the two versions encode FRAME sizes differently
+  // (plain vs syncsafe big-endian), a classic desync bug this fixture
+  // forces both ways. The oracle re-derives version/title/artist/album
+  // arithmetically; the audio suffix proves the walk stops at the tag
+  // boundary (Mp3Spec's walk skips the same bytes from the other side).
+  val q150 = Q(
+    "q150_id3_tags",
+    """SELECT doc_id, true AS valid,
+      |       CAST(3 + doc_id % 2 AS INT) AS version,
+      |       'Track ' || CAST(doc_id AS VARCHAR) AS title,
+      |       'Artist ' || CAST(doc_id % 23 AS VARCHAR) AS artist,
+      |       'Album ' || CAST(doc_id % 7 AS VARCHAR) AS album
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val blobs = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      Multimodal.Blob(id,
+        Id3.encode(s"Track $id", s"Artist ${id % 23}", s"Album ${id % 7}",
+          version = (3 + id % 2).toInt) ++
+          Mp3.encodeFrames((id % 3).toInt, _ => (1 + id % 14).toInt, _ => 0, 2))
+    }
+    Id3.tagRows(blobs)
+      .select(col("doc_id"), col("valid"), col("version"), col("title"),
+        col("artist"), col("album"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
       q73, q73a, q74, q76, q76a, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q89,
       q93, q95, q97, q98, q99, q104, q104a, q107, q108, q113, q119, q120, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
-      q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149)
+      q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
+      q150)
 }
