@@ -2900,6 +2900,54 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q151
+  // robots.txt frontier filtering (Robots — RFC 9309): per-host rules
+  // joined to the URL frontier, longest-pattern decisions with Allow
+  // ties, '*' wildcards and the '$' anchor, and a named agent group the
+  // evaluator must prefer over '*' (whose rule is Disallow-/ — an
+  // evaluator that falls through flips EVERY row). Four path classes
+  // exercise default-allow, prefix-Disallow, longer-Allow-override, and
+  // the anchored wildcard; the oracle re-derives each decision as CASE
+  // arithmetic.
+  val q151 = Q(
+    "q151_robots_filter",
+    """SELECT doc_id,
+      |       'host' || CAST(doc_id % 97 AS VARCHAR) AS host,
+      |       CASE doc_id % 4
+      |         WHEN 0 THEN '/public/p' || CAST(doc_id AS VARCHAR)
+      |         WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+      |         WHEN 2 THEN '/private/ok' || CAST(doc_id AS VARCHAR)
+      |         ELSE '/data/f' || CAST(doc_id AS VARCHAR) || '.json'
+      |       END AS path,
+      |       doc_id % 4 = 0 OR doc_id % 4 = 2 AS allowed,
+      |       CASE doc_id % 4
+      |         WHEN 0 THEN ''
+      |         WHEN 1 THEN '/private/'
+      |         WHEN 2 THEN '/private/ok'
+      |         ELSE '/*.json$'
+      |       END AS rule
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val urls = Tables(s, dir, "documents").selectExpr(
+      "doc_id",
+      "concat('host', cast(doc_id % 97 AS string)) AS host",
+      """CASE doc_id % 4
+        |  WHEN 0 THEN concat('/public/p', cast(doc_id AS string))
+        |  WHEN 1 THEN concat('/private/x', cast(doc_id AS string))
+        |  WHEN 2 THEN concat('/private/ok', cast(doc_id AS string))
+        |  ELSE concat('/data/f', cast(doc_id AS string), '.json')
+        |END AS path""".stripMargin)
+    val robotsTxt =
+      "User-agent: graftbot\nDisallow: /private/\nAllow: /private/ok\n" +
+        "Disallow: /*.json$\n\nUser-agent: *\nDisallow: /\n"
+    val robots = Tables(s, dir, "documents")
+      .selectExpr("concat('host', cast(doc_id % 97 AS string)) AS host")
+      .distinct().as[String].map(h => (h, robotsTxt)).toDF("host", "robots_txt")
+    Robots.filter(urls, robots, agent = "graftbot")
+      .select(col("doc_id"), col("host"), col("path"), col("allowed"), col("rule"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -2907,5 +2955,5 @@ object LlmQueries {
       q93, q95, q97, q98, q99, q104, q104a, q107, q108, q113, q119, q120, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-      q150)
+      q150, q151)
 }
