@@ -1164,11 +1164,77 @@ object ScaleStress {
     }
   }
 
+  /** Crawl-ingest throughput (the q149 front half): .warc.gz blobs →
+    * gzip member walk → WARC record walk → HTTP split → HTML-to-text,
+    * at growing corpus size. The per-row cost must stay flat across
+    * doublings (row-local chain, no shuffle) — that flatness IS the
+    * 100 TB claim; MB/s divides by the COMPRESSED archive bytes, the
+    * unit a crawl's storage bill is written in. */
+  def crawlThroughput(spark: SparkSession): Unit = {
+    import spark.implicits._
+    println("== crawl-ingest throughput: .warc.gz -> text across corpus size ==")
+    val listener = new QueryMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    def flush(): Unit = org.apache.spark.GraftListenerBus.flush(spark.sparkContext)
+    def consume(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    var prev = -1.0
+    for (nBlobs <- Seq(50000, 100000, 200000)) {
+      val dir = java.nio.file.Files.createTempDirectory("crawl_tp")
+      val path = dir.resolve("warc").toString
+      spark.range(nBlobs.toLong).as[Long].map { id =>
+        // ~2 KB html body; one gzip member per WARC record, 2 records
+        val body = (0 until 40).map(i =>
+          s"<p>tok${(id * 37 + i * 11) % 50000} and filler text $i</p>")
+          .mkString("<html><head><title>Doc " + id + "</title></head><body>",
+            " ", "</body></html>")
+        val rec = new String(llm.Warc.encodeResponse(
+          s"https://host${id % 997}.com/p$id", "2026-01-01T00:00:00Z",
+          200, "text/html", body), "UTF-8")
+        val info = new String(llm.Warc.encodeInfo("warcinfo", s"crawl $id"), "UTF-8")
+        llm.Multimodal.Blob(id, llm.Gzip.encodeMembers(Seq(info, rec)))
+      }.write.parquet(path)
+      val gzBytes = spark.read.parquet(path)
+        .agg(sum(length(col("payload")))).head().getLong(0)
+      def chain(blobs: org.apache.spark.sql.Dataset[llm.Multimodal.Blob]): DataFrame = {
+        val recs = llm.Warc.ingest(blobs.map(b => llm.Multimodal.Blob(b.doc_id,
+          llm.Gzip.decode(b.payload).map(_.getBytes("UTF-8"))
+            .getOrElse(Array.emptyByteArray))))
+          .filter(col("warc_type") === "response")
+        llm.Html.extractAll(recs.select(col("doc_id"), col("body"))
+          .as[(Long, String)]).toDF()
+      }
+      val blobs = spark.read.parquet(path).as[llm.Multimodal.Blob]
+      consume(chain(blobs)) // untimed warm
+      val (wall, cpu) = Seq.fill(2) {
+        System.gc()
+        flush(); listener.snapshotAndReset()
+        val t0 = System.nanoTime()
+        consume(chain(blobs))
+        val w = (System.nanoTime() - t0) / 1e9
+        flush()
+        (w, listener.snapshotAndReset().cpuSec)
+      }.minBy(_._1)
+      val ratio = if (prev > 0) f"${wall / prev}%4.2fx" else "  - "
+      println(f"n=$nBlobs%7d  wall=$wall%5.2f s (${gzBytes / wall / 1e6}%7.1f MB/s of .warc.gz, " +
+        f"${cpu * 1e6 / nBlobs}%5.1f cpu-us/doc, vs prev $ratio)")
+      prev = wall
+      spark.catalog.clearCache()
+      TempDirs.rmTree(dir)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.filterNot(_.startsWith("--")).headOption
       .getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (args.contains("--crawl")) {
+      crawlThroughput(spark)
+      spark.stop()
+      return
+    }
 
     if (args.contains("--relational")) {
       relational(spark, sfDir, r = 16)
