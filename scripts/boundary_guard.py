@@ -248,6 +248,15 @@ SELECT dist AS v FROM cand WHERE dist <= 1.20006"""),
         n AS (SELECT count(*) AS n_docs FROM documents)
         SELECT tf * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) AS v
         FROM tf JOIN df USING (term) CROSS JOIN n"""),
+    # q152's priority values are exact decimal-string parses on the 0.1
+    # grid (plus the 0.5 protocol default) — every value sits ON a
+    # round(,1) grid point, 0.05 from the nearest half boundary, so this
+    # probe is structurally safe at any SF; registered per the rounded-
+    # double-column policy.
+    "q152.priority": (1, """
+        SELECT CAST(doc_id % 10 AS DOUBLE) / 10 AS v FROM documents
+        WHERE doc_id % 5 <> 0
+        UNION ALL SELECT 0.5 FROM documents"""),
 }
 
 

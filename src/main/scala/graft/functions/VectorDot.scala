@@ -116,6 +116,8 @@ object GraftFunctions {
   val MisraGriesName = "misra_gries"
   val SignBandKeysName = "sign_band_keys"
   val FloorBandKeysName = "floor_band_keys"
+  val NfcNormalizeName = "nfc_normalize"
+  val StripAccentsName = "strip_accents"
 
   /** Build a [[VectorMatMul]] from a foldable nested-array-literal second
     * argument (the registry's builder sees Expressions only; the matrix is
@@ -220,6 +222,18 @@ object GraftFunctions {
         FloorBandKeys(exprs.head, planesFromExpr(FloorBandKeysName, exprs(1)),
           intLit(FloorBandKeysName, exprs(2)), intLit(FloorBandKeysName, exprs(3)),
           exprs(4).eval().asInstanceOf[Number].doubleValue())
+      }),
+    (FunctionIdentifier(NfcNormalizeName),
+      new ExpressionInfo(classOf[NfcNormalize].getName, NfcNormalizeName),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"$NfcNormalizeName takes 1 argument")
+        NfcNormalize(exprs.head)
+      }),
+    (FunctionIdentifier(StripAccentsName),
+      new ExpressionInfo(classOf[StripAccents].getName, StripAccentsName),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"$StripAccentsName takes 1 argument")
+        StripAccents(exprs.head)
       }),
     (FunctionIdentifier(MightContainName),
       new ExpressionInfo(

@@ -90,8 +90,10 @@ object Html {
   }
 
   /** Decode one character reference at `i` (which points at '&');
-    * returns (replacement, next index). Malformed → literal '&'. */
-  private def reference(s: String, i: Int): (String, Int) = {
+    * returns (replacement, next index). Malformed → literal '&'.
+    * Shared with [[Sitemap]] — sitemap `<loc>` values carry the same
+    * five predefined XML entities. */
+  private[llm] def reference(s: String, i: Int): (String, Int) = {
     val semi = s.indexOf(';', i + 1)
     if (semi < 0 || semi - i > 10) return ("&", i + 1)
     val body = s.substring(i + 1, semi)

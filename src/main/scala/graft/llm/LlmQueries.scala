@@ -2948,6 +2948,136 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q152
+  // sitemap.xml frontier seeding (Sitemap — q151's companion: robots.txt
+  // says what MAY be fetched, the sitemap says what the site WANTS
+  // fetched). Both document kinds by doc arity (urlset vs sitemapindex),
+  // namespace prefixes forced on odd docs (local-name matching), an
+  // entity-encoded loc, a CDATA loc every third doc (must NOT decode),
+  // an image-extension block whose inner <image:loc> must not leak, a
+  // loc-less junk entry that must drop without consuming a seq, and the
+  // protocol's 0.5 priority default. Row-local parse + explode; the
+  // oracle re-derives both entries per doc as CASE arithmetic.
+  val q152 = Q(
+    "q152_sitemap_parse",
+    """SELECT doc_id, seq, loc, lastmod, changefreq,
+      |       round(priority, 1) AS priority, is_index
+      |FROM (
+      |  SELECT doc_id, CAST(0 AS INT) AS seq,
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN 'https://ex.com/maps/sub' || CAST(doc_id AS VARCHAR) || '_0.xml.gz'
+      |         ELSE 'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/p/' ||
+      |              CAST(doc_id AS VARCHAR) || '?a=1&b=2' END AS loc,
+      |    CAST(DATE '2024-01-01' + CAST(doc_id % 366 AS INT) AS VARCHAR) AS lastmod,
+      |    CASE WHEN doc_id % 5 = 0 THEN ''
+      |         ELSE CASE doc_id % 7 WHEN 0 THEN 'always' WHEN 1 THEN 'hourly'
+      |              WHEN 2 THEN 'daily' WHEN 3 THEN 'weekly' WHEN 4 THEN 'monthly'
+      |              WHEN 5 THEN 'yearly' ELSE 'never' END END AS changefreq,
+      |    CASE WHEN doc_id % 5 = 0 THEN 0.5
+      |         ELSE CAST(doc_id % 10 AS DOUBLE) / 10 END AS priority,
+      |    doc_id % 5 = 0 AS is_index
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST(1 AS INT),
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN 'https://ex.com/maps/sub' || CAST(doc_id AS VARCHAR) || '_1.xml.gz'
+      |         ELSE 'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/q/' ||
+      |              CAST(doc_id AS VARCHAR) END,
+      |    '', '', 0.5, doc_id % 5 = 0
+      |  FROM documents
+      |) ORDER BY doc_id, seq""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val freqs = Array("always", "hourly", "daily", "weekly", "monthly", "yearly", "never")
+    val blobs = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val p = if (id % 2 == 1) "s:" else ""
+      val xmlns =
+        if (id % 2 == 1) """ xmlns:s="http://www.sitemaps.org/schemas/sitemap/0.9""""
+        else """ xmlns="http://www.sitemaps.org/schemas/sitemap/0.9""""
+      val iso = java.time.LocalDate.of(2024, 1, 1).plusDays(id % 366).toString
+      val xml =
+        if (id % 5 == 0)
+          s"""<?xml version="1.0" encoding="UTF-8"?>
+             |<${p}sitemapindex$xmlns>
+             |  <!-- shard index -->
+             |  <${p}sitemap><${p}loc>https://ex.com/maps/sub${id}_0.xml.gz</${p}loc><${p}lastmod>$iso</${p}lastmod></${p}sitemap>
+             |  <${p}sitemap><${p}loc>https://ex.com/maps/sub${id}_1.xml.gz</${p}loc></${p}sitemap>
+             |</${p}sitemapindex>""".stripMargin
+        else {
+          val locB = s"https://ex${id % 7}.com/q/$id"
+          val locBx = if (id % 3 == 0) s"<![CDATA[$locB]]>" else locB
+          s"""<?xml version="1.0" encoding="UTF-8"?>
+             |<${p}urlset$xmlns xmlns:image="http://www.google.com/schemas/sitemap-image/1.1">
+             |  <${p}url>
+             |    <${p}loc>https://ex${id % 7}.com/p/$id?a=1&amp;b=2</${p}loc>
+             |    <${p}lastmod>$iso</${p}lastmod>
+             |    <${p}changefreq>${freqs((id % 7).toInt)}</${p}changefreq>
+             |    <image:image><image:loc>https://ex.com/pic$id.png</image:loc></image:image>
+             |    <${p}priority>0.${id % 10}</${p}priority>
+             |  </${p}url>
+             |  <${p}url><${p}lastmod>2020-01-01</${p}lastmod></${p}url>
+             |  <${p}url><${p}loc>$locBx</${p}loc></${p}url>
+             |</${p}urlset>""".stripMargin
+        }
+      (id, xml)
+    }
+    Sitemap.entries(blobs)
+      .select(col("doc_id"), col("seq"), col("loc"), col("lastmod"),
+        col("changefreq"), round(col("priority"), 1).as("priority"), col("is_index"))
+      .orderBy("doc_id", "seq")
+  }
+
+  // ---------------------------------------------------------------- q153
+  // Unicode normalization (codegen NfcNormalize/StripAccents — the first
+  // pass of every multi-source text pipeline: composed and decomposed
+  // encodings of the SAME text break exact dedup, token counting, and
+  // vocab building until NFC'd; accent folding is the fuzzy-match key
+  // across diacritic variants). The fixture builds DECOMPOSED text from
+  // chr() codepoints IN SQL on both engines — combining acute/diaeresis/
+  // ring/cedilla on Latin, Hangul jamo (whose NFD carries no Mn marks, so
+  // the fold must RECOMPOSE — an NFD-only fold flips those rows), and an
+  // already-NFC class exercising the allocation-free fast path. DuckDB's
+  // own nfc_normalize/strip_accents (utf8proc) re-derive every value, so
+  // this is a true cross-engine oracle of the kernel itself, not an
+  // arithmetic restatement. Row-local, whole-stage codegen end-to-end.
+  val q153 = Q(
+    "q153_unicode_normalize",
+    """SELECT doc_id, nfc_normalize(raw) AS nfc,
+      |       strip_accents(nfc_normalize(raw)) AS folded,
+      |       CAST(length(raw) AS INT) AS n_raw,
+      |       CAST(length(nfc_normalize(raw)) AS INT) AS n_nfc,
+      |       raw = nfc_normalize(raw) AS already_nfc
+      |FROM (
+      |  SELECT doc_id,
+      |    CASE doc_id % 5
+      |      WHEN 0 THEN 'Cafe' || chr(769) || ' No' || chr(776) || 'el'
+      |      WHEN 1 THEN 'A' || chr(778) || 'ngstro' || chr(776) || 'm'
+      |      WHEN 2 THEN 'Garc' || chr(807) || 'on'
+      |      WHEN 3 THEN chr(4352) || chr(4449) || chr(4523)
+      |      ELSE 'plain ' || CAST(doc_id AS VARCHAR)
+      |    END AS raw
+      |  FROM documents
+      |) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    // Spark's char()/chr() is ASCII-mod-256, NOT codepoint-based, so the
+    // decomposed sequences are inlined as literals here; the oracle's
+    // chr() IS codepoint-based and builds the identical bytes.
+    Tables(s, dir, "documents")
+      .selectExpr("doc_id",
+        "CASE CAST(doc_id % 5 AS INT) " +
+          "WHEN 0 THEN 'Cafe\u0301 No\u0308el' " +
+          "WHEN 1 THEN 'A\u030Angstro\u0308m' " +
+          "WHEN 2 THEN 'Garc\u0327on' " +
+          "WHEN 3 THEN '\u1100\u1161\u11AB' " +
+          "ELSE 'plain ' || CAST(doc_id AS STRING) END AS raw")
+      .selectExpr("doc_id",
+        "nfc_normalize(raw) AS nfc",
+        "strip_accents(nfc_normalize(raw)) AS folded",
+        "CAST(length(raw) AS INT) AS n_raw",
+        "CAST(length(nfc_normalize(raw)) AS INT) AS n_nfc",
+        "raw = nfc_normalize(raw) AS already_nfc")
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -2955,5 +3085,5 @@ object LlmQueries {
       q93, q95, q97, q98, q99, q104, q104a, q107, q108, q113, q119, q120, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-      q150, q151)
+      q150, q151, q152, q153)
 }
