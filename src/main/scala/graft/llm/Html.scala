@@ -113,6 +113,106 @@ object Html {
     }
   }
 
+  /** `<a href>` extraction in document order — the crawl chain's link
+    * discovery step (frontier expansion + the edge list of the link
+    * graph that quality signals like PageRank run over). Same walk rules
+    * as [[extract]]: anchors inside comments or script/style content do
+    * NOT extract (commented-out or script-embedded markup never renders
+    * a link), unterminated comments drop the rest. Per anchor tag the
+    * FIRST `href` attribute wins; values may be double-quoted,
+    * single-quoted, or unquoted (terminated by whitespace), and are
+    * entity-decoded ("&amp;" is required escaping inside attribute
+    * values). An `<a>` without `href` yields nothing. */
+  def links(html: String): Seq[String] = {
+    if (html == null || html.isEmpty) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = html.length
+    def lowerAt(p: Int, s: String): Boolean =
+      p + s.length <= n && html.regionMatches(true, p, s, 0, s.length)
+    while (i < n) {
+      if (html.charAt(i) == '<') {
+        if (lowerAt(i, "<!--")) {
+          val close = html.indexOf("-->", i + 4)
+          i = if (close < 0) n else close + 3
+        } else if (lowerAt(i, "<script") || lowerAt(i, "<style")) {
+          val closer = if (lowerAt(i, "<script")) "</script" else "</style"
+          var j = i + 1
+          var stop = -1
+          while (stop < 0 && j < n) {
+            if (html.charAt(j) == '<' && lowerAt(j, closer)) stop = j
+            j += 1
+          }
+          i = if (stop < 0) n
+          else {
+            val gt = html.indexOf('>', stop)
+            if (gt < 0) n else gt + 1
+          }
+        } else {
+          val gt = html.indexOf('>', i)
+          val end = if (gt < 0) n else gt
+          if ((lowerAt(i, "<a ") || lowerAt(i, "<a\t") || lowerAt(i, "<a\n") ||
+              lowerAt(i, "<a\r")) && end > i) {
+            href(html.substring(i + 2, end)).foreach(out += _)
+          }
+          i = if (gt < 0) n else gt + 1
+        }
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** First href attribute value inside an anchor tag's attribute text,
+    * entity-decoded; None when absent. A real attribute TOKENIZER (name,
+    * optional `= value`), not a substring scan — "href" appearing inside
+    * another attribute's value (`title="see href=..."`) must not match.
+    * A bare valueless `href` counts as absent. */
+  private def href(attrs: String): Option[String] = {
+    val n = attrs.length
+    var i = 0
+    while (i < n) {
+      while (i < n && (attrs.charAt(i).isWhitespace || attrs.charAt(i) == '/')) i += 1
+      if (i >= n) return None
+      val nameStart = i
+      while (i < n && !attrs.charAt(i).isWhitespace &&
+        attrs.charAt(i) != '=' && attrs.charAt(i) != '/') i += 1
+      val name = attrs.substring(nameStart, i)
+      while (i < n && attrs.charAt(i).isWhitespace) i += 1
+      var value: String = null
+      if (i < n && attrs.charAt(i) == '=') {
+        i += 1
+        while (i < n && attrs.charAt(i).isWhitespace) i += 1
+        if (i < n) {
+          val q = attrs.charAt(i)
+          if (q == '"' || q == '\'') {
+            val close = attrs.indexOf(q, i + 1)
+            value = attrs.substring(i + 1, if (close < 0) n else close)
+            i = if (close < 0) n else close + 1
+          } else {
+            val s = i
+            while (i < n && !attrs.charAt(i).isWhitespace) i += 1
+            value = attrs.substring(s, i)
+          }
+        } else value = ""
+      }
+      if (name.equalsIgnoreCase("href") && value != null) {
+        // entity-decode through the shared reference decoder
+        val sb = new StringBuilder(value.length)
+        var k = 0
+        while (k < value.length) {
+          val c = value.charAt(k)
+          if (c == '&') {
+            val (decoded, next) = reference(value, k)
+            sb.append(decoded); k = next
+          } else { sb.append(c); k += 1 }
+        }
+        return Some(sb.toString)
+      }
+      if (i == nameStart) i += 1 // junk char neither name nor '=': advance
+    }
+    None
+  }
+
   private def collapse(s: String): String = {
     val out = new StringBuilder(s.length)
     var space = false

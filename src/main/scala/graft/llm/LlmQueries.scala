@@ -3078,6 +3078,96 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q154
+  // <a href> link extraction (Html.links — the crawl chain's frontier-
+  // expansion / link-graph step): double-quoted, single-quoted, and
+  // unquoted attribute values, attribute-order independence, entity
+  // decoding inside values, a decoy "href=" inside ANOTHER attribute's
+  // value (a substring-scan extractor matches it; the tokenizer must
+  // not), href-less anchors yielding nothing, and anchors inside
+  // comments and script content that must NOT extract. Row-local
+  // parse + explode; the oracle re-derives all four links per doc.
+  val q154 = Q(
+    "q154_link_extract",
+    """SELECT doc_id, seq, href FROM (
+      |  SELECT doc_id, CAST(0 AS INT) AS seq,
+      |         'https://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/p/' ||
+      |           CAST(doc_id + 1 AS VARCHAR) || '?x=1&y=2' AS href
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST(1 AS INT),
+      |         '/rel/' || CAST(doc_id AS VARCHAR) FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST(2 AS INT),
+      |         'plain' || CAST(doc_id AS VARCHAR) FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST(3 AS INT),
+      |         'https://ex.com/spaced/' || CAST(doc_id AS VARCHAR) FROM documents
+      |) ORDER BY doc_id, seq""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val pages = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      (id,
+        s"""<html><body><p>Doc $id</p>
+           |<a href="https://ex${id % 7}.com/p/${id + 1}?x=1&amp;y=2">next</a>
+           |<a class="c" title="see href=decoy" href='/rel/$id'>rel</a>
+           |<a href=plain$id>unquoted</a>
+           |<a name="top">no href</a>
+           |<!-- <a href="https://ex.com/hidden">no</a> -->
+           |<script>var s='<a href="https://ex.com/js">x</a>';</script>
+           |<a id="z" href = "https://ex.com/spaced/$id">spaced</a>
+           |</body></html>""".stripMargin)
+    }
+    pages.mapPartitions { it =>
+      it.flatMap { case (id, html) =>
+        Html.links(html).iterator.zipWithIndex.map { case (h, k) => (id, k, h) }
+      }
+    }.toDF("doc_id", "seq", "href")
+      .orderBy("doc_id", "seq")
+  }
+
+  // ---------------------------------------------------------------- q155
+  // PageRank over the link graph (LinkGraph.pageRank — the page-quality
+  // centrality signal crawl curation weighs documents by, downstream of
+  // q154's edge harvest). The point under test is an ITERATIVE
+  // distributed computation hash-checked with NO rounding: damping 1/2
+  // and constant out-degree 2 make every rank an exactly-representable
+  // dyadic rational (denominator ≤ 4³), so partition count and summation
+  // order cannot move a single bit, and three unrolled join+groupBy CTE
+  // levels in DuckDB re-derive the values exactly. Per-iteration cost is
+  // one shuffle; iterates are eagerly localCheckpoint'ed (constant-depth
+  // plans — the Components pattern).
+  val q155 = Q(
+    "q155_pagerank",
+    """WITH nn AS (SELECT count(*) AS cnt FROM documents),
+      |e AS (
+      |  SELECT doc_id AS src, (doc_id * 2 + 1) % (SELECT cnt FROM nn) AS dst
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id * 3 + 7) % (SELECT cnt FROM nn) FROM documents),
+      |c1 AS (SELECT dst AS v, CAST(0.25 AS DOUBLE) * count(*) AS c FROM e GROUP BY dst),
+      |r1 AS (SELECT doc_id AS v, 0.5 + coalesce(c, 0) AS r
+      |       FROM documents LEFT JOIN c1 ON doc_id = c1.v),
+      |c2 AS (SELECT e.dst AS v, CAST(0.25 AS DOUBLE) * sum(r1.r) AS c
+      |       FROM e JOIN r1 ON e.src = r1.v GROUP BY e.dst),
+      |r2 AS (SELECT doc_id AS v, 0.5 + coalesce(c, 0) AS r
+      |       FROM documents LEFT JOIN c2 ON doc_id = c2.v),
+      |c3 AS (SELECT e.dst AS v, CAST(0.25 AS DOUBLE) * sum(r2.r) AS c
+      |       FROM e JOIN r2 ON e.src = r2.v GROUP BY e.dst),
+      |r3 AS (SELECT doc_id AS v, 0.5 + coalesce(c, 0) AS r
+      |       FROM documents LEFT JOIN c3 ON doc_id = c3.v)
+      |SELECT v AS doc_id, r AS pr FROM r3 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val n = docs.count() // 1-value scalar: the modulus of the edge map
+    val nodes = docs.select(col("doc_id").as("v"))
+    val edges = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 2 + 1) % n).as("dst"))
+      .union(docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 3 + 7) % n).as("dst")))
+    LinkGraph.pageRank(nodes, edges, iters = 3, damping = 0.5)
+      .select(col("v").as("doc_id"), col("pr"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -3085,5 +3175,5 @@ object LlmQueries {
       q93, q95, q97, q98, q99, q104, q104a, q107, q108, q113, q119, q120, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-      q150, q151, q152, q153)
+      q150, q151, q152, q153, q154, q155)
 }
