@@ -1164,6 +1164,49 @@ object ScaleStress {
     }
   }
 
+  /** PageRank scaling (q155's engine): wall vs edge count at fixed
+    * iterations, and wall vs iteration count at fixed edges. The scale
+    * claims under test: (1) per-iteration cost is ONE shuffle of the
+    * rank table + one of the contribs — wall grows ~linearly with
+    * edges; (2) the eager-localCheckpoint iterate keeps per-round cost
+    * CONSTANT across rounds (plan depth never grows), so wall is
+    * ~linear in iters too. A super-linear iters curve would mean the
+    * lineage is leaking into later rounds. */
+  def pageRankCurve(spark: SparkSession): Unit = {
+    println("== pagerank: wall vs edges (3 iters) and vs iters (1M edges), damping 0.5 ==")
+    def graph(n: Long): (DataFrame, DataFrame) = {
+      val nodes = spark.range(n).select(col("id").as("v"))
+      val edges = spark.range(n).select(col("id").as("src"),
+          ((col("id") * 2 + 1) % n).as("dst"))
+        .union(spark.range(n).select(col("id").as("src"),
+          ((col("id") * 3 + 7) % n).as("dst")))
+      (nodes, edges)
+    }
+    def run(n: Long, iters: Int): (Double, Double) = {
+      val (nodes, edges) = graph(n)
+      val t0 = System.nanoTime()
+      val pr = llm.LinkGraph.pageRank(nodes, edges, iters, 0.5)
+      val mass = pr.agg(sum(col("pr"))).head().getDouble(0)
+      ((System.nanoTime() - t0) / 1e9, mass)
+    }
+    var prev = -1.0
+    for (n <- Seq(250000L, 500000L, 1000000L)) {
+      run(n, 3) // warm
+      val (wall, mass) = Seq.fill(2)(run(n, 3)).minBy(_._1)
+      val ratio = if (prev > 0) f"${wall / prev}%4.2fx" else "  - "
+      println(f"edges=${2 * n}%9d iters=3 wall=$wall%6.2f s (vs prev $ratio, mass=$mass%14.2f)")
+      prev = wall
+    }
+    prev = -1.0
+    for (iters <- Seq(2, 4, 8)) {
+      run(1000000L, iters) // warm
+      val (wall, _) = Seq.fill(2)(run(1000000L, iters)).minBy(_._1)
+      val ratio = if (prev > 0) f"${wall / prev}%4.2fx" else "  - "
+      println(f"edges=  2000000 iters=$iters%2d wall=$wall%6.2f s (vs prev $ratio)")
+      prev = wall
+    }
+  }
+
   /** Crawl-ingest throughput (the q149 front half): .warc.gz blobs →
     * gzip member walk → WARC record walk → HTTP split → HTML-to-text,
     * at growing corpus size. The per-row cost must stay flat across
@@ -1232,6 +1275,11 @@ object ScaleStress {
 
     if (args.contains("--crawl")) {
       crawlThroughput(spark)
+      spark.stop()
+      return
+    }
+    if (args.contains("--pagerank")) {
+      pageRankCurve(spark)
       spark.stop()
       return
     }
