@@ -3168,6 +3168,39 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q156
+  // Mojibake repair (Mojibake.repair — the crawl-text defect q153's
+  // normalization can't touch: a UTF-8 page re-transcoded as Latin-1
+  // arrives as valid-but-wrong Unicode). Three fixture classes: ASCII
+  // (never flags), legitimately-accented Latin-1-range text (its bytes
+  // are INVALID UTF-8, so the strict decoder refuses — the repair must
+  // not fire), and genuinely double-encoded text (round-trips back to
+  // the clean original). The oracle knows the clean text by
+  // construction, so a hash match certifies both the detector's
+  // decision boundary and the repair bytes. Row-local, no shuffle.
+  val q156 = Q(
+    "q156_mojibake_repair",
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'plain doc ' || CAST(doc_id AS VARCHAR)
+      |       ELSE 'R' || chr(233) || 'sum' || chr(233) || ' caf' || chr(233) ||
+      |            ' ' || CAST(doc_id AS VARCHAR) END AS text,
+      |  doc_id % 3 = 2 AS was_mojibake
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val accented = s"Résumé café $id"
+      val text = (id % 3) match {
+        case 0 => s"plain doc $id"
+        case 1 => accented
+        case _ => new String(accented.getBytes("UTF-8"), "ISO-8859-1")
+      }
+      (id, text)
+    }
+    Mojibake.repairAll(docs)
+      .select(col("doc_id"), col("text"), col("was_mojibake"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -3175,5 +3208,5 @@ object LlmQueries {
       q93, q95, q97, q98, q99, q104, q104a, q107, q108, q113, q119, q120, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-      q150, q151, q152, q153, q154, q155)
+      q150, q151, q152, q153, q154, q155, q156)
 }
