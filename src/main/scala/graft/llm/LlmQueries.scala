@@ -3201,6 +3201,57 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q157
+  // Charset sniffing + decode (CharsetSniff — the byte-to-text step
+  // between q146's HTTP split and q148's HTML extract: a third of the
+  // web serves legacy encodings). Five fixture classes force every
+  // precedence rule: Content-Type header param (1), UTF-8 BOM (2),
+  // <meta charset> in the byte prescan (3), strict-UTF-8 probe (4),
+  // and the windows-1252 fallback on invalid UTF-8 (5) — including a
+  // cp1252-specific 0x80 euro the Latin-1 reading would get wrong. The
+  // oracle re-derives every decoded string via chr() arithmetic, so a
+  // hash match certifies both the decision precedence and the decode
+  // bytes. Row-local, no shuffle.
+  val q157 = Q(
+    "q157_charset_sniff",
+    """SELECT doc_id,
+      |  CASE CAST(doc_id % 5 AS INT)
+      |    WHEN 0 THEN 'caf' || chr(233) || ' hdr ' || CAST(doc_id AS VARCHAR)
+      |    WHEN 1 THEN 'bom caf' || chr(233) || ' ' || CAST(doc_id AS VARCHAR)
+      |    WHEN 2 THEN '<meta charset=windows-1252>caf' || chr(233) || ' ' ||
+      |                chr(8364) || ' ' || CAST(doc_id AS VARCHAR)
+      |    WHEN 3 THEN 'plain caf' || chr(233) || ' ' || CAST(doc_id AS VARCHAR)
+      |    ELSE 'legacy caf' || chr(233) || ' ' || CAST(doc_id AS VARCHAR)
+      |  END AS text,
+      |  CASE CAST(doc_id % 5 AS INT)
+      |    WHEN 0 THEN 'iso-8859-1' WHEN 1 THEN 'utf-8'
+      |    WHEN 2 THEN 'windows-1252' WHEN 3 THEN 'utf-8'
+      |    ELSE 'windows-1252' END AS charset,
+      |  CASE CAST(doc_id % 5 AS INT)
+      |    WHEN 0 THEN 'header' WHEN 1 THEN 'bom' WHEN 2 THEN 'meta'
+      |    WHEN 3 THEN 'utf8' ELSE 'fallback' END AS source
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      (id % 5) match {
+        case 0 => (id, "text/html; charset=iso-8859-1",
+          s"café hdr $id".getBytes("ISO-8859-1"))
+        case 1 => (id, "text/html",
+          Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+            s"bom café $id".getBytes("UTF-8"))
+        case 2 => (id, "text/html",
+          s"<meta charset=windows-1252>café € $id".getBytes("windows-1252"))
+        case 3 => (id, "text/plain", s"plain café $id".getBytes("UTF-8"))
+        case _ => (id, "text/plain",
+          "legacy caf".getBytes("UTF-8") ++ Array(0xE9.toByte) ++
+            s" $id".getBytes("UTF-8"))
+      }
+    }
+    CharsetSniff.decodeAll(docs)
+      .select(col("doc_id"), col("text"), col("charset"), col("source"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -3208,5 +3259,5 @@ object LlmQueries {
       q93, q95, q97, q98, q99, q104, q104a, q107, q108, q113, q119, q120, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-      q150, q151, q152, q153, q154, q155, q156)
+      q150, q151, q152, q153, q154, q155, q156, q157)
 }
