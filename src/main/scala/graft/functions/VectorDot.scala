@@ -118,6 +118,7 @@ object GraftFunctions {
   val FloorBandKeysName = "floor_band_keys"
   val NfcNormalizeName = "nfc_normalize"
   val StripAccentsName = "strip_accents"
+  val ScriptCountsName = "script_counts"
 
   /** Build a [[VectorMatMul]] from a foldable nested-array-literal second
     * argument (the registry's builder sees Expressions only; the matrix is
@@ -234,6 +235,12 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, s"$StripAccentsName takes 1 argument")
         StripAccents(exprs.head)
+      }),
+    (FunctionIdentifier(ScriptCountsName),
+      new ExpressionInfo(classOf[ScriptCounts].getName, ScriptCountsName),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"$ScriptCountsName takes 1 argument")
+        ScriptCounts(exprs.head)
       }),
     (FunctionIdentifier(MightContainName),
       new ExpressionInfo(

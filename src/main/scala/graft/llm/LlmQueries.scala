@@ -3252,6 +3252,44 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q158
+  // Writing-script profile (codegen ScriptCounts — the non-Latin
+  // counterpart of q29's language-ID: script RATIOS are a multilingual
+  // crawl's first split, and wrong-script-for-declared-language rows are
+  // a strong noise signal). The kernel's classes are EXPLICIT code-point
+  // ranges (not the JDK's Unicode tables), so the oracle re-derives every
+  // count as CASE constants from the four fixture classes (pure Latin,
+  // Cyrillic, CJK+kana, mixed Latin/digit/Arabic). Row-local one-scan
+  // expression inside whole-stage codegen; no shuffle.
+  val q158 = Q(
+    "q158_script_profile",
+    """SELECT doc_id,
+      |  CAST(CASE WHEN doc_id % 4 = 0 THEN 10
+      |            WHEN doc_id % 4 = 3 THEN 3 ELSE 0 END AS BIGINT) AS latin,
+      |  CAST(CASE WHEN doc_id % 4 = 1 THEN 9 ELSE 0 END AS BIGINT) AS cyrillic,
+      |  CAST(CASE WHEN doc_id % 4 = 2 THEN 9 ELSE 0 END AS BIGINT) AS cjk,
+      |  CAST(CASE WHEN doc_id % 4 = 3 THEN 5 ELSE 0 END AS BIGINT) AS arabic,
+      |  CAST(CASE WHEN doc_id % 4 = 3 THEN 3 ELSE 0 END AS BIGINT) AS digits,
+      |  CAST(CASE WHEN doc_id % 4 = 3 THEN 2 ELSE 1 END AS BIGINT) AS spaces,
+      |  CAST(0 AS BIGINT) AS other_c
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    Tables(s, dir, "documents")
+      .selectExpr("doc_id",
+        "CASE CAST(doc_id % 4 AS INT) " +
+          "WHEN 0 THEN 'Hello World' " +
+          "WHEN 1 THEN 'Привет мир' " +
+          "WHEN 2 THEN '你好世界 こんにちは' " +
+          "ELSE 'abc 123 مرحبا' END AS raw")
+      .selectExpr("doc_id", "script_counts(raw) AS sc")
+      .selectExpr("doc_id",
+        "element_at(sc, 1) AS latin", "element_at(sc, 2) AS cyrillic",
+        "element_at(sc, 4) AS cjk", "element_at(sc, 6) AS arabic",
+        "element_at(sc, 8) AS digits", "element_at(sc, 9) AS spaces",
+        "element_at(sc, 10) AS other_c")
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -3259,5 +3297,5 @@ object LlmQueries {
       q93, q95, q97, q98, q99, q104, q104a, q107, q108, q113, q119, q120, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-      q150, q151, q152, q153, q154, q155, q156, q157)
+      q150, q151, q152, q153, q154, q155, q156, q157, q158)
 }
