@@ -167,50 +167,180 @@ object Html {
     * optional `= value`), not a substring scan — "href" appearing inside
     * another attribute's value (`title="see href=..."`) must not match.
     * A bare valueless `href` counts as absent. */
-  private def href(attrs: String): Option[String] = {
+  private def href(attrs: String): Option[String] =
+    attrLookup(attrs, "href")
+
+  /** All VALUED attributes of a tag's attribute text, in document order,
+    * names lowercased, values entity-decoded. A valueless attribute
+    * (`<meta charset>` boolean form) is omitted — callers here only ever
+    * consume name=value pairs. First occurrence of a repeated name is the
+    * one [[attrLookup]] surfaces (browsers keep the first too). */
+  private[llm] def attrPairs(attrs: String): List[(String, String)] = {
+    val out = scala.collection.mutable.ListBuffer.empty[(String, String)]
     val n = attrs.length
     var i = 0
     while (i < n) {
       while (i < n && (attrs.charAt(i).isWhitespace || attrs.charAt(i) == '/')) i += 1
-      if (i >= n) return None
-      val nameStart = i
-      while (i < n && !attrs.charAt(i).isWhitespace &&
-        attrs.charAt(i) != '=' && attrs.charAt(i) != '/') i += 1
-      val name = attrs.substring(nameStart, i)
-      while (i < n && attrs.charAt(i).isWhitespace) i += 1
-      var value: String = null
-      if (i < n && attrs.charAt(i) == '=') {
-        i += 1
+      if (i < n) {
+        val nameStart = i
+        while (i < n && !attrs.charAt(i).isWhitespace &&
+          attrs.charAt(i) != '=' && attrs.charAt(i) != '/') i += 1
+        val name = attrs.substring(nameStart, i)
         while (i < n && attrs.charAt(i).isWhitespace) i += 1
-        if (i < n) {
-          val q = attrs.charAt(i)
-          if (q == '"' || q == '\'') {
-            val close = attrs.indexOf(q, i + 1)
-            value = attrs.substring(i + 1, if (close < 0) n else close)
-            i = if (close < 0) n else close + 1
-          } else {
-            val s = i
-            while (i < n && !attrs.charAt(i).isWhitespace) i += 1
-            value = attrs.substring(s, i)
-          }
-        } else value = ""
-      }
-      if (name.equalsIgnoreCase("href") && value != null) {
-        // entity-decode through the shared reference decoder
-        val sb = new StringBuilder(value.length)
-        var k = 0
-        while (k < value.length) {
-          val c = value.charAt(k)
-          if (c == '&') {
-            val (decoded, next) = reference(value, k)
-            sb.append(decoded); k = next
-          } else { sb.append(c); k += 1 }
+        var value: String = null
+        if (i < n && attrs.charAt(i) == '=') {
+          i += 1
+          while (i < n && attrs.charAt(i).isWhitespace) i += 1
+          if (i < n) {
+            val q = attrs.charAt(i)
+            if (q == '"' || q == '\'') {
+              val close = attrs.indexOf(q, i + 1)
+              value = attrs.substring(i + 1, if (close < 0) n else close)
+              i = if (close < 0) n else close + 1
+            } else {
+              val s = i
+              while (i < n && !attrs.charAt(i).isWhitespace) i += 1
+              value = attrs.substring(s, i)
+            }
+          } else value = ""
         }
-        return Some(sb.toString)
+        if (name.nonEmpty && value != null) {
+          // entity-decode through the shared reference decoder
+          val sb = new StringBuilder(value.length)
+          var k = 0
+          while (k < value.length) {
+            val c = value.charAt(k)
+            if (c == '&') {
+              val (decoded, next) = reference(value, k)
+              sb.append(decoded); k = next
+            } else { sb.append(c); k += 1 }
+          }
+          out += ((name.toLowerCase(java.util.Locale.ROOT), sb.toString))
+        }
+        if (i == nameStart) i += 1 // junk char neither name nor '=': advance
       }
-      if (i == nameStart) i += 1 // junk char neither name nor '=': advance
     }
-    None
+    out.toList
+  }
+
+  /** First valued occurrence of `name` (give it lowercased) in a tag's
+    * attribute text, entity-decoded. */
+  private[llm] def attrLookup(attrs: String, name: String): Option[String] =
+    attrPairs(attrs).collectFirst { case (k, v) if k == name => v }
+
+  /** Page-metadata harvest — the head-of-document fields crawl curation
+    * reads before it ever renders the body: the canonical URL feeds
+    * canonical-URL dedup (q141's input in real pipelines), robots
+    * `noindex` is a hard keep-out signal, the declared `lang` routes
+    * documents before any detector runs, and title/description are the
+    * retrieval-display fields. Same walk rules as [[extract]]/[[links]]
+    * (markup inside comments or script/style content does NOT count;
+    * unterminated comments drop the rest), first occurrence wins per
+    * field, attribute values through the same tokenizer + entity
+    * decoder. Field rules, each spec-tested in HtmlSpec:
+    *   - `title`       first `<title>` element content, collapsed
+    *   - `description` first `<meta name=description content=…>` (name
+    *                   matched case-insensitively), collapsed
+    *   - `og_title`    first `<meta property=og:title content=…>`
+    *   - `canonical`   first `<link>` whose `rel` value contains the
+    *                   whitespace-separated token `canonical` (case-
+    *                   insensitive; `rel` is a token LIST per the spec)
+    *   - `lang`        first `<html lang=…>`, lowercased (BCP 47 tags
+    *                   are case-insensitive; lowercase is the canonical
+    *                   comparison form)
+    *   - `noindex`     true iff any `<meta name=robots content=…>`
+    *                   carries the comma/space-separated token `noindex`
+    *                   (token match — `noindexplease` must not fire)
+    *   - `n_meta`      count of `<meta>` tags carrying BOTH a name or
+    *                   property AND a content value (the harvestable
+    *                   ones; charset/http-equiv forms don't count)
+    * Absent string fields are empty "" (not null) — TOTAL like the rest
+    * of the crawl chain, and byte-deterministic for the q159 hash gate. */
+  final case class Meta(title: String, description: String, ogTitle: String,
+      canonical: String, lang: String, noindex: Boolean, nMeta: Int)
+
+  def metadata(html: String): Meta = {
+    if (html == null || html.isEmpty) return Meta("", "", "", "", "", false, 0)
+    var title = ""; var titleFound = false
+    var inTitle = false
+    val titleBuf = new StringBuilder
+    var description = ""; var ogTitle = ""; var canonical = ""; var lang = ""
+    var noindex = false
+    var nMeta = 0
+    var i = 0
+    val n = html.length
+    def lowerAt(p: Int, s: String): Boolean =
+      p + s.length <= n && html.regionMatches(true, p, s, 0, s.length)
+    def relHasToken(rel: String, token: String): Boolean =
+      rel.split("\\s+").exists(_.equalsIgnoreCase(token))
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (lowerAt(i, "<!--")) {
+          val close = html.indexOf("-->", i + 4)
+          i = if (close < 0) n else close + 3
+        } else if (lowerAt(i, "<script") || lowerAt(i, "<style")) {
+          val closer = if (lowerAt(i, "<script")) "</script" else "</style"
+          var j = i + 1
+          var stop = -1
+          while (stop < 0 && j < n) {
+            if (html.charAt(j) == '<' && lowerAt(j, closer)) stop = j
+            j += 1
+          }
+          i = if (stop < 0) n
+          else {
+            val gt = html.indexOf('>', stop)
+            if (gt < 0) n else gt + 1
+          }
+        } else {
+          val gt = html.indexOf('>', i)
+          val end = if (gt < 0) n else gt
+          if (lowerAt(i, "<title")) { if (!titleFound) inTitle = true }
+          else if (lowerAt(i, "</title")) {
+            if (inTitle) { title = collapse(titleBuf.toString); titleFound = true }
+            inTitle = false
+          } else if (lowerAt(i, "<meta") && end > i + 5 &&
+              !Character.isLetterOrDigit(html.charAt(i + 5))) {
+            val pairs = attrPairs(html.substring(i + 5, end))
+            def first(k: String) = pairs.collectFirst { case (`k`, v) => v }
+            val name = first("name"); val prop = first("property")
+            val content = first("content")
+            if ((name.nonEmpty || prop.nonEmpty) && content.nonEmpty) {
+              nMeta += 1
+              val key = name.orElse(prop).get.toLowerCase(java.util.Locale.ROOT)
+              if (key == "description" && name.nonEmpty && description.isEmpty)
+                description = collapse(content.get)
+              else if (key == "og:title" && prop.nonEmpty && ogTitle.isEmpty)
+                ogTitle = collapse(content.get)
+              else if (key == "robots" && name.nonEmpty &&
+                content.get.split("[,\\s]+").exists(_.equalsIgnoreCase("noindex")))
+                noindex = true
+            }
+          } else if (lowerAt(i, "<link") && end > i + 5 &&
+              !Character.isLetterOrDigit(html.charAt(i + 5))) {
+            val attrs = html.substring(i + 5, end)
+            if (canonical.isEmpty &&
+                attrLookup(attrs, "rel").exists(relHasToken(_, "canonical")))
+              canonical = attrLookup(attrs, "href").getOrElse("")
+          } else if (lowerAt(i, "<html") && end > i + 5 &&
+              !Character.isLetterOrDigit(html.charAt(i + 5))) {
+            if (lang.isEmpty)
+              lang = attrLookup(html.substring(i + 5, end), "lang")
+                .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("")
+          }
+          i = if (gt < 0) n else gt + 1
+        }
+      } else if (c == '&') {
+        val (decoded, next) = reference(html, i)
+        if (inTitle) titleBuf.append(decoded)
+        i = next
+      } else {
+        if (inTitle) titleBuf.append(c)
+        i += 1
+      }
+    }
+    if (inTitle && !titleFound) title = collapse(titleBuf.toString)
+    Meta(title, description, ogTitle, canonical, lang, noindex, nMeta)
   }
 
   private def collapse(s: String): String = {

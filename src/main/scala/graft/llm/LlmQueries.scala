@@ -3290,6 +3290,76 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q159
+  // Page-metadata harvest (Html.metadata — the head-of-document fields
+  // crawl curation reads before rendering the body: canonical URL feeds
+  // canonical-URL dedup, robots noindex is a hard keep-out, declared
+  // lang routes documents before any detector, title/description are
+  // the retrieval-display fields). Fixture forces every rule: first-
+  // occurrence-wins (duplicate description / canonical), rel as a
+  // whitespace token LIST ("alternate canonical" matches,
+  // "canonicalish" must not), robots comma/space token match
+  // ("noindexplease" must not fire), entity decoding in attribute
+  // values and title, charset/http-equiv metas not counted, comment-
+  // and script-hidden decoys ignored, quoted and unquoted attribute
+  // forms, lang lowercased. Row-local walk, no shuffle; oracle
+  // re-derives every field as CASE arithmetic on doc_id.
+  val q159 = Q(
+    "q159_html_metadata",
+    """SELECT doc_id,
+      |  'Doc ' || doc_id || ' & Co' AS title,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'Summary of doc ' || doc_id
+      |       ELSE '' END AS description,
+      |  'OG "' || doc_id || '"' AS og_title,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'https://ex.com/c/' || doc_id || '?a=1&b=2'
+      |       WHEN doc_id % 3 = 1 THEN '/alt/' || doc_id
+      |       ELSE '' END AS canonical,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'en-us' ELSE 'fr' END AS lang,
+      |  CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INT) AS noindex,
+      |  CAST(CASE doc_id % 4 WHEN 0 THEN 5 WHEN 1 THEN 3 WHEN 2 THEN 4
+      |       ELSE 2 END AS INT) AS n_meta
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val pages = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val langTag = if (id % 2 == 0) "<html lang=\"EN-us\">" else "<html lang=fr>"
+      val desc =
+        if (id % 2 == 0)
+          s"""<meta name="Description" content="Summary   of doc $id">
+             |<meta name="description" content="dup $id loses">""".stripMargin
+        else ""
+      val robots = (id % 4) match {
+        case 0 => """<meta name="robots" content="NOFOLLOW, noindex">"""
+        case 1 => "<meta name=robots content=noindexplease>"
+        case _ => ""
+      }
+      val canon = (id % 3) match {
+        case 0 => s"""<link rel="Canonical" href="https://ex.com/c/$id?a=1&amp;b=2">"""
+        case 1 => s"""<link rel="alternate canonical" href="/alt/$id">"""
+        case _ => s"""<link rel="canonicalish" href="/no/$id">"""
+      }
+      (id,
+        s"""$langTag<head>
+           |<title>Doc $id &amp; Co</title>
+           |$desc
+           |<meta property="og:title" content="OG &quot;$id&quot;"/>
+           |$robots
+           |<meta name="viewport" content="width=device-width">
+           |<meta charset="utf-8">
+           |<!-- <meta name="description" content="hidden"> -->
+           |<script>var s='<meta name="robots" content="noindex">';</script>
+           |<link rel="stylesheet" href="/css/$id">
+           |$canon
+           |</head><body><p>Body $id</p></body></html>""".stripMargin)
+    }
+    pages.map { case (id, html) =>
+      val m = Html.metadata(html)
+      (id, m.title, m.description, m.ogTitle, m.canonical, m.lang,
+        if (m.noindex) 1 else 0, m.nMeta)
+    }.toDF("doc_id", "title", "description", "og_title", "canonical", "lang",
+        "noindex", "n_meta")
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -3297,5 +3367,5 @@ object LlmQueries {
       q93, q95, q97, q98, q99, q104, q104a, q107, q108, q113, q119, q120, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-      q150, q151, q152, q153, q154, q155, q156, q157, q158)
+      q150, q151, q152, q153, q154, q155, q156, q157, q158, q159)
 }
