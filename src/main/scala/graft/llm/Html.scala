@@ -343,6 +343,129 @@ object Html {
     Meta(title, description, ogTitle, canonical, lang, noindex, nMeta)
   }
 
+  /** Main-content extraction — block-level boilerplate removal, the step
+    * between [[extract]]'s whole-page text and quality scoring: nav bars,
+    * footers, and link farms score as "text" to q148 but poison training
+    * data. The justext-family heuristic, kept INTEGER-ONLY so the
+    * decision boundary is bit-deterministic and oracle-re-derivable:
+    *
+    *   - the document splits into BLOCKS at block-level tag boundaries
+    *     (`p div h1..h6 li ul ol br hr table tr td th blockquote pre
+    *     article section header footer nav aside main form` — open or
+    *     close; inline tags like `<a> <b> <span>` do NOT split)
+    *   - per block, count non-whitespace chars (`nonWs`) and the subset
+    *     inside `<a>` elements (`linkNonWs`) — counted on DECODED chars
+    *     before whitespace collapse, so the counts are independent of
+    *     how the markup spells its whitespace
+    *   - a block is GOOD iff `nonWs >= 10 && 2*linkNonWs <= nonWs`
+    *     (too-short blocks are furniture; majority-link blocks are
+    *     navigation — both integer comparisons, no float density)
+    *   - content = good blocks' collapsed text joined by single spaces
+    *
+    * Same walk rules as [[extract]] (comments/script/style drop with
+    * content, unterminated comment drops the rest); `<title>` content is
+    * head furniture, not body, and is excluded from blocks. TOTAL and
+    * byte-deterministic — the q160 hash gate certifies the classifier's
+    * decision boundary, not just the plumbing. */
+  final case class Block(text: String, nonWs: Int, linkNonWs: Int) {
+    def good: Boolean = nonWs >= 10 && 2 * linkNonWs <= nonWs
+  }
+
+  private val BlockTags: Set[String] = Set(
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+    "br", "hr", "table", "tr", "td", "th", "blockquote", "pre",
+    "article", "section", "header", "footer", "nav", "aside", "main",
+    "form", "body", "html", "head")
+
+  def blocks(html: String): Seq[Block] = {
+    if (html == null || html.isEmpty) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[Block]
+    val buf = new StringBuilder
+    var nonWs = 0
+    var linkNonWs = 0
+    var linkDepth = 0
+    var inTitle = false
+    var i = 0
+    val n = html.length
+    def lowerAt(p: Int, s: String): Boolean =
+      p + s.length <= n && html.regionMatches(true, p, s, 0, s.length)
+    def flush(): Unit = {
+      val text = collapse(buf.toString)
+      if (text.nonEmpty) out += Block(text, nonWs, linkNonWs)
+      buf.clear(); nonWs = 0; linkNonWs = 0; linkDepth = 0
+    }
+    def append(s: String): Unit = {
+      if (!inTitle) {
+        var k = 0
+        while (k < s.length) {
+          val c = s.charAt(k)
+          buf.append(c)
+          if (!c.isWhitespace) {
+            nonWs += 1
+            if (linkDepth > 0) linkNonWs += 1
+          }
+          k += 1
+        }
+      }
+    }
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (lowerAt(i, "<!--")) {
+          val close = html.indexOf("-->", i + 4)
+          i = if (close < 0) n else close + 3
+        } else if (lowerAt(i, "<script") || lowerAt(i, "<style")) {
+          val closer = if (lowerAt(i, "<script")) "</script" else "</style"
+          var j = i + 1
+          var stop = -1
+          while (stop < 0 && j < n) {
+            if (html.charAt(j) == '<' && lowerAt(j, closer)) stop = j
+            j += 1
+          }
+          i = if (stop < 0) n
+          else {
+            val gt = html.indexOf('>', stop)
+            if (gt < 0) n else gt + 1
+          }
+        } else {
+          // tag name: letters/digits after '<' or '</'
+          val closing = i + 1 < n && html.charAt(i + 1) == '/'
+          var p = i + (if (closing) 2 else 1)
+          val nameStart = p
+          while (p < n && Character.isLetterOrDigit(html.charAt(p))) p += 1
+          val name = html.substring(nameStart, p).toLowerCase(java.util.Locale.ROOT)
+          if (name == "title") inTitle = !closing
+          else if (BlockTags.contains(name)) flush()
+          else if (name == "a") {
+            if (closing) { if (linkDepth > 0) linkDepth -= 1 }
+            else linkDepth += 1
+          } else buf.append(' ') // other inline tags separate like extract()
+          if (name.nonEmpty && (BlockTags.contains(name) || name == "a"))
+            buf.append(' ') // tag still separates adjacent text runs
+          val gt = html.indexOf('>', i)
+          i = if (gt < 0) n else gt + 1
+        }
+      } else if (c == '&') {
+        val (decoded, next) = reference(html, i)
+        append(decoded)
+        i = next
+      } else {
+        append(c.toString)
+        i += 1
+      }
+    }
+    flush()
+    out.toSeq
+  }
+
+  final case class Content(content: String, nBlocks: Int, nGood: Int)
+
+  def mainContent(html: String): Content = {
+    val bs = blocks(html)
+    val good = bs.filter(_.good)
+    Content(good.map(_.text).mkString(" "), bs.size, good.size)
+  }
+
   private def collapse(s: String): String = {
     val out = new StringBuilder(s.length)
     var space = false

@@ -3360,6 +3360,55 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q160
+  // Main-content extraction (Html.mainContent — block-level boilerplate
+  // removal, the step between q148's whole-page text and quality
+  // scoring: nav bars, footers, and link farms score as "text" to q148
+  // but poison training data). The justext-family heuristic kept
+  // INTEGER-ONLY (good iff nonWs >= 10 && 2*linkNonWs <= nonWs) so the
+  // decision boundary is bit-deterministic: the fixture plants one
+  // majority-link nav (bad by density, long enough that density is the
+  // decider), one too-short block, 2-3 good paragraphs (one with an
+  // inline link the density rule must tolerate), comment- and
+  // script-hidden good-looking paragraphs (must not leak), and an
+  // all-link footer; the oracle re-derives the surviving content string
+  // and block counts as CASE arithmetic. Row-local walk, no shuffle.
+  val q160 = Q(
+    "q160_main_content",
+    """SELECT doc_id,
+      |  'Document ' || doc_id || ' main body text with plenty of characters.' ||
+      |  CASE WHEN doc_id % 2 = 0
+      |       THEN ' Second paragraph of document ' || doc_id || ' continues the body.'
+      |       ELSE '' END ||
+      |  ' See details for more on topic ' || doc_id || ' here.' AS content,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 6 ELSE 5 END AS INT) AS n_blocks,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END AS INT) AS n_good
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val pages = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val second =
+        if (id % 2 == 0)
+          s"<p>Second paragraph of document $id continues the body.</p>"
+        else ""
+      (id,
+        s"""<html><head><title>T $id</title></head><body>
+           |<nav><a href="/1">HomePage</a> <a href="/2">AboutUs</a> <a href="/3">ContactUs</a></nav>
+           |<p>Hi</p>
+           |<p>Document $id main body text with plenty of characters.</p>
+           |$second
+           |<p>See <a href="/x/$id">details</a> for more on topic $id here.</p>
+           |<!-- <p>Hidden paragraph that is long enough to be good.</p> -->
+           |<script>var x='<p>Script paragraph long enough to be good.</p>';</script>
+           |<footer><a href="/c">Contact</a> <a href="/p">Privacy</a> <a href="/t">Terms</a></footer>
+           |</body></html>""".stripMargin)
+    }
+    pages.map { case (id, html) =>
+      val c = Html.mainContent(html)
+      (id, c.content, c.nBlocks, c.nGood)
+    }.toDF("doc_id", "content", "n_blocks", "n_good")
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -3367,5 +3416,5 @@ object LlmQueries {
       q93, q95, q97, q98, q99, q104, q104a, q107, q108, q113, q119, q120, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-      q150, q151, q152, q153, q154, q155, q156, q157, q158, q159)
+      q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160)
 }
