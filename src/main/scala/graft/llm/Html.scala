@@ -484,6 +484,39 @@ object Html {
     out.toString
   }
 
+  /** Per-doc metadata rows — row-local, no shuffle; runs unchanged under
+    * Structured Streaming (StreamingTextIngestSpec). */
+  final case class MetaRow(doc_id: Long, title: String, description: String,
+      og_title: String, canonical: String, lang: String, noindex: Boolean,
+      n_meta: Int)
+
+  def metadataAll(docs: org.apache.spark.sql.Dataset[(Long, String)]): org.apache.spark.sql.Dataset[MetaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.mapPartitions { it =>
+      it.map { case (id, html) =>
+        val m = metadata(html)
+        MetaRow(id, m.title, m.description, m.ogTitle, m.canonical, m.lang,
+          m.noindex, m.nMeta)
+      }
+    }
+  }
+
+  /** Per-doc main-content rows — row-local, no shuffle; streaming-safe. */
+  final case class ContentRow(doc_id: Long, content: String, n_blocks: Int,
+      n_good: Int)
+
+  def mainContentAll(docs: org.apache.spark.sql.Dataset[(Long, String)]): org.apache.spark.sql.Dataset[ContentRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.mapPartitions { it =>
+      it.map { case (id, html) =>
+        val c = mainContent(html)
+        ContentRow(id, c.content, c.nBlocks, c.nGood)
+      }
+    }
+  }
+
   /** Per-doc extraction rows — row-local, no shuffle. */
   final case class HtmlRow(doc_id: Long, title: String, text: String, n_chars: Int)
 

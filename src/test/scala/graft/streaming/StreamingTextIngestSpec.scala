@@ -90,4 +90,47 @@ class StreamingTextIngestSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.map(_.source) == Seq("header", "utf8", "fallback"))
   }
+
+  test("streaming metadata harvest + main-content extraction ≡ batch") {
+    val docs = Seq(
+      1L -> ("""<html lang="EN"><head><title>T1</title>""" +
+        """<meta name="robots" content="noindex">""" +
+        """<link rel="canonical" href="/c1"></head>""" +
+        """<body><nav><a href="/a">HomePageLink</a> <a href="/b">AboutUsLink</a></nav>""" +
+        """<p>Body paragraph one with plenty of characters.</p></body></html>"""),
+      2L -> "<p>Hi</p>", // all-bad blocks, empty metadata
+      3L -> "no markup at all but long enough to be one good block")
+    val dir = stage(docs)
+    def stream = spark.readStream.schema(docs.toDS().schema).parquet(dir)
+      .as[(Long, String)]
+
+    val mq = graft.llm.Html.metadataAll(stream)
+      .writeStream.format("memory").queryName("meta_stream")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt())
+      .start()
+    mq.awaitTermination()
+    val mStreamed = spark.table("meta_stream")
+      .as[graft.llm.Html.MetaRow].collect().sortBy(_.doc_id).toSeq
+    val mBatch = graft.llm.Html.metadataAll(docs.toDS())
+      .collect().sortBy(_.doc_id).toSeq
+    assert(mStreamed == mBatch)
+    assert(mStreamed(0).noindex && mStreamed(0).canonical == "/c1" &&
+      mStreamed(0).lang == "en")
+
+    val cq = graft.llm.Html.mainContentAll(stream)
+      .writeStream.format("memory").queryName("content_stream")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt())
+      .start()
+    cq.awaitTermination()
+    val cStreamed = spark.table("content_stream")
+      .as[graft.llm.Html.ContentRow].collect().sortBy(_.doc_id).toSeq
+    val cBatch = graft.llm.Html.mainContentAll(docs.toDS())
+      .collect().sortBy(_.doc_id).toSeq
+    assert(cStreamed == cBatch)
+    assert(cStreamed(0).content == "Body paragraph one with plenty of characters.")
+    assert(cStreamed(1).n_good == 0)
+    assert(cStreamed(2).n_good == 1)
+  }
 }
