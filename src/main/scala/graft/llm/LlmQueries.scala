@@ -3409,6 +3409,97 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q161
+  // RSS/Atom feed parse (Feed.entries — the third crawl-source format
+  // next to robots q151 / sitemap q152: feeds are how a crawler
+  // discovers FRESH content). Fixture forces the format-dispatch
+  // differences that make a shared parser interesting: RSS link as
+  // ELEMENT TEXT + RFC-1123 pubDate (GMT and numeric-offset zones) vs
+  // Atom link as ATTRIBUTE (rel="self" decoy must lose to the first
+  // rel-less link) + ISO-8601 updated (Z and -05:00), CDATA/entity
+  // titles, channel/feed-level title+link that must not leak into
+  // entries, a description block whose nested decoy <title> must not
+  // capture, linkless entries dropped, a junk-doc class. ts_epoch is
+  // integer civil-date arithmetic (Hinnant days-from-civil), so the
+  // oracle re-derives every epoch as pure CASE arithmetic. Row-local
+  // parse + explode, no shuffle.
+  val q161 = Q(
+    "q161_feed_parse",
+    """SELECT doc_id, seq, format, title, url, ts_epoch FROM (
+      |  SELECT doc_id, CAST(0 AS INT) AS seq, 'rss' AS format,
+      |         'Raw & item A of ' || doc_id AS title,
+      |         'https://ex.com/rss/' || doc_id || '/a' AS url,
+      |         CAST(1577836800 + (9 + doc_id % 18) * 86400
+      |              + (doc_id % 24) * 3600 + (doc_id % 60) * 60 AS BIGINT) AS ts_epoch
+      |  FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id, CAST(1 AS INT), 'rss',
+      |         'B & C of ' || doc_id,
+      |         'https://ex.com/rss/' || doc_id || '/b',
+      |         CAST(1577836800 + (9 + doc_id % 18) * 86400
+      |              + (doc_id % 24) * 3600 + (doc_id % 60) * 60 - 7200 AS BIGINT)
+      |  FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id, CAST(0 AS INT), 'atom',
+      |         'Entry A of ' || doc_id,
+      |         'https://ex.com/atom/' || doc_id,
+      |         CAST(1580515200 + (9 + doc_id % 19) * 86400
+      |              + (doc_id % 24) * 3600 AS BIGINT)
+      |  FROM documents WHERE doc_id % 3 = 1
+      |  UNION ALL
+      |  SELECT doc_id, CAST(1 AS INT), 'atom',
+      |         'Entry & B of ' || doc_id,
+      |         '/alt/' || doc_id,
+      |         CAST(1580515200 + (9 + doc_id % 19) * 86400
+      |              + (doc_id % 24) * 3600 + 18000 AS BIGINT)
+      |  FROM documents WHERE doc_id % 3 = 1
+      |) ORDER BY doc_id, seq""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val hh = f"${id % 24}%02d"
+      val mm = f"${id % 60}%02d"
+      (id, (id % 3) match {
+        case 0 =>
+          val dd = 10 + id % 18
+          s"""<?xml version="1.0"?>
+             |<rss version="2.0"><channel>
+             |<title>Channel of $id must not leak</title>
+             |<link>https://ex.com/channel/$id</link>
+             |<item>
+             |  <title><![CDATA[Raw & item A of $id]]></title>
+             |  <link>https://ex.com/rss/$id/a</link>
+             |  <description>decoy <title>nested $id</title> body</description>
+             |  <pubDate>Mon, $dd Jan 2020 $hh:$mm:00 GMT</pubDate>
+             |</item>
+             |<item><title>B &amp; C of $id</title>
+             |  <link>https://ex.com/rss/$id/b</link>
+             |  <pubDate>Mon, $dd Jan 2020 $hh:$mm:00 +0200</pubDate></item>
+             |<item><title>linkless of $id drops</title></item>
+             |</channel></rss>""".stripMargin
+        case 1 =>
+          val dd = 10 + id % 19
+          s"""<feed xmlns="http://www.w3.org/2005/Atom">
+             |<title>Feed of $id must not leak</title>
+             |<link rel="self" href="https://ex.com/feed$id.xml"/>
+             |<entry>
+             |  <link rel="self" href="https://ex.com/self/$id"/>
+             |  <link href="https://ex.com/atom/$id"/>
+             |  <a:title xmlns:a="x">Entry A of $id</a:title>
+             |  <updated>2020-02-${dd}T$hh:00:00Z</updated>
+             |</entry>
+             |<entry><title><![CDATA[Entry & B of $id]]></title>
+             |  <link rel="alternate" href="/alt/$id"/>
+             |  <updated>2020-02-${dd}T$hh:00:00-05:00</updated></entry>
+             |<entry><title>no link of $id</title></entry>
+             |</feed>""".stripMargin
+        case _ => s"not a feed $id"
+      })
+    }
+    Feed.entries(docs)
+      .toDF()
+      .orderBy("doc_id", "seq")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -3416,5 +3507,5 @@ object LlmQueries {
       q93, q95, q97, q98, q99, q104, q104a, q107, q108, q113, q119, q120, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-      q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160)
+      q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161)
 }
