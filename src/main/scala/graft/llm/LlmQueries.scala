@@ -3500,6 +3500,55 @@ object LlmQueries {
       .orderBy("doc_id", "seq")
   }
 
+  // ---------------------------------------------------------------- q162
+  // EXIF metadata extraction (Exif.parseJpeg — the TIFF IFD walk inside
+  // a JPEG APP1 segment; image metadata is the multimodal counterpart
+  // of q159's HTML head harvest, and reading it must not require a
+  // pixel decode). The fixture builder writes real TIFF structure and
+  // the doc_id parity split forces BOTH byte orders (`II`/`MM`) through
+  // every read path; Make exercises offset-ASCII, Model inline-ASCII
+  // (≤4 bytes incl. NUL), the pixel dims exercise the SHORT and LONG
+  // scalar types, ExposureTime the offset RATIONAL, and the EXIF
+  // sub-IFD pointer the one-level indirection. The oracle re-derives
+  // every harvested field as CASE/string arithmetic on doc_id, so a
+  // hash match certifies the byte-level walk. Row-local, no shuffle.
+  val q162 = Q(
+    "q162_exif_metadata",
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+      |  'CamCo' || (doc_id % 7) AS make,
+      |  'M' || (doc_id % 9) AS model,
+      |  CAST(1 + doc_id % 8 AS INT) AS orientation,
+      |  '2020:01:' || (10 + doc_id % 18) || ' ' ||
+      |    lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':' ||
+      |    lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':00' AS date_time,
+      |  CAST(640 + doc_id % 64 AS BIGINT) AS width,
+      |  CAST(480 + doc_id % 48 AS BIGINT) AS height,
+      |  CAST(100 * (1 + doc_id % 32) AS INT) AS iso,
+      |  CAST(1 AS BIGINT) AS exp_num,
+      |  CAST(10 + doc_id % 240 AS BIGINT) AS exp_den
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val bytes = Exif.buildJpeg(
+        littleEndian = id % 2 == 0,
+        make = s"CamCo${id % 7}",
+        model = s"M${id % 9}",
+        orientation = (1 + id % 8).toInt,
+        dateTime = f"2020:01:${10 + id % 18} ${id % 24}%02d:${id % 60}%02d:00",
+        width = (640 + id % 64).toInt,
+        height = (480 + id % 48).toInt,
+        iso = (100 * (1 + id % 32)).toInt,
+        exposureNum = 1,
+        exposureDen = (10 + id % 240).toInt)
+      val d = Exif.parseJpeg(bytes).getOrElse(Exif.Absent)
+      (id, d.byteOrder, d.make, d.model, d.orientation, d.dateTime,
+        d.width, d.height, d.iso, d.exposureNum, d.exposureDen)
+    }.toDF("doc_id", "byte_order", "make", "model", "orientation",
+        "date_time", "width", "height", "iso", "exp_num", "exp_den")
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -3507,5 +3556,6 @@ object LlmQueries {
       q93, q95, q97, q98, q99, q104, q104a, q107, q108, q113, q119, q120, q122, q123,
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-      q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161)
+      q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
+      q162)
 }
