@@ -3549,6 +3549,47 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q163
+  // Crawl politeness scheduler (Politeness.schedule — frontier URLs ×
+  // per-host crawl delays → fetch slots; the planning step between
+  // q151/q152/q161's frontier construction and the fetcher). One hash
+  // partition by host feeds both the delay join and the row_number
+  // window — per-host sequencing is the parallelism unit, so the
+  // single shuffle is inherent (a mega-host partition is the protocol's
+  // own serialization, not a fixable skew). Fixture: 23 hosts over the
+  // documents table, delays declared only for hosts 0..15 (16..22
+  // exercise the default-delay fallback), per-host URL order is binary
+  // string order on both engines.
+  val q163 = Q(
+    "q163_politeness_schedule",
+    """WITH f AS (
+      |  SELECT doc_id, 'h' || (doc_id % 23) || '.com' AS host,
+      |         'https://h' || (doc_id % 23) || '.com/p/' || doc_id AS url
+      |  FROM documents),
+      |d AS (
+      |  SELECT DISTINCT 'h' || (doc_id % 23) || '.com' AS host,
+      |         CAST(1 + (doc_id % 23) % 5 AS INT) AS delay_sec
+      |  FROM documents WHERE doc_id % 23 < 16)
+      |SELECT doc_id, host, url,
+      |  CAST(1700000000 + (row_number() OVER (PARTITION BY host ORDER BY url) - 1)
+      |       * coalesce(delay_sec, 1) AS BIGINT) AS fetch_at
+      |FROM f LEFT JOIN d USING(host)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val frontier = docs.select(
+      col("doc_id"),
+      concat(lit("h"), col("doc_id") % 23, lit(".com")).as("host"),
+      concat(lit("https://h"), col("doc_id") % 23, lit(".com/p/"),
+        col("doc_id")).as("url"))
+    val delays = docs.filter(col("doc_id") % 23 < 16)
+      .select(concat(lit("h"), col("doc_id") % 23, lit(".com")).as("host"),
+        (lit(1) + (col("doc_id") % 23) % 5).cast("int").as("delay_sec"))
+      .distinct()
+    Politeness.schedule(frontier, delays, start = 1700000000L)
+      .select("doc_id", "host", "url", "fetch_at")
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -3557,5 +3598,5 @@ object LlmQueries {
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
-      q162)
+      q162, q163)
 }
