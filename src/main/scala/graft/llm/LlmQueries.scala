@@ -3590,6 +3590,44 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q164
+  // PDF text extraction (Pdf.parse — the document-format member of the
+  // decode tier: a meaningful share of any crawl corpus is PDF, and its
+  // text lives behind real structure no regex reaches). The doc parity
+  // split forces BOTH the raw and /FlateDecode stream paths (zlib
+  // DECODE is bijective on valid input, so inflating is deterministic
+  // even though encoder bytes are not — the oracle re-derives the TEXT,
+  // never compressed bytes); the fixture exercises literal strings with
+  // escaped parens, TJ kern arrays, hex strings, T* line breaks, and
+  // /Type /Page counting (not /Pages). Row-local, no shuffle; oracle
+  // re-derives text and counts as CASE arithmetic.
+  val q164 = Q(
+    "q164_pdf_extract",
+    """SELECT doc_id,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS n_pages,
+      |  CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS INT) AS n_flate,
+      |  'Hello doc ' || doc_id || chr(10) || 'kerned text ' || doc_id ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ' HEX!' ELSE '' END ||
+      |    CASE WHEN doc_id % 2 = 0
+      |         THEN chr(10) || 'Page two (escaped) of ' || doc_id
+      |         ELSE '' END AS text
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val hexOp = if (id % 3 == 0) " <2048455821> Tj" else ""
+      val page1 = s"BT /F1 12 Tf 72 720 Td (Hello doc $id) Tj T* " +
+        s"[(kerned ) -120 (text $id)] TJ$hexOp ET"
+      val pages =
+        if (id % 2 == 0)
+          Seq(page1, s"BT 72 720 Td (Page two \\(escaped\\) of $id) Tj ET")
+        else Seq(page1)
+      val bytes = Pdf.build(pages, flate = id % 2 == 1)
+      val e = Pdf.parse(bytes).getOrElse(Pdf.Extracted(-1, -1, ""))
+      (id, e.nPages, e.nFlate, e.text)
+    }.toDF("doc_id", "n_pages", "n_flate", "text")
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -3598,5 +3636,5 @@ object LlmQueries {
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
-      q162, q163)
+      q162, q163, q164)
 }
