@@ -3628,6 +3628,90 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q165
+  // ZIP archive member scan (Zip.members — the container walk under
+  // every office document, epub, and jar a crawl surfaces). The parse
+  // is the spec's own read path: EOCD found backward through the
+  // comment zone, central directory for names/sizes/methods/offsets,
+  // member bytes from the LOCAL header (whose name/extra lengths may
+  // differ from the central copy), stored copied and deflated inflated
+  // through a raw Inflater. The doc parity split forces both methods;
+  // oracle re-derives names, sizes (via length()), and decoded text.
+  val q165 = Q(
+    "q165_zip_scan",
+    """SELECT doc_id, seq, name, size, method, text FROM (
+      |  SELECT doc_id, CAST(0 AS INT) AS seq,
+      |         'a/first_' || doc_id || '.txt' AS name,
+      |         CAST(length('member one of doc ' || doc_id) AS BIGINT) AS size,
+      |         'deflate' AS method,
+      |         'member one of doc ' || doc_id AS text
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST(1 AS INT), 'b/second.txt',
+      |         CAST(length('stored member of doc ' || doc_id) AS BIGINT),
+      |         CASE WHEN doc_id % 2 = 0 THEN 'stored' ELSE 'deflate' END,
+      |         'stored member of doc ' || doc_id
+      |  FROM documents
+      |) ORDER BY doc_id, seq""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long].flatMap { id =>
+      val bytes = Zip.build(Seq(
+        (s"a/first_$id.txt",
+          s"member one of doc $id".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          false),
+        ("b/second.txt",
+          s"stored member of doc $id".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          id % 2 == 0)))
+      Zip.members(bytes).getOrElse(Nil).zipWithIndex.map { case (m, k) =>
+        val methodName = if (m.method == 0) "stored" else "deflate"
+        (id, k, m.name, m.size, methodName,
+          new String(m.content, java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }.toDF("doc_id", "seq", "name", "size", "method", "text")
+      .orderBy("doc_id", "seq")
+  }
+
+  // ---------------------------------------------------------------- q166
+  // DOCX text extraction (Zip.docxText — q165's container walk composed
+  // with the WordprocessingML run walk: every <w:t> in document order,
+  // </w:p> paragraph breaks, <w:tab/> tabs, entities via the shared
+  // reference decoder, local-name matching for any namespace prefix).
+  // The fixture is a structurally honest .docx ([Content_Types].xml +
+  // word/document.xml, deflated); oracle re-derives the text as CASE
+  // arithmetic. Row-local, no shuffle.
+  val q166 = Q(
+    "q166_docx_text",
+    """SELECT doc_id,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END AS INT) AS n_paras,
+      |  'Heading of doc ' || doc_id || chr(10) || 'A & B run ' || doc_id ||
+      |    CASE WHEN doc_id % 2 = 0
+      |         THEN chr(10) || 'tabbed' || chr(9) || 'cols ' || doc_id
+      |         ELSE '' END AS text
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val extra =
+        if (id % 2 == 0)
+          s"<w:p><w:r><w:t>tabbed</w:t><w:tab/><w:t>cols $id</w:t></w:r></w:p>"
+        else ""
+      val docXml =
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+           |<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body>
+           |<w:p><w:r><w:t>Heading of doc $id</w:t></w:r></w:p>
+           |<w:p><w:r><w:t xml:space="preserve">A &amp; </w:t></w:r><w:r><w:t>B run $id</w:t></w:r></w:p>
+           |$extra
+           |</w:body></w:document>""".stripMargin
+      val bytes = Zip.build(Seq(
+        ("[Content_Types].xml",
+          "<Types/>".getBytes(java.nio.charset.StandardCharsets.UTF_8), false),
+        ("word/document.xml",
+          docXml.getBytes(java.nio.charset.StandardCharsets.UTF_8), false)))
+      val d = Zip.docxText(bytes).getOrElse(Zip.Doc(-1, ""))
+      (id, d.nParas, d.text)
+    }.toDF("doc_id", "n_paras", "text")
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -3636,5 +3720,5 @@ object LlmQueries {
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
-      q162, q163, q164)
+      q162, q163, q164, q165, q166)
 }
