@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.llm.{Exif, Feed, Pdf, Zip}
+
+/** B35/B36 × B37: the r11 document-format operators (feed parse, EXIF
+  * walk, PDF extract, DOCX extract) are row-local Dataset
+  * transformations, so the SAME function runs unchanged over a batch
+  * Dataset and a streaming one — a crawl's fetch results are naturally
+  * a stream, and format decode must not need a batch rewrite. Parity
+  * pinned including drop/quarantine rows. */
+class StreamingDocFormatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stage[T <: Product : org.apache.spark.sql.Encoder](rows: Seq[T]): String = {
+    val dir = Files.createTempDirectory("graft-docfmt-").toString
+    rows.toDS().write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def ckpt(): String = Files.createTempDirectory("graft-ckpt-").toString
+
+  private def run[T](ds: Dataset[T], name: String): Unit = {
+    val q = ds.writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("streaming feed parse ≡ batch, junk docs and linkless entries drop") {
+    val docs = Seq(
+      1L -> "<rss><channel><item><title>T</title><link>https://a/1</link></item><item><title>x</title></item></channel></rss>",
+      2L -> "<feed><entry><link href=\"https://b/1\"/><updated>2020-01-02T15:04:05Z</updated></entry></feed>",
+      3L -> "junk")
+    val dir = stage(docs)
+    val stream = spark.readStream.schema(docs.toDS().schema).parquet(dir)
+      .as[(Long, String)]
+    run(Feed.entries(stream), "feed_stream")
+    val streamed = spark.table("feed_stream").as[Feed.FeedRow]
+      .collect().sortBy(r => (r.doc_id, r.seq)).toSeq
+    val batch = Feed.entries(docs.toDS())
+      .collect().sortBy(r => (r.doc_id, r.seq)).toSeq
+    assert(streamed == batch)
+    assert(streamed.map(_.doc_id) == Seq(1L, 2L))
+    assert(streamed.map(_.format) == Seq("rss", "atom"))
+  }
+
+  test("streaming EXIF + PDF + DOCX ≡ batch, quarantine rows carried") {
+    final case class Out(doc_id: Long, kind: String, a: String, b: Long)
+    val exifBytes = Exif.buildJpeg(littleEndian = true, make = "CamCo",
+      model = "M1", orientation = 1, dateTime = "2020:01:02 15:04:05",
+      width = 640, height = 480, iso = 100, exposureNum = 1, exposureDen = 50)
+    val pdfBytes = Pdf.build(Seq("BT (pdf text) Tj ET"), flate = true)
+    val docxBytes = Zip.build(Seq(("word/document.xml",
+      "<w:document><w:body><w:p><w:r><w:t>docx text</w:t></w:r></w:p></w:body></w:document>"
+        .getBytes("UTF-8"), false)))
+    val docs = Seq(
+      (1L, "exif", exifBytes),
+      (2L, "pdf", pdfBytes),
+      (3L, "docx", docxBytes),
+      (4L, "pdf", "not a pdf".getBytes("UTF-8")))
+    def decode(ds: Dataset[(Long, String, Array[Byte])]): Dataset[(Long, String, String, Long)] =
+      ds.mapPartitions(_.map { case (id, kind, bytes) =>
+        kind match {
+          case "exif" =>
+            val d = Exif.parseJpeg(bytes).getOrElse(Exif.Absent)
+            (id, kind, d.make, d.width)
+          case "pdf" =>
+            val e = Pdf.parse(bytes).getOrElse(Pdf.Extracted(-1, -1, ""))
+            (id, kind, e.text, e.nPages.toLong)
+          case _ =>
+            val d = Zip.docxText(bytes).getOrElse(Zip.Doc(-1, ""))
+            (id, kind, d.text, d.nParas.toLong)
+        }
+      })
+    val dir = stage(docs)
+    val stream = spark.readStream.schema(docs.toDS().schema).parquet(dir)
+      .as[(Long, String, Array[Byte])]
+    run(decode(stream), "docfmt_stream")
+    val streamed = spark.table("docfmt_stream")
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    val batch = decode(docs.toDS()).collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed(0)._3 == "CamCo" && streamed(0)._4 == 640L)
+    assert(streamed(1)._3 == "pdf text" && streamed(1)._4 == 1L)
+    assert(streamed(2)._3 == "docx text" && streamed(2)._4 == 1L)
+    assert(streamed(3)._4 == -1L) // quarantine row carried, not dropped
+  }
+}
