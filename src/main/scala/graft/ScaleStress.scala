@@ -1267,12 +1267,85 @@ object ScaleStress {
     }
   }
 
+  /** Document-format decode throughput: PDF (flate content streams) and
+    * DOCX (zip + WordprocessingML) parse chains across corpus size. The
+    * claim under test is the same as --codec/--crawl: decode is
+    * row-local and embarrassingly parallel, so walls scale ~linearly in
+    * corpus size (ratio ≈ 2.0x per doubling) and per-doc cpu cost is
+    * flat — the property that holds at any executor count. */
+  def docFormatsThroughput(spark: SparkSession): Unit = {
+    import spark.implicits._
+    println("== doc-format decode throughput: PDF + DOCX -> text across corpus size ==")
+    val listener = new QueryMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    def flush(): Unit = org.apache.spark.GraftListenerBus.flush(spark.sparkContext)
+    def consume(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    var prev = -1.0
+    for (nDocs <- Seq(100000, 200000, 400000)) {
+      val dir = java.nio.file.Files.createTempDirectory("docfmt_tp")
+      val path = dir.resolve("docs").toString
+      spark.range(nDocs.toLong).as[Long].map { id =>
+        if (id % 2 == 0) {
+          // ~2 KB PDF: 20 text-showing paragraphs in one flate stream
+          val ops = (0 until 20).map(i =>
+            s"BT 72 ${700 - i * 14} Td (Paragraph $i of doc $id with tok" +
+              s"${(id * 31 + i * 7) % 50000} filler words) Tj ET").mkString(" ")
+          llm.Multimodal.Blob(id, llm.Pdf.build(Seq(ops), flate = true))
+        } else {
+          val paras = (0 until 20).map(i =>
+            s"<w:p><w:r><w:t>Paragraph $i of doc $id with tok" +
+              s"${(id * 31 + i * 7) % 50000} filler words</w:t></w:r></w:p>").mkString
+          llm.Multimodal.Blob(id, llm.Zip.build(Seq(
+            ("[Content_Types].xml", "<Types/>".getBytes("UTF-8"), false),
+            ("word/document.xml",
+              s"<w:document><w:body>$paras</w:body></w:document>".getBytes("UTF-8"),
+              false))))
+        }
+      }.write.parquet(path)
+      val inBytes = spark.read.parquet(path)
+        .agg(sum(length(col("payload")))).head().getLong(0)
+      def chain(blobs: org.apache.spark.sql.Dataset[llm.Multimodal.Blob]): DataFrame =
+        blobs.mapPartitions(_.map { b =>
+          if (b.doc_id % 2 == 0) {
+            val e = llm.Pdf.parse(b.payload).getOrElse(llm.Pdf.Extracted(-1, -1, ""))
+            (b.doc_id, "pdf", e.nPages, e.text.length)
+          } else {
+            val d = llm.Zip.docxText(b.payload).getOrElse(llm.Zip.Doc(-1, ""))
+            (b.doc_id, "docx", d.nParas, d.text.length)
+          }
+        }).toDF("doc_id", "kind", "n_units", "n_chars")
+      val blobs = spark.read.parquet(path).as[llm.Multimodal.Blob]
+      consume(chain(blobs)) // untimed warm
+      val (wall, cpu) = Seq.fill(2) {
+        System.gc()
+        flush(); listener.snapshotAndReset()
+        val t0 = System.nanoTime()
+        consume(chain(blobs))
+        val w = (System.nanoTime() - t0) / 1e9
+        flush()
+        (w, listener.snapshotAndReset().cpuSec)
+      }.minBy(_._1)
+      val ratio = if (prev > 0) f"${wall / prev}%4.2fx" else "  - "
+      println(f"n=$nDocs%7d  wall=$wall%5.2f s (${inBytes / wall / 1e6}%7.1f MB/s in, " +
+        f"${cpu * 1e6 / nDocs}%5.1f cpu-us/doc, vs prev $ratio)")
+      prev = wall
+      spark.catalog.clearCache()
+      TempDirs.rmTree(dir)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.filterNot(_.startsWith("--")).headOption
       .getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (args.contains("--docformats")) {
+      docFormatsThroughput(spark)
+      spark.stop()
+      return
+    }
     if (args.contains("--crawl")) {
       crawlThroughput(spark)
       spark.stop()
