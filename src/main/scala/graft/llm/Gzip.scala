@@ -84,6 +84,22 @@ object Gzip {
     catch { case _: java.nio.charset.CharacterCodingException => None }
   }
 
+  /** [[decode]] without the UTF-8 step — the binary-payload form (e.g.
+    * the `.tar` inside a `.tar.gz`, which [[Tar.members]] then walks). */
+  def decodeBytes(bytes: Array[Byte], maxOut: Int = MaxOut): Option[Array[Byte]] = {
+    if (bytes == null || bytes.length < 20) return None
+    val all = new java.io.ByteArrayOutputStream()
+    var off = 0
+    while (off < bytes.length) {
+      off = member(bytes, off, all, maxOut) match {
+        case -1 => return None
+        case n  => n
+      }
+      if (all.size().toLong > maxOut) return None
+    }
+    Some(all.toByteArray)
+  }
+
   /** Parse one member at `off`; append inflated bytes; return the offset
     * past its trailer, or -1 if malformed. */
   private def member(b: Array[Byte], off: Int, out: java.io.ByteArrayOutputStream,

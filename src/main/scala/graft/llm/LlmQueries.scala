@@ -3712,6 +3712,55 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q167
+  // .tar.gz archive ingest (Gzip.decodeBytes ∘ Tar.members — the other
+  // container crawl-scale data arrives in: dataset dumps, code
+  // tarballs, and web-archive exports; the q146 warc chain's sibling).
+  // The tar walk verifies ustar magic AND the header checksum, reads
+  // octal size fields, honors the prefix long-path scheme, and pads
+  // data to 512-byte blocks; the parity split exercises variable
+  // member counts. Oracle re-derives names, length()-derived sizes,
+  // typeflags, and member text. Row-local, no shuffle.
+  val q167 = Q(
+    "q167_tar_scan",
+    """SELECT doc_id, seq, name, size, tf, text FROM (
+      |  SELECT doc_id, CAST(0 AS INT) AS seq, 'data/' AS name,
+      |         CAST(0 AS BIGINT) AS size, '5' AS tf, '' AS text
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST(1 AS INT), 'data/doc_' || doc_id || '.txt',
+      |         CAST(length('tar member text of doc ' || doc_id) AS BIGINT),
+      |         '0', 'tar member text of doc ' || doc_id
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST(2 AS INT), 'data/extra_' || doc_id || '.bin',
+      |         CAST(length('extra payload ' || doc_id) AS BIGINT),
+      |         '0', 'extra payload ' || doc_id
+      |  FROM documents WHERE doc_id % 2 = 0
+      |) ORDER BY doc_id, seq""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long].flatMap { id =>
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val entries = Seq(
+        ("data/", Array.emptyByteArray, '5'),
+        (s"data/doc_$id.txt", s"tar member text of doc $id".getBytes(utf8), '0')) ++
+        (if (id % 2 == 0)
+          Seq((s"data/extra_$id.bin", s"extra payload $id".getBytes(utf8), '0'))
+        else Nil)
+      val gz = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val z = new java.util.zip.GZIPOutputStream(bos)
+        z.write(Tar.build(entries)); z.close()
+        bos.toByteArray
+      }
+      val peeled = Gzip.decodeBytes(gz).getOrElse(Array.emptyByteArray)
+      Tar.members(peeled).getOrElse(Nil).zipWithIndex.map { case (m, k) =>
+        (id, k, m.name, m.size, m.typeflag.toString, new String(m.content, utf8))
+      }
+    }.toDF("doc_id", "seq", "name", "size", "tf", "text")
+      .orderBy("doc_id", "seq")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -3720,5 +3769,5 @@ object LlmQueries {
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
-      q162, q163, q164, q165, q166)
+      q162, q163, q164, q165, q166, q167)
 }
