@@ -3761,6 +3761,54 @@ object LlmQueries {
       .orderBy("doc_id", "seq")
   }
 
+  // ---------------------------------------------------------------- q168
+  // Markdown-to-prose extraction (Markdown.extract — the README/docs
+  // tier of a code-adjacent corpus: Markdown is the dominant
+  // documentation format in source repos, and its prose needs the same
+  // markup-stripping q148 gives HTML). The fixture forces every rule:
+  // ATX header with text kept+counted, emphasis pairs unwrapping under
+  // the flanking rule, a link keeping its text (counted), a code span
+  // keeping content, list-marker + blockquote stripping on the same
+  // line, a fenced code block dropped whole (counted; even docs add a
+  // second ~~~-fenced one), an image removed whole ahead of link
+  // matching, and a thematic break dropped. Row-local; oracle
+  // re-derives the prose as CASE arithmetic.
+  val q168 = Q(
+    "q168_markdown_extract",
+    """SELECT doc_id,
+      |  'Title of doc ' || doc_id || chr(10) ||
+      |  'Intro em ' || doc_id || ' and bold ' || doc_id || ' here.' || chr(10) ||
+      |  'item link text ' || doc_id || ' tail' || chr(10) ||
+      |  'quoted code span ' || doc_id || ' line' ||
+      |  CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'caption ' || doc_id
+      |       ELSE '' END ||
+      |  chr(10) || 'Last line of doc ' || doc_id || '.' AS text,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS n_code_blocks,
+      |  CAST(1 AS INT) AS n_links,
+      |  CAST(1 AS INT) AS n_headers
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val even =
+        if (id % 2 == 0)
+          s"![logo](x.png) caption $id\n~~~\nmore dropped code $id\n~~~\n"
+        else ""
+      (id,
+        s"""# Title of doc $id
+           |Intro *em $id* and **bold $id** here.
+           |- item [link text $id](https://ex.com/$id) tail
+           |> quoted `code span $id` line
+           |```scala
+           |val x = $id // not prose
+           |```
+           |$even---
+           |Last line of doc $id.""".stripMargin)
+    }
+    Markdown.extractAll(docs)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -3769,5 +3817,5 @@ object LlmQueries {
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
-      q162, q163, q164, q165, q166, q167)
+      q162, q163, q164, q165, q166, q167, q168)
 }

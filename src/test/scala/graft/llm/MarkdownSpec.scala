@@ -1,0 +1,67 @@
+package graft.llm
+
+import graft.SparkSpec
+
+class MarkdownSpec extends SparkSpec {
+
+  test("headers, lists, blockquotes, breaks") {
+    val e = Markdown.extract(
+      """# Title
+        |## Sub ##
+        |####### not a header
+        |#nospace stays
+        |- item one
+        |* item two
+        |+ item three
+        |12. ordered
+        |3) also ordered
+        |> quoted line
+        |> > nested quote
+        |---
+        |***
+        |text after""".stripMargin)
+    assert(e.text ==
+      "Title\nSub\n####### not a header\n#nospace stays\nitem one\nitem two\n" +
+        "item three\nordered\nalso ordered\nquoted line\nnested quote\ntext after")
+    assert(e.nHeaders == 2)
+  }
+
+  test("fenced code blocks drop with content and count; unterminated drops rest") {
+    val e = Markdown.extract(
+      """before
+        |```scala
+        |val x = 1 // not prose
+        |# not a header either
+        |```
+        |between
+        |~~~
+        |more code
+        |~~~
+        |after""".stripMargin)
+    assert(e.text == "before\nbetween\nafter")
+    assert(e.nCodeBlocks == 2 && e.nHeaders == 0)
+    val cut = Markdown.extract("kept\n```\ndropped\nstill dropped")
+    assert(cut.text == "kept" && cut.nCodeBlocks == 1)
+  }
+
+  test("inline: images removed, links keep text, code spans and emphasis unwrap") {
+    val e = Markdown.extract(
+      "See [the docs](https://ex.com) and ![logo](x.png) plus `inline code` " +
+        "with *em*, **strong**, _under_, __dunder__ and lone * star.")
+    assert(e.text ==
+      "See the docs and  plus inline code with em, strong, under, dunder and lone * star.")
+    assert(e.nLinks == 1)
+    // image before link: ![ never half-matches as a link
+    assert(Markdown.extract("![alt text](img)").text == "")
+    assert(Markdown.extract("[kept](u) tail").nLinks == 1)
+    // unmatched markers pass through
+    assert(Markdown.extract("a * b ** c").text == "a * b ** c")
+  }
+
+  test("edges: empty, crlf, all-blank") {
+    assert(Markdown.extract("") == Markdown.Extracted("", 0, 0, 0))
+    assert(Markdown.extract(null) == Markdown.Extracted("", 0, 0, 0))
+    assert(Markdown.extract("a\r\nb\r\n") == Markdown.Extracted("a\nb", 0, 0, 0))
+    assert(Markdown.extract("\n\n  \n") == Markdown.Extracted("", 0, 0, 0))
+  }
+}
