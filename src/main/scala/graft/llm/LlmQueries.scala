@@ -3809,6 +3809,51 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q169
+  // License detection (License.detect — code-corpus curation's
+  // gatekeeper: train-ability of a source file turns on its license,
+  // and at corpus scale that is a header classifier). Seven fixture
+  // classes force both tiers and the ordering: SPDX tags in //-style
+  // and /*-style comments (closer stripped, id case preserved, tag
+  // BEATING a conflicting phrase in the same doc), MIT/Apache/GPL-3/
+  // BSD-3 phrase fingerprints with whitespace noise the normalization
+  // must absorb, and a no-license class. Row-local scan of the file
+  // head only (scale guard); oracle re-derives both columns as CASE
+  // arithmetic.
+  val q169 = Q(
+    "q169_license_detect",
+    """SELECT doc_id,
+      |  CASE CAST(doc_id % 7 AS INT)
+      |    WHEN 0 THEN 'Apache-2.0' WHEN 1 THEN 'MIT' WHEN 2 THEN 'Apache-2.0'
+      |    WHEN 3 THEN 'GPL-3.0' WHEN 4 THEN 'BSD-3-Clause' WHEN 5 THEN 'MIT'
+      |    ELSE 'NONE' END AS license,
+      |  CASE CAST(doc_id % 7 AS INT)
+      |    WHEN 0 THEN 'spdx' WHEN 5 THEN 'spdx'
+      |    WHEN 6 THEN 'none' ELSE 'phrase' END AS source
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val text = (id % 7) match {
+        case 0 => s"// SPDX-License-Identifier: Apache-2.0\n" +
+          s"// GNU General Public License version 3 mention must lose\nobject D$id"
+        case 1 => s"/* Permission is hereby granted,\n   free of charge, " +
+          s"to any person obtaining a copy */\ndef f$id = $id"
+        case 2 => s"# Licensed under the Apache License,\n     Version 2.0 " +
+          s"(the \"License\")\nclass C$id"
+        case 3 => s"This program is free software under the GNU General " +
+          s"Public License,\neither version 3 of the License\nmod m$id"
+        case 4 => s"Redistribution and use in source and binary forms " +
+          s"permitted.\nNeither the name of project$id may be used.\ncode"
+        case 5 => s"/* SPDX-License-Identifier: MIT */\nint main$id(void);"
+        case _ => s"just ordinary source text of doc $id with no license"
+      }
+      (id, text)
+    }
+    License.detectAll(docs)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -3817,5 +3862,5 @@ object LlmQueries {
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
-      q162, q163, q164, q165, q166, q167, q168)
+      q162, q163, q164, q165, q166, q167, q168, q169)
 }
