@@ -6,7 +6,7 @@ import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.SparkSpec
-import graft.llm.{Exif, Feed, Pdf, Zip}
+import graft.llm.{Exif, Feed, Gzip, License, Markdown, Pdf, Tar, Zip}
 
 /** B35/B36 × B37: the r11 document-format operators (feed parse, EXIF
   * walk, PDF extract, DOCX extract) are row-local Dataset
@@ -91,5 +91,52 @@ class StreamingDocFormatsSpec extends SparkSpec {
     assert(streamed(1)._3 == "pdf text" && streamed(1)._4 == 1L)
     assert(streamed(2)._3 == "docx text" && streamed(2)._4 == 1L)
     assert(streamed(3)._4 == -1L) // quarantine row carried, not dropped
+  }
+
+  test("streaming markdown + license ≡ batch") {
+    val docs = Seq(
+      1L -> "# H\n*em* [l](u)\n```\ncode\n```",
+      2L -> "// SPDX-License-Identifier: MIT\ncode",
+      3L -> "Permission is hereby granted, free of charge, to any person")
+    val dir = stage(docs)
+    def stream = spark.readStream.schema(docs.toDS().schema).parquet(dir)
+      .as[(Long, String)]
+    run(Markdown.extractAll(stream), "md_stream")
+    assert(spark.table("md_stream").as[Markdown.MdRow]
+      .collect().sortBy(_.doc_id).toSeq ==
+      Markdown.extractAll(docs.toDS()).collect().sortBy(_.doc_id).toSeq)
+    run(License.detectAll(stream), "lic_stream")
+    val lic = spark.table("lic_stream").as[License.LicenseRow]
+      .collect().sortBy(_.doc_id).toSeq
+    assert(lic == License.detectAll(docs.toDS()).collect().sortBy(_.doc_id).toSeq)
+    assert(lic.map(_.license) == Seq("NONE", "MIT", "MIT"))
+    assert(lic.map(_.source) == Seq("none", "spdx", "phrase"))
+  }
+
+  test("streaming tar.gz chain ≡ batch") {
+    def targz(id: Long): Array[Byte] = {
+      val inner = Tar.build(Seq((s"d$id.txt", s"text $id".getBytes("UTF-8"), '0')))
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.GZIPOutputStream(bos)
+      z.write(inner); z.close()
+      bos.toByteArray
+    }
+    val docs = Seq((1L, targz(1)), (2L, "not a tarball".getBytes("UTF-8")))
+    def decode(ds: Dataset[(Long, Array[Byte])]): Dataset[(Long, String, String)] =
+      ds.mapPartitions(_.flatMap { case (id, bytes) =>
+        val ms = Gzip.decodeBytes(bytes).flatMap(Tar.members)
+        ms match {
+          case Some(list) => list.map(m => (id, m.name, new String(m.content, "UTF-8")))
+          case None => Seq((id, "<quarantine>", ""))
+        }
+      })
+    val dir = stage(docs)
+    val stream = spark.readStream.schema(docs.toDS().schema).parquet(dir)
+      .as[(Long, Array[Byte])]
+    run(decode(stream), "tar_stream")
+    val streamed = spark.table("tar_stream").as[(Long, String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(streamed == decode(docs.toDS()).collect().sortBy(_._1).toSeq)
+    assert(streamed == Seq((1L, "d1.txt", "text 1"), (2L, "<quarantine>", "")))
   }
 }
