@@ -3854,6 +3854,65 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q170
+  // XLSX cell extraction (Xlsx.cells — the tabular member of the office
+  // tier next to q166's DOCX: spreadsheet values live behind the
+  // SpreadsheetML shared-strings indirection, so string cells hold pool
+  // INDEXES and a correct reader joins sharedStrings.xml with the sheet
+  // walk). The fixture forces all five cell kinds (shared/num/inline/
+  // bool/formula), entity round-trip through the pool, pool REUSE on
+  // even docs, and the out-of-range-index per-CELL quarantine on odd
+  // docs. Row-local, no shuffle; oracle re-derives every cell as UNION
+  // ALL CASE arithmetic.
+  val q170 = Q(
+    "q170_xlsx_cells",
+    """SELECT doc_id, seq, ref, kind, value FROM (
+      |  SELECT doc_id, CAST(0 AS INT) AS seq, 'A1' AS ref, 'shared' AS kind,
+      |         'Title of doc ' || doc_id AS value FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST(1 AS INT), 'B1', 'shared',
+      |         'Pooled & value ' || doc_id FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST(2 AS INT), 'C1', 'num', doc_id || '.25'
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST(3 AS INT), 'D1', 'inline',
+      |         'inline text ' || doc_id FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST(4 AS INT), 'E1', 'bool',
+      |         CASE WHEN doc_id % 2 = 0 THEN 'TRUE' ELSE 'FALSE' END
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST(5 AS INT), 'F1', 'formula', 'cached ' || doc_id
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST(6 AS INT), 'G1', 'shared', 'Title of doc ' || doc_id
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id, CAST(6 AS INT), 'H1', 'shared', ''
+      |  FROM documents WHERE doc_id % 2 = 1
+      |) ORDER BY doc_id, seq""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long].flatMap { id =>
+      val tail =
+        if (id % 2 == 0) Seq(("G1", "s", "<v>0</v>")) // pool reuse
+        else Seq(("H1", "s", "<v>9</v>"))             // out-of-range → ""
+      val bytes = Xlsx.build(
+        shared = Seq(s"Title of doc $id", s"Pooled & value $id"),
+        cellsSpec = Seq(
+          ("A1", "s", "<v>0</v>"),
+          ("B1", "s", "<v>1</v>"),
+          ("C1", "", s"<v>$id.25</v>"),
+          ("D1", "inlineStr", s"<is><t>inline text $id</t></is>"),
+          ("E1", "b", s"<v>${if (id % 2 == 0) 1 else 0}</v>"),
+          ("F1", "str", s"<v>cached $id</v>")) ++ tail)
+      Xlsx.cells(bytes).getOrElse(Nil).zipWithIndex.map { case (c, k) =>
+        (id, k, c.ref, c.kind, c.value)
+      }
+    }.toDF("doc_id", "seq", "ref", "kind", "value")
+      .orderBy("doc_id", "seq")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -3862,5 +3921,5 @@ object LlmQueries {
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
-      q162, q163, q164, q165, q166, q167, q168, q169)
+      q162, q163, q164, q165, q166, q167, q168, q169, q170)
 }

@@ -57,6 +57,7 @@ object Xlsx {
           case _ => ()
         }
       case TextEvent(s) => if (inSi && inT) buf ++= s
+      case AttrEvent(_) => () // namespace decls etc. carry no pooled text
     }
     out.result()
   }
