@@ -53,7 +53,10 @@ object CharsetSniff {
     }
   }
 
-  private def label(cs: Charset): String = cs.name.toLowerCase
+  // Locale.ROOT everywhere case is folded: the default locale leaks in
+  // otherwise (Turkish 'I'→'ı' breaks "iso-8859-1" labels and scans)
+  private def label(cs: Charset): String =
+    cs.name.toLowerCase(java.util.Locale.ROOT)
 
   /** charset= parameter of a Content-Type value; None if absent or the
     * label is unknown to the JVM. */
@@ -68,8 +71,14 @@ object CharsetSniff {
   /** Extract the value of a `charset=` parameter from a header-ish
     * string, tolerating quotes and trailing junk. */
   private def charsetParam(s: String): Option[String] = {
-    val lower = s.toLowerCase
-    val at = lower.indexOf("charset")
+    // case-insensitive scan of the ORIGINAL string via regionMatches:
+    // toLowerCase can change LENGTH ('İ' lowers to 'i' + combining dot),
+    // so offsets computed on a lowered copy don't transfer back
+    var at = -1
+    var p = 0
+    while (at < 0 && p + 7 <= s.length) {
+      if (s.regionMatches(true, p, "charset", 0, 7)) at = p else p += 1
+    }
     if (at < 0) return None
     var i = at + 7
     while (i < s.length && (s.charAt(i) == ' ' || s.charAt(i) == '\t')) i += 1
@@ -107,7 +116,7 @@ object CharsetSniff {
   private[llm] def metaCharset(b: Array[Byte]): Option[Charset] = {
     val window = new String(b, 0, math.min(b.length, 1024),
       StandardCharsets.ISO_8859_1)
-    val lower = window.toLowerCase
+    val lower = window.toLowerCase(java.util.Locale.ROOT)
     var i = 0
     while (i < lower.length) {
       val at = lower.indexOf("<meta", i)

@@ -97,15 +97,20 @@ object Html {
     val semi = s.indexOf(';', i + 1)
     if (semi < 0 || semi - i > 10) return ("&", i + 1)
     val body = s.substring(i + 1, semi)
+    // HTML5 maps surrogate-range references to U+FFFD: a lone surrogate
+    // is not valid Unicode, and letting one through diverges from any
+    // byte-level oracle the moment UTF-8 encoding replaces it
+    def codePoint(cp: Int): String =
+      if (cp >= 0xd800 && cp <= 0xdfff) "�" else cp.toChar.toString
     if (body.startsWith("#x") || body.startsWith("#X")) {
       val hex = body.substring(2)
       if (hex.nonEmpty && hex.length <= 4 && hex.forall(c => Character.digit(c, 16) >= 0))
-        (Integer.parseInt(hex, 16).toChar.toString, semi + 1)
+        (codePoint(Integer.parseInt(hex, 16)), semi + 1)
       else ("&", i + 1)
     } else if (body.startsWith("#")) {
       val dec = body.substring(1)
       if (dec.nonEmpty && dec.length <= 5 && dec.forall(_.isDigit) && dec.toInt <= 0xffff)
-        (dec.toInt.toChar.toString, semi + 1)
+        (codePoint(dec.toInt), semi + 1)
       else ("&", i + 1)
     } else Named.get(body) match {
       case Some(r) => (r, semi + 1)

@@ -52,13 +52,32 @@ object LinkGraph {
       while (t < iters) {
         val contribs = weighted.join(ranks, weighted("src") === ranks("v"))
           .groupBy(col("dst")).agg(sum(col("r") * col("wt")).as("c"))
+        val prev = ranks
         ranks = nodes.join(contribs, nodes("v") === contribs("dst"), "left")
           .select(col("v"),
             (lit(1.0 - damping) + lit(damping) * coalesce(col("c"), lit(0.0))).as("r"))
           .localCheckpoint(true) // constant-depth plan per round
+        // the new iterate is MATERIALIZED (eager checkpoint), so the
+        // superseded one's blocks can be dropped deterministically —
+        // leaving reclaim to the ContextCleaner keeps O(iters) iterates
+        // in storage on a long run (100-iteration cluster jobs)
+        unpersistCheckpoint(prev)
         t += 1
       }
       ranks.select(col("v"), col("r").as("pr"))
     } finally weighted.unpersist()
   }
+
+  /** Drop the persisted blocks behind an eagerly-checkpointed iterate.
+    * A `localCheckpoint(true)` DataFrame's plan is a `LogicalRDD` over
+    * the persisted internal RDD — `Dataset.unpersist` does NOT reach it
+    * (checkpoint storage bypasses the CacheManager), so the RDD handle
+    * is taken from the plan. Blocking=false: reclaim may overlap the
+    * next iteration's compute. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false): Unit
+      case _ => () // not a checkpointed plan: nothing persisted to drop
+    }
 }

@@ -19,9 +19,12 @@ package graft.llm
   *   - images `![alt](url)` removed whole (alt is labeling, not prose);
   *     links `[text](url)` keep text, counted (`n_links`); images
   *     processed first so `![` never half-matches as a link
-  *   - code spans `` `x` `` keep content; emphasis pairs `**x**`,
-  *     `__x__`, `*x*`, `_x_` keep content (outer-first so nesting
-  *     unwraps); UNMATCHED markers pass through literally
+  *   - code spans `` `x` `` keep content and take PRECEDENCE over link
+  *     and emphasis syntax (CommonMark): their contents are masked
+  *     before the other inline passes run, so a link-shaped literal in
+  *     backticks stays verbatim and is not counted; emphasis pairs
+  *     `**x**`, `__x__`, `*x*`, `_x_` keep content (outer-first so
+  *     nesting unwraps); UNMATCHED markers pass through literally
   *   - lines trimmed, empties dropped, output joined with '\n'
   */
 object Markdown {
@@ -90,14 +93,21 @@ object Markdown {
                 s = s.drop(digits + 2).trim
             }
           }
-          // inline transforms: images, then links, then code, then emphasis
+          // inline transforms. CommonMark gives code spans precedence over
+          // link and emphasis syntax, so their contents are MASKED first
+          // (a link-shaped literal in backticks must stay verbatim — and
+          // must not be unwrapped early either, or the Link pass would
+          // then match the exposed brackets) and substituted back last
+          val spans = scala.collection.mutable.ArrayBuffer.empty[String]
+          s = CodeSpan.replaceAllIn(s, m => {
+            spans += m.group(1)
+            "\u0000" + (spans.length - 1) + "\u0000"
+          })
           s = Image.replaceAllIn(s, "")
           s = Link.replaceAllIn(s, m => {
             nLinks += 1
             scala.util.matching.Regex.quoteReplacement(m.group(1))
           })
-          s = CodeSpan.replaceAllIn(s,
-            m => scala.util.matching.Regex.quoteReplacement(m.group(1)))
           s = Strong.replaceAllIn(s,
             m => scala.util.matching.Regex.quoteReplacement(m.group(1)))
           s = StrongU.replaceAllIn(s,
@@ -106,6 +116,11 @@ object Markdown {
             m => scala.util.matching.Regex.quoteReplacement(m.group(1)))
           s = EmU.replaceAllIn(s,
             m => scala.util.matching.Regex.quoteReplacement(m.group(1)))
+          var k = 0
+          while (k < spans.length) {
+            s = s.replace("\u0000" + k + "\u0000", spans(k))
+            k += 1
+          }
           s = s.trim
           if (s.nonEmpty) {
             if (out.nonEmpty) out.append('\n')

@@ -64,7 +64,11 @@ object Tar {
       val size = octal(bytes, off + 124, 12)
       if (size < 0 || size > MaxMemberBytes) return None
       val name0 = asciiz(bytes, off, 100)
-      val prefix = asciiz(bytes, off + 345, 155)
+      // the prefix long-path field is POSIX-only: in old-GNU headers
+      // ("ustar " magic) that region holds atime/ctime, and joining
+      // those octal digits onto the name would corrupt it
+      val posix = bytes(off + 262) == 0
+      val prefix = if (posix) asciiz(bytes, off + 345, 155) else ""
       val name = if (prefix.isEmpty) name0 else s"$prefix/$name0"
       val tf = {
         val b = bytes(off + 156)

@@ -25,9 +25,11 @@ import scala.collection.mutable.ArrayBuffer
   *   - method 0 (stored) is copied, method 8 (deflate) inflates through
   *     a RAW `Inflater(nowrap=true)`; other methods surface the member
   *     in the listing but yield no content
+  *   - extracted bytes are verified against the central-directory CRC32
+  *     (stored AND deflated — size alone would pass a corrupted member)
   *   - quarantine contract: no EOCD / out-of-bounds directory or data →
-  *     None; a single unreadable member yields that member with empty
-  *     content, not a poisoned archive
+  *     None; a single unreadable or CRC-mismatched member yields that
+  *     member with empty content, not a poisoned archive
   */
 object Zip {
 
@@ -71,9 +73,14 @@ object Zip {
       val lho = u32(pos + 42)
       if (pos + 46 + nameLen > bytes.length) return None
       val name = new String(bytes, pos + 46, nameLen, UTF_8)
+      // central-directory CRC32 is the integrity check for BOTH methods
+      // (stored members have no other one): mismatch = the documented
+      // per-member quarantine — listed, empty content, archive survives
       val content = readMember(bytes, buf, lho, method, csize, usize)
+        .filter { data =>
+          val c = new java.util.zip.CRC32(); c.update(data); c.getValue == crc
+        }
       out += Member(name, usize, method, content.getOrElse(Array.emptyByteArray))
-      locally { val _ = crc } // listed via central dir; content is the check
       pos += 46 + nameLen + extraLen + commentLen
       i += 1
     }

@@ -18,6 +18,15 @@ class CharsetSniffSpec extends AnyFunSuite {
     assert(d("text/html; charset=iso-8859-1", withMeta).source == "header")
   }
 
+  test("charset label parse survives length-changing case upstream") {
+    // 'İ' (U+0130) lowercases to TWO chars: offsets computed on a
+    // lowered copy shift after it, so the parse must scan the ORIGINAL
+    // string case-insensitively (regionMatches), not index-map
+    val latin1 = "café".getBytes("ISO-8859-1")
+    assert(d("text/html; xİİx CHARSET=iso-8859-1", latin1) ==
+      CharsetSniff.Decoded("café", "iso-8859-1", "header"))
+  }
+
   test("header decode is REPLACE mode: a bad byte does not kill the page") {
     val bytes = "ok ".getBytes("UTF-8") ++ Array(0xE9.toByte) // bad as UTF-8
     val got = d("text/plain; charset=utf-8", bytes)

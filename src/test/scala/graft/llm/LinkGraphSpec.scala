@@ -31,4 +31,16 @@ class LinkGraphSpec extends SparkSpec {
     val got = run(Seq(0L, 1L), Seq(0L -> 1L, 0L -> 99L), 1)
     assert(got == Map(0L -> 0.5, 1L -> 0.75))
   }
+
+  test("superseded iterates unpersist: storage stays O(1) across rounds") {
+    // each round eagerly checkpoints the new iterate; without the
+    // explicit unpersist of the previous one, 8 iterations leave 8
+    // persisted RDD handles for the ContextCleaner to maybe reclaim
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    run(Seq(0L, 1L, 2L), Seq(0L -> 1L, 0L -> 2L, 1L -> 2L), 8)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // at most the FINAL iterate may remain persisted (weighted is
+    // unpersisted in the finally; all superseded iterates dropped)
+    assert(leaked.size <= 1, s"leaked persisted RDDs: $leaked")
+  }
 }

@@ -58,6 +58,23 @@ class MarkdownSpec extends SparkSpec {
     assert(Markdown.extract("a * b ** c").text == "a * b ** c")
   }
 
+  test("code spans take precedence over link and emphasis syntax") {
+    // a link-shaped literal inside backticks stays verbatim and is NOT
+    // counted (CommonMark: code spans bind tighter than links)
+    val e = Markdown.extract("call `[x](y)` to link")
+    assert(e.text == "call [x](y) to link")
+    assert(e.nLinks == 0)
+    // emphasis markers inside a code span stay literal too
+    assert(Markdown.extract("use `*args` here").text == "use *args here")
+    // a real link whose TEXT holds a code span still counts and unwraps
+    val e2 = Markdown.extract("see [`api` docs](https://ex.com)")
+    assert(e2.text == "see api docs")
+    assert(e2.nLinks == 1)
+    // two spans on one line restore in order
+    assert(Markdown.extract("`a [b](c)` mid `*d*` end").text ==
+      "a [b](c) mid *d* end")
+  }
+
   test("edges: empty, crlf, all-blank") {
     assert(Markdown.extract("") == Markdown.Extracted("", 0, 0, 0))
     assert(Markdown.extract(null) == Markdown.Extracted("", 0, 0, 0))

@@ -42,6 +42,22 @@ class TarSpec extends SparkSpec {
     assert(Tar.members(gnu).get.head.name == "x.txt")
   }
 
+  test("prefix field is POSIX-only: old-GNU atime digits never join the name") {
+    // old-GNU headers keep atime/ctime where POSIX puts prefix[155];
+    // a GNU-magic archive with that region populated must NOT see the
+    // octal digits joined onto the member name
+    val gnu = Tar.build(Seq(("x.txt", "content".getBytes(UTF_8), '0'))).clone()
+    gnu(262) = ' '.toByte; gnu(263) = ' '.toByte; gnu(264) = 0
+    val atime = "13141592653 ".getBytes(UTF_8) // octal digits + terminator
+    System.arraycopy(atime, 0, gnu, 345, atime.length)
+    java.util.Arrays.fill(gnu, 148, 156, ' '.toByte)
+    var sum = 0L
+    (0 until 512).foreach(k => sum += (gnu(k) & 0xff))
+    System.arraycopy(f"$sum%06o".getBytes, 0, gnu, 148, 6)
+    gnu(154) = 0; gnu(155) = ' '.toByte
+    assert(Tar.members(gnu).get.head.name == "x.txt")
+  }
+
   test("prefix field joins long paths; EOF without zero blocks is lenient") {
     val good = Tar.build(Seq(("deep.txt", "zz".getBytes(UTF_8), '0')))
     // plant a prefix and re-checksum

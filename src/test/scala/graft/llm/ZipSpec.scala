@@ -57,6 +57,20 @@ class ZipSpec extends SparkSpec {
     locally { val _ = commented }
   }
 
+  test("CRC quarantine: size-preserving corruption empties the member") {
+    // a STORED member passes no inflate check — only the central-dir
+    // CRC32 can catch a flipped byte whose size still matches
+    val data = "stored payload with a byte to flip".getBytes(UTF_8)
+    val good = zip(Seq(("s.txt", data, true)))
+    assert(Zip.members(good).get.head.content.toSeq == data.toSeq)
+    // locate the payload (after 30-byte local header + 5-byte name) and
+    // flip one byte: same length, wrong CRC
+    val bad = good.clone()
+    bad(35 + 3) = (bad(35 + 3) ^ 0x01).toByte
+    val ms = Zip.members(bad).get
+    assert(ms.head.name == "s.txt" && ms.head.content.isEmpty)
+  }
+
   test("wordText: runs, paragraphs, tabs, breaks, entities, xml:space") {
     val xml =
       """<?xml version="1.0"?>
