@@ -348,6 +348,85 @@ object Html {
     Meta(title, description, ogTitle, canonical, lang, noindex, nMeta)
   }
 
+  /** JSON-LD structured-data harvest — the crawl-curation signal after
+    * [[metadata]]'s head harvest: schema.org entities (Article, Product,
+    * Organization…) ship as `<script type="application/ld+json">`
+    * payloads, the ONE case where script CONTENT is signal rather than
+    * noise. Harvest rules, each spec-tested:
+    *
+    *   - a script tag qualifies iff its `type` attribute value — trimmed,
+    *     case-insensitive, ignoring any `;parameter` suffix — is
+    *     `application/ld+json`; other scripts (typeless ones included)
+    *     drop with their content as everywhere else in the chain
+    *   - the payload is the RAW text to the first `</script`, trimmed but
+    *     NOT entity-decoded (the HTML spec treats script content as raw
+    *     text; `&amp;` inside JSON-LD is literal bytes) and NOT parsed —
+    *     emitting strings and letting the JSON function family (B28)
+    *     parse keeps malformed payloads quarantined per-block downstream
+    *   - blocks inside comments do not harvest; an unterminated comment
+    *     or script drops the rest of the document (the [[extract]] rule)
+    *   - blocks emit in document order
+    */
+  def jsonLd(html: String): Seq[String] = {
+    if (html == null || html.isEmpty) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = html.length
+    def lowerAt(p: Int, s: String): Boolean =
+      p + s.length <= n && html.regionMatches(true, p, s, 0, s.length)
+    while (i < n) {
+      if (html.charAt(i) == '<') {
+        if (lowerAt(i, "<!--")) {
+          val close = html.indexOf("-->", i + 4)
+          i = if (close < 0) n else close + 3
+        } else if (lowerAt(i, "<style")) {
+          // style content skips whole (a literal "<script" inside CSS
+          // must not open a capture) — the [[links]] rule
+          var j = i + 1
+          var stop = -1
+          while (stop < 0 && j < n) {
+            if (html.charAt(j) == '<' && lowerAt(j, "</style")) stop = j
+            j += 1
+          }
+          i = if (stop < 0) n
+          else {
+            val gt = html.indexOf('>', stop)
+            if (gt < 0) n else gt + 1
+          }
+        } else if (lowerAt(i, "<script")) {
+          val gt = html.indexOf('>', i)
+          if (gt < 0) { i = n } // unterminated tag: rest drops
+          else {
+            val typ = attrLookup(html.substring(i + 7, gt), "type")
+              .map { v =>
+                val semi = v.indexOf(';')
+                (if (semi >= 0) v.substring(0, semi) else v)
+                  .trim.toLowerCase(java.util.Locale.ROOT)
+              }
+            // find the closing tag; content is raw text up to it
+            var j = gt + 1
+            var stop = -1
+            while (stop < 0 && j < n) {
+              if (html.charAt(j) == '<' && lowerAt(j, "</script")) stop = j
+              j += 1
+            }
+            if (stop < 0) { i = n } // unterminated script: rest drops
+            else {
+              if (typ.contains("application/ld+json"))
+                out += html.substring(gt + 1, stop).trim
+              val gt2 = html.indexOf('>', stop)
+              i = if (gt2 < 0) n else gt2 + 1
+            }
+          }
+        } else {
+          val gt = html.indexOf('>', i)
+          i = if (gt < 0) n else gt + 1
+        }
+      } else i += 1
+    }
+    out.toSeq
+  }
+
   /** Main-content extraction — block-level boilerplate removal, the step
     * between [[extract]]'s whole-page text and quality scoring: nav bars,
     * footers, and link farms score as "text" to q148 but poison training
@@ -518,6 +597,21 @@ object Html {
       it.map { case (id, html) =>
         val c = mainContent(html)
         ContentRow(id, c.content, c.nBlocks, c.nGood)
+      }
+    }
+  }
+
+  /** Per-block JSON-LD rows (doc_id, seq, json) — row-local flatMap, no
+    * shuffle; streaming-safe. Payloads stay raw strings: the JSON
+    * function family (B28) parses downstream. */
+  final case class JsonLdRow(doc_id: Long, seq: Int, json: String)
+
+  def jsonLdAll(docs: org.apache.spark.sql.Dataset[(Long, String)]): org.apache.spark.sql.Dataset[JsonLdRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.mapPartitions { it =>
+      it.flatMap { case (id, html) =>
+        jsonLd(html).zipWithIndex.map { case (j, k) => JsonLdRow(id, k, j) }
       }
     }
   }

@@ -3913,6 +3913,155 @@ object LlmQueries {
       .orderBy("doc_id", "seq")
   }
 
+  // ---------------------------------------------------------------- q171
+  // PPTX text extraction (Pptx.slides — the slide-deck member of the
+  // office tier, completing DOCX (q166) + XLSX (q170)). DrawingML uses
+  // the same t/p/br local names WordprocessingML does, so each slide
+  // rides the existing Zip.wordText walk; what q171 certifies on top is
+  // the part selection (exact slideN.xml names, decoys excluded) and
+  // NUMERIC slide ordering. Parity split varies deck length. Row-local,
+  // no shuffle; oracle re-derives every slide as UNION ALL arithmetic.
+  val q171 = Q(
+    "q171_pptx_text",
+    """SELECT doc_id, slide_no, n_paras, text FROM (
+      |  SELECT doc_id, CAST(1 AS INT) AS slide_no, CAST(2 AS INT) AS n_paras,
+      |         'Deck title ' || doc_id || chr(10) ||
+      |         'Subtitle & intro ' || doc_id AS text
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST(2 AS INT), CAST(1 AS INT),
+      |         'Body point ' || doc_id FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST(3 AS INT), CAST(1 AS INT),
+      |         'Closing ' || doc_id FROM documents WHERE doc_id % 2 = 0
+      |) ORDER BY doc_id, slide_no""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long].flatMap { id =>
+      val slides = Seq(
+        Seq(Seq("Deck title ", s"$id"), Seq(s"Subtitle & intro $id")),
+        Seq(Seq(s"Body point $id"))) ++
+        (if (id % 2 == 0) Seq(Seq(Seq(s"Closing $id"))) else Nil)
+      Pptx.slides(Pptx.build(slides)).getOrElse(Nil)
+        .map(sl => (id, sl.no, sl.nParas, sl.text))
+    }.toDF("doc_id", "slide_no", "n_paras", "text")
+      .orderBy("doc_id", "slide_no")
+  }
+
+  // ---------------------------------------------------------------- q172
+  // Character-trigram language ID (LangId — the production-shaped
+  // upgrade of q29's marker-word contract; Cavnar–Trenkle profile
+  // scoring kept ALL-INTEGER). The oracle is fully independent: it
+  // re-derives the normalized text with lower/regexp_replace/trim and
+  // re-counts every profile trigram with replace-arithmetic (profile
+  // trigrams are chosen non-self-overlapping so position counts equal
+  // non-overlapping counts), then takes the same greatest()+CASE argmax
+  // with lexicographic tie-break. The appended doc_id digits vanish
+  // under normalization on BOTH sides. Row-local, profiles ride the
+  // closure; no shuffle.
+  private val langIdProfiles = Seq(
+    "de" -> Seq("der" -> 5, "sch" -> 4, "und" -> 3, "ein" -> 2),
+    "en" -> Seq("the" -> 5, "he " -> 3, "ick" -> 2, "ing" -> 2),
+    "es" -> Seq("el " -> 4, "rro" -> 4, "per" -> 3, "ado" -> 2),
+    "fr" -> Seq("le " -> 4, "eux" -> 4, "ard" -> 3, "ais" -> 2),
+    "it" -> Seq("la " -> 4, "olp" -> 3, "igr" -> 3, "ane" -> 2))
+
+  private val langIdTemplates = IndexedSeq(
+    "The quick, thinking fox is chasing the shining ducks.",
+    "Der schnelle Hund und der scheue Fuchs sind ein Wunder.",
+    "Le vieux renard bavard est heureux; le chien est paresseux.",
+    "El perro corre adelantado; el zorro es el ganador.",
+    "La volpe pigra e il cane sono la meraviglia della strada.")
+
+  val q172 = Q(
+    "q172_trigram_langid", {
+      def cnt(g: String) =
+        s"((length(norm)-length(replace(norm,'$g','')))//3)"
+      def score(grams: Seq[(String, Int)]) =
+        grams.map { case (g, w) => s"$w*${cnt(g)}" }.mkString(" + ")
+      val scores = langIdProfiles.map { case (lang, grams) =>
+        s"${score(grams)} AS s_$lang"
+      }.mkString(",\n    ")
+      val templates = langIdTemplates.zipWithIndex.map { case (t, k) =>
+        val lit = t.replace("'", "''")
+        if (k < langIdTemplates.length - 1) s"WHEN $k THEN '$lit'"
+        else s"ELSE '$lit'"
+      }.mkString(" ")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(regexp_replace(lower(
+         |      (CASE CAST(doc_id % 5 AS INT) $templates END)
+         |      || ' ' || doc_id), '[^a-z]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id,
+         |    $scores
+         |  FROM t
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN g = 0 THEN 'und'
+         |       WHEN s_de = g THEN 'de' WHEN s_en = g THEN 'en'
+         |       WHEN s_es = g THEN 'es' WHEN s_fr = g THEN 'fr'
+         |       ELSE 'it' END AS lang,
+         |  CAST(g AS BIGINT) AS score
+         |FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_it) AS g FROM s)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map(id => (id, s"${langIdTemplates((id % 5).toInt)} $id"))
+    LangId.classifyAll(docs, langIdProfiles)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q173
+  // JSON-LD structured-data harvest (Html.jsonLd — the crawl-curation
+  // signal after q159's head harvest: schema.org entities ship as
+  // script-typed JSON payloads, the ONE case where script content is
+  // signal). The fixture forces the type dispatch (typed block harvests,
+  // typeless and text/javascript decoys drop, comment-hidden blocks on
+  // odd docs don't count), raw non-entity-decoded payloads, and
+  // document order; the harvested strings then flow through the B28
+  // JSON family (Spark get_json_object vs DuckDB json_extract_string —
+  // BOTH engines parse the JSON independently). Row-local flatMap, no
+  // shuffle; oracle re-derives payloads as string arithmetic.
+  val q173 = Q(
+    "q173_jsonld_harvest",
+    """SELECT doc_id, seq, json, json_extract_string(json, '$.name') AS name
+      |FROM (
+      |  SELECT doc_id, CAST(0 AS INT) AS seq,
+      |    '{"@type":"Article","name":"Doc ' || doc_id || '","wc":' ||
+      |      (doc_id*3) || '}' AS json
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST(1 AS INT),
+      |    '{"@type":"Product","name":"P &amp; ' || doc_id || '"}'
+      |  FROM documents WHERE doc_id % 2 = 0
+      |) ORDER BY doc_id, seq""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val extra =
+        if (id % 2 == 0)
+          // raw payload: the &amp; must NOT entity-decode (script content
+          // is raw text; both engines keep the literal five bytes)
+          s"""<script type=" application/ld+json ; charset=utf-8 ">
+             |  {"@type":"Product","name":"P &amp; $id"}
+             |</script>""".stripMargin
+        else
+          s"""<!-- <script type="application/ld+json">{"hidden":$id}</script> -->"""
+      (id,
+        s"""<html><head><title>D$id</title>
+           |<script type="application/ld+json">{"@type":"Article","name":"Doc $id","wc":${id * 3}}</script>
+           |<script>var decoy = {"name":"nope $id"};</script>
+           |<script type="text/javascript">{"name":"nope2 $id"}</script>
+           |$extra
+           |</head><body><p>text</p></body></html>""".stripMargin)
+    }
+    Html.jsonLdAll(docs).toDF()
+      .withColumn("name", get_json_object(col("json"), "$.name"))
+      .orderBy("doc_id", "seq")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -3921,5 +4070,5 @@ object LlmQueries {
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
-      q162, q163, q164, q165, q166, q167, q168, q169, q170)
+      q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173)
 }

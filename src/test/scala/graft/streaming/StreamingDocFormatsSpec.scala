@@ -6,7 +6,7 @@ import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.SparkSpec
-import graft.llm.{Exif, Feed, Gzip, License, Markdown, Pdf, Tar, Zip}
+import graft.llm.{Exif, Feed, Gzip, Html, LangId, License, Markdown, Pdf, Pptx, Tar, Zip}
 
 /** B35/B36 × B37: the r11 document-format operators (feed parse, EXIF
   * walk, PDF extract, DOCX extract) are row-local Dataset
@@ -111,6 +111,53 @@ class StreamingDocFormatsSpec extends SparkSpec {
     assert(lic == License.detectAll(docs.toDS()).collect().sortBy(_.doc_id).toSeq)
     assert(lic.map(_.license) == Seq("NONE", "MIT", "MIT"))
     assert(lic.map(_.source) == Seq("none", "spdx", "phrase"))
+  }
+
+  test("streaming pptx + langid + jsonld ≡ batch") {
+    // the r12 operators: slide decks, trigram language ID, and JSON-LD
+    // harvest are row-local too — parity including quarantine/und rows
+    val deck = Pptx.build(Seq(Seq(Seq("Slide one")), Seq(Seq("Slide two"))))
+    val decks = Seq((1L, deck), (2L, "junk".getBytes("UTF-8")))
+    def slides(ds: Dataset[(Long, Array[Byte])]): Dataset[(Long, Int, String)] =
+      ds.mapPartitions(_.flatMap { case (id, bytes) =>
+        Pptx.slides(bytes) match {
+          case Some(ss) => ss.map(sl => (id, sl.no, sl.text))
+          case None => Seq((id, -1, ""))
+        }
+      })
+    val deckDir = stage(decks)
+    run(slides(spark.readStream.schema(decks.toDS().schema).parquet(deckDir)
+      .as[(Long, Array[Byte])]), "pptx_stream")
+    val streamedSlides = spark.table("pptx_stream").as[(Long, Int, String)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(streamedSlides == slides(decks.toDS()).collect()
+      .sortBy(r => (r._1, r._2)).toSeq)
+    assert(streamedSlides ==
+      Seq((1L, 1, "Slide one"), (1L, 2, "Slide two"), (2L, -1, "")))
+
+    val profiles = Seq("en" -> Seq("the" -> 5), "de" -> Seq("der" -> 5))
+    val texts = Seq(1L -> "the cat", 2L -> "der hund", 3L -> "zzz")
+    val textDir = stage(texts)
+    def textStream = spark.readStream.schema(texts.toDS().schema)
+      .parquet(textDir).as[(Long, String)]
+    run(LangId.classifyAll(textStream, profiles), "langid_stream")
+    val streamedLang = spark.table("langid_stream").as[LangId.Scored]
+      .collect().sortBy(_.doc_id).toSeq
+    assert(streamedLang ==
+      LangId.classifyAll(texts.toDS(), profiles).collect().sortBy(_.doc_id).toSeq)
+    assert(streamedLang.map(_.lang) == Seq("en", "de", "und"))
+
+    val pages = Seq(
+      1L -> """<script type="application/ld+json">{"a":1}</script>""",
+      2L -> "<p>no structured data</p>")
+    val pageDir = stage(pages)
+    run(Html.jsonLdAll(spark.readStream.schema(pages.toDS().schema)
+      .parquet(pageDir).as[(Long, String)]), "jsonld_stream")
+    val streamedLd = spark.table("jsonld_stream").as[Html.JsonLdRow]
+      .collect().sortBy(r => (r.doc_id, r.seq)).toSeq
+    assert(streamedLd ==
+      Html.jsonLdAll(pages.toDS()).collect().sortBy(r => (r.doc_id, r.seq)).toSeq)
+    assert(streamedLd == Seq(Html.JsonLdRow(1L, 0, """{"a":1}""")))
   }
 
   test("streaming tar.gz chain ≡ batch") {
