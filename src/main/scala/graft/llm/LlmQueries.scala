@@ -4062,6 +4062,207 @@ object LlmQueries {
       .orderBy("doc_id", "seq")
   }
 
+  // ---------------------------------------------------------------- q174
+  // The Gopher/MassiveText quality-rule panel (llm/Gopher — Rae et al.
+  // 2021 §A1.1, the published filter suite most large-corpus pipelines
+  // start from; q71's duplicate-ngram fraction is one member, this is
+  // the rest). Seven fixture classes: a passing doc and six that each
+  // trip exactly the rule they're built for (word floor, mean word
+  // length, symbol ratio, bullet lines, ellipsis lines, alpha+stopword)
+  // — repeat counts scale with k = 1 + doc_id % 3 so the formulas are
+  // exercised at three sizes. ALL-INTEGER: the oracle re-derives every
+  // count from the synthesis arithmetic and re-applies every rule as
+  // the same cross-multiplied comparison, so the hash certifies counts
+  // AND decisions. Row-local, no shuffle.
+  val q174 = Q(
+    "q174_gopher_rules",
+    """WITH c AS (
+      |  SELECT doc_id, CAST(doc_id % 7 AS INT) AS cls,
+      |         1 + doc_id % 3 AS k
+      |  FROM documents
+      |), n AS (
+      |  SELECT doc_id,
+      |    CASE cls WHEN 0 THEN 64*k WHEN 1 THEN 5 WHEN 2 THEN 60*k
+      |             WHEN 3 THEN 60*k WHEN 4 THEN 118 WHEN 5 THEN 50
+      |             ELSE 60*k END AS n_words,
+      |    CASE cls WHEN 0 THEN 240*k WHEN 1 THEN 16 WHEN 2 THEN 720*k
+      |             WHEN 3 THEN 220*k WHEN 4 THEN 397 WHEN 5 THEN 176
+      |             ELSE 180*k END AS sum_word_len,
+      |    CAST(CASE cls WHEN 4 THEN 19 WHEN 5 THEN 3 ELSE 1 END AS BIGINT) AS n_lines,
+      |    CAST(CASE cls WHEN 4 THEN 18 ELSE 0 END AS BIGINT) AS n_bullet_lines,
+      |    CAST(CASE cls WHEN 5 THEN 2 ELSE 0 END AS BIGINT) AS n_ellipsis_lines,
+      |    CASE cls WHEN 3 THEN 20*k WHEN 5 THEN 2 ELSE 0 END AS n_symbols,
+      |    CASE cls WHEN 0 THEN 64*k WHEN 1 THEN 5 WHEN 2 THEN 60*k
+      |             WHEN 3 THEN 50*k WHEN 4 THEN 100 WHEN 5 THEN 50
+      |             ELSE 0 END AS n_alpha_words,
+      |    CAST(CASE cls WHEN 4 THEN 6 WHEN 6 THEN 0 ELSE 3 END AS BIGINT) AS n_stopwords
+      |  FROM c
+      |)
+      |SELECT doc_id, n_words, sum_word_len, n_lines, n_bullet_lines,
+      |  n_ellipsis_lines, n_symbols, n_alpha_words, n_stopwords,
+      |  (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+      |  (n_words > 0 AND 3*n_words <= sum_word_len
+      |     AND sum_word_len <= 10*n_words) AS pass_mean_len,
+      |  (10*n_symbols <= n_words) AS pass_symbol,
+      |  (10*n_bullet_lines <= 9*n_lines) AS pass_bullet,
+      |  (10*n_ellipsis_lines <= 3*n_lines) AS pass_ellipsis,
+      |  (n_words > 0 AND 5*n_alpha_words >= 4*n_words) AS pass_alpha,
+      |  (n_stopwords >= 2) AS pass_stopword,
+      |  ((n_words >= 50 AND n_words <= 100000)
+      |    AND (n_words > 0 AND 3*n_words <= sum_word_len
+      |         AND sum_word_len <= 10*n_words)
+      |    AND (10*n_symbols <= n_words)
+      |    AND (10*n_bullet_lines <= 9*n_lines)
+      |    AND (10*n_ellipsis_lines <= 3*n_lines)
+      |    AND (n_words > 0 AND 5*n_alpha_words >= 4*n_words)
+      |    AND (n_stopwords >= 2)) AS pass
+      |FROM n ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val k = (1 + id % 3).toInt
+      val text = (id % 7) match {
+        case 0 => "the solid value of good text and more " * (8 * k)
+        case 1 => "the of and tiny text"
+        case 2 =>
+          "extraordinarily incomprehensibilities the of and antidisestablishmentarianism " * (10 * k)
+        case 3 => "the coding of and tagger ## " * (10 * k)
+        case 4 =>
+          (1 to 18).map(_ => "- the solid item of value").mkString("\n") +
+            "\nthe end and of with have that solid words more"
+        case 5 =>
+          "the story of value and text continues...\n" +
+            "the story of value and text continues...\n" +
+            ("the end of all and more " * 6)
+        case _ => "1234 5678 90 12 " * (15 * k)
+      }
+      (id, text)
+    }
+    Gopher.reportAll(docs).toDF().orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q175
+  // The C4 cleaning pass (llm/C4Clean — Raffel et al. 2020 §2.2: where
+  // q174's Gopher panel VERDICTS documents, C4 REWRITES them line by
+  // line and then verdicts what's left). Six fixture classes force
+  // every rule: a clean keeper, a doc whose bad lines (no terminal
+  // punctuation / under 5 words / javascript / privacy-policy) drop
+  // while it survives, lorem-ipsum and curly-brace page poison (the
+  // brace on an already-dropped line still kills the page — the
+  // document-level scan reads the ORIGINAL text), the 3-sentence
+  // floor, and the quote-after-punctuation ending. Oracle re-derives
+  // the retained text by string arithmetic and the verdicts as CASE
+  // comparisons. Row-local, no shuffle.
+  val q175 = Q(
+    "q175_c4_clean",
+    """WITH c AS (
+      |  SELECT doc_id, CAST(doc_id % 6 AS INT) AS cls,
+      |    'The first solid sentence of doc ' || doc_id || '.' || chr(10) ||
+      |    'The second solid sentence of doc ' || doc_id || '.' || chr(10) ||
+      |    'The third solid sentence of doc ' || doc_id || '.' AS triple
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CASE cls
+      |    WHEN 0 THEN triple
+      |    WHEN 1 THEN 'The first good line of doc ' || doc_id || '.'
+      |      || chr(10) || 'The second good line of doc ' || doc_id || '.'
+      |      || chr(10) || 'The third good line of doc ' || doc_id || '.'
+      |    WHEN 2 THEN triple || chr(10) ||
+      |      'The lorem ipsum generator made this sentence too.'
+      |    WHEN 3 THEN triple
+      |    WHEN 4 THEN 'Only sentence one of doc ' || doc_id || '.'
+      |      || chr(10) || 'Only sentence two of doc ' || doc_id || '.'
+      |    ELSE 'He said this was doc ' || doc_id || '."'
+      |      || chr(10) || 'The second solid sentence of doc ' || doc_id || '.'
+      |      || chr(10) || 'The third solid sentence of doc ' || doc_id || '.'
+      |  END AS text,
+      |  CAST(CASE cls WHEN 1 THEN 7 WHEN 2 THEN 4 WHEN 3 THEN 4
+      |                WHEN 4 THEN 2 ELSE 3 END AS BIGINT) AS n_lines_in,
+      |  CAST(CASE cls WHEN 2 THEN 4 WHEN 4 THEN 2
+      |                ELSE 3 END AS BIGINT) AS n_lines_kept,
+      |  CAST(CASE cls WHEN 2 THEN 4 WHEN 4 THEN 2
+      |                ELSE 3 END AS BIGINT) AS n_sentences,
+      |  (cls IN (0, 1, 5)) AS keep
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    def goodTriple(id: Long): String =
+      s"The first solid sentence of doc $id.\n" +
+        s"The second solid sentence of doc $id.\n" +
+        s"The third solid sentence of doc $id."
+    val docs = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val text = (id % 6) match {
+        case 0 => goodTriple(id)
+        case 1 =>
+          s"The first good line of doc $id.\n" +
+            "no terminal punctuation here at all\n" +
+            "Too short here.\n" +
+            "Please enable javascript to view this content properly.\n" +
+            "Read our privacy policy before you continue browsing.\n" +
+            s"The second good line of doc $id.\n" +
+            s"The third good line of doc $id."
+        case 2 => goodTriple(id) +
+          "\nThe lorem ipsum generator made this sentence too."
+        case 3 => goodTriple(id) + "\nfunction f() {"
+        case 4 =>
+          s"Only sentence one of doc $id.\nOnly sentence two of doc $id."
+        case _ =>
+          s"He said this was doc $id.\"\n" +
+            s"The second solid sentence of doc $id.\n" +
+            s"The third solid sentence of doc $id."
+      }
+      (id, text)
+    }
+    C4Clean.cleanAll(docs).toDF().orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q176
+  // EPUB chapter extraction (llm/Epub — the book tier: long-form prose
+  // is the highest-value training text and ships as a ZIP of XHTML
+  // chapters bound by OCF/OPF packaging). Read the way the spec says:
+  // container.xml names the OPF, the OPF's SPINE gives reading order,
+  // hrefs resolve against the OPF directory, chapters extract through
+  // the same Html walk as the crawl chain. The fixture's spine order
+  // deliberately disagrees with BOTH alphabetical and member order
+  // (zlast before afirst), so a globbing reader hash-mismatches; even
+  // docs add a third chapter. Oracle re-derives every chapter as UNION
+  // ALL arithmetic. Row-local, no shuffle.
+  val q176 = Q(
+    "q176_epub_chapters",
+    """SELECT doc_id, pos, href, title, text FROM (
+      |  SELECT doc_id, CAST(0 AS INT) AS pos, 'zlast.xhtml' AS href,
+      |         'Opening of book ' || doc_id AS title,
+      |         'The opening chapter text of book ' || doc_id || '.' AS text
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST(1 AS INT), 'afirst.xhtml',
+      |         'Middle of book ' || doc_id,
+      |         'A & B middle text of book ' || doc_id || '.'
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST(2 AS INT), 'sub/deep.xhtml',
+      |         'Closing of book ' || doc_id,
+      |         'The closing chapter text of book ' || doc_id || '.'
+      |  FROM documents WHERE doc_id % 2 = 0
+      |) ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    def ch(title: String, body: String): String =
+      s"<html><head><title>$title</title></head><body><p>$body</p></body></html>"
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long].flatMap { id =>
+      val chapters = Seq(
+        ("zlast.xhtml", ch(s"Opening of book $id",
+          s"The opening chapter text of book $id.")),
+        ("afirst.xhtml", ch(s"Middle of book $id",
+          s"A &amp; B middle text of book $id."))) ++
+        (if (id % 2 == 0)
+          Seq(("sub/deep.xhtml", ch(s"Closing of book $id",
+            s"The closing chapter text of book $id.")))
+        else Nil)
+      Epub.chapters(Epub.build(chapters)).getOrElse(Nil)
+        .map(c => (id, c.pos, c.href, c.title, c.text))
+    }.toDF("doc_id", "pos", "href", "title", "text")
+      .orderBy("doc_id", "pos")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -4070,5 +4271,6 @@ object LlmQueries {
       q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
-      q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173)
+      q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
+      q174, q175, q176)
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.SparkSpec
-import graft.llm.{Exif, Feed, Gzip, Html, LangId, License, Markdown, Pdf, Pptx, Tar, Zip}
+import graft.llm.{C4Clean, Epub, Exif, Feed, Gopher, Gzip, Html, LangId, License, Markdown, Pdf, Pptx, Tar, Zip}
 
 /** B35/B36 × B37: the r11 document-format operators (feed parse, EXIF
   * walk, PDF extract, DOCX extract) are row-local Dataset
@@ -158,6 +158,50 @@ class StreamingDocFormatsSpec extends SparkSpec {
     assert(streamedLd ==
       Html.jsonLdAll(pages.toDS()).collect().sortBy(r => (r.doc_id, r.seq)).toSeq)
     assert(streamedLd == Seq(Html.JsonLdRow(1L, 0, """{"a":1}""")))
+  }
+
+  test("streaming gopher + c4 + epub ≡ batch") {
+    val texts = Seq(
+      1L -> ("the solid value of good text and more " * 16),
+      2L -> "the of and tiny text",
+      3L -> "")
+    val textDir = stage(texts)
+    def textStream = spark.readStream.schema(texts.toDS().schema)
+      .parquet(textDir).as[(Long, String)]
+    run(Gopher.reportAll(textStream), "gopher_stream")
+    val gStream = spark.table("gopher_stream").as[Gopher.Report]
+      .collect().sortBy(_.doc_id).toSeq
+    assert(gStream == Gopher.reportAll(texts.toDS()).collect().sortBy(_.doc_id).toSeq)
+    assert(gStream.map(_.pass) == Seq(true, false, false))
+
+    val pages = Seq(
+      1L -> "First solid sentence right here.\nSecond solid sentence right here.\nThird solid sentence right here.",
+      2L -> "short {")
+    val pageDir = stage(pages)
+    run(C4Clean.cleanAll(spark.readStream.schema(pages.toDS().schema)
+      .parquet(pageDir).as[(Long, String)]), "c4_stream")
+    val cStream = spark.table("c4_stream").as[C4Clean.Cleaned]
+      .collect().sortBy(_.doc_id).toSeq
+    assert(cStream == C4Clean.cleanAll(pages.toDS()).collect().sortBy(_.doc_id).toSeq)
+    assert(cStream.map(_.keep) == Seq(true, false))
+
+    val book = Epub.build(Seq(
+      ("c1.xhtml", "<html><head><title>T1</title></head><body>one</body></html>")))
+    val books = Seq((1L, book), (2L, "junk".getBytes("UTF-8")))
+    def chapters(ds: Dataset[(Long, Array[Byte])]): Dataset[(Long, Int, String, String)] =
+      ds.mapPartitions(_.flatMap { case (id, bytes) =>
+        Epub.chapters(bytes) match {
+          case Some(cs) => cs.map(c => (id, c.pos, c.title, c.text))
+          case None => Seq((id, -1, "", ""))
+        }
+      })
+    val bookDir = stage(books)
+    run(chapters(spark.readStream.schema(books.toDS().schema)
+      .parquet(bookDir).as[(Long, Array[Byte])]), "epub_stream")
+    val eStream = spark.table("epub_stream").as[(Long, Int, String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(eStream == chapters(books.toDS()).collect().sortBy(_._1).toSeq)
+    assert(eStream == Seq((1L, 0, "T1", "one"), (2L, -1, "", "")))
   }
 
   test("streaming tar.gz chain ≡ batch") {
