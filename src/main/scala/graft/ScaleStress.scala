@@ -1335,6 +1335,76 @@ object ScaleStress {
     }
   }
 
+  /** Curation-filter throughput (the q177 chain): raw text → C4 line
+    * cleaning → trigram language ID → Gopher rule panel → exact-dedup
+    * digest, across corpus size. The chain is row-local until the one
+    * dedup shuffle, so per-doc cpu cost must stay flat across doublings
+    * and walls ~linear — the property that holds at any executor count.
+    * Class mix (1/8 lorem-poisoned, 1/8 German, 1/16 duplicates) keeps
+    * every branch of the chain hot. */
+  def filtersThroughput(spark: SparkSession): Unit = {
+    import spark.implicits._
+    println("== curation-filter throughput: C4 + langid + gopher + dedup across corpus size ==")
+    val listener = new QueryMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    def flush(): Unit = org.apache.spark.GraftListenerBus.flush(spark.sparkContext)
+    val profiles = Seq(
+      "de" -> Seq("der" -> 5, "sch" -> 4, "und" -> 3, "ein" -> 2),
+      "en" -> Seq("the" -> 5, "he " -> 3, "ick" -> 2, "ing" -> 2),
+      "fr" -> Seq("le " -> 4, "eux" -> 4, "ard" -> 3, "ais" -> 2))
+    var prev = -1.0
+    for (nDocs <- Seq(200000, 400000, 800000)) {
+      val dir = java.nio.file.Files.createTempDirectory("filters_tp")
+      val path = dir.resolve("docs").toString
+      spark.range(nDocs.toLong).as[Long].map { id =>
+        val base = id - (id % 16) // 1/16 of docs duplicate their block head
+        val eff = if (id % 16 == 15) base else id
+        val line = (i: Int) =>
+          s"The solid value of doc $eff line $i carries tok${(eff * 31 + i * 7) % 50000} here."
+        val body = (0 until 20).map(line).mkString("\n")
+        val text = (id % 8) match {
+          case 2 => body + "\nThe lorem ipsum generator made this sentence too."
+          case 5 => (0 until 20).map(i =>
+            s"Der schnelle Hund und der scheue Fuchs tragen tok${(eff * 31 + i * 7) % 50000} hier.")
+            .mkString("\n")
+          case _ => body
+        }
+        (id, text)
+      }.toDF("doc_id", "text").write.parquet(path)
+      val inBytes = spark.read.parquet(path)
+        .agg(sum(length(col("text")))).head().getLong(0)
+      def chain(docs: org.apache.spark.sql.Dataset[(Long, String)]): DataFrame = {
+        val kept = llm.C4Clean.cleanAll(docs).filter(_.keep)
+        val scored = kept.mapPartitions(_.flatMap { c =>
+          val (lang, _) = llm.LangId.classify(llm.LangId.normalize(c.text), profiles)
+          val rep = llm.Gopher.report(c.doc_id, c.text)
+          if (lang != "en" || rep.pass) Some((c.doc_id, lang, rep.n_words, c.text))
+          else None
+        })
+        scored.toDF("doc_id", "lang", "n_words", "text")
+          .groupBy(sha2(col("text"), 256).as("digest"))
+          .agg(min(struct(col("doc_id"), col("lang"), col("n_words"))).as("r"))
+          .select(col("r.doc_id"), col("r.lang"), col("r.n_words"))
+      }
+      val docs = spark.read.parquet(path).as[(Long, String)]
+      chain(docs).write.format("noop").mode("overwrite").save() // warm
+      val (wall, cpu) = Seq.fill(2) {
+        System.gc()
+        flush(); listener.snapshotAndReset()
+        val t0 = System.nanoTime()
+        chain(docs).write.format("noop").mode("overwrite").save()
+        val w = (System.nanoTime() - t0) / 1e9
+        flush()
+        (w, listener.snapshotAndReset().cpuSec)
+      }.minBy(_._1)
+      val ratio = if (prev > 0) f"${wall / prev}%4.2fx" else "  - "
+      println(f"n=$nDocs%7d  wall=$wall%5.2f s (${inBytes / wall / 1e6}%7.1f MB/s in, " +
+        f"${cpu * 1e6 / nDocs}%5.1f cpu-us/doc, vs prev $ratio)")
+      prev = wall
+      spark.catalog.clearCache()
+      TempDirs.rmTree(dir)
+    }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = args.filterNot(_.startsWith("--")).headOption
       .getOrElse("/root/testdata/sf0.1")
@@ -1343,6 +1413,11 @@ object ScaleStress {
 
     if (args.contains("--docformats")) {
       docFormatsThroughput(spark)
+      spark.stop()
+      return
+    }
+    if (args.contains("--filters")) {
+      filtersThroughput(spark)
       spark.stop()
       return
     }

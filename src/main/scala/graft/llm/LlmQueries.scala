@@ -4263,6 +4263,68 @@ object LlmQueries {
       .orderBy("doc_id", "pos")
   }
 
+  // ---------------------------------------------------------------- q177
+  // The END-TO-END curation pipeline (r12 — the training-prep composite,
+  // q149's crawl twin: where q149 certifies ingest, this certifies the
+  // FILTER chain a corpus actually runs): raw text → C4 line cleaning +
+  // page verdict (q175) → trigram language ID on the CLEANED text
+  // (q172) → Gopher rule panel gating ENGLISH docs only (q174 — the
+  // published MassiveText setup: the stopword/mean-length rules are
+  // English-calibrated, so non-English docs route past them) → exact
+  // dedup on the cleaned text, keep-lowest-id (q27). Eight fixture
+  // classes: unique passers, a lorem-poisoned page (dies at C4), a
+  // thin doc that SURVIVES C4 but dies at Gopher's word floor, a
+  // bullet-heavy doc whose every line passes C4 while the PANEL kills
+  // it, a German doc that must bypass the English gate, and a
+  // duplicate pair whose loser dies only at dedup — output rows exist
+  // only if every stage cuts exactly where it should. Chain is
+  // row-local until the single dedup shuffle; one oracle hash.
+  val q177 = Q(
+    "q177_curation_pipeline",
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 8 = 5 THEN 'de' ELSE 'en' END AS lang,
+      |  CAST(CASE WHEN doc_id % 8 = 5 THEN 87 ELSE 85 END AS BIGINT) AS n_words
+      |FROM documents
+      |WHERE CAST(doc_id % 8 AS INT) IN (0, 1, 5, 6)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val enLine = "The solid value of good text and more items appear here."
+    val deLine = "Der schnelle Hund und der scheue Fuchs sind ein Wunder hier."
+    def enDoc(id: Long): String =
+      (Seq.fill(7)(enLine) :+
+        s"The closing line of document $id stays fine.").mkString("\n")
+    val docs = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val text = (id % 8) match {
+        case 2 => enDoc(id) +
+          "\nThe lorem ipsum generator made this sentence too."
+        case 3 => Seq.fill(3)("The tiny doc line stays short.").mkString("\n")
+        case 4 =>
+          (Seq.fill(10)("- the item of value number one.") :+ enLine)
+            .mkString("\n")
+        case 5 => (Seq.fill(7)(deLine) :+
+          s"Der Schluss der Geschichte von Dokument $id endet genau hier.")
+          .mkString("\n")
+        case 6 => enDoc(id)
+        case 7 => enDoc(id - 1) // the duplicate: dies only at dedup
+        case _ => enDoc(id)
+      }
+      (id, text)
+    }
+    val kept = C4Clean.cleanAll(docs).filter(_.keep)
+    // row-local: language on the cleaned text; Gopher gates English only
+    val scored = kept.mapPartitions(_.flatMap { c =>
+      val (lang, _) = LangId.classify(LangId.normalize(c.text), langIdProfiles)
+      val rep = Gopher.report(c.doc_id, c.text)
+      if (lang != "en" || rep.pass) Some((c.doc_id, lang, rep.n_words, c.text))
+      else None
+    })
+    scored.toDF("doc_id", "lang", "n_words", "text")
+      .groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(min(struct(col("doc_id"), col("lang"), col("n_words"))).as("r"))
+      .select(col("r.doc_id"), col("r.lang"), col("r.n_words"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -4272,5 +4334,5 @@ object LlmQueries {
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
-      q174, q175, q176)
+      q174, q175, q176, q177)
 }
