@@ -4325,6 +4325,49 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q178
+  // WebDataset-style tar shard export (r12 — the WRITE side of q167's
+  // tar walk: sharded tar archives are the format large training jobs
+  // actually stream, and the exporter's framing must be byte-exact for
+  // readers to seek). Shard assignment is divisor arithmetic on doc_id
+  // (NO global running-sum window — a cumulative-bytes assignment needs
+  // a single-partition window, the 100 TB anti-pattern; fixed-count
+  // shards keep assignment embarrassingly parallel), members sort by
+  // doc_id within a shard, bytes come from the same Tar.build the q167
+  // oracle certified. The oracle re-derives member counts AND the exact
+  // archive length from ustar framing arithmetic (512-byte header +
+  // 512-padded data per member + 1024-byte end marker); the engine
+  // additionally re-parses its own shard (n_reparsed) so the round-trip
+  // is closed inside the query. One inherent shuffle (members to their
+  // shard).
+  val q178 = Q(
+    "q178_tar_shard_export",
+    """SELECT shard_id, count(*) AS n_members,
+      |  CAST(sum(512 + 512*((len + 511)//512)) + 1024 AS BIGINT) AS tar_len,
+      |  count(*) AS n_reparsed
+      |FROM (SELECT doc_id//16 AS shard_id,
+      |             100 + (doc_id%7)*50 AS len FROM documents)
+      |GROUP BY shard_id ORDER BY shard_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map(id => (id / 16, id, 100 + (id % 7).toInt * 50))
+      .toDF("shard_id", "doc_id", "len")
+      .groupBy("shard_id")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("len"))))
+        .as("members"))
+      .as[(Long, Seq[(Long, Int)])]
+      .map { case (shard, members) =>
+        val entries = members.map { case (id, len) =>
+          (s"doc_$id.txt", Array.fill[Byte](len)('x'.toByte), '0')
+        }
+        val bytes = Tar.build(entries)
+        val reparsed = Tar.members(bytes).map(_.size).getOrElse(-1)
+        (shard, members.size.toLong, bytes.length.toLong, reparsed.toLong)
+      }
+      .toDF("shard_id", "n_members", "tar_len", "n_reparsed")
+      .orderBy("shard_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -4334,5 +4377,5 @@ object LlmQueries {
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
-      q174, q175, q176, q177)
+      q174, q175, q176, q177, q178)
 }

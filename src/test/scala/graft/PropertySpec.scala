@@ -133,6 +133,77 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("langid: normalize is idempotent and classification is total") {
+    val profiles = Seq("en" -> Seq("the" -> 5, "he " -> 3),
+      "de" -> Seq("der" -> 5, "und" -> 3))
+    val textGen = Gen.listOfN(40, Gen.frequency(
+      6 -> Gen.alphaChar, 2 -> Gen.const(' '), 1 -> Gen.numChar,
+      1 -> Gen.oneOf('!', '.', '-', 'É', '\n'))).map(_.mkString)
+    forAll(textGen, n = 40) { t =>
+      val norm = graft.llm.LangId.normalize(t)
+      // idempotent; only [a-z ] survive; no runs or edge spaces
+      assert(graft.llm.LangId.normalize(norm) == norm)
+      assert(norm.forall(c => c == ' ' || (c >= 'a' && c <= 'z')))
+      assert(!norm.contains("  ") && norm.trim == norm)
+      val (lang, score) = graft.llm.LangId.classify(norm, profiles)
+      assert(score >= 0 && (score > 0 || lang == "und"))
+    }
+  }
+
+  test("tar framing: built archive length matches the ustar arithmetic") {
+    val entryGen = Gen.zip(Gen.chooseNum(0, 1300), Gen.alphaLowerStr.map(_.take(20)))
+    forAll(Gen.nonEmptyListOf(entryGen).map(_.take(6)), n = 20) { specs =>
+      whenever(specs.nonEmpty) {
+        val entries = specs.zipWithIndex.map { case ((len, name), i) =>
+          (s"d/${name}_$i", Array.fill[Byte](len)('y'.toByte), '0')
+        }
+        val bytes = graft.llm.Tar.build(entries)
+        val expected = specs.map { case (len, _) =>
+          512L + 512L * ((len + 511L) / 512L)
+        }.sum + 1024L
+        assert(bytes.length.toLong == expected)
+        // and the walk round-trips every member
+        val ms = graft.llm.Tar.members(bytes).get
+        assert(ms.map(_.size) == specs.map(_._1.toLong))
+      }
+    }
+  }
+
+  test("gopher: integer verdicts agree with the float formulation") {
+    val lineGen = Gen.oneOf(
+      "- the item of value", "plain words of text here", "ends with dots...",
+      "the and of with", "# tag ## line", "solid prose line continues")
+    forAll(Gen.nonEmptyListOf(lineGen).map(_.take(12)), n = 25) { lines =>
+      val rep = graft.llm.Gopher.report(1L, lines.mkString("\n"))
+      if (rep.n_words > 0) {
+        val mean = rep.sum_word_len.toDouble / rep.n_words
+        assert(rep.pass_mean_len == (mean >= 3.0 && mean <= 10.0))
+        assert(rep.pass_symbol ==
+          (rep.n_symbols.toDouble / rep.n_words <= 0.1))
+        assert(rep.pass_alpha ==
+          (rep.n_alpha_words.toDouble / rep.n_words >= 0.8))
+      }
+      if (rep.n_lines > 0) {
+        assert(rep.pass_bullet ==
+          (rep.n_bullet_lines.toDouble / rep.n_lines <= 0.9))
+        assert(rep.pass_ellipsis ==
+          (rep.n_ellipsis_lines.toDouble / rep.n_lines <= 0.3))
+      }
+    }
+  }
+
+  test("markdown: code-span masking restores contents byte-exactly") {
+    val spanGen = Gen.oneOf("[x](y)", "*em*", "__b__", "plain", "a&b", "{}")
+    forAll(Gen.listOfN(4, spanGen), n = 25) { spans =>
+      val line = spans.zipWithIndex
+        .map { case (s, i) => s"t$i `$s`" }.mkString(" ")
+      val e = graft.llm.Markdown.extract(line)
+      // every span's content present verbatim; none counted as links
+      spans.foreach(s => assert(e.text.contains(s)))
+      assert(e.nLinks == 0)
+    }
+  }
+
   test("salted skew join equals the plain join on generated skewed data") {
     forAll(Gen.listOfN(60, Gen.frequency(
       8 -> Gen.const(1L), 2 -> Gen.chooseNum(2L, 5L))), n = 6) { keys =>
