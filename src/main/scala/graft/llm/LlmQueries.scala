@@ -4368,6 +4368,76 @@ object LlmQueries {
       .orderBy("shard_id")
   }
 
+  // ---------------------------------------------------------------- q179
+  // Voice-activity segmentation (llm/Vad — the speech-corpus prep step
+  // between q123's WAV decode and any audio-LM pipeline: silence
+  // carries no training signal, VAD is how audio corpora drop it and
+  // split long recordings into utterances). Fixture alternates 256-
+  // sample quiet/loud blocks (amplitudes 64 vs 4096, sign-alternating
+  // so energies are exact), giving 4-frame speech runs at every odd
+  // block; block count varies per doc. The oracle re-derives every
+  // segment's frame span and exact Σs² energy from the synthesis
+  // arithmetic — certifying the WAV decode, the 64-sample framing, the
+  // STRICT threshold, and the run detection together. Row-local, runs
+  // detected in-pass (no frame explode, no window shuffle).
+  val q179 = Q(
+    "q179_audio_vad",
+    """WITH d AS (SELECT doc_id, 6 + (doc_id % 3) * 2 AS nb FROM documents),
+      |s AS (SELECT doc_id, unnest(range(nb // 2)) AS k FROM d)
+      |SELECT doc_id, CAST(k AS INT) AS seg,
+      |  CAST(8 * k + 4 AS INT) AS start_frame,
+      |  CAST(8 * k + 7 AS INT) AS end_frame,
+      |  CAST(4 AS INT) AS n_frames,
+      |  CAST(4294967296 AS BIGINT) AS energy_sum
+      |FROM s ORDER BY doc_id, seg""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val blobs = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val nb = (6 + (id % 3) * 2).toInt
+      val samples = Array.tabulate[Short](nb * 256) { i =>
+        val a = if ((i / 256) % 2 == 0) 64 else 4096
+        (if (i % 2 == 0) a else -a).toShort
+      }
+      Multimodal.Blob(id, Wav.encodePcm16(8000, samples))
+    }
+    Vad.segmentsAll(blobs, frameLen = 64, threshold = 10000000L)
+      .toDF().orderBy("doc_id", "seg")
+  }
+
+  // ---------------------------------------------------------------- q180
+  // Scene-cut detection (llm/SceneCut — q179's video twin, the step
+  // between q138's AVI frame decode and video-LM curation: scene
+  // boundaries are where corpora split clips, sample keyframes, and
+  // dedup footage). Fixture builds flat-color scenes of 2 frames each
+  // (per-doc color offset cancels in the deltas; widths 4..7 cover all
+  // BMP row-padding classes); cuts fire at every scene boundary with
+  // delta = w·h·3·60 exactly. The oracle re-derives boundary indexes
+  // and signed deltas arithmetically — certifying the container walk,
+  // the per-frame Σ(r+g+b) signature, and the strict threshold
+  // together. Row-local single pass, no shuffle.
+  val q180 = Q(
+    "q180_scene_cuts",
+    """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS ns,
+      |                  CAST(4 + doc_id % 4 AS INT) AS w FROM documents),
+      |s AS (SELECT doc_id, w, unnest(range(1, ns)) AS sc FROM d)
+      |SELECT doc_id, CAST(sc - 1 AS INT) AS cut,
+      |  CAST(2 * sc AS INT) AS frame_idx,
+      |  CAST(w * 4 * 3 * 60 AS BIGINT) AS delta
+      |FROM s ORDER BY doc_id, cut""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val blobs = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val w = (4 + id % 4).toInt
+      val h = 4
+      val ns = (2 + id % 3).toInt
+      val frames = Seq.tabulate(ns * 2) { f =>
+        val c = (20 + 60 * (f / 2) + (id % 10)).toInt
+        Array.fill(w * h)((c << 16) | (c << 8) | c)
+      }
+      Multimodal.Blob(id, Avi.encode(w, h, usPerFrame = 33000, frames = frames))
+    }
+    SceneCut.cutsAll(blobs, threshold = 1000L)
+      .toDF().orderBy("doc_id", "cut")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -4377,5 +4447,5 @@ object LlmQueries {
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
-      q174, q175, q176, q177, q178)
+      q174, q175, q176, q177, q178, q179, q180)
 }

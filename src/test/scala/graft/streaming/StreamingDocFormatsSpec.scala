@@ -6,7 +6,7 @@ import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.SparkSpec
-import graft.llm.{C4Clean, Epub, Exif, Feed, Gopher, Gzip, Html, LangId, License, Markdown, Pdf, Pptx, Tar, Zip}
+import graft.llm.{Avi, C4Clean, Epub, Exif, Feed, Gopher, Gzip, Html, LangId, License, Markdown, Multimodal, Pdf, Pptx, SceneCut, Tar, Vad, Wav, Zip}
 
 /** B35/B36 × B37: the r11 document-format operators (feed parse, EXIF
   * walk, PDF extract, DOCX extract) are row-local Dataset
@@ -202,6 +202,37 @@ class StreamingDocFormatsSpec extends SparkSpec {
       .collect().sortBy(_._1).toSeq
     assert(eStream == chapters(books.toDS()).collect().sortBy(_._1).toSeq)
     assert(eStream == Seq((1L, 0, "T1", "one"), (2L, -1, "", "")))
+  }
+
+  test("streaming vad + scene-cut ≡ batch") {
+    def tone(a: Int, n: Int): Array[Short] =
+      Array.tabulate[Short](n)(i => (if (i % 2 == 0) a else -a).toShort)
+    val wav = Wav.encodePcm16(8000, tone(1, 64) ++ tone(1000, 64) ++ tone(1, 64))
+    val audio = Seq(
+      Multimodal.Blob(1L, wav),
+      Multimodal.Blob(2L, "junk".getBytes("UTF-8")))
+    val aDir = stage(audio)
+    run(Vad.segmentsAll(spark.readStream.schema(audio.toDS().schema)
+      .parquet(aDir).as[Multimodal.Blob], 64, 1000000L), "vad_stream")
+    val vStream = spark.table("vad_stream").as[Vad.Segment]
+      .collect().sortBy(r => (r.doc_id, r.seg)).toSeq
+    assert(vStream == Vad.segmentsAll(audio.toDS(), 64, 1000000L)
+      .collect().sortBy(r => (r.doc_id, r.seg)).toSeq)
+    assert(vStream == Seq(Vad.Segment(1L, 0, 1, 1, 1, 64L * 1000000)))
+
+    val frames = Seq.tabulate(4)(f =>
+      Array.fill(8)(if (f < 2) 0x0a0a0a else 0xc8c8c8))
+    val video = Seq(
+      Multimodal.Blob(1L, Avi.encode(4, 2, 33000, frames)),
+      Multimodal.Blob(2L, "junk".getBytes("UTF-8")))
+    val vDir = stage(video)
+    run(SceneCut.cutsAll(spark.readStream.schema(video.toDS().schema)
+      .parquet(vDir).as[Multimodal.Blob], 1000L), "cut_stream")
+    val cStream = spark.table("cut_stream").as[SceneCut.Cut]
+      .collect().sortBy(r => (r.doc_id, r.cut)).toSeq
+    assert(cStream == SceneCut.cutsAll(video.toDS(), 1000L)
+      .collect().sortBy(r => (r.doc_id, r.cut)).toSeq)
+    assert(cStream == Seq(SceneCut.Cut(1L, 0, 2, 8L * 3 * (0xc8 - 0x0a))))
   }
 
   test("streaming tar.gz chain ≡ batch") {
