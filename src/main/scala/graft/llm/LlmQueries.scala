@@ -4438,6 +4438,119 @@ object LlmQueries {
       .toDF().orderBy("doc_id", "cut")
   }
 
+  // ---------------------------------------------------------------- q181
+  // Fill-in-the-middle training splits (r12 — FIM, Bavarian et al.
+  // 2022: code/infilling models train on documents REORDERED as
+  // prefix/suffix/middle with sentinel tokens, and the split must be
+  // deterministic for reproducible training). Thirds by CHARACTER
+  // offsets (integer div — both engines), PSM on even docs / SPM on
+  // odd (sentinel order swaps, middle always last — the canonical
+  // layouts). Pure SQL functions end-to-end — length/substring/concat/
+  // CASE, whole-stage codegen, zero UDF, zero shuffle beyond the
+  // presentation sort; the oracle mirrors the same substr arithmetic
+  // over the SAME real documents.text column (no synthesis).
+  val q181 = Q(
+    "q181_fim_splits",
+    """SELECT doc_id, CAST(length(text) AS INT) AS n,
+      |  CAST(length(text)//3 AS INT) AS p1,
+      |  CAST(2*length(text)//3 AS INT) AS p2,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode,
+      |  CASE WHEN doc_id % 2 = 0 THEN
+      |    '<|fim_pre|>' || substr(text, 1, length(text)//3) ||
+      |    '<|fim_suf|>' || substr(text, 2*length(text)//3 + 1) ||
+      |    '<|fim_mid|>' || substr(text, length(text)//3 + 1,
+      |                            2*length(text)//3 - length(text)//3)
+      |  ELSE
+      |    '<|fim_suf|>' || substr(text, 2*length(text)//3 + 1) ||
+      |    '<|fim_pre|>' || substr(text, 1, length(text)//3) ||
+      |    '<|fim_mid|>' || substr(text, length(text)//3 + 1,
+      |                            2*length(text)//3 - length(text)//3)
+      |  END AS fim
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("n", length(col("text")))
+      .withColumn("p1", expr("n div 3").cast("int"))
+      .withColumn("p2", expr("(2 * n) div 3").cast("int"))
+      .withColumn("mode",
+        when(col("doc_id") % 2 === 0, lit("psm")).otherwise(lit("spm")))
+      .withColumn("pre", expr("substring(text, 1, p1)"))
+      .withColumn("mid", expr("substring(text, p1 + 1, p2 - p1)"))
+      .withColumn("suf", expr("substring(text, p2 + 1, n - p2)"))
+      .withColumn("fim",
+        when(col("doc_id") % 2 === 0,
+          concat(lit("<|fim_pre|>"), col("pre"), lit("<|fim_suf|>"),
+            col("suf"), lit("<|fim_mid|>"), col("mid")))
+          .otherwise(
+            concat(lit("<|fim_suf|>"), col("suf"), lit("<|fim_pre|>"),
+              col("pre"), lit("<|fim_mid|>"), col("mid"))))
+      .select("doc_id", "n", "p1", "p2", "mode", "fim")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q182
+  // Chat-template rendering + loss-mask offsets (r12 — the SFT-data
+  // prep step: conversations render into one training string under a
+  // ChatML-style template, and the trainer needs the CHARACTER SPANS
+  // of the assistant turns because loss is masked everywhere else; an
+  // off-by-one here silently trains on user text). The render is pure
+  // codegen HOFs (transform over sequence + array_join); spans come
+  // from a running window sum per doc (the one inherent shuffle —
+  // per-doc sequencing, the q163 shape); the engine then EXTRACTS each
+  // span from its own rendered string (substring(full, start, len))
+  // and emits it, so the oracle's independently-derived content column
+  // certifies that every offset lands exactly on the assistant text.
+  val q182 = Q(
+    "q182_chat_template",
+    """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS nt
+      |           FROM documents),
+      |t AS (SELECT doc_id, unnest(range(nt)) AS k FROM d),
+      |c AS (SELECT doc_id, k,
+      |        'Ask ' || k || ' of doc ' || doc_id AS u,
+      |        'Answer ' || k || ' for doc ' || doc_id AS a FROM t),
+      |l AS (SELECT doc_id, k, u, a,
+      |        61 + length(u) + length(a) AS exch_len FROM c)
+      |SELECT doc_id, CAST(k AS INT) AS k,
+      |  CAST(COALESCE(sum(exch_len) OVER (PARTITION BY doc_id ORDER BY k
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |       + 50 + length(u) + 1 AS BIGINT) AS start,
+      |  CAST(length(a) AS BIGINT) AS len,
+      |  CAST(sum(exch_len) OVER (PARTITION BY doc_id) AS BIGINT) AS total_len,
+      |  a AS content
+      |FROM l ORDER BY doc_id, k""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables(s, dir, "documents")
+      .select(col("doc_id"), (lit(2) + col("doc_id") % 3).cast("int").as("nt"))
+      .withColumn("full", array_join(
+        transform(sequence(lit(0), col("nt") - 1), k =>
+          concat(
+            lit("<|im_start|>user\n"),
+            lit("Ask "), k, lit(" of doc "), col("doc_id"),
+            lit("<|im_end|>\n<|im_start|>assistant\n"),
+            lit("Answer "), k, lit(" for doc "), col("doc_id"),
+            lit("<|im_end|>\n"))), ""))
+    val turns = base
+      .select(col("doc_id"), col("full"),
+        explode(sequence(lit(0), col("nt") - 1)).as("k"))
+      .withColumn("u", concat(lit("Ask "), col("k"), lit(" of doc "), col("doc_id")))
+      .withColumn("a", concat(lit("Answer "), col("k"), lit(" for doc "), col("doc_id")))
+      .withColumn("exch_len", lit(61) + length(col("u")) + length(col("a")))
+    val w = Window.partitionBy("doc_id").orderBy("k")
+    turns
+      .withColumn("prior", coalesce(
+        sum(col("exch_len")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("start", (col("prior") + lit(50) + length(col("u")) + 1).cast("long"))
+      .withColumn("len", length(col("a")).cast("long"))
+      .withColumn("total_len",
+        sum(col("exch_len")).over(Window.partitionBy("doc_id")).cast("long"))
+      // the span, extracted from the engine's OWN rendered string — the
+      // oracle's independent content column certifies the offsets
+      .withColumn("content", expr("substring(full, start, len)"))
+      .select("doc_id", "k", "start", "len", "total_len", "content")
+      .orderBy("doc_id", "k")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -4447,5 +4560,5 @@ object LlmQueries {
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
-      q174, q175, q176, q177, q178, q179, q180)
+      q174, q175, q176, q177, q178, q179, q180, q181, q182)
 }
