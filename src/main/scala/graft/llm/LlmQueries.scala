@@ -4551,6 +4551,59 @@ object LlmQueries {
       .orderBy("doc_id", "k")
   }
 
+  // ---------------------------------------------------------------- q183
+  // Product-quantization SDC search (llm/Pq — the remaining ANN
+  // compression member next to IVF q42, int8 q73, Rp q35: an M-byte
+  // code per vector replaces the float embedding, and a query scores
+  // the corpus with M table lookups per vector; Jégou et al. 2011).
+  // Kept exact the graft way: integer grid first (the q73a rounding
+  // convention), codebooks PINNED to corpus rows (the q42a fixed-
+  // centroid discipline), every distance an exact integer Σ(a−b)² —
+  // encode argmin (lowest-j ties), per-query tables, and the final
+  // rank are bit-deterministic with NO rounded double anywhere, so the
+  // oracle replays grid → encode → SDC → top-k wholesale. M=8
+  // subspaces × 8 dims, K=8 pinned sub-centroids, 3 queries, top-5.
+  val q183 = Q(
+    "q183_pq_sdc",
+    """WITH e AS (SELECT vec_id,
+      |             list_transform(embedding::DOUBLE[],
+      |               x -> CAST(least(127, greatest(-127, round(x * 64)))
+      |                    AS BIGINT)) AS g
+      |           FROM embeddings),
+      |cb AS (SELECT vec_id AS j, g FROM e WHERE vec_id < 8),
+      |ms AS (SELECT unnest(range(8)) AS m),
+      |sub AS (SELECT e.vec_id, ms.m, cb.j,
+      |          list_sum(list_transform(range(1, 9),
+      |            i -> (e.g[8*ms.m + i] - cb.g[8*ms.m + i])
+      |               * (e.g[8*ms.m + i] - cb.g[8*ms.m + i]))) AS d2
+      |        FROM e CROSS JOIN ms CROSS JOIN cb),
+      |codes AS (SELECT vec_id, m, j AS code FROM (
+      |            SELECT vec_id, m, j,
+      |                   row_number() OVER (PARTITION BY vec_id, m
+      |                                      ORDER BY d2, j) AS rn
+      |            FROM sub) WHERE rn = 1),
+      |q AS (SELECT vec_id AS q_id, g AS qg FROM e WHERE vec_id < 3),
+      |qd AS (SELECT q.q_id, codes.vec_id,
+      |         CAST(sum(list_sum(list_transform(range(1, 9),
+      |           i -> (q.qg[8*codes.m + i] - cb.g[8*codes.m + i])
+      |              * (q.qg[8*codes.m + i] - cb.g[8*codes.m + i]))))
+      |           AS BIGINT) AS dist
+      |       FROM codes
+      |       JOIN cb ON cb.j = codes.code
+      |       CROSS JOIN q
+      |       WHERE codes.vec_id <> q.q_id
+      |       GROUP BY q.q_id, codes.vec_id)
+      |SELECT q_id, CAST(rk AS INT) AS rk, vec_id, dist FROM (
+      |  SELECT q_id, vec_id, dist,
+      |         row_number() OVER (PARTITION BY q_id
+      |                            ORDER BY dist, vec_id) AS rk
+      |  FROM qd) WHERE rk <= 5
+      |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+    Pq.sdcTopK(Tables(s, dir, "embeddings"), m = 8, dimsPer = 8,
+      nCodebook = 8, nQueries = 3, k = 5)
+      .orderBy("q_id", "rk")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -4560,5 +4613,5 @@ object LlmQueries {
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
-      q174, q175, q176, q177, q178, q179, q180, q181, q182)
+      q174, q175, q176, q177, q178, q179, q180, q181, q182, q183)
 }

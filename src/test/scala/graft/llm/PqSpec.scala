@@ -1,0 +1,54 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PqSpec extends SparkSpec {
+
+  test("grid: global scale, clamping, half-away rounding") {
+    import spark.implicits._
+    val df = Seq((0L, Seq(0.5f, -0.5f, 3.0f, -3.0f, 0.0078125f, -0.0078125f)))
+      .toDF("vec_id", "embedding")
+    val g = Pq.grid(df).select("g").as[Seq[Long]].head()
+    // 0.5*64=32; 3.0*64=192 clamps to 127; 0.0078125*64=0.5 rounds AWAY → 1
+    assert(g == Seq(32L, -32L, 127L, -127L, 1L, -1L))
+  }
+
+  test("encode: argmin with lowest-j tie-break") {
+    // 2 subspaces × 2 dims, 2 centroids each
+    val cb: Array[Array[Array[Long]]] = Array(
+      Array(Array(0L, 0L), Array(10L, 10L)),
+      Array(Array(5L, 5L), Array(5L, 5L))) // identical: tie → j=0
+    assert(Pq.encode(IndexedSeq(1L, 1L, 5L, 5L), 2, 2, cb).toSeq == Seq(0, 0))
+    assert(Pq.encode(IndexedSeq(9L, 9L, 0L, 0L), 2, 2, cb).toSeq == Seq(1, 0))
+    // exact midpoint between distinct centroids: lowest j wins
+    val cb2: Array[Array[Array[Long]]] = Array(Array(Array(0L), Array(10L)))
+    assert(Pq.encode(IndexedSeq(5L), 1, 1, cb2).toSeq == Seq(0))
+  }
+
+  test("sdcTopK: self excluded, deterministic ranks, exact distances") {
+    import spark.implicits._
+    // 6 vectors of dim 4 (m=2, dimsPer=2); codebook = rows 0-1, query = row 0
+    val rows = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)),
+      (1L, Seq(1f, 1f, 1f, 1f)),
+      (2L, Seq(0f, 0f, 1f, 1f)),
+      (3L, Seq(1f, 1f, 0f, 0f)),
+      (4L, Seq(0.01f, 0f, 0f, 0f)),
+      (5L, Seq(1f, 0f, 0f, 1f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Pq.sdcTopK(df, m = 2, dimsPer = 2, nCodebook = 2,
+      nQueries = 1, k = 5).orderBy("rk").collect()
+    assert(out.forall(_.getLong(0) == 0L))
+    assert(!out.exists(_.getLong(2) == 0L)) // self excluded
+    // grid: 1f→64; codes: v4 encodes as centroid 0 everywhere → dist 0
+    val byId = out.map(r => r.getLong(2) -> (r.getInt(1), r.getLong(3))).toMap
+    assert(byId(4L)._2 == 0L)
+    assert(byId(1L)._2 == 4 * 64L * 64L) // both subspaces land on c1
+    assert(byId(2L)._2 == 2 * 64L * 64L)
+    assert(byId(3L)._2 == 2 * 64L * 64L)
+    // tie between 2 and 3 breaks by vec_id
+    assert(byId(2L)._1 < byId(3L)._1)
+  }
+}
