@@ -4604,6 +4604,71 @@ object LlmQueries {
       .orderBy("q_id", "rk")
   }
 
+  // ---------------------------------------------------------------- q184
+  // MIME email parsing (llm/Eml — the mail-archive tier: mailing lists
+  // and public archives are classic high-quality prose sources whose
+  // text sits behind RFC 5322/2045/2047 wire structure). Four fixture
+  // classes force the layers: quoted-printable bodies (=25 escapes),
+  // base64 bodies (fixture encodes with the JDK encoder, the engine
+  // must round-trip), multipart/alternative with the text/plain part
+  // QP-encoded and an html decoy part, and RFC 2047 B-encoded subjects.
+  // The oracle states the DECODED strings arithmetically — so a hash
+  // match certifies header folding, encoded-word decode, boundary
+  // walking, and both transfer decodings together. Row-local, no
+  // shuffle.
+  val q184 = Q(
+    "q184_eml_parse",
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 4 = 3 THEN 'Sujet ' || doc_id
+      |       ELSE 'Mail ' || doc_id END AS subject,
+      |  'user' || doc_id || '@example.com' AS "from",
+      |  CAST(CASE WHEN doc_id % 4 = 2 THEN 2 ELSE 1 END AS INT) AS n_parts,
+      |  CASE CAST(doc_id % 4 AS INT)
+      |    WHEN 0 THEN 'Body' || doc_id || ' has 100% text.'
+      |    WHEN 1 THEN 'Encoded body of mail ' || doc_id || '.'
+      |    WHEN 2 THEN 'Part text of mail ' || doc_id
+      |    ELSE 'Plain body ' || doc_id END AS text
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val from = s"user$id@example.com"
+      val raw = (id % 4) match {
+        case 0 =>
+          s"Subject: Mail $id\nFrom: $from\n" +
+            "Content-Transfer-Encoding: quoted-printable\n\n" +
+            s"Body$id has 100=25 text."
+        case 1 =>
+          val b64 = java.util.Base64.getEncoder.encodeToString(
+            s"Encoded body of mail $id.".getBytes("UTF-8"))
+          s"Subject: Mail $id\nFrom: $from\n" +
+            s"Content-Transfer-Encoding: base64\n\n$b64"
+        case 2 =>
+          s"""Subject: Mail $id
+             |From: $from
+             |Content-Type: multipart/alternative; boundary="B$id"
+             |
+             |preamble drops
+             |--B$id
+             |Content-Type: text/plain
+             |Content-Transfer-Encoding: quoted-printable
+             |
+             |Part text of=20mail $id
+             |--B$id
+             |Content-Type: text/html
+             |
+             |<p>html decoy $id</p>
+             |--B$id--
+             |epilogue drops""".stripMargin
+        case _ =>
+          val b64 = java.util.Base64.getEncoder.encodeToString(
+            s"Sujet $id".getBytes("UTF-8"))
+          s"Subject: =?UTF-8?B?$b64?=\nFrom: $from\n\nPlain body $id"
+      }
+      (id, raw)
+    }
+    Eml.parseAll(docs).toDF().orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -4613,5 +4678,5 @@ object LlmQueries {
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
-      q174, q175, q176, q177, q178, q179, q180, q181, q182, q183)
+      q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184)
 }

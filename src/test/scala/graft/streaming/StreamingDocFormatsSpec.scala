@@ -6,7 +6,7 @@ import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.SparkSpec
-import graft.llm.{Avi, C4Clean, Epub, Exif, Feed, Gopher, Gzip, Html, LangId, License, Markdown, Multimodal, Pdf, Pptx, SceneCut, Tar, Vad, Wav, Zip}
+import graft.llm.{Avi, C4Clean, Eml, Epub, Exif, Feed, Gopher, Gzip, Html, LangId, License, Markdown, Multimodal, Pdf, Pptx, SceneCut, Tar, Vad, Wav, Zip}
 
 /** B35/B36 × B37: the r11 document-format operators (feed parse, EXIF
   * walk, PDF extract, DOCX extract) are row-local Dataset
@@ -111,6 +111,19 @@ class StreamingDocFormatsSpec extends SparkSpec {
     assert(lic == License.detectAll(docs.toDS()).collect().sortBy(_.doc_id).toSeq)
     assert(lic.map(_.license) == Seq("NONE", "MIT", "MIT"))
     assert(lic.map(_.source) == Seq("none", "spdx", "phrase"))
+  }
+
+  test("streaming eml parse ≡ batch, non-messages drop") {
+    val mails = Seq(
+      1L -> "Subject: s1\nFrom: a@b\nContent-Transfer-Encoding: quoted-printable\n\nhi=20there",
+      2L -> "not a message at all")
+    val dir = stage(mails)
+    run(Eml.parseAll(spark.readStream.schema(mails.toDS().schema)
+      .parquet(dir).as[(Long, String)]), "eml_stream")
+    val streamed = spark.table("eml_stream").as[Eml.MailRow]
+      .collect().sortBy(_.doc_id).toSeq
+    assert(streamed == Eml.parseAll(mails.toDS()).collect().sortBy(_.doc_id).toSeq)
+    assert(streamed == Seq(Eml.MailRow(1L, "s1", "a@b", 1, "hi there")))
   }
 
   test("streaming pptx + langid + jsonld ≡ batch") {
