@@ -4669,6 +4669,67 @@ object LlmQueries {
     Eml.parseAll(docs).toDF().orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q185
+  // Sentence segmentation (llm/Sentences — the text-prep primitive
+  // under chunking q70, C4's sentence accounting q175, and sentence-
+  // level dedup: regex-free, rule-explicit, byte-deterministic). Four
+  // fixture classes force each rule: plain .!? boundaries, the
+  // lowercase-continuation non-boundary, abbreviation + single-letter
+  // guards with a digit-terminated sentence (digit before '.' is NOT a
+  // guard), decimals/URLs never reaching the whitespace test, closing
+  // quotes attaching LEFT, and an unterminated tail. Oracle re-derives
+  // every sentence as UNION ALL CASE arithmetic. Row-local explode, no
+  // shuffle.
+  val q185 = Q(
+    "q185_sentence_split",
+    """SELECT doc_id, seq, sentence FROM (
+      |  SELECT doc_id, CAST(0 AS INT) AS seq,
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN 'First sentence of doc ' || doc_id || '.'
+      |      WHEN 1 THEN 'Dr. Smith met J. Jones in lab ' || doc_id || '.'
+      |      WHEN 2 THEN 'Pi is 3.14 roughly in doc ' || doc_id || '.'
+      |      ELSE 'Complete line here in doc ' || doc_id || '. and it continues.'
+      |    END AS sentence
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST(1 AS INT),
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN 'Second one here!'
+      |      WHEN 1 THEN 'They spoke about doc ' || doc_id || '.'
+      |      WHEN 2 THEN 'He said "Done."'
+      |      ELSE 'Trailing bit ' || doc_id
+      |    END
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST(2 AS INT),
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN 'Third question?'
+      |      WHEN 2 THEN 'Then left doc ' || doc_id || '.'
+      |    END
+      |  FROM documents WHERE CAST(doc_id % 4 AS INT) IN (0, 2)
+      |  UNION ALL
+      |  SELECT doc_id, CAST(3 AS INT), 'Yes indeed ' || doc_id || '.'
+      |  FROM documents WHERE doc_id % 4 = 0
+      |) ORDER BY doc_id, seq""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val text = (id % 4) match {
+        case 0 => s"First sentence of doc $id. Second one here! " +
+          s"Third question? Yes indeed $id."
+        case 1 => s"Dr. Smith met J. Jones in lab $id. " +
+          s"They spoke about doc $id."
+        case 2 => s"Pi is 3.14 roughly in doc $id. " +
+          s"He said \"Done.\" Then left doc $id."
+        case _ => s"Complete line here in doc $id. and it continues. " +
+          s"Trailing bit $id"
+      }
+      (id, text)
+    }
+    Sentences.splitAll(docs)
+      .toDF("doc_id", "seq", "sentence")
+      .orderBy("doc_id", "seq")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -4678,5 +4739,5 @@ object LlmQueries {
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
-      q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184)
+      q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185)
 }
