@@ -229,6 +229,20 @@ object Eml {
     }
   }
 
+  /** Threading headers for conversation reconstruction: (Message-ID,
+    * In-Reply-To) — empty strings when absent; None when the doc has no
+    * header section at all. The angle-bracket msg-id tokens compare as
+    * raw strings (RFC 5322 msg-ids are case-sensitive exact tokens). */
+  def refs(raw: String): Option[(String, String)] = {
+    if (raw == null || raw.isEmpty) return None
+    val norm = raw.replace("\r\n", "\n")
+    val split = norm.indexOf("\n\n")
+    val head = if (split < 0) norm else norm.substring(0, split)
+    val hs = headers(head)
+    if (hs.isEmpty) None
+    else Some((first(hs, "message-id"), first(hs, "in-reply-to")))
+  }
+
   /** Row-local parse over (doc_id, raw) rows; streaming-safe. */
   final case class MailRow(doc_id: Long, subject: String, from: String,
       n_parts: Int, text: String)

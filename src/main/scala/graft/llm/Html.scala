@@ -427,6 +427,108 @@ object Html {
     out.toSeq
   }
 
+  /** Table-cell extraction — the STRUCTURED-data harvest from page
+    * bodies (the `<table>` counterpart of [[jsonLd]]'s script harvest:
+    * statistics, specs, and rankings ship as HTML tables, and a tabular
+    * corpus wants them as cells, not prose). Walk rules, each
+    * spec-tested:
+    *
+    *   - cells are `<td>`/`<th>` content at table depth 1 — one row per
+    *     cell as (table, row, col), all 0-based, `<tr>` advancing the
+    *     row and resetting the column; NESTED tables are skipped whole
+    *     (their cells belong to no flat grid) and do not consume
+    *     indexes of the outer table
+    *   - cell text follows the [[extract]] rules: inner markup becomes
+    *     separators, entities decode, comments/script/style content
+    *     drops, whitespace collapses
+    *   - `<th>` flags `header=true` (the schema row a consumer needs);
+    *     cells outside `<tr>`, text outside cells, and tables inside
+    *     comments contribute nothing; unterminated comments drop the
+    *     rest (the house rule)
+    */
+  final case class TableCell(table: Int, row: Int, col: Int,
+      header: Boolean, text: String)
+
+  def tables(html: String): Seq[TableCell] = {
+    if (html == null || html.isEmpty) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[TableCell]
+    val n = html.length
+    var i = 0
+    def lowerAt(p: Int, s: String): Boolean =
+      p + s.length <= n && html.regionMatches(true, p, s, 0, s.length)
+    var depth = 0      // <table> nesting
+    var tableIdx = -1  // current depth-1 table
+    var row = -1
+    var col = -1
+    var inRow = false
+    var inCell = false
+    var cellHeader = false
+    val buf = new StringBuilder
+    def closeCell(): Unit =
+      if (inCell) {
+        out += TableCell(tableIdx, row, col, cellHeader, collapse(buf.toString))
+        inCell = false
+      }
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (lowerAt(i, "<!--")) {
+          val close = html.indexOf("-->", i + 4)
+          i = if (close < 0) n else close + 3
+        } else if (lowerAt(i, "<script") || lowerAt(i, "<style")) {
+          val closer = if (lowerAt(i, "<script")) "</script" else "</style"
+          var j = i + 1
+          var stop = -1
+          while (stop < 0 && j < n) {
+            if (html.charAt(j) == '<' && lowerAt(j, closer)) stop = j
+            j += 1
+          }
+          i = if (stop < 0) n
+          else {
+            val gt = html.indexOf('>', stop)
+            if (gt < 0) n else gt + 1
+          }
+        } else {
+          val gt = html.indexOf('>', i)
+          val end = if (gt < 0) n else gt
+          def tag(s: String): Boolean = lowerAt(i, s) && end > i &&
+            (i + s.length >= end ||
+              !Character.isLetterOrDigit(html.charAt(i + s.length)))
+          if (tag("<table")) {
+            depth += 1
+            if (depth == 1) { tableIdx += 1; row = -1; inRow = false }
+          } else if (tag("</table")) {
+            if (depth == 1) { closeCell(); inRow = false }
+            if (depth > 0) depth -= 1
+          } else if (depth == 1) {
+            if (tag("<tr")) { closeCell(); row += 1; col = -1; inRow = true }
+            else if (tag("</tr")) { closeCell(); inRow = false }
+            else if (tag("<td") || tag("<th")) {
+              closeCell()
+              if (inRow) {
+                col += 1
+                inCell = true
+                cellHeader = lowerAt(i, "<th")
+                buf.clear()
+              }
+            } else if (tag("</td") || tag("</th")) closeCell()
+            else if (inCell) buf.append(' ') // inner markup separates
+          }
+          i = if (gt < 0) n else gt + 1
+        }
+      } else if (c == '&') {
+        val (decoded, next) = reference(html, i)
+        if (depth == 1 && inCell) buf ++= decoded
+        i = next
+      } else {
+        if (depth == 1 && inCell) buf += c
+        i += 1
+      }
+    }
+    closeCell() // unterminated cell at EOF: lenient
+    out.toSeq
+  }
+
   /** Main-content extraction — block-level boilerplate removal, the step
     * between [[extract]]'s whole-page text and quality scoring: nav bars,
     * footers, and link farms score as "text" to q148 but poison training

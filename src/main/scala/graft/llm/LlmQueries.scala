@@ -4730,6 +4730,92 @@ object LlmQueries {
       .orderBy("doc_id", "seq")
   }
 
+  // ---------------------------------------------------------------- q186
+  // Mail-thread reconstruction (r12 — Eml.refs ∘ Components.connected:
+  // conversation-format training data comes from mailing-list archives
+  // THREADED, and threading is the References graph's connected
+  // components). The engine derives everything from the wire format:
+  // Message-ID/In-Reply-To parsed per mail (folded headers), edges by
+  // a real equi-join on the msg-id STRING, components via the q62
+  // iterative min-label propagation, roots = no In-Reply-To; isolated
+  // roots (threads of one) come back via the left join. The oracle
+  // knows the thread layout only from the fixture arithmetic — a parse
+  // miss, join miss, or propagation bug all hash-mismatch. One string
+  // equi-join + the component loop's bounded rounds.
+  val q186 = Q(
+    "q186_mail_threads",
+    """SELECT doc_id, doc_id - doc_id % 4 AS thread,
+      |  (doc_id % 4 = 0) AS is_root
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val msgs = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val reply = if (id % 4 == 0) "" else s"In-Reply-To: <m${id - 1}@x>\n"
+      val raw = s"Message-ID: <m$id@x>\n${reply}Subject: t $id\n\nbody $id"
+      val (mid, irt) = Eml.refs(raw).getOrElse(("", ""))
+      (id, mid, irt)
+    }.toDF("doc_id", "mid", "irt")
+    val edges = msgs.as("a")
+      .join(msgs.select(col("doc_id").as("p_id"), col("mid").as("p_mid")).as("b"),
+        col("a.irt") === col("b.p_mid"))
+      .select(col("a.doc_id").as("id_a"), col("b.p_id").as("id_b"))
+    val comp = Components.connected(edges, "id_a", "id_b")
+    msgs.join(comp, msgs("doc_id") === comp("id"), "left")
+      .select(msgs("doc_id"),
+        coalesce(col("component"), msgs("doc_id")).as("thread"),
+        (col("irt") === lit("")).as("is_root"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q187
+  // HTML table-cell extraction (Html.tables — the structured-data
+  // harvest from page BODIES, the <table> counterpart of q173's script
+  // harvest: statistics and specs ship as tables and a tabular corpus
+  // wants cells, not prose). Fixture forces the grid accounting
+  // (0-based table/row/col, th header flags), entity decode, a nested
+  // table that must be skipped whole without consuming outer indexes
+  // (even docs), and a comment-hidden decoy table; oracle re-derives
+  // every cell as UNION ALL arithmetic. Row-local explode, no shuffle.
+  val q187 = Q(
+    "q187_html_tables",
+    """SELECT doc_id, tbl, r, c, header, text FROM (
+      |  SELECT doc_id, CAST(0 AS INT) AS tbl, CAST(0 AS INT) AS r,
+      |         CAST(0 AS INT) AS c, true AS header, 'Name' AS text
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST(0 AS INT), CAST(0 AS INT), CAST(1 AS INT),
+      |         true, 'Value & unit' FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST(0 AS INT), CAST(1 AS INT), CAST(0 AS INT),
+      |         false, 'metric ' || doc_id FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST(0 AS INT), CAST(1 AS INT), CAST(1 AS INT),
+      |         false, (doc_id * 2) || ' ms' FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST(1 AS INT), CAST(0 AS INT), CAST(0 AS INT),
+      |         false, 'outer ' || doc_id FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id, CAST(1 AS INT), CAST(0 AS INT), CAST(1 AS INT),
+      |         false, 'tail ' || doc_id FROM documents WHERE doc_id % 2 = 0
+      |) ORDER BY doc_id, tbl, r, c""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long].flatMap { id =>
+      val nested =
+        if (id % 2 == 0)
+          s"<table><tr><td>outer $id</td><td><table><tr><td>inner</td></tr>" +
+            s"</table> tail $id</td></tr></table>"
+        else ""
+      val html =
+        s"""<!-- <table><tr><td>decoy</td></tr></table> -->
+           |<table>
+           |<tr><th>Name</th><th>Value &amp; unit</th></tr>
+           |<tr><td>metric $id</td><td>${id * 2} ms</td></tr>
+           |</table>
+           |$nested""".stripMargin
+      Html.tables(html).map(tc => (id, tc.table, tc.row, tc.col, tc.header, tc.text))
+    }.toDF("doc_id", "tbl", "r", "c", "header", "text")
+      .orderBy("doc_id", "tbl", "r", "c")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -4739,5 +4825,6 @@ object LlmQueries {
       q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
-      q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185)
+      q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
+      q186, q187)
 }

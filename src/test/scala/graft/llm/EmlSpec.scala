@@ -73,6 +73,17 @@ class EmlSpec extends SparkSpec {
     assert(Eml.parse(null).isEmpty)
   }
 
+  test("refs: threading headers, folding, absence") {
+    assert(Eml.refs(
+      "Message-ID: <m1@x>\nIn-Reply-To: <m0@x>\nSubject: s\n\nbody")
+      .contains(("<m1@x>", "<m0@x>")))
+    // folded in-reply-to; missing message-id → empty string
+    assert(Eml.refs("In-Reply-To: <long\n id@x>\n\n").contains(("", "<long id@x>")))
+    assert(Eml.refs("Subject: only\n\nbody").contains(("", "")))
+    assert(Eml.refs("no message").isEmpty)
+    assert(Eml.refs(null).isEmpty)
+  }
+
   test("parseAll row shape over a dataset") {
     import spark.implicits._
     val rows = Eml.parseAll(Seq(
