@@ -4816,6 +4816,39 @@ object LlmQueries {
       .orderBy("doc_id", "tbl", "r", "c")
   }
 
+  // ---------------------------------------------------------------- q188
+  // CSV dialect sniffing (llm/CsvSniff — the loader front-end next to
+  // q157's charset sniff: crawled "CSV" arrives with unknown delimiter,
+  // quoting, and header row, and spark.read.csv needs all three before
+  // it parses a byte). Five fixture classes force the rules: comma with
+  // a header row, semicolon without, TAB beating comma on column count
+  // when quoted fields embed commas (the quote-aware split is what's
+  // being certified), pipe with a numeric first row (header must stay
+  // false), and plain prose (not a CSV). Oracle re-derives every
+  // dialect as CASE constants. Row-local, first-10-lines scale guard.
+  val q188 = Q(
+    "q188_csv_sniff",
+    """SELECT doc_id,
+      |  CASE CAST(doc_id % 5 AS INT)
+      |    WHEN 0 THEN ',' WHEN 1 THEN ';' WHEN 2 THEN chr(9)
+      |    WHEN 3 THEN '|' ELSE '' END AS delim,
+      |  CAST(CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 3 END AS INT) AS n_cols,
+      |  (doc_id % 5 = 0) AS header
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val text = (id % 5) match {
+        case 0 => s"name,score,unit\nalpha $id,1,ms\nbeta $id,2,ms"
+        case 1 => s"a $id;1;x\nb $id;2;y"
+        case 2 => s"x $id\t\"v, w\"\t2\ny $id\t\"p, q\"\t3"
+        case 3 => s"p $id|q|3.5\nr $id|s|4.5"
+        case _ => s"just plain prose text of doc $id"
+      }
+      (id, text)
+    }
+    CsvSniff.sniffAll(docs).toDF().orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -4826,5 +4859,5 @@ object LlmQueries {
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-      q186, q187)
+      q186, q187, q188)
 }
