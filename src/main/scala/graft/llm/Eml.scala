@@ -211,8 +211,15 @@ object Eml {
             }
           lines.foreach { l =>
             if (!done) {
-              if (l == delim + "--") { closeSeg(); done = true }
-              else if (l == delim) { closeSeg(); segStart = parts.length }
+              // RFC 2046 §5.1.1: delimiter lines may carry trailing
+              // transport padding (WSP) — strip it before comparing.
+              val lt = {
+                var e = l.length
+                while (e > 0 && (l.charAt(e - 1) == ' ' || l.charAt(e - 1) == '\t')) e -= 1
+                if (e == l.length) l else l.substring(0, e)
+              }
+              if (lt == delim + "--") { closeSeg(); done = true }
+              else if (lt == delim) { closeSeg(); segStart = parts.length }
               else if (segStart >= 0) seg.append(l).append('\n')
               // else: preamble drops
             } // epilogue drops

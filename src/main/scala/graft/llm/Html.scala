@@ -438,6 +438,12 @@ object Html {
     *     row and resetting the column; NESTED tables are skipped whole
     *     (their cells belong to no flat grid) and do not consume
     *     indexes of the outer table
+    *   - `colspan="N"` advances the NEXT cell's column by N (clamped to
+    *     [1, 1000]; non-numeric → 1), so grids with wide cells stay
+    *     aligned; ROWSPAN is NOT tracked — a cell spanning rows occupies
+    *     only its own row's grid, and later rows' columns do not shift
+    *     around it (the documented limitation: honoring rowspan needs a
+    *     per-table occupancy grid, which this single-pass walk avoids)
     *   - cell text follows the [[extract]] rules: inner markup becomes
     *     separators, entities decode, comments/script/style content
     *     drops, whitespace collapses
@@ -448,6 +454,34 @@ object Html {
     */
   final case class TableCell(table: Int, row: Int, col: Int,
       header: Boolean, text: String)
+
+  /** Parse `colspan=N` from a cell's open tag (chars in `[from, until)`),
+    * case-insensitive, quotes optional; absent / non-numeric / <1 → 1,
+    * clamped to 1000 (the HTML spec's own cap). */
+  private def colspanOf(html: String, from: Int, until: Int): Int = {
+    val attr = "colspan"
+    var p = from
+    while (p + attr.length <= until) {
+      if (html.regionMatches(true, p, attr, 0, attr.length) &&
+          (p == 0 || !Character.isLetterOrDigit(html.charAt(p - 1)))) {
+        var q = p + attr.length
+        while (q < until && Character.isWhitespace(html.charAt(q))) q += 1
+        if (q < until && html.charAt(q) == '=') {
+          q += 1
+          while (q < until && Character.isWhitespace(html.charAt(q))) q += 1
+          if (q < until && (html.charAt(q) == '"' || html.charAt(q) == '\'')) q += 1
+          var v = 0
+          var any = false
+          while (q < until && v <= 1000 && Character.isDigit(html.charAt(q))) {
+            v = v * 10 + (html.charAt(q) - '0'); any = true; q += 1
+          }
+          return if (!any || v < 1) 1 else math.min(v, 1000)
+        }
+      }
+      p += 1
+    }
+    1
+  }
 
   def tables(html: String): Seq[TableCell] = {
     if (html == null || html.isEmpty) return Nil
@@ -460,6 +494,7 @@ object Html {
     var tableIdx = -1  // current depth-1 table
     var row = -1
     var col = -1
+    var nextCol = 0    // column the next cell lands on (colspan-aware)
     var inRow = false
     var inCell = false
     var cellHeader = false
@@ -501,12 +536,13 @@ object Html {
             if (depth == 1) { closeCell(); inRow = false }
             if (depth > 0) depth -= 1
           } else if (depth == 1) {
-            if (tag("<tr")) { closeCell(); row += 1; col = -1; inRow = true }
+            if (tag("<tr")) { closeCell(); row += 1; nextCol = 0; inRow = true }
             else if (tag("</tr")) { closeCell(); inRow = false }
             else if (tag("<td") || tag("<th")) {
               closeCell()
               if (inRow) {
-                col += 1
+                col = nextCol
+                nextCol = col + colspanOf(html, i, end)
                 inCell = true
                 cellHeader = lowerAt(i, "<th")
                 buf.clear()

@@ -59,12 +59,21 @@ object LangId {
   }
 
   /** Score one normalized text against every profile; argmax with
-    * lexicographic tie-break; all-zero → ("und", 0). */
+    * lexicographic tie-break; all-zero → ("und", 0). Sorts the profile
+    * list per call — fine for one-off use; the scan path
+    * ([[classifyAll]]) hoists the sort out of the per-row loop. */
   def classify(norm: String,
       profiles: Seq[(String, Seq[(String, Int)])]): (String, Long) = {
+    classifySorted(norm, profiles.sortBy(_._1))
+  }
+
+  /** [[classify]] over profiles ALREADY sorted by language name — the
+    * per-row path, so the 100 TB scan does no per-row allocation/sort. */
+  private def classifySorted(norm: String,
+      sorted: Seq[(String, Seq[(String, Int)])]): (String, Long) = {
     var bestLang = "und"
     var bestScore = 0L
-    profiles.sortBy(_._1).foreach { case (lang, grams) =>
+    sorted.foreach { case (lang, grams) =>
       var s = 0L
       grams.foreach { case (g, w) => s += w * occurrences(norm, g) }
       if (s > bestScore) { bestLang = lang; bestScore = s }
@@ -72,14 +81,17 @@ object LangId {
     (bestLang, bestScore)
   }
 
-  /** Row-local classification over (doc_id, text) rows. */
+  /** Row-local classification over (doc_id, text) rows. The profile
+    * sort happens ONCE here (driver-side, rides the closure), not per
+    * row. */
   def classifyAll(docs: Dataset[(Long, String)],
       profiles: Seq[(String, Seq[(String, Int)])]): Dataset[Scored] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val sorted = profiles.sortBy(_._1)
     docs.mapPartitions { it =>
       it.map { case (id, text) =>
-        val (lang, score) = classify(normalize(text), profiles)
+        val (lang, score) = classifySorted(normalize(text), sorted)
         Scored(id, lang, score)
       }
     }

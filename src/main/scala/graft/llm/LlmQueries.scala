@@ -4334,7 +4334,10 @@ object LlmQueries {
   // a single-partition window, the 100 TB anti-pattern; fixed-count
   // shards keep assignment embarrassingly parallel), members sort by
   // doc_id within a shard, bytes come from the same Tar.build the q167
-  // oracle certified. The oracle re-derives member counts AND the exact
+  // oracle certified — via Tar.buildBounded, the ENFORCED max-shard-
+  // bytes contract (archives materialize in-memory per shard; the
+  // contract raises on violation rather than OOMing an executor when
+  // sharding misgroups). The oracle re-derives member counts AND the exact
   // archive length from ustar framing arithmetic (512-byte header +
   // 512-padded data per member + 1024-byte end marker); the engine
   // additionally re-parses its own shard (n_reparsed) so the round-trip
@@ -4360,7 +4363,11 @@ object LlmQueries {
         val entries = members.map { case (id, len) =>
           (s"doc_$id.txt", Array.fill[Byte](len)('x'.toByte), '0')
         }
-        val bytes = Tar.build(entries)
+        // Enforced shard-size contract (raises, never degrades): 16
+        // members × ≤400 B payload frame well under 64 KiB; a sharding
+        // bug that regrouped members would throw here, not OOM an
+        // executor materializing an unbounded archive.
+        val bytes = Tar.buildBounded(entries, maxBytes = 64L * 1024)
         val reparsed = Tar.members(bytes).map(_.size).getOrElse(-1)
         (shard, members.size.toLong, bytes.length.toLong, reparsed.toLong)
       }
@@ -4771,7 +4778,8 @@ object LlmQueries {
   // harvest from page BODIES, the <table> counterpart of q173's script
   // harvest: statistics and specs ship as tables and a tabular corpus
   // wants cells, not prose). Fixture forces the grid accounting
-  // (0-based table/row/col, th header flags), entity decode, a nested
+  // (0-based table/row/col, th header flags), entity decode, a colspan
+  // cell that must shift the NEXT cell's column by its span, a nested
   // table that must be skipped whole without consuming outer indexes
   // (even docs), and a comment-hidden decoy table; oracle re-derives
   // every cell as UNION ALL arithmetic. Row-local explode, no shuffle.
@@ -4791,6 +4799,12 @@ object LlmQueries {
       |  SELECT doc_id, CAST(0 AS INT), CAST(1 AS INT), CAST(1 AS INT),
       |         false, (doc_id * 2) || ' ms' FROM documents
       |  UNION ALL
+      |  SELECT doc_id, CAST(0 AS INT), CAST(2 AS INT), CAST(0 AS INT),
+      |         false, 'wide ' || doc_id FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CAST(0 AS INT), CAST(2 AS INT), CAST(2 AS INT),
+      |         false, 'end' FROM documents
+      |  UNION ALL
       |  SELECT doc_id, CAST(1 AS INT), CAST(0 AS INT), CAST(0 AS INT),
       |         false, 'outer ' || doc_id FROM documents WHERE doc_id % 2 = 0
       |  UNION ALL
@@ -4809,6 +4823,7 @@ object LlmQueries {
            |<table>
            |<tr><th>Name</th><th>Value &amp; unit</th></tr>
            |<tr><td>metric $id</td><td>${id * 2} ms</td></tr>
+           |<tr><td colspan="2">wide $id</td><td>end</td></tr>
            |</table>
            |$nested""".stripMargin
       Html.tables(html).map(tc => (id, tc.table, tc.row, tc.col, tc.header, tc.text))

@@ -99,6 +99,10 @@ object Markdown {
           // must not be unwrapped early either, or the Link pass would
           // then match the exposed brackets) and substituted back last
           val spans = scala.collection.mutable.ArrayBuffer.empty[String]
+          // Literal NULs are stripped first so adversarial input cannot
+          // forge a placeholder-shaped token (CommonMark mandates
+          // replacing U+0000 anyway; stripping keeps text-only output).
+          if (s.indexOf('\u0000') >= 0) s = s.replace("\u0000", "")
           s = CodeSpan.replaceAllIn(s, m => {
             spans += m.group(1)
             "\u0000" + (spans.length - 1) + "\u0000"
@@ -116,10 +120,23 @@ object Markdown {
             m => scala.util.matching.Regex.quoteReplacement(m.group(1)))
           s = EmU.replaceAllIn(s,
             m => scala.util.matching.Regex.quoteReplacement(m.group(1)))
-          var k = 0
-          while (k < spans.length) {
-            s = s.replace("\u0000" + k + "\u0000", spans(k))
-            k += 1
+          // Restore in ONE left-to-right scan: a span whose content is
+          // itself placeholder-shaped must not be re-expanded by a later
+          // pass (sequential global replace would corrupt it).
+          if (spans.nonEmpty) {
+            val sb = new StringBuilder(s.length)
+            var i = 0
+            while (i < s.length) {
+              if (s.charAt(i) == '\u0000') {
+                val close = s.indexOf('\u0000', i + 1)
+                val idx = if (close > i + 1)
+                  try Integer.parseInt(s.substring(i + 1, close)) catch { case _: NumberFormatException => -1 }
+                else -1
+                if (idx >= 0 && idx < spans.length) { sb ++= spans(idx); i = close + 1 }
+                else { i += 1 } // malformed marker: drop the NUL, keep scanning
+              } else { sb += s.charAt(i); i += 1 }
+            }
+            s = sb.toString
           }
           s = s.trim
           if (s.nonEmpty) {

@@ -69,10 +69,15 @@ object Pq {
     }
     val queries: Array[(Long, Array[Long])] = g.filter(col("vec_id") < nQueries)
       .as[(Long, Seq[Long])].collect().map { case (id, v) => id -> v.toArray }
-    // per-query ADC tables: t(m)(j) = d²(q_m, cb(m)(j))
+    // Symmetric distance: queries are encoded through the codebook first,
+    // and each table entry is the centroid-to-centroid distance
+    // t(m)(j) = d²(cb(m)(code_q(m)), cb(m)(j)). When a query IS a codebook
+    // row (the q183 setup) its encode is itself, so this coincides with the
+    // raw-query (ADC) tables — but it stays SDC when nQueries > nCodebook.
     val tables: Array[(Long, Array[Array[Long]])] = queries.map { case (qid, qg) =>
+      val qCodes = encode(qg.toIndexedSeq, m, dimsPer, cb)
       qid -> Array.tabulate(m, nCodebook) { (mm, j) =>
-        d2(qg, mm * dimsPer, cb(mm)(j))
+        d2(cb(mm)(qCodes(mm)).toIndexedSeq, 0, cb(mm)(j))
       }
     }
     val scored = g.as[(Long, Seq[Long])].mapPartitions(_.flatMap { case (vid, gv) =>

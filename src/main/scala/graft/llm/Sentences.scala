@@ -21,7 +21,10 @@ import org.apache.spark.sql.Dataset
   *     letter (initials "J. Smith", latinisms "e.g.") does not bound;
   *     '!' and '?' are never abbreviation-guarded; a digit before '.'
   *     is not a guard ("lab 42. Next" bounds; "3.14" never reaches the
-  *     whitespace test)
+  *     whitespace test). KNOWN MISS of the initials rule: a sentence
+  *     genuinely ending in a single letter + '.' ("...so did I. Then")
+  *     never bounds — the deliberate, rule-explicit tradeoff: initials
+  *     are far more common in crawl text than one-letter sentence ends
   *   - the final tail emits even unterminated (crawl text rarely ends
   *     clean); sentences are trimmed, empties dropped
   *

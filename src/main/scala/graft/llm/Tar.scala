@@ -122,8 +122,36 @@ object Tar {
 
   // ---------------------------------------------------------------- build
 
+  /** Exact framed length of the archive [[build]] would produce, from
+    * ustar arithmetic alone (512-byte header + 512-padded data per
+    * member + 1024-byte end marker) — no buffer is allocated, so a size
+    * contract can be checked BEFORE materializing anything. */
+  def framedLength(entries: Seq[(String, Array[Byte], Char)]): Long =
+    entries.foldLeft(1024L) { case (acc, (_, data, tf)) =>
+      acc + 512L + (if (tf == '0') ((data.length + 511L) / 512L) * 512L else 0L)
+    }
+
+  /** [[build]] with an ENFORCED max-archive-bytes contract (the maxSpan
+    * precedent: violations RAISE, never silently degrade). The whole
+    * archive materializes as one in-memory Array[Byte] — correct for
+    * bounded shards, a heap bomb for unbounded ones — so callers that
+    * assemble shards from grouped rows must state their bound here and
+    * get an IllegalArgumentException (with the exact framed length)
+    * instead of an executor OOM when an upstream sharding bug feeds an
+    * oversized member list. */
+  def buildBounded(entries: Seq[(String, Array[Byte], Char)],
+      maxBytes: Long): Array[Byte] = {
+    val len = framedLength(entries)
+    require(len <= maxBytes,
+      s"tar shard contract violated: framed length $len B exceeds the " +
+        s"declared max $maxBytes B (${entries.size} members) — shard " +
+        "assignment upstream must bound members-per-shard")
+    build(entries)
+  }
+
   /** Deterministic fixture writer (and honest write path): POSIX ustar
-    * with verified checksums; typeflag '5' entries carry no data. */
+    * with verified checksums; typeflag '5' entries carry no data.
+    * Unbounded — production shard exports go through [[buildBounded]]. */
   def build(entries: Seq[(String, Array[Byte], Char)]): Array[Byte] = {
     val out = new ByteArrayOutputStream(2048)
     entries.foreach { case (name, data, tf) =>

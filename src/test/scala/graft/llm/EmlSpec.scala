@@ -63,6 +63,15 @@ class EmlSpec extends SparkSpec {
     assert(m.text == "the real text")
     assert(m.subject == "multi")
 
+    // RFC 2046 §5.1.1: delimiter lines tolerate trailing transport
+    // padding (spaces/tabs) — they still split parts
+    val padded = "Subject: pad\nContent-Type: multipart/mixed; boundary=B\n\n" +
+      "--B \t\nContent-Type: text/plain\n\nfirst part\n--B  \n" +
+      "Content-Type: text/plain\n\nsecond part\n--B-- \nepilogue"
+    val mp = Eml.parse(padded).get
+    assert(mp.nParts == 2)
+    assert(mp.text == "first part")
+
     // corrupt base64 part (dangling single unit throws in the JDK MIME
     // decoder): empty text, message survives
     val bad = "Subject: s\nContent-Transfer-Encoding: base64\n\nQ"

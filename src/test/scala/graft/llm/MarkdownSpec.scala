@@ -75,6 +75,17 @@ class MarkdownSpec extends SparkSpec {
       "a [b](c) mid *d* end")
   }
 
+  test("placeholder restore is adversary-proof: NULs and marker-shaped spans") {
+    // literal NULs in input are stripped, never misread as placeholders
+    assert(Markdown.extract("a \u00000\u0000 b `code` c").text == "a 0 b code c")
+    // a span whose CONTENT is placeholder-shaped for a later span: the
+    // NUL-strip means it can never collide with a real marker, and the
+    // single left-to-right restore never rescans restored text
+    assert(Markdown.extract("`\u00001\u0000` mid `SECRET` end").text ==
+      "1 mid SECRET end")
+    assert(Markdown.extract("`x` tail").text == "x tail")
+  }
+
   test("edges: empty, crlf, all-blank") {
     assert(Markdown.extract("") == Markdown.Extracted("", 0, 0, 0))
     assert(Markdown.extract(null) == Markdown.Extracted("", 0, 0, 0))

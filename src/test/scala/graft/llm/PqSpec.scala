@@ -51,4 +51,28 @@ class PqSpec extends SparkSpec {
     // tie between 2 and 3 breaks by vec_id
     assert(byId(2L)._1 < byId(3L)._1)
   }
+
+  test("sdcTopK is symmetric-distance: non-codebook queries encode first") {
+    import spark.implicits._
+    // codebook = rows 0-1 only; queries = rows 0-2, so query 2 is NOT a
+    // codebook row. SDC must encode it (grid 32,32,32,32 → centroid 1 in
+    // both subspaces, d 2·32² < 2·(64−32)²... equal: 2048 vs 2048 → tie,
+    // lowest j → centroid 0) and build tables centroid-to-centroid, so
+    // query 2's distance to a vector coded (0,0) is exactly 0 — the raw
+    // (ADC) tables would give 4·32²=4096 instead.
+    val rows = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)),
+      (1L, Seq(1f, 1f, 1f, 1f)),
+      (2L, Seq(0.5f, 0.5f, 0.5f, 0.5f)),
+      (3L, Seq(0f, 0f, 0f, 0f)))
+    val out = Pq.sdcTopK(rows.toDF("vec_id", "embedding"), m = 2, dimsPer = 2,
+      nCodebook = 2, nQueries = 3, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    // query 2 encodes to centroid 0 (midpoint tie, lowest j); vec 3 codes
+    // (0,0) too → SDC distance 0, not the ADC 4096
+    assert(out((2L, 3L)) == 0L)
+    // codebook-row queries still behave as before (encode is identity)
+    assert(out((0L, 3L)) == 0L)
+    assert(out((1L, 3L)) == 4 * 64L * 64L)
+  }
 }

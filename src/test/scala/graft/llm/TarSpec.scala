@@ -21,6 +21,21 @@ class TarSpec extends SparkSpec {
     assert(ms(2).content.toSeq == b.toSeq && ms(2).size == b.length)
   }
 
+  test("shard contract: framedLength exact; buildBounded raises on violation") {
+    val entries = Seq(
+      ("dir/", Array.emptyByteArray, '5'),
+      ("a.txt", "x".getBytes(UTF_8), '0'),            // 512 hdr + 512 data
+      ("b.bin", new Array[Byte](513), '0'))           // 512 hdr + 1024 data
+    // arithmetic length must equal the actual build's byte count
+    assert(Tar.framedLength(entries) == Tar.build(entries).length.toLong)
+    assert(Tar.framedLength(Nil) == 1024L) // end marker alone
+    // at the bound: builds; one byte under: raises with the exact length
+    val len = Tar.framedLength(entries)
+    assert(Tar.buildBounded(entries, len).length.toLong == len)
+    val e = intercept[IllegalArgumentException](Tar.buildBounded(entries, len - 1))
+    assert(e.getMessage.contains(len.toString))
+  }
+
   test("quarantine: bad magic, bad checksum, truncated member") {
     assert(Tar.members(null).isEmpty)
     assert(Tar.members(new Array[Byte](511)).isEmpty)
