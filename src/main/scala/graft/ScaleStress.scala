@@ -329,6 +329,44 @@ object ScaleStress {
     emb.unpersist()
   }
 
+  /** PQ / IVFPQ curve (q183/q189's engines): full-corpus SDC table scan
+    * vs the IVF-pruned composition as the corpus grows. The full scan
+    * scores nQueries·(n−1) candidates; IVFPQ scores only the probed
+    * cells' members — the rows-scored column IS the pruning ratio, and
+    * the wall gap tracks it. Pins (coarse cells, codebooks, queries)
+    * stay fixed-size across R, so per-candidate work is constant and
+    * the curve isolates the candidate count. */
+  def pqCurve(spark: SparkSession, sfDir: String): Unit = {
+    import graft.llm.Pq
+    val emb = Tables(spark, sfDir, "embeddings").cache(); emb.count()
+    println("== PQ: full SDC table scan vs IVFPQ probed-cell scoring ==")
+    val (nCells, nProbe, m, dimsPer, nCodebook, nQ, k) = (16, 2, 8, 8, 8, 8, 10)
+    for (r <- Seq(8, 16, 64)) {
+      val rep = replicateEmbeddings(emb, r, eps = 0.12)
+        .select("vec_id", "embedding").cache()
+      val n = rep.count()
+      try {
+        val fullCand = nQ.toLong * (n - 1)
+        val (_, fullS) = time {
+          Pq.sdcTopK(rep, m, dimsPer, nCodebook, nQ, k).collect()
+        }
+        // candidate count first (untimed), then the timed end-to-end search
+        val ivfCand = Pq.ivfpqScored(rep, nCells, nProbe, m, dimsPer,
+          nCodebook, nQ).count()
+        val (hits, ivfS) = time {
+          Pq.ivfpqTopK(rep, nCells, nProbe, m, dimsPer, nCodebook, nQ, k)
+            .collect()
+        }
+        assert(hits.length == nQ * k,
+          s"ivfpq under-filled at R=$r: ${hits.length} of ${nQ * k}")
+        val pct = 100.0 * ivfCand / fullCand
+        println(f"R=$r%2d n=$n%7d full-pq cand=$fullCand%9d $fullS%5.1f s | " +
+          f"ivfpq($nProbe/$nCells cells) cand=$ivfCand%8d ($pct%4.1f%%) $ivfS%5.1f s")
+      } finally rep.unpersist()
+    }
+    emb.unpersist()
+  }
+
   /** Incremental-dedup A/B (q78's engine): Bloom screen + streamed confirm
     * vs the naive exact confirm (batch anti-join history.distinct()) as the
     * history grows. The naive shape shuffles EVERY history hash per batch;
@@ -1459,6 +1497,11 @@ object ScaleStress {
     }
     if (args.contains("--ivf")) {
       ivf(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.contains("--pq")) {
+      pqCurve(spark, sfDir)
       spark.stop()
       return
     }

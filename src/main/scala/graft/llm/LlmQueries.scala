@@ -4864,6 +4864,86 @@ object LlmQueries {
     CsvSniff.sniffAll(docs).toDF().orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q189
+  // IVFPQ composed search (Pq.ivfpqTopK — the production composition of
+  // q42's coarse IVF cells and q183's PQ table scoring, Jégou et al.
+  // 2011's deployed shape: probe nProbe cells per query, SDC-score ONLY
+  // their members — candidate work ∝ nProbe/nCells at M lookups per
+  // candidate). Both halves keep their certified disciplines: integer
+  // grid, coarse centroids pinned to grid rows [0,8), PQ sub-codebooks
+  // to rows [8,16) (disjoint ranges), every distance an exact integer,
+  // lowest-index tie-breaks, queries encoded through the codebook (true
+  // SDC). The output carries each member's cell so the hash certifies
+  // the coarse assignment AND the PQ ranking together; the oracle
+  // replays grid → assign → encode → probe → tables → top-k wholesale.
+  // nCells=8, nProbe=3, M=8×8 dims, K=8, 3 queries, top-5. Bounded
+  // collects + row-local scoring + one top-k window shuffle.
+  val q189 = Q(
+    "q189_ivfpq_search",
+    """WITH e AS (SELECT vec_id,
+      |             list_transform(embedding::DOUBLE[],
+      |               x -> CAST(least(127, greatest(-127, round(x * 64)))
+      |                    AS BIGINT)) AS g
+      |           FROM embeddings),
+      |cc AS (SELECT vec_id AS c, g FROM e WHERE vec_id < 8),
+      |cells AS (SELECT vec_id, c AS cell FROM (
+      |            SELECT e.vec_id, cc.c,
+      |                   row_number() OVER (PARTITION BY e.vec_id
+      |                     ORDER BY list_sum(list_transform(range(1, 65),
+      |                       i -> (e.g[i]-cc.g[i])*(e.g[i]-cc.g[i]))), cc.c)
+      |                     AS rn
+      |            FROM e CROSS JOIN cc) WHERE rn = 1),
+      |cb AS (SELECT vec_id - 8 AS j, g FROM e
+      |       WHERE vec_id >= 8 AND vec_id < 16),
+      |ms AS (SELECT unnest(range(8)) AS m),
+      |sub AS (SELECT e.vec_id, ms.m, cb.j,
+      |          list_sum(list_transform(range(1, 9),
+      |            i -> (e.g[8*ms.m + i] - cb.g[8*ms.m + i])
+      |               * (e.g[8*ms.m + i] - cb.g[8*ms.m + i]))) AS d2
+      |        FROM e CROSS JOIN ms CROSS JOIN cb),
+      |codes AS (SELECT vec_id, m, j AS code FROM (
+      |            SELECT vec_id, m, j,
+      |                   row_number() OVER (PARTITION BY vec_id, m
+      |                                      ORDER BY d2, j) AS rn
+      |            FROM sub) WHERE rn = 1),
+      |q AS (SELECT vec_id AS q_id, g AS qg FROM e WHERE vec_id < 3),
+      |qprobe AS (SELECT q_id, c AS cell FROM (
+      |             SELECT q.q_id, cc.c,
+      |                    row_number() OVER (PARTITION BY q.q_id
+      |                      ORDER BY list_sum(list_transform(range(1, 65),
+      |                        i -> (q.qg[i]-cc.g[i])*(q.qg[i]-cc.g[i]))),
+      |                        cc.c) AS rn
+      |             FROM q CROSS JOIN cc) WHERE rn <= 3),
+      |qcode AS (SELECT q.q_id, codes.m, codes.code FROM q
+      |          JOIN codes ON codes.vec_id = q.q_id),
+      |tbl AS (SELECT qcode.q_id, qcode.m, cb2.j,
+      |          list_sum(list_transform(range(1, 9),
+      |            i -> (cbq.g[8*qcode.m + i] - cb2.g[8*qcode.m + i])
+      |               * (cbq.g[8*qcode.m + i] - cb2.g[8*qcode.m + i]))) AS d2
+      |        FROM qcode
+      |        JOIN cb cbq ON cbq.j = qcode.code
+      |        CROSS JOIN cb cb2),
+      |qd AS (SELECT t.q_id, codes.vec_id, cells.cell,
+      |              CAST(sum(t.d2) AS BIGINT) AS dist
+      |       FROM codes
+      |       JOIN cells ON cells.vec_id = codes.vec_id
+      |       JOIN qprobe ON qprobe.cell = cells.cell
+      |       JOIN tbl t ON t.q_id = qprobe.q_id AND t.m = codes.m
+      |                 AND t.j = codes.code
+      |       WHERE codes.vec_id <> t.q_id
+      |       GROUP BY t.q_id, codes.vec_id, cells.cell)
+      |SELECT q_id, CAST(rk AS INT) AS rk, vec_id, CAST(cell AS INT) AS cell,
+      |       dist FROM (
+      |  SELECT q_id, vec_id, cell, dist,
+      |         row_number() OVER (PARTITION BY q_id
+      |                            ORDER BY dist, vec_id) AS rk
+      |  FROM qd) WHERE rk <= 5
+      |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+    Pq.ivfpqTopK(Tables(s, dir, "embeddings"), nCells = 8, nProbe = 3,
+      m = 8, dimsPer = 8, nCodebook = 8, nQueries = 3, k = 5)
+      .orderBy("q_id", "rk")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -4874,5 +4954,5 @@ object LlmQueries {
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-      q186, q187, q188)
+      q186, q187, q188, q189)
 }

@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   * query. Footprint story: 64-dim float = 256 B/vector, PQ code = M=8
   * bytes — 32×.
   */
-object Pq {
+object Pq extends Serializable {
 
   /** Integer-grid projection: `least(127, greatest(-127, round(x·64)))`
     * per element, as a codegen HOF (no UDF). */
@@ -104,6 +104,109 @@ object Pq {
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk").cast("int").as("rk"), col("vec_id"), col("dist"))
+  }
+
+  /** IVFPQ — the composed deployment shape of Jégou et al. 2011 (and of
+    * every billion-vector index since): the coarse IVF quantizer (q42's
+    * cells) prunes the corpus to `nProbe` cells per query, and PQ codes
+    * (q183's tables) score ONLY those cells' members — candidate work
+    * proportional to nProbe/nCells of the corpus at M table lookups per
+    * candidate, never a full scan and never a float vector read.
+    *
+    * Kept exact the graft way, composing the two certified halves'
+    * disciplines: integer grid first; coarse centroids PINNED to grid
+    * rows `[0, nCells)` and PQ sub-codebooks to rows
+    * `[nCells, nCells+nCodebook)` (disjoint ranges — the q42a/q183
+    * fixed-parameter discipline); every distance an exact integer
+    * Σ(a−b)²; all argmins tie-break on the lowest index; queries encode
+    * through the PQ codebook (true SDC, see [[sdcTopK]]). No residual
+    * encoding — this is the IVF+PQ composition, not IVFADC; residuals
+    * would put query-time float subtraction back in the hot path and
+    * break the shared-codes property the SDC tables rely on.
+    *
+    * Scale shape: centroids, codebooks, and the per-query probe sets are
+    * bounded driver-side collects (nCells + nCodebook + nQueries·nProbe
+    * rows); cell assignment, member encode, and table scoring are all
+    * row-local over the corpus with the tables riding the closure; the
+    * single shuffle is the per-query top-k window. At rest the index is
+    * `cell + M bytes` per vector — the [[Ivf.saveIndex]] bucketed layout
+    * applies unchanged, with `SelectedBucketsCount` pruning the
+    * unprobed cells' IO at the file level.
+    *
+    * Output carries the member's `cell` so the oracle certifies the
+    * coarse assignment together with the PQ ranking. */
+  def ivfpqTopK(emb: DataFrame, nCells: Int, nProbe: Int, m: Int,
+      dimsPer: Int, nCodebook: Int, nQueries: Int, k: Int): DataFrame = {
+    val scored = ivfpqScored(emb, nCells, nProbe, m, dimsPer, nCodebook, nQueries)
+    val w = Window.partitionBy("q_id").orderBy(col("dist"), col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("int").as("rk"),
+        col("vec_id"), col("cell").cast("int").as("cell"), col("dist"))
+  }
+
+  /** The candidate stage of [[ivfpqTopK]] before the top-k window: one
+    * row per (query, member-of-a-probed-cell) scored pair. Exposed so
+    * the ScaleStress harness can measure rows-scored (the pruning
+    * ratio) directly. */
+  private[graft] def ivfpqScored(emb: DataFrame, nCells: Int, nProbe: Int,
+      m: Int, dimsPer: Int, nCodebook: Int, nQueries: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val g = grid(emb)
+    // bounded collects: nCells coarse + nCodebook sub-centroids + queries
+    val pinned: Map[Long, Array[Long]] =
+      g.filter(col("vec_id") < nCells + nCodebook)
+        .as[(Long, Seq[Long])].collect().map { case (id, v) => id -> v.toArray }.toMap
+    val coarse: Array[Array[Long]] = Array.tabulate(nCells)(j => pinned(j.toLong))
+    val cb: Array[Array[Array[Long]]] = Array.tabulate(m, nCodebook) { (mm, j) =>
+      java.util.Arrays.copyOfRange(
+        pinned((nCells + j).toLong), mm * dimsPer, (mm + 1) * dimsPer)
+    }
+    val queries: Array[(Long, Array[Long])] = g.filter(col("vec_id") < nQueries)
+      .as[(Long, Seq[Long])].collect().map { case (id, v) => id -> v.toArray }
+
+    def nearestCell(v: IndexedSeq[Long]): Int = {
+      var best = 0
+      var bestD = Long.MaxValue
+      var j = 0
+      while (j < nCells) {
+        val d = d2(v, 0, coarse(j))
+        if (d < bestD) { bestD = d; best = j } // strict: lowest j wins ties
+        j += 1
+      }
+      best
+    }
+    // per-query probe set (sorted ascending for the membership scan) and
+    // SDC tables from the query's OWN codes (true symmetric distance)
+    val perQuery: Array[(Long, Array[Int], Array[Array[Long]])] =
+      queries.map { case (qid, qg) =>
+        val d2c = Array.tabulate(nCells)(j => d2(qg.toIndexedSeq, 0, coarse(j)))
+        val probes = (0 until nCells).sortBy(j => (d2c(j), j)).take(nProbe)
+          .sorted.toArray
+        val qCodes = encode(qg.toIndexedSeq, m, dimsPer, cb)
+        val tables = Array.tabulate(m, nCodebook) { (mm, j) =>
+          d2(cb(mm)(qCodes(mm)).toIndexedSeq, 0, cb(mm)(j))
+        }
+        (qid, probes, tables)
+      }
+    g.as[(Long, Seq[Long])].mapPartitions(_.flatMap { case (vid, gv) =>
+      val v = gv.toIndexedSeq
+      val cell = nearestCell(v)
+      // encode lazily: only vectors landing in SOME query's probe set pay it
+      var codes: Array[Int] = null
+      perQuery.iterator
+        .filter { case (qid, probes, _) =>
+          qid != vid && java.util.Arrays.binarySearch(probes, cell) >= 0
+        }
+        .map { case (qid, _, t) =>
+          if (codes == null) codes = encode(v, m, dimsPer, cb)
+          var dist = 0L
+          var mm = 0
+          while (mm < m) { dist += t(mm)(codes(mm)); mm += 1 }
+          (qid, vid, cell, dist)
+        }
+    }).toDF("q_id", "vec_id", "cell", "dist")
   }
 
   /** Exposed for spec use: encode one grid vector against a codebook. */

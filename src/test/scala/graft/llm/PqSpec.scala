@@ -75,4 +75,51 @@ class PqSpec extends SparkSpec {
     assert(out((0L, 3L)) == 0L)
     assert(out((1L, 3L)) == 4 * 64L * 64L)
   }
+
+  test("ivfpqTopK: probed-cell pruning + SDC parity on the survivors") {
+    import spark.implicits._
+    // 2 far-apart clusters on dim 4 (m=2, dimsPer=2): rows 0-1 are the
+    // coarse centroids (one per cluster), rows 2-3 the PQ codebooks,
+    // rows 4-9 split 3/3 between the clusters
+    val rows = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)),      // coarse c0
+      (1L, Seq(1f, 1f, 1f, 1f)),      // coarse c1
+      (2L, Seq(0.1f, 0f, 0f, 0.1f)),  // cb j0
+      (3L, Seq(0.9f, 1f, 1f, 0.9f)),  // cb j1
+      (4L, Seq(0.05f, 0f, 0f, 0f)),   // cluster 0
+      (5L, Seq(0f, 0.05f, 0f, 0f)),
+      (6L, Seq(0.02f, 0.02f, 0f, 0f)),
+      (7L, Seq(1f, 0.95f, 1f, 1f)),   // cluster 1
+      (8L, Seq(0.95f, 1f, 1f, 1f)),
+      (9L, Seq(1f, 1f, 0.98f, 1f)))
+    val df = rows.toDF("vec_id", "embedding")
+    // nProbe=1: query 0 (= coarse c0) probes ONLY cell 0 — no cluster-1
+    // vector may appear, even though k would admit them
+    val out = Pq.ivfpqTopK(df, nCells = 2, nProbe = 1, m = 2, dimsPer = 2,
+      nCodebook = 2, nQueries = 1, k = 10).collect()
+    val ids = out.map(_.getLong(2)).toSet
+    assert(out.forall(_.getInt(3) == 0))            // every survivor in cell 0
+    assert(Set(7L, 8L, 9L).intersect(ids).isEmpty)  // cluster 1 pruned
+    assert(Set(4L, 5L, 6L).subsetOf(ids))           // cluster 0 all present
+    assert(!ids.contains(0L))                       // self excluded
+    // SDC parity: each survivor's dist equals the full sdcTopK distance
+    // for the same (m, codebook) setup restricted to codebook rows 2-3.
+    // ivfpq's codebooks are rows [nCells, nCells+nCodebook) = 2-3, but
+    // sdcTopK pins rows [0, nCodebook) — rebuild with rows 2-3 first so
+    // the codebooks coincide.
+    def relabel(id: Long): Long =
+      if (id == 2L) 0L else if (id == 3L) 1L
+      else if (id == 0L) 2L else if (id == 1L) 3L else id // self-inverse
+    val re = rows.map { case (id, v) => (relabel(id), v) }
+      .toDF("vec_id", "embedding")
+    val full = Pq.sdcTopK(re, m = 2, dimsPer = 2, nCodebook = 2,
+      nQueries = 3, k = 10).collect()
+      // q_id 2 in the relabeled corpus is the original query 0
+      .filter(_.getLong(0) == 2L)
+      .map(r => relabel(r.getLong(2)) -> r.getLong(3)).toMap
+    out.foreach { r =>
+      assert(r.getLong(4) == full(r.getLong(2)),
+        s"dist mismatch for vec ${r.getLong(2)}")
+    }
+  }
 }
