@@ -767,4 +767,18 @@ object Html {
       }
     }
   }
+
+  /** Per-doc table-cell rows ([[tables]] with doc_id) — row-local
+    * explode, no shuffle, streaming-safe. */
+  final case class TableCellRow(doc_id: Long, tbl: Int, row: Int, col: Int,
+      header: Boolean, text: String)
+
+  def tablesAll(docs: org.apache.spark.sql.Dataset[(Long, String)]): org.apache.spark.sql.Dataset[TableCellRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.mapPartitions(_.flatMap { case (id, html) =>
+      tables(html).map(c =>
+        TableCellRow(id, c.table, c.row, c.col, c.header, c.text))
+    })
+  }
 }

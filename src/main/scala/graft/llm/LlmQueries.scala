@@ -4944,6 +4944,76 @@ object LlmQueries {
       .orderBy("q_id", "rk")
   }
 
+  // ---------------------------------------------------------------- q190
+  // Model-based quality gate (llm/QualityClassifier — the CCNet/FineWeb
+  // tier above q174's rules and q83/q108's LM proxies: production
+  // pipelines run a TRAINED classifier after the hard rules; the model
+  // fits offline and ships as a frozen weight vector applied row-
+  // locally, and that inference pass is this operator). Weights are
+  // PINNED integers (q42a discipline; QualityClassifierSpec's seeded
+  // MLlib logistic fit demonstrates the train side recovers the gate),
+  // features are per-mille integer divisions of the certified Gopher
+  // counts — so feature → score → verdict replays in SQL as CASE
+  // arithmetic with no float anywhere. Five fixture classes: good
+  // prose (keeps), tiny text, symbol spam, bullet-list boilerplate,
+  // numeric no-alpha (all drop), count-scaled by k = 1 + doc_id % 3.
+  // Row-local single pass, no shuffle.
+  val q190 = Q(
+    "q190_quality_classifier",
+    """WITH c AS (
+      |  SELECT doc_id, CAST(doc_id % 5 AS INT) AS cls, 1 + doc_id % 3 AS k
+      |  FROM documents
+      |), n AS (
+      |  SELECT doc_id,
+      |    CASE cls WHEN 0 THEN 64*k WHEN 1 THEN 5 WHEN 2 THEN 70*k
+      |             WHEN 3 THEN 118 ELSE 60*k END AS n_words,
+      |    CASE cls WHEN 0 THEN 240*k WHEN 1 THEN 16 WHEN 2 THEN 200*k
+      |             WHEN 3 THEN 397 ELSE 180*k END AS sum_word_len,
+      |    CAST(CASE cls WHEN 3 THEN 19 ELSE 1 END AS BIGINT) AS n_lines,
+      |    CAST(CASE cls WHEN 3 THEN 18 ELSE 0 END AS BIGINT) AS n_bullet_lines,
+      |    CASE cls WHEN 2 THEN 40*k ELSE 0 END AS n_symbols,
+      |    CASE cls WHEN 0 THEN 64*k WHEN 1 THEN 5 WHEN 2 THEN 50*k
+      |             WHEN 3 THEN 100 ELSE 0 END AS n_alpha_words,
+      |    CAST(CASE cls WHEN 3 THEN 6 WHEN 4 THEN 0 ELSE 3 END AS BIGINT)
+      |      AS stop_cnt
+      |  FROM c
+      |), f AS (
+      |  SELECT doc_id, least(n_words, 100) AS f_wc,
+      |    CASE WHEN n_words > 0 THEN 1000*n_alpha_words//n_words
+      |         ELSE 0 END AS alpha_pm,
+      |    stop_cnt,
+      |    CASE WHEN n_words > 0 THEN least(10*sum_word_len//n_words, 100)
+      |         ELSE 0 END AS meanlen_x10,
+      |    CASE WHEN n_words > 0 THEN 1000*n_symbols//n_words
+      |         ELSE 0 END AS symbol_pm,
+      |    CASE WHEN n_lines > 0 THEN 1000*n_bullet_lines//n_lines
+      |         ELSE 0 END AS bullet_pm
+      |  FROM n
+      |)
+      |SELECT doc_id, f_wc, alpha_pm, stop_cnt, meanlen_x10, symbol_pm,
+      |  bullet_pm,
+      |  3*f_wc + 2*alpha_pm + 100*stop_cnt + 4*meanlen_x10
+      |    - 3*symbol_pm - 2*bullet_pm AS score,
+      |  (3*f_wc + 2*alpha_pm + 100*stop_cnt + 4*meanlen_x10
+      |    - 3*symbol_pm - 2*bullet_pm >= 2500) AS keep
+      |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val k = (1 + id % 3).toInt
+      val text = (id % 5) match {
+        case 0 => "the solid value of good text and more " * (8 * k)
+        case 1 => "the of and tiny text"
+        case 2 => "the code of and note ## ## " * (10 * k)
+        case 3 =>
+          (1 to 18).map(_ => "- the solid item of value").mkString("\n") +
+            "\nthe end and of with have that solid words more"
+        case _ => "1234 5678 90 12 " * (15 * k)
+      }
+      (id, text)
+    }
+    QualityClassifier.scoreAll(docs).toDF().orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -4954,5 +5024,5 @@ object LlmQueries {
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-      q186, q187, q188, q189)
+      q186, q187, q188, q189, q190)
 }

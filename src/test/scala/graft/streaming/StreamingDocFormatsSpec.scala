@@ -248,6 +248,52 @@ class StreamingDocFormatsSpec extends SparkSpec {
     assert(cStream == Seq(SceneCut.Cut(1L, 0, 2, 8L * 3 * (0xc8 - 0x0a))))
   }
 
+  test("streaming sentences + csv-sniff + html-tables + quality gate ≡ batch") {
+    // the r12/r13 row-local text operators: sentence segmentation, CSV
+    // dialect sniffing, table-cell harvest (colspan-aware), and the
+    // pinned-weights quality classifier — all Dataset transforms, so
+    // the same function must run unchanged over a stream
+    import graft.llm.{CsvSniff, QualityClassifier, Sentences}
+    val docs = Seq(
+      1L -> "First one. Then two! Dr. Smith stays. tail",
+      2L -> "name,score\nalpha,1\nbeta,2",
+      3L -> "<table><tr><td colspan=\"2\">wide</td><td>end</td></tr></table>",
+      4L -> ("the solid value of good text and more " * 8),
+      5L -> "")
+    val dir = stage(docs)
+    def stream = spark.readStream.schema(docs.toDS().schema).parquet(dir)
+      .as[(Long, String)]
+
+    run(Sentences.splitAll(stream), "sent_stream")
+    val sent = spark.table("sent_stream").as[Sentences.SentRow]
+      .collect().sortBy(r => (r.doc_id, r.idx)).toSeq
+    assert(sent == Sentences.splitAll(docs.toDS())
+      .collect().sortBy(r => (r.doc_id, r.idx)).toSeq)
+    assert(sent.filter(_.doc_id == 1L).map(_.sentence) ==
+      Seq("First one.", "Then two!", "Dr. Smith stays. tail"))
+
+    run(CsvSniff.sniffAll(stream), "sniff_stream")
+    val sniff = spark.table("sniff_stream").as[CsvSniff.DialectRow]
+      .collect().sortBy(_.doc_id).toSeq
+    assert(sniff == CsvSniff.sniffAll(docs.toDS())
+      .collect().sortBy(_.doc_id).toSeq)
+    assert(sniff.find(_.doc_id == 2L).exists(d => d.delim == "," && d.header))
+
+    run(Html.tablesAll(stream), "tbl_stream")
+    val tbl = spark.table("tbl_stream").as[Html.TableCellRow]
+      .collect().sortBy(r => (r.doc_id, r.tbl, r.row, r.col)).toSeq
+    assert(tbl == Html.tablesAll(docs.toDS())
+      .collect().sortBy(r => (r.doc_id, r.tbl, r.row, r.col)).toSeq)
+    assert(tbl.map(c => (c.col, c.text)) == Seq((0, "wide"), (2, "end")))
+
+    run(QualityClassifier.scoreAll(stream), "qc_stream")
+    val qc = spark.table("qc_stream").as[QualityClassifier.Scored]
+      .collect().sortBy(_.doc_id).toSeq
+    assert(qc == QualityClassifier.scoreAll(docs.toDS())
+      .collect().sortBy(_.doc_id).toSeq)
+    assert(qc.filter(_.keep).map(_.doc_id) == Seq(4L))
+  }
+
   test("streaming tar.gz chain ≡ batch") {
     def targz(id: Long): Array[Byte] = {
       val inner = Tar.build(Seq((s"d$id.txt", s"text $id".getBytes("UTF-8"), '0')))
