@@ -5014,6 +5014,127 @@ object LlmQueries {
     QualityClassifier.scoreAll(docs).toDF().orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q191
+  // Multimodal training-sample assembly (the q177/q149 composed-pipeline
+  // treatment for the MULTIMODAL plane): real AVI frame decode with
+  // stride sampling (q138's engine) → real .srt subtitle parse (q144's
+  // wire format) → frames-to-transcript as-of alignment (q143's AsOf
+  // join, one doc_id shuffle) → per-doc interleaved chat render with
+  // the assistant-span offsets a trainer masks loss against (q182's
+  // template; the engine EXTRACTS the span from its own render while
+  // the oracle derives content independently) → token-budget packing
+  // through the certified CorpusPrep.packChunks (q66). One oracle hash
+  // certifies decoder pixel sums, cue timing, as-of boundary semantics,
+  // template offsets, whitespace token counts, and chunk assignment
+  // TOGETHER. The oracle states n_tokens in closed form (n_frames + 7:
+  // header + fused frame items + assistant header + 4 caption tokens +
+  // the trailing-newline empty segment — trim() is SPACE-only in both
+  // engines, so a '\n'-terminated render splits into one trailing empty
+  // token; the closed form states the shared convention) while the
+  // engine genuinely tokenizes its render. Plan shape:
+  // decode/parse row-local; the as-of window and the per-doc
+  // aggregation share the doc_id partitioning; packing adds the shard
+  // window; the packChunks join is co-partitioned on doc_id.
+  val q191 = Q(
+    "q191_multimodal_sample",
+    """WITH d AS (SELECT doc_id, 8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h,
+      |                  33000 + (doc_id % 5) * 1000 AS upf,
+      |                  2 + doc_id % 3 AS nf,
+      |                  (45 + 5 * (doc_id % 5)) * 1000 AS sw
+      |           FROM documents),
+      |f AS (SELECT doc_id, w, h, upf, sw, unnest(range(nf)) AS fi FROM d),
+      |fs AS (SELECT * FROM f WHERE fi % 2 = 0),
+      |p AS (SELECT doc_id, w, fi, unnest(range(w*h)) AS i FROM fs),
+      |pix AS (SELECT doc_id,
+      |          ((i % w) * 7 + (i // w) * 3 + doc_id + 11 * fi) % 256
+      |        + ((i % w) * 5 + (i // w) * 11 + 2 * doc_id + 7 * fi) % 256
+      |        + ((i % w) * 13 + (i // w) + 3 * doc_id + 5 * fi) % 256 AS v
+      |        FROM p),
+      |rgb AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS rgb_sum
+      |        FROM pix GROUP BY doc_id),
+      |items AS (SELECT doc_id, fi,
+      |            '<|frame|>sub' || doc_id || '_' ||
+      |              CAST((fi * upf) // sw AS VARCHAR) AS item
+      |          FROM fs),
+      |uc AS (SELECT doc_id, string_agg(item, ' ' ORDER BY fi) AS u,
+      |              CAST(count(*) AS INT) AS n_frames
+      |       FROM items GROUP BY doc_id),
+      |r AS (SELECT doc_id, n_frames, u,
+      |        '<|im_start|>user' || chr(10) || u ||
+      |        '<|im_end|>' || chr(10) || '<|im_start|>assistant' || chr(10)
+      |        || 'Caption for doc ' || doc_id || '<|im_end|>' || chr(10)
+      |          AS render
+      |      FROM uc),
+      |t AS (SELECT doc_id, n_frames, render,
+      |        CAST(length(u) + 51 AS BIGINT) AS a_start,
+      |        CAST(16 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS a_len,
+      |        'Caption for doc ' || doc_id AS content,
+      |        CAST(n_frames + 7 AS BIGINT) AS n_tokens,
+      |        CAST(doc_id % 8 AS INT) AS shard
+      |      FROM r)
+      |SELECT doc_id, n_frames, rgb.rgb_sum, render, a_start, a_len,
+      |       content, n_tokens, shard,
+      |       CAST(floor(coalesce(sum(n_tokens) OVER (
+      |              PARTITION BY shard ORDER BY doc_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |            / 32) AS BIGINT) AS chunk
+      |FROM t JOIN rgb USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    // real decoded frames (q138's sampler: container walk + frame seek)
+    val frames = Multimodal.videoFrames(aviFixture(s, dir), stride = 2)
+      .toDF().select(col("doc_id"), col("frame_idx"),
+        col("ts_us"), (col("sum_r") + col("sum_g") + col("sum_b")).as("rgb"))
+    // real subtitle track over the q144 wire format (cue step in ms so
+    // SRT's HH:MM:SS,mmm resolution is exact)
+    val srts = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val stepMs = 45 + 5 * (id % 5)
+      (id, Srt.encode(Seq.tabulate(4) { i =>
+        (i * stepMs, i * stepMs + 30, s"sub${id}_$i")
+      }))
+    }
+    val subs = Srt.parseAll(srts).toDF()
+      .select(col("doc_id"), col("start_us"), col("text").as("sub_text"))
+    // transcripts-to-frames alignment (q143's engine)
+    val aligned = graft.operators.AsOf.join(frames, subs,
+        key = "doc_id", leftTs = "ts_us", rightTs = "start_us",
+        payload = Seq("sub_text"))
+      .withColumn("item", concat(lit("<|frame|>"), col("asof_sub_text")))
+    // per-doc interleaved chat render + assistant span (q182's template)
+    val samples = aligned.groupBy("doc_id").agg(
+        count(lit(1)).cast("int").as("n_frames"),
+        sum(col("rgb")).as("rgb_sum"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("frame_idx"), col("item")))),
+          x => x.getField("item")), " ").as("u"))
+      .withColumn("render", concat(
+        lit("<|im_start|>user\n"), col("u"),
+        lit("<|im_end|>\n<|im_start|>assistant\nCaption for doc "),
+        col("doc_id"),
+        lit("<|im_end|>\n")))
+      .withColumn("a_start", (length(col("u")) + lit(51)).cast("long"))
+      .withColumn("a_len",
+        (lit(16) + length(col("doc_id").cast("string"))).cast("long"))
+      // the span, extracted from the engine's OWN render — the oracle's
+      // independent content column certifies the offsets (q182's move)
+      .withColumn("content", expr("substring(render, a_start, a_len)"))
+      // eager materialization before the fan-out: packChunks and the
+      // join-back both read the assembled samples, and without this the
+      // whole decode → as-of → render pipeline executes TWICE (one row
+      // per doc here — tiny next to the decode it saves; blocks self-
+      // release via ContextCleaner, the Ivf.fit convention)
+      .localCheckpoint(true)
+    // token-budget packing through the certified operator (q66); its
+    // 4-column output broadcast-joins back onto the samples
+    val packed = CorpusPrep.packChunks(
+      samples.select(col("doc_id"), col("render").as("text")),
+      budgetTokens = 32, shards = 8)
+    samples.join(packed, "doc_id")
+      .select("doc_id", "n_frames", "rgb_sum", "render", "a_start",
+        "a_len", "content", "n_tokens", "shard", "chunk")
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -5024,5 +5145,5 @@ object LlmQueries {
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-      q186, q187, q188, q189, q190)
+      q186, q187, q188, q189, q190, q191)
 }
