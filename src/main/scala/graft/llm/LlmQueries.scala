@@ -5135,6 +5135,68 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q192
+  // ASR training-segment assembly (q191's AUDIO twin — the speech-corpus
+  // prep shape: an ASR/audio-LM pipeline decodes audio, VAD-splits it
+  // into utterances, and aligns each utterance to the transcript cue
+  // covering its start time): real WAV encode/decode + in-pass VAD run
+  // detection (q179's engine, no frame explode) → real .srt transcript
+  // parse (q144's wire format) → utterance-to-cue as-of alignment
+  // (q143's AsOf.join, one doc_id shuffle). Segment start_us is frame
+  // arithmetic (frameLen 64 @ 8 kHz = 8 000 µs/frame); late utterances
+  // start past the last cue, so the as-of CLAMP to the final cue is
+  // exercised (oracle: least(start_us // sw, 3)). One hash certifies
+  // PCM energy sums, framing, run detection, cue timing, and boundary
+  // semantics together. Row-local decode, one as-of shuffle.
+  val q192 = Q(
+    "q192_asr_segments",
+    """WITH d AS (SELECT doc_id, 6 + (doc_id % 3) * 2 AS nb,
+      |                  (45 + 5 * (doc_id % 5)) * 1000 AS sw
+      |           FROM documents),
+      |s AS (SELECT doc_id, sw, unnest(range(nb // 2)) AS k FROM d)
+      |SELECT doc_id, CAST(k AS INT) AS seg,
+      |  CAST(8*k + 4 AS INT) AS start_frame,
+      |  CAST(8*k + 7 AS INT) AS end_frame,
+      |  CAST(4294967296 AS BIGINT) AS energy_sum,
+      |  CAST((8*k + 4) * 8000 AS BIGINT) AS start_us,
+      |  'sub' || doc_id || '_' ||
+      |    CAST(least(((8*k + 4) * 8000) // sw, 3) AS VARCHAR) AS label
+      |FROM s ORDER BY doc_id, seg""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    // real audio: alternating quiet/loud 256-sample blocks (q179's
+    // synthesis — amplitudes exact so energies are exact integers)
+    val blobs = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val nb = (6 + (id % 3) * 2).toInt
+      val samples = Array.tabulate[Short](nb * 256) { i =>
+        val a = if ((i / 256) % 2 == 0) 64 else 4096
+        (if (i % 2 == 0) a else -a).toShort
+      }
+      Multimodal.Blob(id, Wav.encodePcm16(8000, samples))
+    }
+    val segs = Vad.segmentsAll(blobs, frameLen = 64, threshold = 10000000L)
+      .toDF()
+      .withColumn("start_us", col("start_frame").cast("long") * 8000L)
+      .select("doc_id", "seg", "start_frame", "end_frame", "energy_sum",
+        "start_us")
+    // real transcript track (q191's srt fixture: ms-exact cue steps)
+    val srts = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val stepMs = 45 + 5 * (id % 5)
+      (id, Srt.encode(Seq.tabulate(4) { i =>
+        (i * stepMs, i * stepMs + 30, s"sub${id}_$i")
+      }))
+    }
+    val cues = Srt.parseAll(srts).toDF()
+      .select(col("doc_id"), col("start_us").as("cue_us"),
+        col("text").as("label"))
+    graft.operators.AsOf.join(segs, cues,
+        key = "doc_id", leftTs = "start_us", rightTs = "cue_us",
+        payload = Seq("label"))
+      .select(col("doc_id"), col("seg"), col("start_frame"),
+        col("end_frame"), col("energy_sum"), col("start_us"),
+        col("asof_label").as("label"))
+      .orderBy("doc_id", "seg")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -5145,5 +5207,5 @@ object LlmQueries {
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-      q186, q187, q188, q189, q190, q191)
+      q186, q187, q188, q189, q190, q191, q192)
 }
