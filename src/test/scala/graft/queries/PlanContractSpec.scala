@@ -137,4 +137,26 @@ class PlanContractSpec extends SparkSpec {
         s"an UnboundedFollowing frame appeared in $name")
     }
   }
+
+  test("r13 ANN/composite queries: no loops, no cartesians, bounded exchanges") {
+    // q189 IVFPQ: row-local scoring + ONE top-k window — exactly one hash
+    // exchange (the window's), no join of any kind in the plan
+    val p189 = plan("q189_ivfpq_search")
+    assert("Exchange hashpartitioning".r.findAllIn(p189).size == 1,
+      "q189 grew beyond its single top-k window exchange")
+    for (bad <- Seq("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"))
+      assert(!p189.contains(bad), s"$bad appeared in q189")
+    // q190 quality gate: row-local single pass — zero exchanges before
+    // the presentation sort
+    val p190 = plan("q190_quality_classifier")
+    assert(!p190.contains("Exchange hashpartitioning"),
+      "q190's row-local scan gained a hash exchange")
+    // q192 ASR assembly: the as-of union must plan as the single-window
+    // shape, never a loop/cartesian between segments and cues
+    val p192 = plan("q192_asr_segments")
+    for (bad <- Seq("BroadcastNestedLoopJoin", "CartesianProduct"))
+      assert(!p192.contains(bad), s"$bad appeared in q192")
+    assert(!p192.toLowerCase.contains("unboundedfollowing"),
+      "an UnboundedFollowing frame appeared in q192")
+  }
 }
