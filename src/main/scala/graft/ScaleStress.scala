@@ -359,10 +359,32 @@ object ScaleStress {
         }
         assert(hits.length == nQ * k,
           s"ivfpq under-filled at R=$r: ${hits.length} of ${nQ * k}")
+        // the at-rest path: M-byte codes bucketed by cell, probe set
+        // pruning buckets at the file level (the Ivf.saveIndex A/B shape)
+        Pq.saveIndex(rep, nCells, m, dimsPer, nCodebook, "stress_pq",
+          buckets = nCells)
+        val queries = rep.filter(col("vec_id") < nQ)
+        val ((got, planStr), idxS) = time {
+          val df = Pq.searchIndexed(spark, "stress_pq", queries, nProbe, k)
+          (df.collect(), df.queryExecution.executedPlan.toString)
+        }
+        val sel = "SelectedBucketsCount: [0-9]+ out of [0-9]+".r
+          .findFirstIn(planStr)
+          .getOrElse(sys.error("no bucket pruning in the searchIndexed plan"))
+        val key = (rows: Array[org.apache.spark.sql.Row]) =>
+          rows.map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+        assert(key(hits) == key(got),
+          s"persisted IVFPQ diverged from in-memory at R=$r")
         val pct = 100.0 * ivfCand / fullCand
         println(f"R=$r%2d n=$n%7d full-pq cand=$fullCand%9d $fullS%5.1f s | " +
-          f"ivfpq($nProbe/$nCells cells) cand=$ivfCand%8d ($pct%4.1f%%) $ivfS%5.1f s")
-      } finally rep.unpersist()
+          f"ivfpq($nProbe/$nCells cells) cand=$ivfCand%8d ($pct%4.1f%%) $ivfS%5.1f s | " +
+          f"persisted $idxS%5.1f s [$sel]")
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS stress_pq_codes")
+        spark.sql("DROP TABLE IF EXISTS stress_pq_coarse")
+        spark.sql("DROP TABLE IF EXISTS stress_pq_cb")
+        rep.unpersist()
+      }
     }
     emb.unpersist()
   }

@@ -209,6 +209,106 @@ object Pq extends Serializable {
     }).toDF("q_id", "vec_id", "cell", "dist")
   }
 
+  /** Persist the IVFPQ index at rest in its production layout — the
+    * [[Ivf.saveIndex]] treatment for PQ codes: `<name>_codes` is a
+    * catalog table of (vec_id, cell, codes) bucketed AND sorted on
+    * `cell` (M ints per vector instead of the float embedding — the
+    * whole point of PQ at rest), `<name>_coarse` / `<name>_cb` are the
+    * pinned coarse centroids and sub-codebooks (nCells and M·K rows).
+    * One shuffle at index build, amortized over every later probe; a
+    * search's `cell IN (…)` filter prunes unprobed buckets at the FILE
+    * level (`SelectedBucketsCount` in the plan), so candidate IO is
+    * proportional to nProbe/nCells of an already-M-bytes-per-vector
+    * index — the compose of the two scale wins. */
+  def saveIndex(emb: DataFrame, nCells: Int, m: Int, dimsPer: Int,
+      nCodebook: Int, name: String, buckets: Int = 16): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val g = grid(emb)
+    val pinned: Map[Long, Array[Long]] =
+      g.filter(col("vec_id") < nCells + nCodebook)
+        .as[(Long, Seq[Long])].collect().map { case (id, v) => id -> v.toArray }.toMap
+    val coarse: Array[Array[Long]] = Array.tabulate(nCells)(j => pinned(j.toLong))
+    val cb: Array[Array[Array[Long]]] = Array.tabulate(m, nCodebook) { (mm, j) =>
+      java.util.Arrays.copyOfRange(
+        pinned((nCells + j).toLong), mm * dimsPer, (mm + 1) * dimsPer)
+    }
+    val codes = g.as[(Long, Seq[Long])].mapPartitions(_.map { case (vid, gv) =>
+      val v = gv.toIndexedSeq
+      var best = 0
+      var bestD = Long.MaxValue
+      var j = 0
+      while (j < nCells) {
+        val d = d2(v, 0, coarse(j))
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      (vid, best, encode(v, m, dimsPer, cb).toSeq)
+    }).toDF("vec_id", "cell", "codes")
+    graft.sources.Bucketing.writeBucketed(codes, s"${name}_codes", "cell", buckets)
+    coarse.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq
+      .toDF("j", "g").write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${name}_coarse")
+    (for (mm <- 0 until m; j <- 0 until nCodebook)
+      yield (mm, j, cb(mm)(j).toSeq)).toDF("m", "j", "sub")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_cb")
+  }
+
+  /** Search a [[saveIndex]]-persisted IVFPQ index: probe nProbe cells per
+    * query (against the k-row coarse table — bounded collect), build the
+    * per-query SDC tables from the persisted sub-codebooks, then scan
+    * ONLY the probed cells' buckets (`cell IN (…)` → file-level bucket
+    * pruning) scoring M lookups per code row. Results are identical to
+    * [[ivfpqTopK]] over the same corpus and pins (spec-asserted). */
+  def searchIndexed(spark: org.apache.spark.sql.SparkSession, name: String,
+      queries: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val coarse: Array[Array[Long]] = spark.table(s"${name}_coarse")
+      .as[(Int, Seq[Long])].collect().sortBy(_._1).map(_._2.toArray)
+    val cbRows = spark.table(s"${name}_cb")
+      .as[(Int, Int, Seq[Long])].collect()
+    val m = cbRows.map(_._1).max + 1
+    val nCodebook = cbRows.map(_._2).max + 1
+    val cb: Array[Array[Array[Long]]] = Array.ofDim(m, nCodebook)
+    cbRows.foreach { case (mm, j, sub) => cb(mm)(j) = sub.toArray }
+    val dimsPer = cb(0)(0).length
+    val nCells = coarse.length
+    val qs: Array[(Long, Array[Long])] = grid(queries)
+      .as[(Long, Seq[Long])].collect().map { case (id, v) => id -> v.toArray }
+    val perQuery: Array[(Long, Array[Int], Array[Array[Long]])] =
+      qs.map { case (qid, qg) =>
+        val d2c = Array.tabulate(nCells)(j => d2(qg.toIndexedSeq, 0, coarse(j)))
+        val probes = (0 until nCells).sortBy(j => (d2c(j), j)).take(nProbe)
+          .sorted.toArray
+        val qCodes = encode(qg.toIndexedSeq, m, dimsPer, cb)
+        val tables = Array.tabulate(m, nCodebook) { (mm, j) =>
+          d2(cb(mm)(qCodes(mm)).toIndexedSeq, 0, cb(mm)(j))
+        }
+        (qid, probes, tables)
+      }
+    val allCells = perQuery.flatMap(_._2).distinct.sorted
+    val scored = spark.table(s"${name}_codes")
+      .filter(col("cell").isin(allCells.toIndexedSeq.map(x => x: Any): _*))
+      .as[(Long, Int, Seq[Int])].mapPartitions(_.flatMap { case (vid, cell, cs) =>
+        val codes = cs.toArray
+        perQuery.iterator
+          .filter { case (qid, probes, _) =>
+            qid != vid && java.util.Arrays.binarySearch(probes, cell) >= 0
+          }
+          .map { case (qid, _, t) =>
+            var dist = 0L
+            var mm = 0
+            while (mm < m) { dist += t(mm)(codes(mm)); mm += 1 }
+            (qid, vid, cell, dist)
+          }
+      }).toDF("q_id", "vec_id", "cell", "dist")
+    val w = Window.partitionBy("q_id").orderBy(col("dist"), col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("int").as("rk"),
+        col("vec_id"), col("cell").cast("int").as("cell"), col("dist"))
+  }
+
   /** Exposed for spec use: encode one grid vector against a codebook. */
   private[llm] def encode(v: IndexedSeq[Long], m: Int, dimsPer: Int,
       cb: Array[Array[Array[Long]]]): Array[Int] =

@@ -122,4 +122,38 @@ class PqSpec extends SparkSpec {
         s"dist mismatch for vec ${r.getLong(2)}")
     }
   }
+
+  test("persisted IVFPQ index: bucket pruning + parity with the in-memory path") {
+    import spark.implicits._
+    // 40 vectors, dim 4: pins are rows 0-1 (coarse) and 2-3 (codebooks)
+    val rows = (0L until 40L).map { id =>
+      val base = if (id % 2 == 0) 0f else 1f
+      (id, Seq(base + (id % 5) * 0.01f, base, base - (id % 3) * 0.01f, base))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    try {
+      Pq.saveIndex(df, nCells = 2, m = 2, dimsPer = 2, nCodebook = 2,
+        name = "spec_pq", buckets = 4)
+      val queries = df.filter(col("vec_id") < 3)
+      val got = Pq.searchIndexed(spark, "spec_pq", queries, nProbe = 1, k = 5)
+      // file-level bucket pruning is the operator's point: the probed
+      // cell set must reach the scan as SelectedBucketsCount < total
+      val planStr = got.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(planStr)
+        .getOrElse(fail(s"no bucket pruning in the plan:\n$planStr"))
+      assert(sel.group(1).toInt < sel.group(2).toInt, "no buckets pruned")
+      // identical to the in-memory composition over the same pins
+      val mem = Pq.ivfpqTopK(df, nCells = 2, nProbe = 1, m = 2, dimsPer = 2,
+        nCodebook = 2, nQueries = 3, k = 5)
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4))
+      assert(got.collect().map(key).toSet == mem.collect().map(key).toSet)
+      assert(got.count() == 15) // 3 queries × top-5
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS spec_pq_codes")
+      spark.sql("DROP TABLE IF EXISTS spec_pq_coarse")
+      spark.sql("DROP TABLE IF EXISTS spec_pq_cb")
+    }
+  }
 }
