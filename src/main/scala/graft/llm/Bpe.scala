@@ -312,4 +312,31 @@ object Bpe {
         transform(col("pi"), x => x.getField("tid")).as("value"))
     assemble(docs, mapped, "int", "token_ids", textCol, idCol)
   }
+
+  /** The INVERSE of [[encodeCorpusIds]]: token ids → symbols → per-doc
+    * string, closing the tokenizer round-trip (the detokenize step an
+    * inference/inspection pipeline runs; a vocab/merge mismatch between
+    * encode and decode silently corrupts text, which is why the identity
+    * `decode(encode(t)) == whitespace-stripped t` deserves its own hash
+    * gate — this BPE carries no word-boundary marker, so exactly the
+    * inter-word whitespace is non-recoverable BY DESIGN and the identity
+    * is stated against the stripped text).
+    *
+    * Scale shape: the vocab is alphabet+merge-sized — a bounded collect
+    * riding the plan as a map literal; decode is one codegen
+    * transform + array_join per row, no shuffle, no join. Ids missing
+    * from the vocab (an [[encodeCorpusIds]] `oovId`, or corruption)
+    * surface as U+FFFD rather than vanishing. */
+  def decodeIds(
+      enc: DataFrame,
+      vocab: DataFrame,
+      idsCol: String = "token_ids"): DataFrame = {
+    val idToSym: Map[Int, String] = vocab.select("token_id", "symbol")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val m = typedlit(idToSym)
+    enc.withColumn("decoded",
+      array_join(
+        transform(col(idsCol), i =>
+          coalesce(element_at(m, i), lit("�"))), ""))
+  }
 }

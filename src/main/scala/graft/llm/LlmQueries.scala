@@ -5197,6 +5197,30 @@ object LlmQueries {
       .orderBy("doc_id", "seg")
   }
 
+  // ---------------------------------------------------------------- q193
+  // BPE decode round-trip (Bpe.decodeIds — the tokenizer loop CLOSED:
+  // learn q79, encode q80, ids q95, and now detokenize; a vocab/merge
+  // mismatch between encode and decode corrupts text silently, so the
+  // identity decode(encode(t)) == whitespace-stripped t gets its own
+  // hash gate). The engine runs the REAL pipeline — vocab build, merge
+  // encode, id mapping, then ids → symbols → string through the
+  // alphabet-sized map literal — while the oracle states the identity
+  // as pure string arithmetic; this BPE carries no word-boundary
+  // marker, so exactly the inter-word whitespace is non-recoverable BY
+  // DESIGN and the identity is against the stripped text. Decode is
+  // row-local codegen (no join, no shuffle); encode pays q95's passes.
+  val q193 = Q(
+    "q193_bpe_roundtrip",
+    """SELECT doc_id,
+      |  regexp_replace(trim(coalesce(text, '')), '\s+', '', 'g') AS decoded
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val v = Bpe.vocab(docs, q95Merges)
+    Bpe.decodeIds(Bpe.encodeCorpusIds(docs, q95Merges, v), v)
+      .select(col("doc_id"), col("decoded"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -5207,5 +5231,5 @@ object LlmQueries {
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-      q186, q187, q188, q189, q190, q191, q192)
+      q186, q187, q188, q189, q190, q191, q192, q193)
 }

@@ -156,4 +156,23 @@ class BpeSpec extends SparkSpec {
     val b = Bpe.learnMerges(toyCorpus.repartition(7), numMerges = 5)
     assert(a == b, "merge table must not depend on partitioning")
   }
+
+  test("decodeIds inverts encodeCorpusIds; OOV surfaces as U+FFFD") {
+    val docs = Seq((1L, "hug hugs  bug"), (2L, ""), (3L, null))
+      .toDF("doc_id", "text")
+    val merges = Seq(Bpe.Merge("u", "g", 2L), Bpe.Merge("h", "ug", 2L))
+    val v = Bpe.vocab(docs, merges)
+    val out = Bpe.decodeIds(Bpe.encodeCorpusIds(docs, merges, v), v)
+      .orderBy("doc_id").select("decoded").collect().map(_.getString(0))
+    // round-trip identity: whitespace (the only non-recoverable part —
+    // no word-boundary marker) strips; everything else is exact
+    assert(out.toSeq == Seq("hughugsbug", "", ""))
+    // OOV ids (vocab never saw the symbols) decode to U+FFFD, not silence
+    val vNarrow = Bpe.vocab(Seq((1L, "hug")).toDF("doc_id", "text"), merges)
+    val oov = Bpe.decodeIds(
+      Bpe.encodeCorpusIds(Seq((1L, "hug zap")).toDF("doc_id", "text"),
+        merges, vNarrow), vNarrow)
+      .select("decoded").head().getString(0)
+    assert(oov == "hug���")
+  }
 }
