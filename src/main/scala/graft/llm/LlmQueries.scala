@@ -5221,6 +5221,49 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q194
+  // Dedup survivor selection (the KEEP-ONE policy over q62's clusters —
+  // the step every production dedup actually ends with: connected
+  // near-dup components say WHICH docs duplicate each other, and the
+  // pipeline must then pick ONE canonical representative per cluster
+  // and drop the rest; SlimPajama/FineWeb keep the longest member, ties
+  // by stable id, and an unstable pick makes reruns non-reproducible).
+  // Composes the certified component engine (Components.connected over
+  // the 3-gram Jaccard pairs) with the policy: survivor = max n_words,
+  // tie → lowest doc_id, expressed as one struct-min window over the
+  // component key (no extra shuffle beyond the component grouping).
+  // The oracle replays clusters via the recursive CTE and the policy as
+  // a window rank.
+  val q194 = Q(
+    "q194_dedup_survivors",
+    s"""$componentCteSql,
+      |n AS (SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_words
+      |      FROM documents WHERE doc_id < 1000),
+      |m AS (SELECT comp.id AS doc_id, comp.component, n.n_words
+      |      FROM comp JOIN n ON n.doc_id = comp.id),
+      |sv AS (SELECT component, doc_id AS survivor_id FROM (
+      |         SELECT component, doc_id,
+      |                row_number() OVER (PARTITION BY component
+      |                                   ORDER BY n_words DESC, doc_id) AS rn
+      |         FROM m) WHERE rn = 1)
+      |SELECT m.doc_id, m.component, CAST(m.n_words AS BIGINT) AS n_words,
+      |       sv.survivor_id, (m.doc_id = sv.survivor_id) AS kept
+      |FROM m JOIN sv USING (component) ORDER BY m.doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val comp = Components.connected(dupPairs(s, dir), "doc_a", "doc_b")
+      .withColumnRenamed("id", "doc_id")
+    val words = Tables(s, dir, "documents").filter(col("doc_id") < 1000)
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_words"))
+    val w = Window.partitionBy("component")
+    comp.join(words, "doc_id")
+      .withColumn("sv", min(struct((-col("n_words")).as("neg"),
+        col("doc_id").as("id"))).over(w))
+      .select(col("doc_id"), col("component"), col("n_words"),
+        col("sv.id").as("survivor_id"),
+        (col("doc_id") === col("sv.id")).as("kept"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -5231,5 +5274,5 @@ object LlmQueries {
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-      q186, q187, q188, q189, q190, q191, q192, q193)
+      q186, q187, q188, q189, q190, q191, q192, q193, q194)
 }
