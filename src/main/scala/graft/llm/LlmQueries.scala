@@ -5264,6 +5264,61 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q195
+  // Interleaved image-text sample assembly (the MMC4/OBELICS shape —
+  // image-text pretraining interleaves decoded images INTO the document
+  // at their source positions, and both the image identity and the
+  // insertion arithmetic must be exact or samples silently misalign):
+  // real sentence segmentation (q185's engine over a rule-forcing
+  // fixture) + real BMP decode → dHash (q132's engine and its
+  // oracle-certified integer pooling), interleaved at a per-doc
+  // position (doc_id % 4, covering before-first through after-last).
+  // Sentinels, not NULLs: image rows carry content='' and text rows
+  // dhash=0 — the kind column disambiguates and the hash compare stays
+  // total. Both streams are row-local; the interleave is a UNION with
+  // arithmetic seq assignment — ZERO shuffle beyond the presentation
+  // sort.
+  val q195 = Q(
+    "q195_interleaved_sample",
+    DhashOracleCte +
+      """,
+        |sents AS (
+        |  SELECT doc_id, i,
+        |    CASE i WHEN 0 THEN 'First part of doc ' || doc_id || '.'
+        |           WHEN 1 THEN 'Second part of doc ' || doc_id || '!'
+        |           ELSE 'Third part of doc ' || doc_id || '.' END AS sentence
+        |  FROM (SELECT doc_id, unnest(range(3)) AS i FROM documents)),
+        |rows_ AS (
+        |  SELECT doc_id,
+        |         CAST(i + CASE WHEN i >= doc_id % 4 THEN 1 ELSE 0 END AS INT)
+        |           AS seq,
+        |         'text' AS kind, sentence AS content,
+        |         CAST(0 AS BIGINT) AS dhash_hi, CAST(0 AS BIGINT) AS dhash_lo
+        |  FROM sents
+        |  UNION ALL
+        |  SELECT doc_id, CAST(doc_id % 4 AS INT), 'image', '',
+        |         dhash_hi, dhash_lo
+        |  FROM hsh)
+        |SELECT doc_id, seq, kind, content, dhash_hi, dhash_lo
+        |FROM rows_ ORDER BY doc_id, seq""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val texts = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map(id => (id,
+        s"First part of doc $id. Second part of doc $id! Third part of doc $id."))
+    val textRows = Sentences.splitAll(texts).toDF()
+      .select(col("doc_id"),
+        (col("idx") + when(col("idx") >= pmod(col("doc_id"), lit(4L)), 1)
+          .otherwise(0)).cast("int").as("seq"),
+        lit("text").as("kind"), col("sentence").as("content"),
+        lit(0L).as("dhash_hi"), lit(0L).as("dhash_lo"))
+    val imgRows = ImageHash.dHash(dhashFixture(s, dir)).toDF()
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(4L)).cast("int").as("seq"),
+        lit("image").as("kind"), lit("").as("content"),
+        col("dhash_hi"), col("dhash_lo"))
+    textRows.unionByName(imgRows).orderBy("doc_id", "seq")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -5274,5 +5329,5 @@ object LlmQueries {
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-      q186, q187, q188, q189, q190, q191, q192, q193, q194)
+      q186, q187, q188, q189, q190, q191, q192, q193, q194, q195)
 }
