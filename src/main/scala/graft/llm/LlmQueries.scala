@@ -5319,6 +5319,51 @@ object LlmQueries {
     textRows.unionByName(imgRows).orderBy("doc_id", "seq")
   }
 
+  // ---------------------------------------------------------------- q196
+  // Registrable-domain extraction (Url.registrableDomain — eTLD+1, the
+  // grouping key the domain-level operations actually want: domain
+  // mixing q74, leakage-safe splits q122, and host dedup must group
+  // "www.blog.x.co.uk" with "x.co.uk", and grouping on the raw host
+  // silently splits them). The PSL algorithm over a PINNED suffix
+  // subset (the real list is a moving external resource; the q42a
+  // discipline pins a snapshot): longest-suffix wins (co.uk beats uk),
+  // registrable = suffix + ONE label, suffix-only hosts and IPv4
+  // literals have none, unlisted TLDs follow the PSL "*" default. Six
+  // fixture classes force each rule; oracle re-derives every verdict as
+  // CASE constants. Row-local, no shuffle.
+  val q196 = Q(
+    "q196_registrable_domain",
+    """SELECT doc_id,
+      |  CASE CAST(doc_id % 6 AS INT)
+      |    WHEN 0 THEN 'www.blog.doc' || doc_id || '.co.uk'
+      |    WHEN 1 THEN 'a.b.doc' || doc_id || '.com'
+      |    WHEN 2 THEN 'doc' || doc_id || '.com'
+      |    WHEN 3 THEN 'co.uk'
+      |    WHEN 4 THEN '10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+      |    ELSE 'x.doc' || doc_id || '.zzz' END AS host,
+      |  CASE CAST(doc_id % 6 AS INT)
+      |    WHEN 0 THEN 'doc' || doc_id || '.co.uk'
+      |    WHEN 1 THEN 'doc' || doc_id || '.com'
+      |    WHEN 2 THEN 'doc' || doc_id || '.com'
+      |    WHEN 3 THEN '' WHEN 4 THEN ''
+      |    ELSE 'doc' || doc_id || '.zzz' END AS domain,
+      |  (doc_id % 6 NOT IN (3, 4)) AS valid
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val host = (id % 6) match {
+        case 0 => s"www.blog.doc$id.co.uk"
+        case 1 => s"a.b.doc$id.com"
+        case 2 => s"doc$id.com"
+        case 3 => "co.uk"
+        case 4 => s"10.0.0.${id % 256}"
+        case _ => s"x.doc$id.zzz"
+      }
+      val d = Url.registrableDomain(host)
+      (id, host, d.getOrElse(""), d.isDefined)
+    }.toDF("doc_id", "host", "domain", "valid").orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -5329,5 +5374,5 @@ object LlmQueries {
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-      q186, q187, q188, q189, q190, q191, q192, q193, q194, q195)
+      q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196)
 }

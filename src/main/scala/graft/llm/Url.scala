@@ -55,6 +55,49 @@ object Url {
 
   private val TrackingKeys = Set("fbclid", "gclid", "msclkid")
 
+  /** Pinned public-suffix subset (the q42a fixed-parameters discipline:
+    * the real PSL is a moving external resource; an engine ships a
+    * pinned snapshot and swapping it in is a constants change). Multi-
+    * label entries first-class — "co.uk" is a suffix, "uk" alone too. */
+  private[llm] val PublicSuffixes: Set[String] = Set(
+    "com", "org", "net", "edu", "gov", "io", "ai", "dev",
+    "de", "fr", "uk", "au", "br", "jp", "cn", "ru",
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "com.br", "co.jp", "com.cn")
+
+  /** Registrable domain (eTLD+1) — the GROUPING key domain-level
+    * operations actually want: domain mixing (q74), leakage-safe splits
+    * (q122), and host-level dedup must group "www.blog.x.co.uk" and
+    * "x.co.uk" together, and grouping on the raw host silently splits
+    * them. The PSL algorithm over the pinned suffix set:
+    *
+    *   - longest (most-label) matching suffix wins ("co.uk" beats "uk")
+    *   - registrable = suffix + exactly ONE preceding label
+    *   - a host EQUAL to a suffix has no registrable domain → None
+    *   - unlisted TLDs follow the PSL default "*" rule: the last label
+    *     is the suffix (so "x.example.zzz" → "example.zzz")
+    *   - IPv4 literals have no registrable domain → None
+    *   - expects the lowercased host [[canonicalize]] emits; empty/null
+    *     and single-label hosts → None
+    *
+    * Row-local, the suffix set is 26 strings in the closure. */
+  def registrableDomain(host: String): Option[String] = {
+    if (host == null || host.isEmpty) return None
+    if (host.forall(c => (c >= '0' && c <= '9') || c == '.')) return None
+    val labels = host.split('.')
+    if (labels.length < 2 || labels.exists(_.isEmpty)) return None
+    var best = 0
+    var k = 1
+    while (k <= labels.length) {
+      if (PublicSuffixes.contains(labels.takeRight(k).mkString("."))) best = k
+      k += 1
+    }
+    val suffixLabels = if (best == 0) 1 else best // PSL "*" default rule
+    if (labels.length <= suffixLabels) None
+    else Some(labels.takeRight(suffixLabels + 1).mkString("."))
+  }
+
   private def isUnreserved(c: Char): Boolean =
     (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
       (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' || c == '~'

@@ -82,4 +82,25 @@ class UrlSpec extends SparkSpec {
     assert(rows(0).canonical == "http://a.io/x/y?k=1")
     assert(rows(0).host == "a.io" && rows(2).host == "")
   }
+
+  test("registrableDomain: PSL algorithm over the pinned suffix set") {
+    import Url.registrableDomain
+    // longest suffix wins: co.uk beats uk
+    assert(registrableDomain("www.blog.x.co.uk").contains("x.co.uk"))
+    assert(registrableDomain("x.co.uk").contains("x.co.uk"))
+    assert(registrableDomain("a.b.x.com").contains("x.com"))
+    assert(registrableDomain("x.com").contains("x.com"))
+    // a host EQUAL to a suffix has no registrable domain
+    assert(registrableDomain("co.uk").isEmpty)
+    assert(registrableDomain("com").isEmpty)
+    // unlisted TLD: PSL "*" default — last label is the suffix
+    assert(registrableDomain("a.x.zzz").contains("x.zzz"))
+    assert(registrableDomain("x.zzz").contains("x.zzz"))
+    assert(registrableDomain("zzz").isEmpty) // single label
+    // IPv4 literals, empties, malformed labels
+    assert(registrableDomain("10.0.0.1").isEmpty)
+    assert(registrableDomain("").isEmpty)
+    assert(registrableDomain(null).isEmpty)
+    assert(registrableDomain("a..com").isEmpty)
+  }
 }
