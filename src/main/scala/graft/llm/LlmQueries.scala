@@ -5364,6 +5364,67 @@ object LlmQueries {
     }.toDF("doc_id", "host", "domain", "valid").orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q197
+  // Decode-health audit (the OPS dashboard over the decoder tier: every
+  // format module quarantines corrupt input instead of throwing — the
+  // audit-not-drop contract — and at 100 TB an operator WATCHES the
+  // quarantine rate per format, because a rate step-change is how a
+  // partner's export break or a crawler bug first shows up). Fixture
+  // mixes real builds (WAV/BMP/PDF/ZIP/TAR via the same builders the
+  // format oracles certified) with garbage payloads on every 3rd doc;
+  // the engine decodes each blob through its format's parser and
+  // aggregates valid/quarantined per format, the oracle re-derives the
+  // counts from the class arithmetic — a hash match certifies that
+  // corrupt inputs land in the quarantine COUNT, not in silence or a
+  // crash. Row-local decode, one aggregation exchange.
+  val q197 = Q(
+    "q197_decode_health",
+    """WITH d AS (SELECT doc_id,
+      |             CASE CAST(doc_id % 5 AS INT)
+      |               WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp' WHEN 2 THEN 'pdf'
+      |               WHEN 3 THEN 'zip' ELSE 'tar' END AS fmt,
+      |             (doc_id % 3 = 0) AS corrupt
+      |           FROM documents)
+      |SELECT fmt, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT)
+      |         AS n_valid,
+      |       CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_quarantined
+      |FROM d GROUP BY fmt ORDER BY fmt""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val fmt = (id % 5) match {
+        case 0 => "wav"
+        case 1 => "bmp"
+        case 2 => "pdf"
+        case 3 => "zip"
+        case _ => "tar"
+      }
+      val bytes: Array[Byte] =
+        if (id % 3 == 0) s"garbage payload, not a $fmt, doc $id".getBytes("UTF-8")
+        else fmt match {
+          case "wav" => Wav.encodePcm16(8000, Array.tabulate[Short](64)(i => i.toShort))
+          case "bmp" => Bmp.encode24(4, 3, Array.tabulate(12)(i => i * 7))
+          case "pdf" => Pdf.build(Seq(s"BT (doc $id) Tj ET"), flate = true)
+          case "zip" => Zip.build(Seq((s"m$id.txt", s"member $id".getBytes("UTF-8"), false)))
+          case _     => Tar.build(Seq((s"m$id.txt", s"member $id".getBytes("UTF-8"), '0')))
+        }
+      val ok = fmt match {
+        case "wav" => Wav.parse(bytes).isDefined
+        case "bmp" => Bmp.parse(bytes).isDefined
+        case "pdf" => Pdf.parse(bytes).isDefined
+        case "zip" => Zip.members(bytes).isDefined
+        case _     => Tar.members(bytes).isDefined
+      }
+      (fmt, ok)
+    }.toDF("fmt", "ok")
+      .groupBy("fmt")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_valid"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_quarantined"))
+      .orderBy("fmt")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -5374,5 +5435,5 @@ object LlmQueries {
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-      q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196)
+      q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197)
 }
