@@ -1465,6 +1465,90 @@ object ScaleStress {
       TempDirs.rmTree(dir)
     }
   }
+  /** Multimodal sample-assembly throughput (q191's engine): AVI decode →
+    * SRT parse → as-of alignment → chat render → packChunks across
+    * corpus size. The chain is row-local until the as-of's doc_id
+    * exchange plus the packing's shard window, so cpu-µs/doc should
+    * stay FLAT as n grows (the q177 `--filters` story for the
+    * multimodal plane) — superlinear drift here means a stage stopped
+    * being row-local. */
+  def samplesThroughput(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    println("== multimodal sample assembly: decode + align + render + pack across corpus size ==")
+    val listener = new QueryMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    def flush(): Unit = org.apache.spark.GraftListenerBus.flush(spark.sparkContext)
+    var prev = -1.0
+    for (n <- Seq(20000, 40000, 80000)) {
+      def ids = spark.range(n.toLong).as[Long]
+      def chain(): DataFrame = {
+        val blobs = ids.map { id =>
+          val w = (8 + id % 8).toInt
+          val h = (4 + id % 4).toInt
+          val nFrames = (2 + id % 3).toInt
+          val frames = Seq.tabulate(nFrames) { f =>
+            Array.tabulate(w * h) { i =>
+              val x = i % w; val y = i / w
+              val r = ((x * 7 + y * 3 + id + 11 * f) % 256).toInt
+              val g = ((x * 5 + y * 11 + 2 * id + 7 * f) % 256).toInt
+              val b = ((x * 13 + y + 3 * id + 5 * f) % 256).toInt
+              (r << 16) | (g << 8) | b
+            }
+          }
+          llm.Multimodal.Blob(id, llm.Avi.encode(
+            width = w, height = h, usPerFrame = 33000 + (id % 5) * 1000,
+            frames = frames, junkBytes = ((id % 4) * 5).toInt))
+        }
+        val frames = llm.Multimodal.videoFrames(blobs, stride = 2)
+          .toDF().select(col("doc_id"), col("frame_idx"), col("ts_us"),
+            (col("sum_r") + col("sum_g") + col("sum_b")).as("rgb"))
+        val srts = ids.map { id =>
+          val stepMs = 45 + 5 * (id % 5)
+          (id, llm.Srt.encode(Seq.tabulate(4) { i =>
+            (i * stepMs, i * stepMs + 30, s"sub${id}_$i")
+          }))
+        }
+        val subs = llm.Srt.parseAll(srts).toDF()
+          .select(col("doc_id"), col("start_us"), col("text").as("sub_text"))
+        val aligned = operators.AsOf.join(frames, subs,
+            key = "doc_id", leftTs = "ts_us", rightTs = "start_us",
+            payload = Seq("sub_text"))
+          .withColumn("item", concat(lit("<|frame|>"), col("asof_sub_text")))
+        val samples = aligned.groupBy("doc_id").agg(
+            count(lit(1)).cast("int").as("n_frames"),
+            sum(col("rgb")).as("rgb_sum"),
+            array_join(transform(
+              sort_array(collect_list(struct(col("frame_idx"), col("item")))),
+              x => x.getField("item")), " ").as("u"))
+          .withColumn("render", concat(
+            lit("<|im_start|>user\n"), col("u"),
+            lit("<|im_end|>\n<|im_start|>assistant\nCaption for doc "),
+            col("doc_id"), lit("<|im_end|>\n")))
+        val tok = samples.withColumn("n_tokens",
+            llm.TextAnalysis.tokenCount(col("render")))
+          .withColumn("shard", pmod(col("doc_id"), lit(8L)).cast("int"))
+        val prevW = Window.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        tok.withColumn("chunk",
+          floor(coalesce(sum(col("n_tokens")).over(prevW), lit(0L)) / 32))
+      }
+      chain().write.format("noop").mode("overwrite").save() // warm
+      val (wall, cpu) = Seq.fill(2) {
+        System.gc()
+        flush(); listener.snapshotAndReset()
+        val t0 = System.nanoTime()
+        chain().write.format("noop").mode("overwrite").save()
+        val w = (System.nanoTime() - t0) / 1e9
+        flush()
+        (w, listener.snapshotAndReset().cpuSec)
+      }.minBy(_._1)
+      val ratio = if (prev > 0) f"${wall / prev}%4.2fx" else "  - "
+      println(f"n=$n%6d  wall=$wall%5.2f s (${cpu * 1e6 / n}%5.1f cpu-us/doc, vs prev $ratio)")
+      prev = wall
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.filterNot(_.startsWith("--")).headOption
       .getOrElse("/root/testdata/sf0.1")
@@ -1524,6 +1608,11 @@ object ScaleStress {
     }
     if (args.contains("--pq")) {
       pqCurve(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.contains("--samples")) {
+      samplesThroughput(spark)
       spark.stop()
       return
     }
