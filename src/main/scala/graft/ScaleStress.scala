@@ -341,9 +341,21 @@ object ScaleStress {
     val emb = Tables(spark, sfDir, "embeddings").cache(); emb.count()
     println("== PQ: full SDC table scan vs IVFPQ probed-cell scoring ==")
     val (nCells, nProbe, m, dimsPer, nCodebook, nQ, k) = (16, 2, 8, 8, 8, 8, 10)
+    val nBase = emb.count()
     for (r <- Seq(8, 16, 64)) {
+      // replicateEmbeddings numbers replicas vec_id = base·r + rep, which
+      // would put eps-perturbed REPLICAS of base vectors 0-2 into the
+      // pinned id range [0, nCells+nCodebook) — and a different set at
+      // every R, so the quantizer geometry (and thus the pruning ratio)
+      // would conflate corpus growth with pin drift. Remap to
+      // rep·nBase + base: ids [0, nBase) are the rep-0 originals at
+      // EVERY R, so centroids, codebooks, and queries are the identical
+      // vectors across the whole curve and only the corpus size varies.
       val rep = replicateEmbeddings(emb, r, eps = 0.12)
-        .select("vec_id", "embedding").cache()
+        .select(
+          (pmod(col("vec_id"), lit(r.toLong)) * nBase +
+            expr(s"vec_id div $r")).cast("long").as("vec_id"),
+          col("embedding")).cache()
       val n = rep.count()
       try {
         val fullCand = nQ.toLong * (n - 1)
@@ -1473,7 +1485,6 @@ object ScaleStress {
     * multimodal plane) — superlinear drift here means a stage stopped
     * being row-local. */
   def samplesThroughput(spark: SparkSession): Unit = {
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     println("== multimodal sample assembly: decode + align + render + pack across corpus size ==")
     val listener = new QueryMetricsListener
@@ -1515,6 +1526,10 @@ object ScaleStress {
             key = "doc_id", leftTs = "ts_us", rightTs = "start_us",
             payload = Seq("sub_text"))
           .withColumn("item", concat(lit("<|frame|>"), col("asof_sub_text")))
+        // EXACTLY q191's tail: localCheckpoint before the fan-out, then
+        // the certified CorpusPrep.packChunks joined back — the harness
+        // must measure the operator the query runs, not a hand-inlined
+        // copy of its shard/window/budget arithmetic that could drift.
         val samples = aligned.groupBy("doc_id").agg(
             count(lit(1)).cast("int").as("n_frames"),
             sum(col("rgb")).as("rgb_sum"),
@@ -1525,13 +1540,11 @@ object ScaleStress {
             lit("<|im_start|>user\n"), col("u"),
             lit("<|im_end|>\n<|im_start|>assistant\nCaption for doc "),
             col("doc_id"), lit("<|im_end|>\n")))
-        val tok = samples.withColumn("n_tokens",
-            llm.TextAnalysis.tokenCount(col("render")))
-          .withColumn("shard", pmod(col("doc_id"), lit(8L)).cast("int"))
-        val prevW = Window.partitionBy("shard").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        tok.withColumn("chunk",
-          floor(coalesce(sum(col("n_tokens")).over(prevW), lit(0L)) / 32))
+          .localCheckpoint(true)
+        val packed = llm.CorpusPrep.packChunks(
+          samples.select(col("doc_id"), col("render").as("text")),
+          budgetTokens = 32, shards = 8)
+        samples.join(packed, "doc_id")
       }
       chain().write.format("noop").mode("overwrite").save() // warm
       val (wall, cpu) = Seq.fill(2) {

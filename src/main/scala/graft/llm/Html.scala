@@ -457,28 +457,41 @@ object Html {
 
   /** Parse `colspan=N` from a cell's open tag (chars in `[from, until)`),
     * case-insensitive, quotes optional; absent / non-numeric / <1 → 1,
-    * clamped to 1000 (the HTML spec's own cap). */
+    * clamped to 1000 (the HTML spec's own cap). The scan is QUOTE-AWARE
+    * — `colspan=3` inside another attribute's quoted value must not
+    * match — and the attribute NAME must start after whitespace (so
+    * `data-colspan` never half-matches). A truncated tag (no closing
+    * '>', until = document end) caps the scan at 512 chars so a
+    * colspan-shaped string in page text can't be consumed. */
   private def colspanOf(html: String, from: Int, until: Int): Int = {
     val attr = "colspan"
+    val stop = math.min(until, from + 512)
     var p = from
-    while (p + attr.length <= until) {
-      if (html.regionMatches(true, p, attr, 0, attr.length) &&
-          (p == 0 || !Character.isLetterOrDigit(html.charAt(p - 1)))) {
+    while (p < stop) {
+      val c = html.charAt(p)
+      if (c == '"' || c == '\'') {
+        // skip a quoted attribute value whole
+        var q = p + 1
+        while (q < stop && html.charAt(q) != c) q += 1
+        p = q + 1
+      } else if (p + attr.length <= stop &&
+          html.regionMatches(true, p, attr, 0, attr.length) &&
+          p > from && Character.isWhitespace(html.charAt(p - 1))) {
         var q = p + attr.length
-        while (q < until && Character.isWhitespace(html.charAt(q))) q += 1
-        if (q < until && html.charAt(q) == '=') {
+        while (q < stop && Character.isWhitespace(html.charAt(q))) q += 1
+        if (q < stop && html.charAt(q) == '=') {
           q += 1
-          while (q < until && Character.isWhitespace(html.charAt(q))) q += 1
-          if (q < until && (html.charAt(q) == '"' || html.charAt(q) == '\'')) q += 1
+          while (q < stop && Character.isWhitespace(html.charAt(q))) q += 1
+          if (q < stop && (html.charAt(q) == '"' || html.charAt(q) == '\'')) q += 1
           var v = 0
           var any = false
-          while (q < until && v <= 1000 && Character.isDigit(html.charAt(q))) {
+          while (q < stop && v <= 1000 && Character.isDigit(html.charAt(q))) {
             v = v * 10 + (html.charAt(q) - '0'); any = true; q += 1
           }
           return if (!any || v < 1) 1 else math.min(v, 1000)
         }
-      }
-      p += 1
+        p += attr.length
+      } else p += 1
     }
     1
   }

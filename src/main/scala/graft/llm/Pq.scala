@@ -273,8 +273,20 @@ object Pq extends Serializable {
     cbRows.foreach { case (mm, j, sub) => cb(mm)(j) = sub.toArray }
     val dimsPer = cb(0)(0).length
     val nCells = coarse.length
-    val qs: Array[(Long, Array[Long])] = grid(queries)
+    // The per-query SDC tables (M·K ints each) and probe sets ride the
+    // closure, so the query set is a DRIVER collect by design — correct
+    // for the bounded query batches ANN serving runs, a driver OOM for
+    // an unbounded one. Enforced contract (the maxSpan/buildBounded
+    // precedent: violations raise, never degrade): collect through a
+    // limit ONE ROW past the cap — a single job that both bounds the
+    // collect itself and detects the violation, with no extra count()
+    // pass over the caller's plan.
+    val cap = 65536
+    val qs: Array[(Long, Array[Long])] = grid(queries).limit(cap + 1)
       .as[(Long, Seq[Long])].collect().map { case (id, v) => id -> v.toArray }
+    require(qs.length <= cap,
+      s"searchIndexed query batch exceeds the $cap bounded-collect " +
+        "contract - chunk the query set and issue multiple searches")
     val perQuery: Array[(Long, Array[Int], Array[Array[Long]])] =
       qs.map { case (qid, qg) =>
         val d2c = Array.tabulate(nCells)(j => d2(qg.toIndexedSeq, 0, coarse(j)))

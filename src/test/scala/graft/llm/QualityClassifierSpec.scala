@@ -10,6 +10,22 @@ class QualityClassifierSpec extends SparkSpec {
 
   import QualityClassifier._
 
+  // ONE copy of the five-class fixture builder (mirrors q190's query
+  // fixture): both tests below must exercise the same classes, and two
+  // drifting copies would silently decouple them.
+  private def fixtureText(id: Long): String = {
+    val k = (1 + id % 3).toInt
+    (id % 5) match {
+      case 0 => "the solid value of good text and more " * (8 * k)
+      case 1 => "the of and tiny text"
+      case 2 => "the code of and note ## ## " * (10 * k)
+      case 3 =>
+        (1 to 18).map(_ => "- the solid item of value").mkString("\n") +
+          "\nthe end and of with have that solid words more"
+      case _ => "1234 5678 90 12 " * (15 * k)
+    }
+  }
+
   test("features: per-mille integer divisions, clamps, zero conventions") {
     // a report with every count in play
     val rep = Gopher.Report(1L,
@@ -40,17 +56,7 @@ class QualityClassifierSpec extends SparkSpec {
   test("gate separates the fixture classes with margin") {
     import spark.implicits._
     val docs = (0L until 100L).map { id =>
-      val k = (1 + id % 3).toInt
-      val text = (id % 5) match {
-        case 0 => "the solid value of good text and more " * (8 * k)
-        case 1 => "the of and tiny text"
-        case 2 => "the code of and note ## ## " * (10 * k)
-        case 3 =>
-          (1 to 18).map(_ => "- the solid item of value").mkString("\n") +
-            "\nthe end and of with have that solid words more"
-        case _ => "1234 5678 90 12 " * (15 * k)
-      }
-      (id, text)
+      (id, fixtureText(id))
     }.toDS()
     val out = scoreAll(docs).collect()
     out.foreach { s =>
@@ -68,17 +74,7 @@ class QualityClassifierSpec extends SparkSpec {
     // gate is the oracle-checked artifact, the seeded fit the property).
     import spark.implicits._
     val docs = (0L until 200L).map { id =>
-      val k = (1 + id % 3).toInt
-      val text = (id % 5) match {
-        case 0 => "the solid value of good text and more " * (8 * k)
-        case 1 => "the of and tiny text"
-        case 2 => "the code of and note ## ## " * (10 * k)
-        case 3 =>
-          (1 to 18).map(_ => "- the solid item of value").mkString("\n") +
-            "\nthe end and of with have that solid words more"
-        case _ => "1234 5678 90 12 " * (15 * k)
-      }
-      (id, text)
+      (id, fixtureText(id))
     }.toDS()
     val scored = scoreAll(docs)
     val train = scored.map { s =>
