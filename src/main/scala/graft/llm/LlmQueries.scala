@@ -5425,6 +5425,80 @@ object LlmQueries {
       .orderBy("fmt")
   }
 
+  // ---------------------------------------------------------------- q198
+  // REAL compressed-audio-sample decode (llm/Adpcm — IMA/DVI ADPCM, WAV
+  // format tag 0x0011: telephony and game audio, 4 bits/sample against
+  // the published 89-entry step table). This MOVES the repo's
+  // compressed-SAMPLE boundary: MP3/H.264 stay stubbed because
+  // perceptual codecs genuinely need native libs, but IMA is a pure
+  // integer state machine — so the oracle replays the DECODER ITSELF as
+  // a recursive CTE (step table as an unnest, per-nibble diff/clamp/
+  // index-adjust as CASE arithmetic) and the hash certifies every
+  // decoded sample of every doc. The fixture drives nibbles from a
+  // direct formula (not the encoder, so engine-side pack/unpack bugs
+  // can't cancel — the golden-bytes AdpcmSpec pins the wire layout
+  // separately) with per-doc header predictor/index and varying length.
+  // Row-local decode, no shuffle.
+  val q198 = Q(
+    "q198_adpcm_decode",
+    """WITH RECURSIVE
+      |st AS (SELECT unnest(range(89)) AS si, unnest([7,8,9,10,11,12,13,
+      |  14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,
+      |  107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,
+      |  494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,
+      |  1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,
+      |  5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,
+      |  16818,18500,20350,22385,24623,27086,29794,32767]) AS step),
+      |d AS (SELECT doc_id,
+      |             CAST((doc_id * 37) % 4001 - 2000 AS INT) AS pred0,
+      |             CAST(doc_id % 89 AS INT) AS idx0,
+      |             CAST(32 + (doc_id % 3) * 8 AS INT) AS nn
+      |      FROM documents),
+      |r(doc_id, i, pred, idx, nn) AS (
+      |  SELECT doc_id, 0, pred0, idx0, nn FROM d
+      |  UNION ALL
+      |  SELECT r.doc_id, r.i + 1,
+      |    CAST(greatest(-32768, least(32767,
+      |      r.pred + (CASE WHEN ((r.doc_id + r.i) % 16) & 8 = 8
+      |                     THEN -1 ELSE 1 END) *
+      |        ((st.step // 8)
+      |         + CASE WHEN ((r.doc_id + r.i) % 16) & 4 = 4
+      |                THEN st.step ELSE 0 END
+      |         + CASE WHEN ((r.doc_id + r.i) % 16) & 2 = 2
+      |                THEN st.step // 2 ELSE 0 END
+      |         + CASE WHEN ((r.doc_id + r.i) % 16) & 1 = 1
+      |                THEN st.step // 4 ELSE 0 END))) AS INT),
+      |    CAST(greatest(0, least(88,
+      |      r.idx + CASE CAST(((r.doc_id + r.i) % 16) & 7 AS INT)
+      |                WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6
+      |                WHEN 7 THEN 8 ELSE -1 END)) AS INT),
+      |    r.nn
+      |  FROM r JOIN st ON st.si = r.idx
+      |  WHERE r.i < r.nn
+      |)
+      |SELECT doc_id, CAST(i AS INT) AS i, CAST(pred AS INT) AS sample
+      |FROM r ORDER BY doc_id, i""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val blobs = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val pred0 = ((id * 37) % 4001 - 2000).toInt
+      val idx0 = (id % 89).toInt
+      val nn = (32 + (id % 3) * 8).toInt
+      val bytes = new Array[Byte](4 + nn / 2)
+      bytes(0) = (pred0 & 0xff).toByte
+      bytes(1) = ((pred0 >> 8) & 0xff).toByte
+      bytes(2) = idx0.toByte
+      var i = 0
+      while (i < nn) {
+        val n = ((id + i) % 16).toInt
+        if ((i & 1) == 0) bytes(4 + (i >> 1)) = (n & 0xf).toByte
+        else bytes(4 + (i >> 1)) = (bytes(4 + (i >> 1)) | ((n & 0xf) << 4)).toByte
+        i += 1
+      }
+      Multimodal.Blob(id, bytes)
+    }
+    Adpcm.decodeAll(blobs).toDF().orderBy("doc_id", "i")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -5435,5 +5509,5 @@ object LlmQueries {
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-      q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197)
+      q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198)
 }
