@@ -5499,6 +5499,73 @@ object LlmQueries {
     Adpcm.decodeAll(blobs).toDF().orderBy("doc_id", "i")
   }
 
+  // ---------------------------------------------------------------- q199
+  // REAL compressed-video-sample decode (llm/Rle8 — BI_RLE8, the BMP
+  // biCompression=1 / AVI 'mrle' codec: q198's VIDEO sibling on the
+  // compressed-sample boundary, a pure integer byte machine where only
+  // PERCEPTUAL codecs stay stubbed). The fixture encodes each frame row
+  // as two runs — or, on every 3rd doc's TOP row, absolute-mode literal
+  // bytes with the word-padding rule — in the format's bottom-up row
+  // order with EOL/EOD escapes; byte streams are built from a
+  // direct formula (not an encoder, the q198 anti-cancel rule; the
+  // delta escape and strict bounds quarantine are golden-byte-pinned in
+  // Rle8Spec). The engine decodes and aggregates per image row; the
+  // oracle re-derives every row's sum and edge pixels arithmetically —
+  // certifying run expansion, absolute mode + padding, bottom-up row
+  // mapping, and the escape walk together. Row-local, no shuffle.
+  val q199 = Q(
+    "q199_rle8_decode",
+    """WITH d AS (SELECT doc_id, CAST(8 + doc_id % 8 AS INT) AS w,
+      |                  CAST(4 + doc_id % 4 AS INT) AS h
+      |           FROM documents),
+      |a AS (SELECT doc_id, CAST(sum((doc_id + i) % 256) AS BIGINT) AS asum
+      |      FROM (SELECT doc_id, unnest(range(w)) AS i FROM d)
+      |      GROUP BY doc_id),
+      |r AS (SELECT doc_id, w, unnest(range(h)) AS y FROM d)
+      |SELECT r.doc_id, CAST(r.y AS INT) AS y,
+      |  CAST(CASE WHEN r.doc_id % 3 = 0 AND r.y = 0 THEN a.asum
+      |       ELSE (r.w - 3) * ((r.doc_id + 5*r.y) % 256)
+      |            + 3 * ((r.doc_id*3 + r.y) % 256) END AS BIGINT) AS row_sum,
+      |  CAST(CASE WHEN r.doc_id % 3 = 0 AND r.y = 0 THEN r.doc_id % 256
+      |       ELSE (r.doc_id + 5*r.y) % 256 END AS INT) AS px_first,
+      |  CAST(CASE WHEN r.doc_id % 3 = 0 AND r.y = 0
+      |       THEN (r.doc_id + r.w - 1) % 256
+      |       ELSE (r.doc_id*3 + r.y) % 256 END AS INT) AS px_last
+      |FROM r JOIN a USING (doc_id) ORDER BY r.doc_id, y""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long].flatMap { id =>
+      val w = (8 + id % 8).toInt
+      val h = (4 + id % 4).toInt
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      // rows in the stream are BOTTOM-UP: y_img = h-1 first
+      for (yb <- 0 until h) {
+        val y = h - 1 - yb // image row this stream row lands on
+        if (id % 3 == 0 && y == 0) {
+          // absolute mode: w literal bytes + pad to 16-bit boundary
+          out += 0x00.toByte += w.toByte
+          (0 until w).foreach(i => out += ((id + i) % 256).toByte)
+          if ((w & 1) == 1) out += 0x00.toByte
+        } else {
+          val c = ((id + 5 * y) % 256).toInt
+          val c2 = ((id * 3 + y) % 256).toInt
+          out += (w - 3).toByte += c.toByte
+          out += 3.toByte += c2.toByte
+        }
+        if (yb < h - 1) { out += 0x00.toByte += 0x00.toByte } // EOL
+      }
+      out += 0x00.toByte += 0x01.toByte // EOD
+      Rle8.decode(out.toArray, w, h) match {
+        case Some(px) =>
+          (0 until h).iterator.map { y =>
+            val rowPx = (0 until w).map(x => px(y * w + x))
+            (id, y, rowPx.map(_.toLong).sum, rowPx.head, rowPx.last)
+          }
+        case None => Iterator.empty // quarantine by omission
+      }
+    }.toDF("doc_id", "y", "row_sum", "px_first", "px_last")
+      .orderBy("doc_id", "y")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -5509,5 +5576,5 @@ object LlmQueries {
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-      q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198)
+      q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199)
 }
