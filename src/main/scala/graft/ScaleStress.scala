@@ -1234,6 +1234,66 @@ object ScaleStress {
       spark.catalog.clearCache()
       TempDirs.rmTree(dir)
     }
+    // r13 compressed-sample codecs: IMA ADPCM (4 bits/sample) and BI_RLE8
+    // (runs expand ~10×) — decode summed per blob (row-local, no
+    // per-sample explode) so the number is codec throughput, not row fanout
+    println("== compressed-sample codecs: ADPCM / RLE8 decode throughput ==")
+    for (nBlobs <- Seq(100000, 400000)) {
+      val dir = java.nio.file.Files.createTempDirectory("codec2_tp")
+      val adPath = dir.resolve("adpcm").toString
+      val rlePath = dir.resolve("rle8").toString
+      spark.range(nBlobs.toLong).as[Long].map { id =>
+        val nn = 4000 // → 4001 samples from 2004 bytes
+        val bytes = new Array[Byte](4 + nn / 2)
+        bytes(0) = (id % 251).toByte; bytes(2) = (id % 89).toByte
+        var i = 0
+        while (i < nn / 2) {
+          bytes(4 + i) = (((id + i) % 16) | ((((id + i) * 7) % 16) << 4)).toByte
+          i += 1
+        }
+        llm.Multimodal.Blob(id, bytes)
+      }.write.parquet(adPath)
+      spark.range(nBlobs.toLong).as[Long].map { id =>
+        val w = 64; val h = 32
+        val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+        for (yb <- 0 until h) {
+          out += (w / 2).toByte += ((id + yb) % 256).toByte
+          out += (w / 2).toByte += ((id * 3 + yb) % 256).toByte
+          if (yb < h - 1) { out += 0.toByte += 0.toByte }
+        }
+        out += 0.toByte += 1.toByte
+        llm.Multimodal.Blob(id, out.toArray)
+      }.write.parquet(rlePath)
+      def payloadBytes2(path: String): Long =
+        spark.read.parquet(path)
+          .agg(sum(length(col("payload")))).head().getLong(0)
+      def measure2(path: String, f: org.apache.spark.sql.Dataset[llm.Multimodal.Blob] => DataFrame): Double = {
+        val blobs = spark.read.parquet(path).as[llm.Multimodal.Blob]
+        consume(f(blobs)) // warm
+        Seq.fill(2) {
+          System.gc()
+          val t0 = System.nanoTime()
+          consume(f(blobs))
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      val aw = measure2(adPath, b => b.map { x =>
+        llm.Adpcm.decodeBlock(x.payload)
+          .map(s => s.foldLeft(0L)((a, v) => a + v)).getOrElse(-1L)
+      }.toDF("s"))
+      val rw = measure2(rlePath, b => b.map { x =>
+        llm.Rle8.decode(x.payload, 64, 32)
+          .map(p => p.foldLeft(0L)(_ + _)).getOrElse(-1L)
+      }.toDF("s"))
+      val adB = payloadBytes2(adPath)
+      val rlB = payloadBytes2(rlePath)
+      println(f"n=$nBlobs%7d  adpcm=$aw%5.2f s (${adB / aw / 1e6}%6.1f MB/s compressed, " +
+        f"${nBlobs * 4001L / aw / 1e6}%6.1f Msamples/s)  " +
+        f"rle8=$rw%5.2f s (${rlB / rw / 1e6}%6.1f MB/s compressed, " +
+        f"${nBlobs * 2048L / rw / 1e6}%6.1f Mpx/s)")
+      spark.catalog.clearCache()
+      TempDirs.rmTree(dir)
+    }
   }
 
   /** PageRank scaling (q155's engine): wall vs edge count at fixed
