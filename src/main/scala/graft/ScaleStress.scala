@@ -338,10 +338,10 @@ object ScaleStress {
     * the curve isolates the candidate count. */
   def pqCurve(spark: SparkSession, sfDir: String): Unit = {
     import graft.llm.Pq
-    val emb = Tables(spark, sfDir, "embeddings").cache(); emb.count()
+    val emb = Tables(spark, sfDir, "embeddings").cache()
     println("== PQ: full SDC table scan vs IVFPQ probed-cell scoring ==")
     val (nCells, nProbe, m, dimsPer, nCodebook, nQ, k) = (16, 2, 8, 8, 8, 8, 10)
-    val nBase = emb.count()
+    val nBase = emb.count() // also warms the cache
     for (r <- Seq(8, 16, 64)) {
       // replicateEmbeddings numbers replicas vec_id = base·r + rep, which
       // would put eps-perturbed REPLICAS of base vectors 0-2 into the

@@ -455,45 +455,38 @@ object Html {
   final case class TableCell(table: Int, row: Int, col: Int,
       header: Boolean, text: String)
 
-  /** Parse `colspan=N` from a cell's open tag (chars in `[from, until)`),
-    * case-insensitive, quotes optional; absent / non-numeric / <1 → 1,
-    * clamped to 1000 (the HTML spec's own cap). The scan is QUOTE-AWARE
-    * — `colspan=3` inside another attribute's quoted value must not
-    * match — and the attribute NAME must start after whitespace (so
-    * `data-colspan` never half-matches). A truncated tag (no closing
-    * '>', until = document end) caps the scan at 512 chars so a
-    * colspan-shaped string in page text can't be consumed. */
-  private def colspanOf(html: String, from: Int, until: Int): Int = {
-    val attr = "colspan"
-    val stop = math.min(until, from + 512)
-    var p = from
-    while (p < stop) {
-      val c = html.charAt(p)
-      if (c == '"' || c == '\'') {
-        // skip a quoted attribute value whole
-        var q = p + 1
-        while (q < stop && html.charAt(q) != c) q += 1
-        p = q + 1
-      } else if (p + attr.length <= stop &&
-          html.regionMatches(true, p, attr, 0, attr.length) &&
-          p > from && Character.isWhitespace(html.charAt(p - 1))) {
-        var q = p + attr.length
-        while (q < stop && Character.isWhitespace(html.charAt(q))) q += 1
-        if (q < stop && html.charAt(q) == '=') {
-          q += 1
-          while (q < stop && Character.isWhitespace(html.charAt(q))) q += 1
-          if (q < stop && (html.charAt(q) == '"' || html.charAt(q) == '\'')) q += 1
-          var v = 0
-          var any = false
-          while (q < stop && v <= 1000 && Character.isDigit(html.charAt(q))) {
-            v = v * 10 + (html.charAt(q) - '0'); any = true; q += 1
-          }
-          return if (!any || v < 1) 1 else math.min(v, 1000)
+  /** Parse `colspan=N` from a cell's open tag (chars in `[from, until)`)
+    * through the SHARED attribute tokenizer ([[attrPairs]], the same
+    * walk [[href]] and [[metadata]] use) — name, optional `=`, optional
+    * quoted/unquoted value — which is what makes the lookup exact on
+    * tag soup: `colspan=3` inside another attribute's QUOTED value
+    * never matches (the value is consumed whole), a stray apostrophe in
+    * an UNQUOTED value is value data rather than a quote-open,
+    * `data-colspan` is a different attribute name, and
+    * `class="a"colspan=2` (missing inter-attribute space — browsers
+    * recover by starting a new attribute after the closing quote) still
+    * finds colspan. Absent / non-numeric / <1 → 1, clamped to 1000 (the
+    * HTML spec's own cap). Only a TRUNCATED tag (no closing '>',
+    * until = document end) caps the walk at 512 chars so a
+    * colspan-shaped string in page text can't be consumed; well-formed
+    * tags walk to their real end however long their inline CSS runs. */
+  private def colspanOf(html: String, from: Int, until: Int,
+      truncated: Boolean): Int = {
+    val stop = if (truncated) math.min(until, from + 512) else until
+    var p = from + 1 // past '<'
+    while (p < stop && !Character.isWhitespace(html.charAt(p))) p += 1 // tag name
+    if (p >= stop) return 1
+    attrLookup(html.substring(p, stop), "colspan") match {
+      case Some(v) =>
+        var n = 0
+        var any = false
+        var i = 0
+        while (i < v.length && n <= 1000 && Character.isDigit(v.charAt(i))) {
+          n = n * 10 + (v.charAt(i) - '0'); any = true; i += 1
         }
-        p += attr.length
-      } else p += 1
+        if (!any || n < 1) 1 else math.min(n, 1000)
+      case None => 1
     }
-    1
   }
 
   def tables(html: String): Seq[TableCell] = {
@@ -555,7 +548,7 @@ object Html {
               closeCell()
               if (inRow) {
                 col = nextCol
-                nextCol = col + colspanOf(html, i, end)
+                nextCol = col + colspanOf(html, i, end, gt < 0)
                 inCell = true
                 cellHeader = lowerAt(i, "<th")
                 buf.clear()
