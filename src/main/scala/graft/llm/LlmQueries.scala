@@ -5566,6 +5566,61 @@ object LlmQueries {
       .orderBy("doc_id", "y")
   }
 
+  // ---------------------------------------------------------------- q200
+  // Avro object-container ingest (llm/AvroIngest — the record format
+  // the Hadoop/Beam data-prep era shipped corpora in, read through the
+  // Avro core library Spark bundles; the ImageIO precedent: the
+  // canonical library does the wire decode, the query certifies the
+  // INGEST PLUMBING — schema-driven field access, per-blob record
+  // iteration incl. deflate-compressed blocks, and quarantine). Fixture
+  // classes: plain containers with 1-3 records, deflate-codec
+  // containers on every 4th doc (block decompression), garbage bytes on
+  // every 7th doc (must quarantine whole, by omission). The oracle
+  // re-derives every surviving record arithmetically. Row-local, no
+  // shuffle.
+  val q200 = Q(
+    "q200_avro_ingest",
+    """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS nr
+      |           FROM documents WHERE doc_id % 7 <> 0),
+      |r AS (SELECT doc_id, unnest(range(nr)) AS j FROM d)
+      |SELECT doc_id, CAST(j AS INT) AS seq,
+      |  CAST(doc_id * 10 + j AS BIGINT) AS id,
+      |  'rec ' || doc_id || '_' || j AS title,
+      |  CAST((doc_id + j) % 100 AS INT) AS score
+      |FROM r ORDER BY doc_id, seq""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val blobs = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val bytes: Array[Byte] =
+        if (id % 7 == 0) s"definitely not an avro container $id".getBytes("UTF-8")
+        else {
+          val schema = new org.apache.avro.Schema.Parser().parse(
+            """{"type":"record","name":"Doc","fields":[
+              |{"name":"id","type":"long"},
+              |{"name":"title","type":"string"},
+              |{"name":"score","type":"int"}]}""".stripMargin)
+          val out = new java.io.ByteArrayOutputStream()
+          val w = new org.apache.avro.file.DataFileWriter(
+            new org.apache.avro.generic.GenericDatumWriter[
+              org.apache.avro.generic.GenericRecord](schema))
+          if (id % 4 == 0)
+            w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6)): Unit
+          w.create(schema, out)
+          val nr = (1 + id % 3).toInt
+          (0 until nr).foreach { j =>
+            val rec = new org.apache.avro.generic.GenericData.Record(schema)
+            rec.put("id", id * 10 + j)
+            rec.put("title", s"rec ${id}_$j")
+            rec.put("score", ((id + j) % 100).toInt)
+            w.append(rec)
+          }
+          w.close()
+          out.toByteArray
+        }
+      Multimodal.Blob(id, bytes)
+    }
+    AvroIngest.parseAll(blobs).toDF().orderBy("doc_id", "seq")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -5576,5 +5631,5 @@ object LlmQueries {
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-      q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199)
+      q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200)
 }
