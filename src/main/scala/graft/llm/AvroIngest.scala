@@ -27,11 +27,21 @@ import org.apache.spark.sql.Dataset
   * streaming-safe. */
 object AvroIngest {
 
+  /** Decompression-bomb guard: a deflate-compressed container a few KB on
+    * the wire can inflate to arbitrarily many records. A blob exceeding
+    * either cap quarantines WHOLE (None) — the strict-bounds contract:
+    * violations drop by omission, never degrade into partial output or an
+    * unbounded executor allocation. 64k records × the ~1 KB contract row
+    * bounds a blob's decoded footprint to tens of MB. */
+  val MaxRecordsPerBlob: Int = 1 << 16
+  val MaxDecodedBytesPerBlob: Long = 64L << 20
+
   final case class RecRow(doc_id: Long, seq: Int, id: Long, title: String,
       score: Int)
 
-  /** Decode one container blob to its records; None on corrupt bytes or
-    * a schema missing the contract fields. */
+  /** Decode one container blob to its records; None on corrupt bytes, a
+    * schema missing the contract fields, or a blob whose decoded size
+    * breaches [[MaxRecordsPerBlob]]/[[MaxDecodedBytesPerBlob]]. */
   def parse(docId: Long, bytes: Array[Byte]): Option[Seq[RecRow]] = {
     if (bytes == null || bytes.length < 4) return None
     try {
@@ -42,13 +52,23 @@ object AvroIngest {
         val schema = reader.getSchema
         if (schema.getField("id") == null || schema.getField("title") == null ||
           schema.getField("score") == null) return None
-        val out = reader.iterator().asScala.zipWithIndex.map { case (rec, i) =>
-          RecRow(docId, i,
+        val out = Vector.newBuilder[RecRow]
+        var n = 0
+        var decodedBytes = 0L
+        val it = reader.iterator().asScala
+        while (it.hasNext) {
+          val rec = it.next()
+          if (n >= MaxRecordsPerBlob) return None
+          val title = String.valueOf(rec.get("title"))
+          decodedBytes += 16L + title.length // id + score + title chars
+          if (decodedBytes > MaxDecodedBytesPerBlob) return None
+          out += RecRow(docId, n,
             rec.get("id").asInstanceOf[Long],
-            String.valueOf(rec.get("title")),
+            title,
             rec.get("score").asInstanceOf[Int])
-        }.toVector
-        Some(out)
+          n += 1
+        }
+        Some(out.result())
       } finally reader.close()
     } catch { case _: Exception => None }
   }

@@ -158,6 +158,10 @@ object Pq extends Serializable {
     val pinned: Map[Long, Array[Long]] =
       g.filter(col("vec_id") < nCells + nCodebook)
         .as[(Long, Seq[Long])].collect().map { case (id, v) => id -> v.toArray }.toMap
+    require(pinned.size == nCells + nCodebook,
+      s"PQ pinned-parameter contract: corpus must contain vec_ids " +
+        s"0..${nCells + nCodebook - 1} to seed $nCells coarse centroids + " +
+        s"$nCodebook codebook rows; found ${pinned.size}")
     val coarse: Array[Array[Long]] = Array.tabulate(nCells)(j => pinned(j.toLong))
     val cb: Array[Array[Array[Long]]] = Array.tabulate(m, nCodebook) { (mm, j) =>
       java.util.Arrays.copyOfRange(
@@ -228,6 +232,10 @@ object Pq extends Serializable {
     val pinned: Map[Long, Array[Long]] =
       g.filter(col("vec_id") < nCells + nCodebook)
         .as[(Long, Seq[Long])].collect().map { case (id, v) => id -> v.toArray }.toMap
+    require(pinned.size == nCells + nCodebook,
+      s"PQ pinned-parameter contract: corpus must contain vec_ids " +
+        s"0..${nCells + nCodebook - 1} to seed $nCells coarse centroids + " +
+        s"$nCodebook codebook rows; found ${pinned.size}")
     val coarse: Array[Array[Long]] = Array.tabulate(nCells)(j => pinned(j.toLong))
     val cb: Array[Array[Array[Long]]] = Array.tabulate(m, nCodebook) { (mm, j) =>
       java.util.Arrays.copyOfRange(

@@ -85,7 +85,15 @@ object Url {
   def registrableDomain(host: String): Option[String] = {
     if (host == null || host.isEmpty) return None
     if (host.forall(c => (c >= '0' && c <= '9') || c == '.')) return None
-    val labels = host.split('.')
+    // A single trailing dot is the DNS root label ("example.com." is the
+    // same FQDN as "example.com") — strip it DELIBERATELY rather than
+    // ride String.split's drop-trailing-empty accident; more than one
+    // trailing dot, or a leading dot, stays malformed (empty label → None).
+    val fqdn = if (host.endsWith(".")) host.dropRight(1) else host
+    // split drops trailing empty strings, so "a.b.." would sneak through
+    // the exists(_.isEmpty) check after one strip — reject it here.
+    if (fqdn.isEmpty || fqdn.endsWith(".")) return None
+    val labels = fqdn.split('.')
     if (labels.length < 2 || labels.exists(_.isEmpty)) return None
     var best = 0
     var k = 1

@@ -66,6 +66,30 @@ class AvroIngestSpec extends SparkSpec {
       .forall(_.isEmpty))
   }
 
+  test("decompression bomb: record and decoded-byte caps quarantine") {
+    // byte cap: 80 deflate-friendly 1 MB titles inflate past the 64 MB
+    // cap from a tiny wire blob — the whole container must drop (None),
+    // not materialize
+    val big = "x" * (1 << 20)
+    val bomb = container(docSchema, deflate = true) { (w, s) =>
+      (0 until 80).foreach(i => w.append(rec(s, i.toLong, big, i)))
+    }
+    assert(bomb.length < (1 << 20), "wire blob should be tiny")
+    assert(AvroIngest.parse(1L, bomb).isEmpty)
+    // record cap: MaxRecordsPerBlob+1 empty-title records
+    val many = container(docSchema, deflate = true) { (w, s) =>
+      (0 to AvroIngest.MaxRecordsPerBlob).foreach(i =>
+        w.append(rec(s, i.toLong, "", 0)))
+    }
+    assert(AvroIngest.parse(1L, many).isEmpty)
+    // at the cap exactly: still parses
+    val atCap = container(docSchema, deflate = true) { (w, s) =>
+      (0 until AvroIngest.MaxRecordsPerBlob).foreach(i =>
+        w.append(rec(s, i.toLong, "", 0)))
+    }
+    assert(AvroIngest.parse(1L, atCap).exists(_.size == AvroIngest.MaxRecordsPerBlob))
+  }
+
   test("parseAll dataset: per-record rows, corrupt blobs drop") {
     import spark.implicits._
     val good = container(docSchema, deflate = false) { (w, s) =>

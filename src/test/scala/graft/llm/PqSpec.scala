@@ -76,6 +76,20 @@ class PqSpec extends SparkSpec {
     assert(out((1L, 3L)) == 4 * 64L * 64L)
   }
 
+  test("pinned-parameter contract: undersized corpus raises, never NPEs") {
+    import spark.implicits._
+    // nCells=2 + nCodebook=2 needs vec_ids 0..3; give it only 0..2
+    val tiny = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)),
+      (1L, Seq(1f, 1f, 1f, 1f)),
+      (2L, Seq(0.5f, 0.5f, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Pq.ivfpqTopK(tiny, nCells = 2, nProbe = 1, m = 2, dimsPer = 2,
+        nCodebook = 2, nQueries = 1, k = 3).collect()
+    }
+    assert(ex.getMessage.contains("pinned-parameter contract"))
+  }
+
   test("ivfpqTopK: probed-cell pruning + SDC parity on the survivors") {
     import spark.implicits._
     // 2 far-apart clusters on dim 4 (m=2, dimsPer=2): rows 0-1 are the

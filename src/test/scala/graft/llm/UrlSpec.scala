@@ -102,5 +102,12 @@ class UrlSpec extends SparkSpec {
     assert(registrableDomain("").isEmpty)
     assert(registrableDomain(null).isEmpty)
     assert(registrableDomain("a..com").isEmpty)
+    // DNS root label: one trailing dot is the same FQDN — strip it
+    // deliberately; leading dots and double trailing dots stay malformed
+    assert(registrableDomain("example.com.").contains("example.com"))
+    assert(registrableDomain("www.x.co.uk.").contains("x.co.uk"))
+    assert(registrableDomain(".example.com").isEmpty)
+    assert(registrableDomain("example.com..").isEmpty)
+    assert(registrableDomain(".").isEmpty)
   }
 }
