@@ -5621,6 +5621,47 @@ object LlmQueries {
     AvroIngest.parseAll(blobs).toDF().orderBy("doc_id", "seq")
   }
 
+  // ---------------------------------------------------------------- q201
+  // G.711 μ-law + A-law decode (llm/G711 — telephony companding, WAV
+  // tags 0x0007/0x0006, RTP payloads 0/8): the THIRD compressed-sample
+  // codec, and the simplest — stateless byte→sample expansion, so the
+  // oracle replays BOTH CCITT expansions as per-byte CASE arithmetic
+  // (no recursion needed, unlike q198's ADPCM state machine). One
+  // fixture stream certifies both tables; bytes come from a direct
+  // formula covering the full 0..255 range across docs (the q198
+  // anti-cancel rule: no engine-side encoder that a decode bug could
+  // cancel against). Row-local, no shuffle.
+  val q201 = Q(
+    "q201_g711_decode",
+    """WITH d AS (SELECT doc_id, CAST(24 + doc_id % 9 AS INT) AS nn
+      |           FROM documents),
+      |b AS (SELECT doc_id, unnest(range(nn)) AS i FROM d),
+      |x AS (SELECT doc_id, i,
+      |             CAST(255 - (doc_id*7 + i*13) % 256 AS INT) AS u,
+      |             CAST(xor((doc_id*7 + i*13) % 256, 85) AS INT) AS a
+      |      FROM b)
+      |SELECT doc_id, CAST(i AS INT) AS i,
+      |  CAST(CASE WHEN (u & 128) = 128
+      |       THEN 132 - ((((u & 15) << 3) + 132) << ((u >> 4) & 7))
+      |       ELSE ((((u & 15) << 3) + 132) << ((u >> 4) & 7)) - 132
+      |       END AS INT) AS mu,
+      |  CAST((CASE WHEN (a & 128) = 128 THEN 1 ELSE -1 END) *
+      |       (CASE WHEN ((a >> 4) & 7) = 0 THEN ((a & 15) << 4) + 8
+      |             WHEN ((a >> 4) & 7) = 1 THEN ((a & 15) << 4) + 264
+      |             ELSE (((a & 15) << 4) + 264) << (((a >> 4) & 7) - 1)
+      |        END) AS INT) AS al
+      |FROM x ORDER BY doc_id, i""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val blobs = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val nn = (24 + id % 9).toInt
+      val bytes = Array.tabulate(nn)(i => (((id * 7 + i * 13) % 256) & 0xff).toByte)
+      Multimodal.Blob(id, bytes)
+    }
+    G711.decodeAll(blobs).toDF().select(
+      col("doc_id"), col("i"), col("mu"), col("al"))
+      .orderBy("doc_id", "i")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -5631,5 +5672,6 @@ object LlmQueries {
       q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-      q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200)
+      q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
+      q201)
 }

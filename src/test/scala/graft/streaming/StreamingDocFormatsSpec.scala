@@ -319,6 +319,23 @@ class StreamingDocFormatsSpec extends SparkSpec {
     assert(rle.map(_._2) == Seq(-1, -1)) // neither blob is a valid stream
   }
 
+  test("streaming g711 ≡ batch (stateless byte expansion)") {
+    import graft.llm.G711
+    val blobs = Seq(
+      Multimodal.Blob(1L, Array[Byte](0x00, 0x7f, 0xaa.toByte)),
+      Multimodal.Blob(2L, Array.emptyByteArray)) // empty → quarantine
+    val dir = stage(blobs)
+    def stream = spark.readStream.schema(blobs.toDS().schema).parquet(dir)
+      .as[Multimodal.Blob]
+    run(G711.decodeAll(stream), "g711_stream")
+    val streamed = spark.table("g711_stream").as[G711.SampleRow]
+      .collect().sortBy(r => (r.doc_id, r.i)).toSeq
+    assert(streamed == G711.decodeAll(blobs.toDS())
+      .collect().sortBy(r => (r.doc_id, r.i)).toSeq)
+    assert(streamed.map(_.mu) == Seq(-32124, 0, G711.mulaw(0xaa)))
+    assert(streamed.map(_.al) == Seq(G711.alaw(0x00), G711.alaw(0x7f), 32256))
+  }
+
   test("streaming tar.gz chain ≡ batch") {
     def targz(id: Long): Array[Byte] = {
       val inner = Tar.build(Seq((s"d$id.txt", s"text $id".getBytes("UTF-8"), '0')))
