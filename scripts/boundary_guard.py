@@ -159,6 +159,9 @@ SELECT dist AS v FROM cand WHERE dist <= 1.20006"""),
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2"""),
+    # q202 orders on the SAME rounded per-doc avg-logprob over the SAME
+    # domain (all documents) — this probe guards both the q83 hash and
+    # q202's ordering (its hashed bucket/cum columns are integer).
     "q83.avg_logprob": (4, """
         WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
                    FROM documents),

@@ -5662,6 +5662,43 @@ object LlmQueries {
       .orderBy("doc_id", "i")
   }
 
+  // ---------------------------------------------------------------- q202
+  // CCNet head/middle/tail perplexity bucketing (llm/Ccnet — Wenzek et
+  // al. 2020): per LANGUAGE, order docs by LM score (q83's rounded
+  // unigram avg-logprob, the certified proxy; doc_id tie-break) and cut
+  // at 1/3 and 2/3 of CUMULATIVE CHARS via cross-multiplied integers,
+  // assigning each doc by where it STARTS in the sorted prefix — each
+  // bucket holds a third of the data, the published curation rule.
+  // The missing tier between the rules panel (q174/q175) and the
+  // trained gate (q190). One LM aggregate + ONE lang-partitioned window
+  // shuffle; per-doc assignment hash-checked.
+  val q202 = Q(
+    "q202_ccnet_buckets",
+    """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |           FROM documents),
+      |tt AS (SELECT doc_id, token FROM t WHERE token <> ''),
+      |lm AS (SELECT token, count(*) AS cnt FROM tt GROUP BY token),
+      |tot AS (SELECT sum(cnt) AS total FROM lm),
+      |s AS (SELECT doc_id, round(avg(ln(CAST(cnt AS DOUBLE) / total)), 4) AS lp
+      |      FROM tt JOIN lm USING (token) CROSS JOIN tot
+      |      GROUP BY doc_id),
+      |d AS (SELECT d.doc_id, d.lang, d.n_chars, s.lp
+      |      FROM documents d LEFT JOIN s USING (doc_id)),
+      |w AS (SELECT doc_id, lang, n_chars,
+      |        sum(n_chars) OVER (PARTITION BY lang
+      |          ORDER BY lp DESC NULLS LAST, doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |        sum(n_chars) OVER (PARTITION BY lang) AS tot_chars
+      |      FROM d)
+      |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+      |  CAST(cum AS BIGINT) AS cum_chars,
+      |  CASE WHEN 3*(cum - n_chars) < tot_chars THEN 'head'
+      |       WHEN 3*(cum - n_chars) < 2*tot_chars THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM w ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Ccnet.buckets(Tables(s, dir, "documents")).orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -5673,5 +5710,5 @@ object LlmQueries {
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
       q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
-      q201)
+      q201, q202)
 }
