@@ -758,6 +758,40 @@ object ScaleStress {
         println(f"$lname%10s $pname: matched=$n%7d " +
           f"records_read=${recordsRead.get}%8d wall=$s%5.2f s")
       }
+
+      // -- the QUERY side (operators/ZCurve, q203): a 2D box through
+      // z-RANGE predicates vs the plain conjunction, on a z-sorted layout
+      // with the z key MATERIALIZED. The plain 2D box can only prune via
+      // per-column xb/yb stats (each row group spans a small square, so
+      // this already prunes well); the z-range form prunes via the SORT
+      // column's stats — tight consecutive runs — and is the shape that
+      // also survives when the reader indexes only the sort key.
+      import graft.operators.ZCurve
+      val zIdxPath = s"$base/z-indexed"
+      events
+        .withColumn("xb", bucket(unix_micros(col("ts")), tlo, thi))
+        .withColumn("yb", bucket(col("user_id"), ulo, uhi))
+        .withColumn("__z", ZCurve.zColumn(col("xb"), col("yb")))
+        .repartitionByRange(64, col("__z")).sortWithinPartitions("__z")
+        .write.option("parquet.block.size", 64 * 1024).parquet(zIdxPath)
+      // an 8%-per-axis box at 30% of each range (~0.6% of the plane)
+      def frac(p: Double): Long = (65535 * p).toLong
+      val (bx0, bx1, by0, by1) = (frac(0.30), frac(0.38), frac(0.30), frac(0.38))
+      val zdf = spark.read.parquet(zIdxPath)
+      val boxProbes = Seq(
+        "2d-box plain   " -> zdf.filter(
+          col("xb").between(lit(bx0), lit(bx1)) &&
+            col("yb").between(lit(by0), lit(by1))),
+        "2d-box z-ranges" -> ZCurve.boxFilter(zdf, col("xb"), col("yb"),
+          col("__z"), bx0, bx1, by0, by1, bits = 16, budget = 64))
+      zdf.count() // warm
+      for ((pname, probe) <- boxProbes) {
+        recordsRead.set(0L)
+        val (n, s) = time { probe.count() }
+        Thread.sleep(1000)
+        println(f" z-indexed $pname: matched=$n%7d " +
+          f"records_read=${recordsRead.get}%8d wall=$s%5.2f s")
+      }
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       rmTree(base)

@@ -5699,6 +5699,49 @@ object LlmQueries {
     Ccnet.buckets(Tables(s, dir, "documents")).orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q203
+  // Z-order box query (operators/ZCurve — the QUERY side of the
+  // `--zorder` layout curve): morton-interleave two bucketed dims into
+  // one sortable key, then answer a 2D box predicate through a BOUNDED
+  // set of z-ranges (budget-bounded quadtree descent, Tropf & Herzog's
+  // region splitting) plus the exact residual — the predicate shape
+  // that row-group-prunes on a z-sorted layout where a plain 2D box
+  // cannot. The oracle replays the interleave as 20 bit terms and the
+  // plain box predicate: a wrong or lossy z-range decomposition (or a
+  // single bad interleave bit) breaks the hash. Row-local + pushed
+  // range filters, no shuffle.
+  val q203 = Q(
+    "q203_zorder_box",
+    """WITH d AS (SELECT l_orderkey, l_linenumber,
+      |  (l_orderkey * 2654435761) % 1024 AS x,
+      |  ((l_orderkey + l_linenumber) * 40503) % 1024 AS y
+      |  FROM lineitem)
+      |SELECT l_orderkey, l_linenumber, CAST(x AS BIGINT) AS x,
+      |  CAST(y AS BIGINT) AS y,
+      |  CAST((((x >> 0) & 1) << 0) + (((x >> 1) & 1) << 2)
+      |     + (((x >> 2) & 1) << 4) + (((x >> 3) & 1) << 6)
+      |     + (((x >> 4) & 1) << 8) + (((x >> 5) & 1) << 10)
+      |     + (((x >> 6) & 1) << 12) + (((x >> 7) & 1) << 14)
+      |     + (((x >> 8) & 1) << 16) + (((x >> 9) & 1) << 18)
+      |     + (((y >> 0) & 1) << 1) + (((y >> 1) & 1) << 3)
+      |     + (((y >> 2) & 1) << 5) + (((y >> 3) & 1) << 7)
+      |     + (((y >> 4) & 1) << 9) + (((y >> 5) & 1) << 11)
+      |     + (((y >> 6) & 1) << 13) + (((y >> 7) & 1) << 15)
+      |     + (((y >> 8) & 1) << 17) + (((y >> 9) & 1) << 19) AS BIGINT) AS z
+      |FROM d
+      |WHERE x BETWEEN 100 AND 400 AND y BETWEEN 200 AND 500
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    val df = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .withColumn("x", pmod(col("l_orderkey") * lit(2654435761L), lit(1024L)))
+      .withColumn("y", pmod((col("l_orderkey") + col("l_linenumber"))
+        * lit(40503L), lit(1024L)))
+      .withColumn("z", graft.operators.ZCurve.zColumn(col("x"), col("y")))
+    graft.operators.ZCurve.boxFilter(df, col("x"), col("y"), col("z"),
+        100L, 400L, 200L, 500L, bits = 10, budget = 64)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -5710,5 +5753,5 @@ object LlmQueries {
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
       q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
-      q201, q202)
+      q201, q202, q203)
 }
