@@ -5742,6 +5742,38 @@ object LlmQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  // ---------------------------------------------------------------- q204
+  // Schema-evolution scan (B2): a corpus written in GENERATIONS whose
+  // schema grew a column — the normal life of a 100 TB table (v1 files
+  // never rewritten when v2 adds `lang`). Engine writes both generations
+  // (v2 also REORDERS columns, so matching must be by NAME, not
+  // position), then one mergeSchema read unions them with nulls where
+  // v1 predates the column. DuckDB reads THE SAME staged files via
+  // union_by_name, so the cross-engine contract under test is the real
+  // parquet evolution semantics, not a same-table derivation (the q49
+  // staging pattern: pid-suffixed dir, offBench single-writer).
+  private val evoDir =
+    s"/tmp/graft_schema_evo_p${ProcessHandle.current().pid()}"
+  val q204 = Q.offBench(
+    "q204_schema_evolution",
+    s"""SELECT doc_id, n_chars, lang
+       |FROM read_parquet(['$evoDir/gen1/*.parquet', '$evoDir/gen2/*.parquet'],
+       |                  union_by_name=true)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val base = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), col("lang"), col("source"))
+    base.filter(col("source") === "web")
+      .select("doc_id", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$evoDir/gen1")
+    base.filter(col("source") =!= "web")
+      .select("lang", "doc_id", "n_chars") // reordered: name-matching only
+      .coalesce(1).write.mode("overwrite").parquet(s"$evoDir/gen2")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$evoDir/gen1", s"$evoDir/gen2")
+      .select("doc_id", "n_chars", "lang")
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -5753,5 +5785,5 @@ object LlmQueries {
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
       q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
-      q201, q202, q203)
+      q201, q202, q203, q204)
 }
