@@ -5774,6 +5774,72 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q205
+  // WordPiece encode (llm/WordPiece — the BERT-family tokenizer,
+  // completing the tokenizer matrix next to BPE learn/encode/decode
+  // q79/q80/q193): greedy longest-match-first with ## continuations and
+  // the all-or-nothing [UNK] rule, over the pinned DemoVocab (every
+  // letter but 'q' as start+continuation, plus multi-char pieces — so
+  // 'query' → [UNK] exercises the failure rule on real fixture words).
+  // The oracle re-derives the greedy walk INDEPENDENTLY: per-position
+  // longest matches as a join+max (no recursion needed for "longest"),
+  // then the piece chain as a recursive CTE that only advances through
+  // best matches — a word whose chain never reaches len(word) is [UNK].
+  // Engine tokenizes DISTINCT words once and joins positions back
+  // (q80's dictionary-join discipline); the oracle does the same.
+  val q205 = Q(
+    "q205_wordpiece_encode",
+    """WITH RECURSIVE
+      |w0 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+      |       FROM documents),
+      |words AS (SELECT doc_id, CAST(wi AS INT) AS widx, arr[wi+1] AS word
+      |          FROM (SELECT doc_id, arr, unnest(range(len(arr))) AS wi FROM w0)
+      |          WHERE arr[wi+1] <> ''),
+      |sing AS (SELECT chr(97+CAST(i AS INT)) AS core, false AS cont
+      |         FROM (SELECT unnest(range(26)) AS i) WHERE i <> 16
+      |         UNION ALL
+      |         SELECT chr(97+CAST(i AS INT)), true
+      |         FROM (SELECT unnest(range(26)) AS i) WHERE i <> 16),
+      |multi(core, cont) AS (VALUES
+      |  ('the',false),('join',false),('sort',false),('key',false),
+      |  ('fast',false),('mer',false),('sc',false),('col',false),
+      |  ('win',false),('or',false),('val',false),('str',false),
+      |  ('ge',true),('an',true),('umn',true),('dow',true),('der',true),
+      |  ('ue',true),('eam',true),('atch',true),('low',true),('mall',true)),
+      |vocab AS (SELECT * FROM sing UNION ALL SELECT * FROM multi),
+      |dw AS (SELECT DISTINCT word FROM words WHERE len(word) <= 32),
+      |pos AS (SELECT word, unnest(range(len(word))) AS p FROM dw),
+      |cand AS (SELECT pos.word, pos.p, len(v.core) AS l
+      |         FROM pos JOIN vocab v
+      |           ON substr(pos.word, CAST(pos.p+1 AS INT), len(v.core)) = v.core
+      |          AND ((pos.p = 0) = (NOT v.cont))),
+      |best AS (SELECT word, p, max(l) AS l FROM cand GROUP BY 1, 2),
+      |r(word, p, k) AS (
+      |  SELECT word, CAST(0 AS BIGINT), 0 FROM dw
+      |  UNION ALL
+      |  SELECT r.word, r.p + b.l, r.k + 1
+      |  FROM r JOIN best b ON b.word = r.word AND b.p = r.p
+      |  WHERE r.p < len(r.word)),
+      |done AS (SELECT DISTINCT word FROM r WHERE p = len(word)),
+      |steps AS (SELECT r.word, r.p, r.k, b.l
+      |          FROM r JOIN best b ON b.word = r.word AND b.p = r.p
+      |          WHERE r.word IN (SELECT word FROM done)),
+      |pieces AS (SELECT word, k,
+      |             CASE WHEN p = 0 THEN substr(word, 1, CAST(l AS INT))
+      |                  ELSE '##' || substr(word, CAST(p+1 AS INT), CAST(l AS INT))
+      |             END AS piece
+      |           FROM steps),
+      |unk AS (SELECT word, 0 AS k, '[UNK]' AS piece
+      |        FROM (SELECT DISTINCT word FROM words)
+      |        WHERE word NOT IN (SELECT word FROM done))
+      |SELECT w.doc_id, w.widx, CAST(p.k AS INT) AS k, p.piece
+      |FROM words w
+      |JOIN (SELECT * FROM pieces UNION ALL SELECT * FROM unk) p USING (word)
+      |ORDER BY doc_id, widx, k""".stripMargin) { (s, dir) =>
+    WordPiece.tokenizeAll(Tables(s, dir, "documents"))
+      .orderBy("doc_id", "widx", "k")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -5785,5 +5851,5 @@ object LlmQueries {
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
       q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
-      q201, q202, q203, q204)
+      q201, q202, q203, q204, q205)
 }
