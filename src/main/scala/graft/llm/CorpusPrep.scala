@@ -164,6 +164,52 @@ object CorpusPrep {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** SPAN-level benchmark decontamination — the GPT-3 appendix-C shape
+    * one step past [[contaminated]]'s doc flag: production pipelines
+    * don't drop a whole contaminated document, they EXCISE the
+    * contaminated span (and split the document around it), so the
+    * operator must report WHERE the overlap sits. Emits one row per
+    * maximal contaminated token range: matched k-gram start positions
+    * merge into a span while each match starts within k tokens of the
+    * previous (gaps-and-islands over the match positions), span_end
+    * covering the last match's full k-gram.
+    *
+    * Scale shape: bench shingles broadcast (benchmark-sized); positional
+    * shingles are row-local fan-out; ONE doc-keyed window shuffle merges
+    * matches into spans (match rows only — tiny relative to the
+    * corpus). */
+  def contaminatedSpans(
+      train: DataFrame,
+      bench: DataFrame,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val benchShingles = bench
+      .select(explode(TextAnalysis.shingles(col("text"), k)).as("shingle"))
+      .distinct()
+    val hits = train
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.positionalShingles(col("text"), k))
+          .as(Seq("pos", "shingle")))
+      .join(broadcast(benchShingles), "shingle")
+      .select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("ns",
+        when(col("pos") >
+          coalesce(lag("pos", 1).over(w), lit(-1000000)) + k, lit(1))
+          .otherwise(lit(0)))
+      .withColumn("span_id", sum("ns").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "span_id")
+      .agg(
+        min("pos").as("span_start"),
+        (max("pos") + lit(k - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_id").cast("int").as("span_id"),
+        col("span_start"), col("span_end").cast("int").as("span_end"),
+        col("n_grams"))
+  }
+
   /** Domain mixing: keep each document with a per-source probability —
     * the weighted up/down-sampling step that turns a raw crawl into a
     * training mixture (sources are reweighted, not truncated, so the kept

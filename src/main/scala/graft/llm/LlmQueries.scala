@@ -5840,6 +5840,48 @@ object LlmQueries {
       .orderBy("doc_id", "widx", "k")
   }
 
+  // ---------------------------------------------------------------- q206
+  // Span-level decontamination (CorpusPrep.contaminatedSpans — the
+  // GPT-3 appendix-C shape one step past q65's doc flag: production
+  // pipelines EXCISE the contaminated span and split the doc around it,
+  // so the operator reports WHERE the overlap sits). Matched 3-gram
+  // start positions merge into maximal spans via gaps-and-islands; the
+  // oracle replays positional shingling, the bench join, and the island
+  // windowing. Same every-10th-doc bench split as q65. Bench shingles
+  // broadcast; ONE doc-keyed window shuffle over match rows only.
+  val q206 = Q(
+    "q206_decontaminate_spans",
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      |           FROM documents),
+      |sh AS (SELECT doc_id, i AS pos,
+      |              ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS shingle
+      |       FROM (SELECT doc_id, ts, unnest(range(len(ts)-2)) AS i
+      |             FROM d WHERE len(ts) >= 3)),
+      |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+      |hits AS (SELECT doc_id, pos FROM sh
+      |         WHERE doc_id % 10 <> 0
+      |           AND shingle IN (SELECT shingle FROM bench)),
+      |g AS (SELECT doc_id, pos,
+      |        CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id
+      |               ORDER BY pos), -1000000) + 3 THEN 1 ELSE 0 END AS ns
+      |      FROM hits),
+      |s AS (SELECT doc_id, pos, sum(ns) OVER (PARTITION BY doc_id
+      |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |        AS span_id
+      |      FROM g)
+      |SELECT doc_id, CAST(span_id AS INT) AS span_id,
+      |  CAST(min(pos) AS INT) AS span_start,
+      |  CAST(max(pos) + 2 AS INT) AS span_end,
+      |  count(*) AS n_grams
+      |FROM s GROUP BY doc_id, span_id
+      |ORDER BY doc_id, span_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    CorpusPrep.contaminatedSpans(
+        train = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L),
+        bench = docs.filter(pmod(col("doc_id"), lit(10L)) === 0L))
+      .orderBy("doc_id", "span_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -5851,5 +5893,5 @@ object LlmQueries {
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
       q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
-      q201, q202, q203, q204, q205)
+      q201, q202, q203, q204, q205, q206)
 }

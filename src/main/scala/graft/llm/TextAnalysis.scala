@@ -308,6 +308,18 @@ object TextAnalysis {
         .otherwise(array().cast("array<string>"))
     }
 
+  /** POSITIONAL `k`-word shingles (NOT distinct — index i holds the
+    * shingle starting at token i): the unit for span-level
+    * decontamination, where the match's LOCATION matters, not just its
+    * existence. Same guard as [[shingles]]. */
+  def positionalShingles(text: Column, k: Int = 3): Column =
+    bound(tokens(text)) { ts =>
+      when(size(ts) >= k,
+        transform(sequence(lit(0), size(ts) - k),
+          i => concat_ws(" ", slice(ts, i + 1, lit(k)))))
+        .otherwise(array().cast("array<string>"))
+    }
+
   /** Bigram-LM quality score — the sequential step past [[unigramLogProb]]:
     * fit a maximum-likelihood bigram model on the corpus itself
     * (P(b|a) = C(a,b)/ΣC(a,·), probabilities summing to 1 per context) and

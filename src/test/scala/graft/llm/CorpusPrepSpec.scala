@@ -64,6 +64,26 @@ class CorpusPrepSpec extends SparkSpec {
     assert(full.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((5L, 2L)))
   }
 
+  test("decontamination spans: adjacent matches merge, distant ones split") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      // positions:      0     1    2     3     4  5 6 7 8     9    10
+      (1L, "alpha beta gamma delta x y z w alpha beta gamma"),
+      (2L, "clean text with no overlap at all"),
+      (3L, "alpha beta gamma")).toDF("doc_id", "text")
+    val out = CorpusPrep.contaminatedSpans(train, bench).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // doc 1: matches at 0 ("alpha beta gamma") and 1 ("beta gamma delta")
+    // merge (1 <= 0+3) into span [0, 3]; the repeat at 8 starts a new
+    // span [8, 10] (8 > 1+3). doc 3: a single exact shingle, span [0, 2].
+    assert(out == Seq(
+      (1L, 1, 0, 3, 2L),
+      (1L, 2, 8, 10, 1L),
+      (3L, 1, 0, 2, 1L)))
+  }
+
   test("pack chunks: offsets are contiguous per shard and respect the budget") {
     val out = CorpusPrep.packChunks(docs, budgetTokens = 256, shards = 4).cache()
     assert(out.count() == docs.count()) // assignment is total: no doc dropped
