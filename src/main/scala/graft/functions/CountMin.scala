@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch (Cormode & Muthukrishnan 2005) — the mergeable
+  * POINT-FREQUENCY sketch completing the sketch family next to HLL
+  * cardinality (q114's mergeable distinct counts) and Misra-Gries heavy
+  * hitters (q120's top-k screen): `depth` pairwise-independent hash
+  * rows × `width` counters; a key's estimate is the MIN of its cells,
+  * always ≥ the true count and ≤ true + ε·N with ε = e/width at
+  * probability 1−e^(−depth). Misra-Gries answers "who is heavy"; CMS
+  * answers "how often is THIS key" for keys it never stored — at a
+  * fixed depth·width footprint independent of the key universe.
+  *
+  * Determinism contract: hashes are PINNED affine maps
+  * ((a·key + b) mod p) mod width over non-negative integer keys
+  * (p = 2^31−1; a·key fits int64 for key < 2^44), so the whole sketch —
+  * every cell and every estimate — is integer-exact and replayable in
+  * SQL. A seeded-random production sketch is a constants change.
+  *
+  * Scale shape: [[table]] is one hash-aggregate shuffle of depth rows
+  * per record with map-side combine absorbing the Zipf head; the result
+  * is depth·width cells REGARDLESS of corpus size, and two tables merge
+  * by adding cells (the property streaming checkpoint stores rely on).
+  * [[estimates]] joins a keys-sized probe set against the cells — no
+  * scan of the raw data. */
+object CountMin {
+
+  val P: Long = 2147483647L // 2^31 - 1, prime
+
+  /** Pinned (a, b) per hash row — depth = seeds.size. */
+  val DefaultSeeds: Seq[(Long, Long)] =
+    Seq((31L, 7L), (131L, 17L), (1031L, 29L), (65537L, 41L))
+
+  private def bucket(key: Column, a: Long, b: Long, width: Int): Column =
+    pmod(pmod(lit(a) * key + lit(b), lit(P)), lit(width.toLong))
+
+  /** Build the sketch: one row per non-empty cell (j, bucket, cnt). */
+  def table(df: DataFrame, key: Column, width: Int = 256,
+      seeds: Seq[(Long, Long)] = DefaultSeeds): DataFrame = {
+    require(width >= 2, s"bad width: $width")
+    require(seeds.nonEmpty, "need at least one hash row")
+    val rows = array(seeds.zipWithIndex.map { case ((a, b), j) =>
+      struct(lit(j).as("j"), bucket(key, a, b, width).as("bucket"))
+    }: _*)
+    df.select(explode(rows).as("cell"))
+      .select(col("cell.j").as("j"), col("cell.bucket").as("bucket"))
+      .groupBy("j", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates for a probe-key set: min over the key's
+    * cells, 0 when a cell is empty (the sketch never underestimates). */
+  def estimates(cells: DataFrame, keys: DataFrame, keyCol: String,
+      width: Int = 256, seeds: Seq[(Long, Long)] = DefaultSeeds): DataFrame = {
+    val probes = keys.select(col(keyCol),
+        explode(array(seeds.zipWithIndex.map { case ((a, b), j) =>
+          struct(lit(j).as("j"), bucket(col(keyCol), a, b, width).as("bucket"))
+        }: _*)).as("cell"))
+      .select(col(keyCol), col("cell.j").as("j"), col("cell.bucket").as("bucket"))
+    probes.join(cells, Seq("j", "bucket"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+}

@@ -5882,6 +5882,45 @@ object LlmQueries {
       .orderBy("doc_id", "span_id")
   }
 
+  // ---------------------------------------------------------------- q207
+  // Count-Min sketch (functions/CountMin — Cormode & Muthukrishnan
+  // 2005): the mergeable POINT-FREQUENCY sketch completing the family
+  // next to HLL cardinality (q114) and Misra-Gries heavy hitters
+  // (q120). Pinned affine hashes make every cell and estimate
+  // integer-exact, so the oracle replays the full sketch: build the
+  // depth-4 × width-256 table over events.user_id, probe 20 keys, and
+  // emit estimate vs exact count side by side (est ≥ true always; the
+  // one-sided error is VISIBLE in the hashed result wherever buckets
+  // collide). One hash-aggregate shuffle, cells bounded at depth·width.
+  val q207 = Q(
+    "q207_countmin_sketch",
+    """WITH seeds(j, a, b) AS (VALUES (0, 31, 7), (1, 131, 17),
+      |  (2, 1031, 29), (3, 65537, 41)),
+      |cells AS (SELECT j, ((a*user_id + b) % 2147483647) % 256 AS bucket,
+      |                 count(*) AS cnt
+      |          FROM events CROSS JOIN seeds GROUP BY 1, 2),
+      |keys AS (SELECT unnest(range(20)) AS u),
+      |kb AS (SELECT u, j, ((a*u + b) % 2147483647) % 256 AS bucket
+      |       FROM keys CROSS JOIN seeds),
+      |est AS (SELECT u, min(coalesce(cnt, 0)) AS est
+      |        FROM kb LEFT JOIN cells USING (j, bucket) GROUP BY u),
+      |tru AS (SELECT user_id AS u, count(*) AS cnt FROM events GROUP BY 1)
+      |SELECT CAST(u AS BIGINT) AS u, est,
+      |       coalesce(tru.cnt, 0) AS true_cnt
+      |FROM est LEFT JOIN tru USING (u) ORDER BY u""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val events = Tables(s, dir, "events")
+    val cells = graft.functions.CountMin.table(events, col("user_id"))
+    val probe = (0L until 20L).toDF("u")
+    val est = graft.functions.CountMin.estimates(cells, probe, "u")
+    val tru = events.groupBy(col("user_id").as("u"))
+      .agg(count(lit(1)).as("true_cnt"))
+    est.join(tru, Seq("u"), "left")
+      .select(col("u"), col("est"),
+        coalesce(col("true_cnt"), lit(0L)).as("true_cnt"))
+      .orderBy("u")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -5893,5 +5932,5 @@ object LlmQueries {
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
       q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
-      q201, q202, q203, q204, q205, q206)
+      q201, q202, q203, q204, q205, q206, q207)
 }
