@@ -5921,6 +5921,69 @@ object LlmQueries {
       .orderBy("u")
   }
 
+  // ---------------------------------------------------------------- q208
+  // Changelog apply / CDC upsert-merge (operators/Upsert — the MERGE
+  // INTO / log-compaction shape every mutable 100 TB table lives by):
+  // base snapshot at version 0 plus a derived changelog (two update
+  // waves, tombstones, and brand-new inserted keys), materialized to
+  // the latest non-tombstone state per key via ONE max_by hash
+  // aggregate (no window, no sort — map-side combine absorbs hot keys).
+  // Money routes through DECIMAL(18,2) per the determinism contract;
+  // the oracle replays the union + latest-wins with a window. Expected
+  // survivors: %9 keys deleted; %6 keys carry the second update; other
+  // %3 keys the first; %11 keys also appear as inserted twins.
+  val q208 = Q(
+    "q208_upsert_merge",
+    """WITH base AS (SELECT o_orderkey AS k,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+      |         0 AS version, 'U' AS op FROM orders),
+      |u1 AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) + 100,
+      |              1, 'U' FROM orders WHERE o_orderkey % 3 = 0),
+      |u2 AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) + 200,
+      |              2, 'U' FROM orders WHERE o_orderkey % 6 = 0),
+      |del AS (SELECT o_orderkey, CAST(0 AS DECIMAL(18,2)), 3, 'D'
+      |        FROM orders WHERE o_orderkey % 9 = 0),
+      |ins AS (SELECT o_orderkey + 1000000000,
+      |               CAST(o_totalprice AS DECIMAL(18,2)) + 7, 1, 'U'
+      |        FROM orders WHERE o_orderkey % 11 = 0),
+      |a AS (SELECT * FROM base UNION ALL SELECT * FROM u1
+      |      UNION ALL SELECT * FROM u2 UNION ALL SELECT * FROM del
+      |      UNION ALL SELECT * FROM ins),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY k
+      |        ORDER BY version DESC,
+      |                 CASE WHEN op = 'D' THEN 1 ELSE 0 END DESC) AS rn
+      |      FROM a)
+      |SELECT k, CAST(CAST(price AS VARCHAR) AS DOUBLE) AS price,
+      |       CAST(version AS BIGINT) AS version
+      |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY k""".stripMargin) { (s, dir) =>
+    val o = Tables(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    def wave(pred: org.apache.spark.sql.Column,
+        dPrice: org.apache.spark.sql.Column, ver: Long, op: String,
+        kExpr: org.apache.spark.sql.Column = col("k")) =
+      o.filter(pred).select(kExpr.as("k"), dPrice.as("price"),
+        lit(ver).as("version"), lit(op).as("op"))
+    val base = o.select(col("k"), col("price"),
+      lit(0L).as("version"), lit("U").as("op"))
+    val changes =
+      wave(col("k") % 3 === 0, col("price") + 100, 1L, "U")
+        .unionByName(wave(col("k") % 6 === 0, col("price") + 200, 2L, "U"))
+        .unionByName(wave(col("k") % 9 === 0,
+          lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)"), 3L, "D"))
+        .unionByName(wave(col("k") % 11 === 0, col("price") + 7, 1L, "U",
+          kExpr = col("k") + 1000000000L))
+    graft.operators.Upsert(base, changes, Seq("k"))
+      // decimal arithmetic stays internal; the dumped column goes out as
+      // the double of the decimal's STRING (identical parse in both
+      // engines — the q49 routing)
+      .select(col("k"),
+        col("price").cast("decimal(18,2)").cast("string")
+          .cast("double").as("price"),
+        col("version"))
+      .orderBy("k")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -5932,5 +5995,5 @@ object LlmQueries {
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
       q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
-      q201, q202, q203, q204, q205, q206, q207)
+      q201, q202, q203, q204, q205, q206, q207, q208)
 }
