@@ -5984,6 +5984,44 @@ object LlmQueries {
       .orderBy("k")
   }
 
+  // ---------------------------------------------------------------- q209
+  // Exact phrase search over a positional inverted index
+  // (llm/PhraseSearch — the retrieval operator q142's BM25 bags cannot
+  // express: "merge sort" as ADJACENT tokens, not co-occurrence):
+  // token-keyed postings (a phrase touches only its own words' lists)
+  // with (doc_id, pos+i) adjacency equi-joins, the classic positional-
+  // index plan. Three pinned phrases (two bigrams, one trigram); the
+  // oracle re-derives positions via the same adjacency self-joins over
+  // an independently built positional CTE. Every match position is in
+  // the hash.
+  val q209 = Q(
+    "q209_phrase_search",
+    """WITH p AS (SELECT doc_id, CAST(i AS INT) AS pos, arr[i+1] AS token
+      |           FROM (SELECT doc_id,
+      |                        string_split_regex(trim(text), '\s+') AS arr
+      |                 FROM documents) d,
+      |                LATERAL (SELECT unnest(range(len(arr))) AS i) g
+      |           WHERE arr[i+1] <> ''),
+      |m2 AS (SELECT 'merge sort' AS phrase, a.doc_id, a.pos
+      |       FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |       WHERE a.token = 'merge' AND b.token = 'sort'),
+      |m2b AS (SELECT 'hash join' AS phrase, a.doc_id, a.pos
+      |        FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |        WHERE a.token = 'hash' AND b.token = 'join'),
+      |m3 AS (SELECT 'the fast key' AS phrase, a.doc_id, a.pos
+      |       FROM p a
+      |       JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |       JOIN p c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+      |       WHERE a.token = 'the' AND b.token = 'fast' AND c.token = 'key')
+      |SELECT phrase, doc_id, pos
+      |FROM (SELECT * FROM m2 UNION ALL SELECT * FROM m2b
+      |      UNION ALL SELECT * FROM m3)
+      |ORDER BY phrase, doc_id, pos""".stripMargin) { (s, dir) =>
+    PhraseSearch.search(Tables(s, dir, "documents"), Seq(
+        Seq("merge", "sort"), Seq("hash", "join"), Seq("the", "fast", "key")))
+      .orderBy("phrase", "doc_id", "pos")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -5995,5 +6033,5 @@ object LlmQueries {
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
       q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
-      q201, q202, q203, q204, q205, q206, q207, q208)
+      q201, q202, q203, q204, q205, q206, q207, q208, q209)
 }
