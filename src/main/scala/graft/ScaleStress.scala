@@ -798,6 +798,63 @@ object ScaleStress {
     }
   }
 
+  /** Parquet BLOOM-FILTER pruning A/B — the point-lookup sibling of
+    * [[layout]]: a needle probe (`event_id = k`) on a HASH-SCATTERED
+    * layout where min/max statistics are useless (every file spans the
+    * full id range) and the column is too high-cardinality for
+    * dictionary encoding to survive (plain-encoded pages carry no
+    * dictionary to filter on). A written bloom filter is the only
+    * row-group-level structure that can prune such a probe — the
+    * mechanism behind needle-in-haystack lookups on 100 TB fact tables
+    * without re-sorting them. Same records-materialized metric; the A
+    * side writes no bloom, the B side writes one on event_id. */
+  def parquetBloom(spark: SparkSession, sfDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    def rmTree(p: String): Unit = if (Files.exists(Paths.get(p))) {
+      val walk = Files.walk(Paths.get(p))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+    println("== parquet bloom filter: point-probe pruning A/B ==")
+    val events = Tables(spark, sfDir, "events")
+      .select("event_id", "user_id", "value")
+    val base = Files.createTempDirectory("graft_pbloom").toString
+    // hash-scatter on user_id so event_id min/max spans the full range in
+    // every file — the layout where ONLY a bloom filter can prune
+    val scattered = events.repartition(16, col("user_id"))
+    scattered.write.option("parquet.block.size", 64 * 1024)
+      .parquet(s"$base/plain")
+    scattered.write.option("parquet.block.size", 64 * 1024)
+      .option("parquet.bloom.filter.enabled#event_id", "true")
+      .option("parquet.bloom.filter.expected.ndv#event_id", "100000")
+      .parquet(s"$base/bloom")
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        recordsRead.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val probeIds = Seq(17L, 4242L, 99991L)
+      for (variant <- Seq("plain", "bloom"); id <- probeIds) {
+        spark.read.parquet(s"$base/$variant").count() // warm cache
+        recordsRead.set(0L)
+        val (n, s) = time {
+          spark.read.parquet(s"$base/$variant")
+            .filter(col("event_id") === lit(id)).count()
+        }
+        Thread.sleep(1000)
+        println(f"$variant%6s probe id=$id%6d: matched=$n%2d " +
+          f"records_read=${recordsRead.get}%8d wall=$s%5.2f s")
+      }
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      rmTree(base)
+    }
+  }
+
   /** Dynamic partition pruning A/B — the partition-level sibling of
     * [[layout]]: a fact table written partitioned on a join key, probed
     * through a FILTERED dimension. With DPP the dimension's surviving keys
@@ -1765,6 +1822,11 @@ object ScaleStress {
     }
     if (args.contains("--dpp")) {
       dpp(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.contains("--pbloom")) {
+      parquetBloom(spark, sfDir)
       spark.stop()
       return
     }
