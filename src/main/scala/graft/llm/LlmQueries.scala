@@ -6022,6 +6022,85 @@ object LlmQueries {
       .orderBy("phrase", "doc_id", "pos")
   }
 
+  // ---------------------------------------------------------------- q210
+  // TGA decode (llm/Tga — Truevision TGA, the game-texture / scanned-
+  // frame format): type 2 uncompressed + type 10 RLE truecolor, 24 bpp
+  // BGR, with TGA's packet grammar (1-bit kind + 7-bit count, never
+  // crossing a scanline — strictly enforced) and the ORIGIN flag
+  // (descriptor bit 5) deciding top-down vs bottom-up row mapping.
+  // Fixture alternates type and origin across docs from direct
+  // formulas (the anti-cancel rule); engine aggregates per image row,
+  // oracle re-derives row sums and edge channels arithmetically —
+  // certifying packet expansion, BGR order, origin mirroring, and the
+  // header walk together. Row-local, no shuffle.
+  val q210 = Q(
+    "q210_tga_decode",
+    """WITH d AS (SELECT doc_id, CAST(6 + doc_id % 6 AS INT) AS w,
+      |                  CAST(3 + doc_id % 3 AS INT) AS h,
+      |                  doc_id % 3 = 0 AS rle
+      |           FROM documents),
+      |r0 AS (SELECT doc_id, w, rle, unnest(range(h)) AS y FROM d),
+      |px AS (SELECT doc_id, w, rle, y, unnest(range(w)) AS x FROM r0),
+      |rawv AS (SELECT doc_id, w, rle, y, x,
+      |           (doc_id + x + y) % 256 + (2*x + y) % 256
+      |             + (doc_id + x) % 256 AS s
+      |         FROM px),
+      |t AS (SELECT doc_id, w, rle, y, sum(s) AS sum_all,
+      |             sum(CASE WHEN x >= w - 2 THEN s ELSE 0 END) AS sum_tail
+      |      FROM rawv GROUP BY doc_id, w, rle, y)
+      |SELECT doc_id, CAST(y AS INT) AS y,
+      |  CAST(CASE WHEN rle THEN (w-2) * ((doc_id + 5*y) % 256
+      |                + (doc_id*3 + y) % 256 + (doc_id + 7*y) % 256)
+      |                + sum_tail
+      |       ELSE sum_all END AS BIGINT) AS row_sum,
+      |  CAST(CASE WHEN rle THEN (doc_id + 5*y) % 256
+      |       ELSE (doc_id + y) % 256 END AS INT) AS r_first,
+      |  CAST((doc_id + w - 1) % 256 AS INT) AS b_last
+      |FROM t ORDER BY doc_id, y""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long].flatMap { id =>
+      val w = (6 + id % 6).toInt
+      val h = (3 + id % 3).toInt
+      val rle = id % 3 == 0
+      val topDown = id % 2 == 0
+      def runPx(y: Int) = (((id + 5 * y) % 256).toInt,
+        ((id * 3 + y) % 256).toInt, ((id + 7 * y) % 256).toInt)
+      def rawPx(x: Int, y: Int) = (((id + x + y) % 256).toInt,
+        ((2 * x + y) % 256).toInt, ((id + x) % 256).toInt)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      out += 0; out += 0; out += (if (rle) 10 else 2).toByte
+      out ++= Array.fill[Byte](9)(0)
+      out += (w & 0xff).toByte; out += ((w >> 8) & 0xff).toByte
+      out += (h & 0xff).toByte; out += ((h >> 8) & 0xff).toByte
+      out += 24; out += (if (topDown) 0x20 else 0).toByte
+      def put(rgb: (Int, Int, Int)): Unit = {
+        out += rgb._3.toByte; out += rgb._2.toByte; out += rgb._1.toByte
+      }
+      for (sr <- 0 until h) {
+        val y = if (topDown) sr else h - 1 - sr
+        if (rle) {
+          out += (0x80 | (w - 3)).toByte // run of w-2
+          put(runPx(y))
+          out += 1.toByte // raw packet of 2
+          put(rawPx(w - 2, y)); put(rawPx(w - 1, y))
+        } else {
+          for (x <- 0 until w) put(rawPx(x, y))
+        }
+      }
+      Tga.decode(out.toArray) match {
+        case Some(img) =>
+          (0 until img.h).iterator.map { y =>
+            val row = (0 until img.w).map(x => img.px(y * img.w + x))
+            val rowSum = row.map(v =>
+              ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)).map(_.toLong).sum
+            (id, y, rowSum, (row.head >> 16) & 0xff, row.last & 0xff)
+          }
+        case None => Iterator.empty // quarantine by omission
+      }
+    }.toDF("doc_id", "y", "row_sum", "r_first", "b_last")
+      .orderBy("doc_id", "y")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -6033,5 +6112,5 @@ object LlmQueries {
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
       q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
-      q201, q202, q203, q204, q205, q206, q207, q208, q209)
+      q201, q202, q203, q204, q205, q206, q207, q208, q209, q210)
 }
