@@ -6101,6 +6101,63 @@ object LlmQueries {
       .orderBy("doc_id", "y")
   }
 
+  // ---------------------------------------------------------------- q211
+  // WebVTT parse (llm/Vtt — SRT's modern sibling, the HTML5/YouTube
+  // subtitle default; the grammar differs from SRT everywhere a parser
+  // can get it wrong: dot millis, OPTIONAL hours, optional cue ids
+  // instead of mandatory indexes, cue settings after the end stamp,
+  // NOTE blocks): fixture alternates every variant across cues — with/
+  // without hours, with/without id, with/without settings, one- and
+  // two-line payloads, plus a NOTE block — and the oracle re-derives
+  // each cue's id/stamps/settings/payload arithmetically. Row-local.
+  val q211 = Q(
+    "q211_vtt_parse",
+    """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS nc
+      |           FROM documents),
+      |c AS (SELECT doc_id, unnest(range(nc)) AS j FROM d),
+      |t AS (SELECT doc_id, j,
+      |        (doc_id*100 + j*2000) AS sms,
+      |        (doc_id*100 + j*2000 + 1500 + (j % 2)*250) AS ems
+      |      FROM c)
+      |SELECT doc_id, CAST(j AS INT) AS seq,
+      |  CASE WHEN j % 2 = 1 THEN 'c' || j ELSE '' END AS cue_id,
+      |  CAST(sms*1000 AS BIGINT) AS start_us,
+      |  CAST(ems*1000 AS BIGINT) AS end_us,
+      |  CASE WHEN j % 3 = 0 THEN 'align:start' ELSE '' END AS settings,
+      |  CASE WHEN j % 2 = 0
+      |       THEN 'line ' || doc_id || ' ' || j || chr(10) || 'more ' || j
+      |       ELSE 'line ' || doc_id || ' ' || j END AS text
+      |FROM t ORDER BY doc_id, seq""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val vtts = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val nc = (2 + id % 3).toInt
+      def stamp(ms: Long, hours: Boolean): String = {
+        val m = ms / 60000; val sec = (ms / 1000) % 60; val f = ms % 1000
+        if (hours) f"00:$m%02d:$sec%02d.$f%03d" else f"$m%02d:$sec%02d.$f%03d"
+      }
+      val sb = new StringBuilder("WEBVTT - graft track\n\n")
+      sb.append("NOTE synthetic fixture\nsecond note line\n\n")
+      for (j <- 0 until nc) {
+        val sms = id * 100 + j * 2000
+        val ems = sms + 1500 + (j % 2) * 250
+        if (j % 2 == 1) sb.append(s"c$j\n")
+        sb.append(stamp(sms, hours = j % 2 == 1))
+        sb.append(" --> ")
+        sb.append(stamp(ems, hours = j % 2 == 1))
+        if (j % 3 == 0) sb.append(" align:start")
+        sb.append('\n')
+        sb.append(s"line $id $j\n")
+        if (j % 2 == 0) sb.append(s"more $j\n")
+        sb.append('\n')
+      }
+      (id, sb.toString)
+    }
+    Vtt.parseAll(vtts).toDF()
+      .select(col("doc_id"), col("seq"), col("cue_id"),
+        col("start_us"), col("end_us"), col("settings"), col("text"))
+      .orderBy("doc_id", "seq")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -6112,5 +6169,5 @@ object LlmQueries {
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
       q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
-      q201, q202, q203, q204, q205, q206, q207, q208, q209, q210)
+      q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211)
 }
