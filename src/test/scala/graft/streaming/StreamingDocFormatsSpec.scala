@@ -319,6 +319,36 @@ class StreamingDocFormatsSpec extends SparkSpec {
     assert(rle.map(_._2) == Seq(-1, -1)) // neither blob is a valid stream
   }
 
+  test("streaming vtt + tga ≡ batch (r14 format tier)") {
+    import graft.llm.{Tga, Vtt}
+    val vttText = "WEBVTT\n\nc0\n00:01.000 --> 00:02.500 align:start\nhi\n"
+    val textDocs = Seq((1L, vttText), (2L, "not vtt"))
+    val tdir = stage(textDocs)
+    def tstream = spark.readStream
+      .schema(textDocs.toDS().schema).parquet(tdir)
+      .as[(Long, String)]
+    run(Vtt.parseAll(tstream), "vtt_stream")
+    val vs = spark.table("vtt_stream").as[Vtt.CueRow]
+      .collect().sortBy(r => (r.doc_id, r.seq)).toSeq
+    assert(vs == Vtt.parseAll(textDocs.toDS())
+      .collect().sortBy(r => (r.doc_id, r.seq)).toSeq)
+    assert(vs == Seq(Vtt.CueRow(1L, 0, "c0", 1000000L, 2500000L,
+      "align:start", "hi")))
+    // Tga.decode is a pure function — pin that it serializes into a
+    // streaming map (the Rle8 treatment)
+    val tiny = Array[Byte](0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      1, 0, 1, 0, 24, 0x20, 3, 2, 1) // 1x1 top-down, pixel rgb(1,2,3)
+    val blobs = Seq(Multimodal.Blob(1L, tiny), Multimodal.Blob(2L, tiny.take(5)))
+    val bdir = stage(blobs)
+    val tgaStream = spark.readStream.schema(blobs.toDS().schema).parquet(bdir)
+      .as[Multimodal.Blob]
+      .map(b => (b.doc_id, Tga.decode(b.payload).map(_.px.sum).getOrElse(-1)))
+    run(tgaStream, "tga_stream")
+    assert(spark.table("tga_stream").as[(Long, Int)]
+      .collect().sortBy(_._1).toSeq ==
+      Seq((1L, (1 << 16) | (2 << 8) | 3), (2L, -1)))
+  }
+
   test("streaming g711 ≡ batch (stateless byte expansion)") {
     import graft.llm.G711
     val blobs = Seq(
