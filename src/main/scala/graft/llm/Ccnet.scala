@@ -35,6 +35,32 @@ import org.apache.spark.sql.functions._
   * unavoidable: the CUT RULE is defined on the sorted prefix. */
 object Ccnet {
 
+  /** Curriculum training order over [[buckets]] — the composite a
+    * quality-bucketed corpus feeds a trainer with: every shard consumes
+    * its docs head → middle → tail (curriculum learning on the CCNet
+    * signal), deterministically shuffled WITHIN each bucket by the q89
+    * multiplicative hash (reruns and retries see the same order, no
+    * seeded rand). Positions are PER SHARD, not global — a global
+    * sequence number is a single-partition sort; per-shard offsets are
+    * how distributed training actually consumes data (the q178 shard
+    * discipline). One window shuffle partitioned by shard. */
+  def curriculum(docs: DataFrame, shards: Int = 8): DataFrame = {
+    require(shards >= 1, s"bad shards: $shards")
+    val hk = pmod(pmod(pmod(col("doc_id"), lit(1000003L))
+      * lit(2654435761L), lit(999999937L)), lit(1000000L))
+    val brank = when(col("bucket") === "head", lit(0))
+      .when(col("bucket") === "middle", lit(1)).otherwise(lit(2))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("brank"), col("hk"), col("doc_id"))
+    buckets(docs)
+      .withColumn("hk", hk)
+      .withColumn("shard", pmod(col("hk"), lit(shards.toLong)).cast("int"))
+      .withColumn("brank", brank)
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        col("shard"), col("pos"))
+  }
+
   /** Per-doc bucket assignment: (doc_id, lang, n_chars, cum_chars,
     * bucket ∈ head|middle|tail). */
   def buckets(docs: DataFrame): DataFrame = {

@@ -6158,6 +6158,51 @@ object LlmQueries {
       .orderBy("doc_id", "seq")
   }
 
+  // ---------------------------------------------------------------- q212
+  // Curriculum training order (Ccnet.curriculum — the composite q202's
+  // buckets feed a trainer with): every shard consumes head → middle →
+  // tail, deterministically shuffled WITHIN each bucket by q89's
+  // multiplicative hash; positions are PER SHARD (a global sequence is
+  // a single-partition sort — per-shard offsets are how distributed
+  // training consumes data). Composes two certified operators; the
+  // oracle replays the q202 bucket derivation + the q89 hash + the
+  // shard-partitioned window end-to-end.
+  val q212 = Q(
+    "q212_curriculum_order",
+    """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |           FROM documents),
+      |tt AS (SELECT doc_id, token FROM t WHERE token <> ''),
+      |lm AS (SELECT token, count(*) AS cnt FROM tt GROUP BY token),
+      |tot AS (SELECT sum(cnt) AS total FROM lm),
+      |s AS (SELECT doc_id, round(avg(ln(CAST(cnt AS DOUBLE) / total)), 4) AS lp
+      |      FROM tt JOIN lm USING (token) CROSS JOIN tot
+      |      GROUP BY doc_id),
+      |d AS (SELECT d.doc_id, d.lang, d.n_chars, s.lp
+      |      FROM documents d LEFT JOIN s USING (doc_id)),
+      |w AS (SELECT doc_id, lang, n_chars,
+      |        sum(n_chars) OVER (PARTITION BY lang
+      |          ORDER BY lp DESC NULLS LAST, doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |        sum(n_chars) OVER (PARTITION BY lang) AS tot_chars
+      |      FROM d),
+      |b AS (SELECT doc_id, lang,
+      |        CASE WHEN 3*(cum - n_chars) < tot_chars THEN 'head'
+      |             WHEN 3*(cum - n_chars) < 2*tot_chars THEN 'middle'
+      |             ELSE 'tail' END AS bucket
+      |      FROM w),
+      |h AS (SELECT doc_id, lang, bucket,
+      |        (((doc_id % 1000003) * 2654435761) % 999999937) % 1000000 AS hk,
+      |        CASE bucket WHEN 'head' THEN 0 WHEN 'middle' THEN 1
+      |             ELSE 2 END AS brank
+      |      FROM b)
+      |SELECT doc_id, lang, bucket, CAST(hk % 8 AS INT) AS shard,
+      |  CAST(row_number() OVER (PARTITION BY hk % 8
+      |         ORDER BY brank, hk, doc_id) AS INT) AS pos
+      |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Ccnet.curriculum(Tables(s, dir, "documents"), shards = 8)
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -6169,5 +6214,6 @@ object LlmQueries {
       q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
       q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
-      q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211)
+      q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
+      q212)
 }

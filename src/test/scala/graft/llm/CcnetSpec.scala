@@ -39,6 +39,25 @@ class CcnetSpec extends SparkSpec {
     assert(got == Map(1L -> "head", 2L -> "middle", 3L -> "tail"))
   }
 
+  test("curriculum: head before middle before tail within every shard") {
+    val d = docs(
+      (1L, "x x x x", "en", 100L), // head (best score, first third)
+      (2L, "x x y", "en", 100L),   // middle
+      (3L, "x y z", "en", 100L))   // tail
+    val got = Ccnet.curriculum(d, shards = 1).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getInt(3), r.getInt(4)))
+      .sortBy(_._4).toSeq
+    assert(got.map(_._3).toSet == Set(0))
+    assert(got.map(t => (t._1, t._2)) ==
+      Seq((1L, "head"), (2L, "middle"), (3L, "tail")))
+    assert(got.map(_._4) == Seq(1, 2, 3))
+    // with many shards, positions are per-shard contiguous from 1
+    val sharded = Ccnet.curriculum(d, shards = 8).collect()
+      .map(r => (r.getInt(3), r.getInt(4))).groupBy(_._1)
+    for ((_, rows) <- sharded)
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length).toSeq)
+  }
+
   test("languages bucket independently; tokenless docs sort last") {
     val d = docs(
       (1L, "x x x", "en", 10L),
