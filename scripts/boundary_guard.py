@@ -159,6 +159,17 @@ SELECT dist AS v FROM cand WHERE dist <= 1.20006"""),
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.2"""),
+    "q213.p": (4, """
+        WITH l AS (SELECT lang, sum(n_chars) AS n FROM documents GROUP BY lang),
+        t AS (SELECT sum(pow(CAST(n AS DOUBLE), 0.3)) AS z FROM l)
+        SELECT pow(CAST(n AS DOUBLE), 0.3) / z AS v FROM l CROSS JOIN t"""),
+    "q213.boost": (4, """
+        WITH l AS (SELECT lang, sum(n_chars) AS n FROM documents GROUP BY lang),
+        t AS (SELECT sum(pow(CAST(n AS DOUBLE), 0.3)) AS z,
+                     sum(n) AS total FROM l)
+        SELECT (pow(CAST(n AS DOUBLE), 0.3) / z)
+               / (CAST(n AS DOUBLE) / total) AS v
+        FROM l CROSS JOIN t"""),
     # q202 orders on the SAME rounded per-doc avg-logprob over the SAME
     # domain (all documents) — this probe guards both the q83 hash and
     # q202's ordering (its hashed bucket/cum columns are integer).

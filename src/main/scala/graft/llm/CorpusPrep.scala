@@ -210,6 +210,34 @@ object CorpusPrep {
         col("n_grams"))
   }
 
+  /** Temperature-scaled multilingual sampling rates (the mT5 / XLM-R
+    * α-sampling rule, Xue et al. 2021 §3.1: p_l ∝ n_l^α with α < 1) —
+    * the knob that keeps high-resource languages from drowning the
+    * mixture: α = 1 is proportional sampling, α → 0 uniform. Emits per
+    * language the corpus share, the α-scaled sampling probability, and
+    * the resulting boost factor (p_l / share — > 1 means the language
+    * is UP-sampled relative to its size).
+    *
+    * Determinism: p and boost are ROUNDED 4dp doubles (pow differs by
+    * ulps across libm implementations) — boundary-guard probes cover
+    * both columns; the aggregate inputs are exact integer sums.
+    *
+    * Scale shape: one language-keyed aggregate (languages-sized result),
+    * one broadcast-scalar normalizer join. */
+  def temperatureRates(docs: DataFrame, alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"bad alpha: $alpha")
+    val l = docs.groupBy("lang").agg(sum("n_chars").as("n_chars"))
+    val z = broadcast(l.agg(
+      sum(pow(col("n_chars").cast("double"), lit(alpha))).as("z"),
+      sum(col("n_chars")).as("total")))
+    l.crossJoin(z)
+      .select(col("lang"), col("n_chars"),
+        round(pow(col("n_chars").cast("double"), lit(alpha)) / col("z"), 4)
+          .as("p"),
+        round((pow(col("n_chars").cast("double"), lit(alpha)) / col("z"))
+          / (col("n_chars").cast("double") / col("total")), 4).as("boost"))
+  }
+
   /** Domain mixing: keep each document with a per-source probability —
     * the weighted up/down-sampling step that turns a raw crawl into a
     * training mixture (sources are reweighted, not truncated, so the kept

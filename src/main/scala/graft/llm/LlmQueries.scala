@@ -6203,6 +6203,28 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q213
+  // Temperature-scaled multilingual sampling (CorpusPrep
+  // .temperatureRates — the mT5/XLM-R α-sampling rule, p_l ∝ n_l^α,
+  // α = 0.3 pinned): the mixture knob between q74's explicit rates and
+  // q202's quality buckets — high-resource languages down-weight,
+  // low-resource up-weight (boost = p / share > 1). Rounded 4dp
+  // doubles with boundary probes (pow differs by ulps across libm);
+  // one languages-sized aggregate + a broadcast-scalar normalizer.
+  val q213 = Q(
+    "q213_temperature_sampling",
+    """WITH l AS (SELECT lang, sum(n_chars) AS n FROM documents GROUP BY lang),
+      |t AS (SELECT sum(pow(CAST(n AS DOUBLE), 0.3)) AS z,
+      |             sum(n) AS total FROM l)
+      |SELECT lang, CAST(n AS BIGINT) AS n_chars,
+      |  round(pow(CAST(n AS DOUBLE), 0.3) / z, 4) AS p,
+      |  round((pow(CAST(n AS DOUBLE), 0.3) / z)
+      |        / (CAST(n AS DOUBLE) / total), 4) AS boost
+      |FROM l CROSS JOIN t ORDER BY lang""".stripMargin) { (s, dir) =>
+    CorpusPrep.temperatureRates(Tables(s, dir, "documents"), alpha = 0.3)
+      .orderBy("lang")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -6215,5 +6237,5 @@ object LlmQueries {
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
       q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
-      q212)
+      q212, q213)
 }
