@@ -6225,6 +6225,38 @@ object LlmQueries {
       .orderBy("lang")
   }
 
+  // ---------------------------------------------------------------- q214
+  // Exact triangle counting (operators/Triangles — the third classic
+  // graph operator next to PageRank q155 and components q62; per-node
+  // triangles / degree is the clustering coefficient, the spam-farm
+  // discriminator in web-graph curation). Engine runs the DEGREE-
+  // ORIENTED wedge join (Suri & Vassilvitskii 2011: out-degrees
+  // bounded O(√m), so a star hub contributes zero wedges — the
+  // property TrianglesSpec pins); the oracle is the INDEPENDENT plain
+  // 3-way self-join over canonical a<b edges, so orientation bugs
+  // cannot cancel. Edge fixture derives a dense 60-node graph from
+  // lineitem keys.
+  val q214 = Q(
+    "q214_triangle_count",
+    """WITH e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      |           FROM (SELECT (l_orderkey*7 + l_linenumber) % 60 AS u,
+      |                        (l_orderkey*13 + l_partkey) % 60 AS v
+      |                 FROM lineitem)
+      |           WHERE u <> v),
+      |t AS (SELECT e1.a, e1.b, e2.b AS c
+      |      FROM e e1
+      |      JOIN e e2 ON e2.a = e1.b
+      |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+      |SELECT node, count(*) AS triangles
+      |FROM (SELECT unnest([a, b, c]) AS node FROM t)
+      |GROUP BY node ORDER BY node""".stripMargin) { (s, dir) =>
+    val raw = Tables(s, dir, "lineitem").select(
+      (pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(60L))).as("u"),
+      (pmod(col("l_orderkey") * 13 + col("l_partkey"), lit(60L))).as("v"))
+    val e = graft.operators.Triangles.canonical(raw, "u", "v")
+    graft.operators.Triangles.perNode(e).orderBy("node")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -6237,5 +6269,5 @@ object LlmQueries {
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
       q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
-      q212, q213)
+      q212, q213, q214)
 }
