@@ -6257,6 +6257,60 @@ object LlmQueries {
     graft.operators.Triangles.perNode(e).orderBy("node")
   }
 
+  // ---------------------------------------------------------------- q215
+  // Snapshot drift with changed-column attribution (operators/Drift —
+  // one step past q113's "which keys changed": WHAT changed, the
+  // report a pipeline publishes after rewriting a table and the
+  // validation a CDC feed like q208 is checked against). Null-safe
+  // comparisons; unchanged keys omitted (the report must be
+  // diff-sized, not table-sized). ONE full-outer hash join; the
+  // attribution is row-local array arithmetic. The after-snapshot
+  // derives from orders with deterministic mutations; the oracle
+  // replays join + IS DISTINCT FROM attribution.
+  val q215 = Q(
+    "q215_snapshot_drift",
+    """WITH b AS (SELECT o_orderkey AS k, o_totalprice AS price,
+      |                  o_orderstatus AS st FROM orders),
+      |a AS (SELECT k,
+      |        CASE WHEN k % 7 = 0 THEN price + 10 ELSE price END AS price,
+      |        CASE WHEN k % 11 = 0 THEN 'X' ELSE st END AS st
+      |      FROM b WHERE k % 13 <> 0
+      |      UNION ALL
+      |      SELECT k + 2000000000, price, st FROM b WHERE k % 17 = 0),
+      |j AS (SELECT coalesce(b.k, a.k) AS k,
+      |             b.k IS NOT NULL AS inb, a.k IS NOT NULL AS ina,
+      |             b.price AS bp, a.price AS ap, b.st AS bs, a.st AS asx
+      |      FROM b FULL OUTER JOIN a ON a.k = b.k),
+      |c AS (SELECT k, inb, ina,
+      |        CASE WHEN inb AND ina THEN
+      |          list_sort(list_filter(
+      |            [CASE WHEN bp IS DISTINCT FROM ap THEN 'price' END,
+      |             CASE WHEN bs IS DISTINCT FROM asx THEN 'st' END],
+      |            x -> x IS NOT NULL))
+      |        ELSE CAST([] AS VARCHAR[]) END AS changed_cols
+      |      FROM j)
+      |SELECT k,
+      |  CASE WHEN NOT inb THEN 'added'
+      |       WHEN NOT ina THEN 'removed'
+      |       ELSE 'changed' END AS status,
+      |  changed_cols
+      |FROM c
+      |WHERE NOT inb OR NOT ina OR len(changed_cols) > 0
+      |ORDER BY k""".stripMargin) { (s, dir) =>
+    val before = Tables(s, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+      col("o_orderstatus").as("st"))
+    val after = before.filter(col("k") % 13 =!= 0)
+      .select(col("k"),
+        when(col("k") % 7 === 0, col("price") + 10)
+          .otherwise(col("price")).as("price"),
+        when(col("k") % 11 === 0, lit("X")).otherwise(col("st")).as("st"))
+      .unionByName(before.filter(col("k") % 17 === 0)
+        .select((col("k") + 2000000000L).as("k"), col("price"), col("st")))
+    graft.operators.Drift.changedColumns(before, after, "k", Seq("price", "st"))
+      .orderBy("k")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -6269,5 +6323,5 @@ object LlmQueries {
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
       q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
-      q212, q213, q214)
+      q212, q213, q214, q215)
 }
