@@ -6311,6 +6311,44 @@ object LlmQueries {
       .orderBy("k")
   }
 
+  // ---------------------------------------------------------------- q216
+  // Ordered funnel depth (operators/Funnel — the product-analytics
+  // staple needing SUBSEQUENCE semantics: a purchase before any view
+  // must not count; SQL MATCH_RECOGNIZE's most common case, which
+  // Spark lacks as a primitive): stage flags are chained cumulative
+  // window maxima — stage i fires only where stage i−1 fired strictly
+  // before — so a k-stage funnel is ONE user-keyed window shuffle plus
+  // one aggregate, not k chained aggregate-join rounds. Total (ts,
+  // event_id) ordering makes tied timestamps deterministic. Oracle
+  // replays the chained windows in three CTE layers.
+  val q216 = Q(
+    "q216_funnel_depth",
+    """WITH a AS (SELECT user_id, event_type, ts, event_id,
+      |        max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f0
+      |      FROM events),
+      |b AS (SELECT *,
+      |        max(CASE WHEN event_type = 'click' AND f0 = 1
+      |                 THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1
+      |      FROM a),
+      |c AS (SELECT *,
+      |        max(CASE WHEN event_type = 'purchase' AND f1 = 1
+      |                 THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+      |      FROM b)
+      |SELECT user_id, count(*) AS n_events,
+      |       CAST(max(f0 + f1 + f2) AS INT) AS stage
+      |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    graft.operators.Funnel.depth(Tables(s, dir, "events"),
+        "user_id", "event_type", Seq(col("ts"), col("event_id")),
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -6323,5 +6361,5 @@ object LlmQueries {
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
       q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
-      q212, q213, q214, q215)
+      q212, q213, q214, q215, q216)
 }
