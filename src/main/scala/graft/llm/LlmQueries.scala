@@ -6349,6 +6349,66 @@ object LlmQueries {
       .orderBy("user_id")
   }
 
+  // ---------------------------------------------------------------- q217
+  // Cohort retention matrix (q216's sibling analytics staple): users
+  // cohort by their FIRST active epoch-week, then each (cohort, offset)
+  // cell counts distinct users active offset weeks later. Epoch-week
+  // integers (µs / 604800e6) keep every value exact — no calendar
+  // functions to diverge on. Scale shape: one user-keyed aggregate for
+  // cohorts (map-side combine), one distinct-aggregate for cells; both
+  // results are cohort-matrix-sized, not event-sized.
+  val q217 = Q(
+    "q217_cohort_retention",
+    """WITH e AS (SELECT user_id,
+      |                  CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk
+      |           FROM events),
+      |c AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id)
+      |SELECT c.cohort, CAST(e.wk - c.cohort AS BIGINT) AS offset_wk,
+      |       count(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    // `div`, not `/`: Column `/` is double division, and a quotient that
+    // lands a hair under an integer boundary would truncate off by one
+    val e = Tables(s, dir, "events").select(col("user_id"),
+      expr("unix_micros(ts) div 604800000000").as("wk"))
+    val c = e.groupBy("user_id").agg(min("wk").as("cohort"))
+    e.join(c, Seq("user_id"))
+      .groupBy(col("cohort"), (col("wk") - col("cohort")).as("offset_wk"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort", "offset_wk")
+  }
+
+  // ---------------------------------------------------------------- q218
+  // Event-transition counts (the Markov-chain view of user journeys —
+  // funnel q216 asks "did the path happen", this asks "which steps do
+  // users actually take"): adjacent event pairs per user in total
+  // (ts, event_id) order via ONE lag window, counted per (from, to)
+  // with the from-state total alongside — all integers, the
+  // probability is the caller's division. One window shuffle + one
+  // pair-keyed aggregate.
+  val q218 = Q(
+    "q218_event_transitions",
+    """WITH o AS (SELECT user_id, event_type,
+      |        lag(event_type) OVER (PARTITION BY user_id
+      |          ORDER BY ts, event_id) AS prev
+      |      FROM events),
+      |t AS (SELECT prev AS src, event_type AS dst, count(*) AS n
+      |      FROM o WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |f AS (SELECT src, CAST(sum(n) AS BIGINT) AS n_src FROM t GROUP BY src)
+      |SELECT src, dst, n, n_src
+      |FROM t JOIN f USING (src) ORDER BY src, dst""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val t = Tables(s, dir, "events")
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val f = t.groupBy("src").agg(sum("n").as("n_src"))
+    t.join(f, Seq("src")).select("src", "dst", "n", "n_src")
+      .orderBy("src", "dst")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -6361,5 +6421,5 @@ object LlmQueries {
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
       q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
-      q212, q213, q214, q215, q216)
+      q212, q213, q214, q215, q216, q217, q218)
 }
