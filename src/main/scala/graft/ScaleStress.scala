@@ -702,15 +702,12 @@ object ScaleStress {
         hi: Long): org.apache.spark.sql.Column =
       ((c - lit(lo)).cast("double") * 65535.0 / math.max(hi - lo, 1L).toDouble)
         .cast("long")
-    def spread(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      var x = c
-      x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
-      x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))
-      x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x33333333L))
-      x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
-    }
-    val zKey = spread(bucket(unix_micros(col("ts")), tlo, thi))
-      .bitwiseOR(shiftleft(spread(bucket(col("user_id"), ulo, uhi)), 1))
+    // ONE dilation implementation: the layout-side key and the query-side
+    // predicates (boxFilter below) must come from the same bit interleave
+    // or the A/B compares different curves
+    val zKey = graft.operators.ZCurve.zColumn(
+      bucket(unix_micros(col("ts")), tlo, thi),
+      bucket(col("user_id"), ulo, uhi))
 
     val base = Files.createTempDirectory("graft_zorder").toString
     // finer grain than [[layout]]: the 2D win needs MANY pruning units

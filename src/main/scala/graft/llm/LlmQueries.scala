@@ -5752,6 +5752,11 @@ object LlmQueries {
   // union_by_name, so the cross-engine contract under test is the real
   // parquet evolution semantics, not a same-table derivation (the q49
   // staging pattern: pid-suffixed dir, offBench single-writer).
+  // NOT cleaned up on exit, deliberately: the driver's DuckDB compare
+  // reads these staged files AFTER the Verify JVM exits (q49's deferred-
+  // compare constraint) — a shutdown hook here would break the
+  // correctness gate. The pid suffix keeps concurrent runs apart; /tmp
+  // is per-host ephemeral.
   private val evoDir =
     s"/tmp/graft_schema_evo_p${ProcessHandle.current().pid()}"
   val q204 = Q.offBench(
@@ -6132,8 +6137,14 @@ object LlmQueries {
     val vtts = Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
       val nc = (2 + id % 3).toInt
       def stamp(ms: Long, hours: Boolean): String = {
-        val m = ms / 60000; val sec = (ms / 1000) % 60; val f = ms % 1000
-        if (hours) f"00:$m%02d:$sec%02d.$f%03d" else f"$m%02d:$sec%02d.$f%03d"
+        // carry minutes into hours past 59 — the no-hours form is only
+        // legal under one hour, whatever the style flag says (a larger
+        // fixture would otherwise emit '60:00.000' and quarantine
+        // engine-side while the arithmetic oracle kept the doc)
+        val h = ms / 3600000; val m = (ms / 60000) % 60
+        val sec = (ms / 1000) % 60; val f = ms % 1000
+        if (hours || h > 0) f"$h%02d:$m%02d:$sec%02d.$f%03d"
+        else f"$m%02d:$sec%02d.$f%03d"
       }
       val sb = new StringBuilder("WEBVTT - graft track\n\n")
       sb.append("NOTE synthetic fixture\nsecond note line\n\n")

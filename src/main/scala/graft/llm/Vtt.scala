@@ -48,10 +48,19 @@ object Vtt {
       return None
     val cues = Vector.newBuilder[Cue]
     var i = 1
+    // header block: the spec discards everything up to the first blank
+    // line (YouTube exports carry "Kind: captions" / "Language: en" here)
+    while (i < lines.length && lines(i).nonEmpty) i += 1
+    // a comment/style/region block starts with the keyword ALONE or
+    // followed by whitespace — a cue identifier that merely BEGINS with
+    // "NOTE…" must not be swallowed (spec: NOTE then space/tab/EOL)
+    def blockKeyword(l: String): Boolean =
+      l == "NOTE" || l.startsWith("NOTE ") || l.startsWith("NOTE\t") ||
+        l == "STYLE" ||
+        l == "REGION" || l.startsWith("REGION ") || l.startsWith("REGION\t")
     while (i < lines.length) {
       if (lines(i).isEmpty) i += 1
-      else if (lines(i).startsWith("NOTE") || lines(i) == "STYLE" ||
-        lines(i).startsWith("REGION")) {
+      else if (blockKeyword(lines(i))) {
         // skip the block to the next blank line
         while (i < lines.length && lines(i).nonEmpty) i += 1
       } else {
@@ -68,7 +77,13 @@ object Vtt {
         }
         var j = i + 1
         val payload = Vector.newBuilder[String]
-        while (j < lines.length && lines(j).nonEmpty) { payload += lines(j); j += 1 }
+        while (j < lines.length && lines(j).nonEmpty) {
+          // "-->" may not appear in cue text (spec); hitting one here
+          // means a missing blank separator swallowed the NEXT cue's
+          // timing line — quarantine, never absorb it as text
+          if (lines(j).contains("-->")) return None
+          payload += lines(j); j += 1
+        }
         val text = payload.result()
         if (text.isEmpty) return None
         cues += Cue(cueId, times._1, times._2, settings, text.mkString("\n"))

@@ -30,6 +30,11 @@ object Funnel {
   def depth(events: DataFrame, userCol: String, typeCol: String,
       orderCols: Seq[Column], stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "need at least one stage")
+    // a repeated stage name would let ONE event satisfy two consecutive
+    // stages (the cumulative frame includes the current row), breaking
+    // the strictly-before invariant — reject rather than miscount
+    require(stages.distinct.size == stages.size,
+      s"stages must be distinct: ${stages.mkString(",")}")
     val w = Window.partitionBy(col(userCol)).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     var df = events

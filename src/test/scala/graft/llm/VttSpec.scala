@@ -40,6 +40,26 @@ class VttSpec extends SparkSpec {
     assert(Vtt.parse(null).isEmpty)
   }
 
+  test("header metadata, NOTE-prefixed ids, and missing separators") {
+    // YouTube-style header lines before the first blank are discarded
+    val yt = "WEBVTT\nKind: captions\nLanguage: en\n\n" +
+      "00:01.000 --> 00:02.000\nhi\n"
+    assert(Vtt.parse(yt).get.map(_.text) == Seq("hi"))
+    // a cue id that merely BEGINS with NOTE is a cue, not a comment
+    val noteId = "WEBVTT\n\nNOTES on timing\n00:01.000 --> 00:02.000\ntext\n"
+    assert(Vtt.parse(noteId).get.head.cueId == "NOTES on timing")
+    // a real NOTE block (keyword + space) still skips
+    val note = "WEBVTT\n\nNOTE real comment\n\n00:01.000 --> 00:02.000\nx\n"
+    assert(Vtt.parse(note).get.size == 1)
+    // a payload line containing --> means a missing blank separator
+    // swallowed the next cue's timing line — quarantine, never absorb
+    val merged = "WEBVTT\n\n00:01.000 --> 00:02.000\nfirst\n" +
+      "00:05.000 --> 00:06.000\nsecond\n"
+    assert(Vtt.parse(merged).isEmpty)
+    // no blank line after the signature: the header swallows everything
+    assert(Vtt.parse("WEBVTT\n00:01.000 --> 00:02.000\nx\n").isEmpty)
+  }
+
   test("parseAll emits typed rows; bad docs drop by omission") {
     import spark.implicits._
     val good = "WEBVTT\n\n00:01.000 --> 00:02.000\nhi\n"

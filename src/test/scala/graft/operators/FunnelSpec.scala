@@ -27,6 +27,14 @@ class FunnelSpec extends SparkSpec {
       4L -> ((2L, 1)), 5L -> ((1L, 0))))
   }
 
+  test("repeated stage names are rejected (one event must not fill two)") {
+    val ex = intercept[IllegalArgumentException] {
+      Funnel.depth(Seq((1L, 1L, "view")).toDF("user", "t", "typ"),
+        "user", "typ", Seq(col("t")), Seq("view", "view"))
+    }
+    assert(ex.getMessage.contains("distinct"))
+  }
+
   test("a late completion still counts; repeats are harmless") {
     val got = run(Seq(
       (1L, 1L, "view"), (1L, 2L, "error"), (1L, 3L, "view"),
