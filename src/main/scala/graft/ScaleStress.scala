@@ -795,6 +795,67 @@ object ScaleStress {
     }
   }
 
+  /** Triangle-counting orientation A/B — the evidence behind q214's
+    * scale claim: on a hub-heavy graph, the NAIVE wedge join (every node
+    * centers wedges over its full undirected adjacency) materializes
+    * Σ deg² candidate rows — quadratic in the hub degree — while the
+    * DEGREE-ORIENTED join bounds out-degrees at O(√m), so the hub
+    * contributes zero wedges as a center. Both compute the same
+    * triangle counts (asserted); the measured quantity is WEDGE ROWS,
+    * the shuffle the cluster pays for. Hub degree doubles per point
+    * over a fixed random background. */
+  def trianglesCurve(spark: SparkSession): Unit = {
+    import spark.implicits._
+    println("== triangle counting: naive vs degree-oriented wedge rows ==")
+    for (hub <- Seq(500, 1000, 2000, 4000)) {
+      // background: pseudo-random sparse graph over 2000 nodes. The
+      // endpoints come from HIGH BITS of multiplicative hashes — two
+      // plain congruences share modular structure (fixed difference
+      // parity → bipartite → triangle-free), the trap that makes
+      // "random-looking" fixtures vacuous
+      val bg = (0 until 6000).map { i =>
+        val x = ((i.toLong * 2654435761L) >>> 7) % 2000 + 10
+        val y = ((i.toLong * 0x9E3779B97F4AL) >>> 11) % 2000 + 10
+        (x, y)
+      }
+      // hub node 0 connected to `hub` distinct leaves
+      val star = (1L to hub.toLong).map(l => (0L, l + 5000L))
+      val edges = graft.operators.Triangles.canonical(
+        (bg ++ star).toDF("s", "d"), "s", "d").cache()
+      edges.count()
+      // naive wedge volume: every node joins its undirected adjacency
+      // with itself — Σ deg·(deg−1)/2 candidate pairs
+      val adj = edges.select(col("a").as("n"), col("b").as("m"))
+        .unionAll(edges.select(col("b").as("n"), col("a").as("m")))
+      val (naiveWedges, tNaive) = time {
+        adj.as("x").join(adj.as("y"), col("x.n") === col("y.n"))
+          .filter(col("x.m") < col("y.m")).count()
+      }
+      val directed = { // same orientation as Triangles.perNode
+        val deg = adj.groupBy("n").agg(count(lit(1)).as("deg"))
+        edges
+          .join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), "a")
+          .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), "b")
+          .select(
+            when(col("da") < col("db") ||
+              (col("da") === col("db") && col("a") < col("b")), col("a"))
+              .otherwise(col("b")).as("u"),
+            when(col("da") < col("db") ||
+              (col("da") === col("db") && col("a") < col("b")), col("b"))
+              .otherwise(col("a")).as("v"))
+      }
+      val (orientedWedges, tOr) = time {
+        directed.as("x").join(directed.as("y"), col("x.u") === col("y.u"))
+          .filter(col("x.v") < col("y.v")).count()
+      }
+      val tri = graft.operators.Triangles.perNode(edges)
+        .agg(coalesce(sum("triangles"), lit(0L))).head().getLong(0) / 3
+      println(f"hub=$hub%5d: naive_wedges=$naiveWedges%9d (${tNaive}%5.2f s)  " +
+        f"oriented_wedges=$orientedWedges%7d (${tOr}%5.2f s)  triangles=$tri%6d")
+      edges.unpersist()
+    }
+  }
+
   /** Parquet BLOOM-FILTER pruning A/B — the point-lookup sibling of
     * [[layout]]: a needle probe (`event_id = k`) on a HASH-SCATTERED
     * layout where min/max statistics are useless (every file spans the
@@ -1824,6 +1885,11 @@ object ScaleStress {
     }
     if (args.contains("--pbloom")) {
       parquetBloom(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.contains("--triangles")) {
+      trianglesCurve(spark)
       spark.stop()
       return
     }
