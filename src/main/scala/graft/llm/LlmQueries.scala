@@ -6420,6 +6420,67 @@ object LlmQueries {
       .orderBy("src", "dst")
   }
 
+  // ---------------------------------------------------------------- q219
+  // Market-basket pair affinity (the relational sibling of q98's token
+  // co-occurrence: which item categories sell TOGETHER): per-order
+  // distinct categories, within-order pairs (fan-out bounded by basket
+  // size, ≤7 lineitems per order), support counts and the lift ratio
+  // kept as CROSS-MULTIPLIED INTEGERS (lift > 1 ⟺ n_ab·N > n_a·n_b —
+  // no float division near 1.0 to hash); top-50 by support through a
+  // rank window over the already-AGGREGATED pair space (category²-
+  // bounded, corpus-size-independent — the single-partition window is
+  // over ≤1225 rows, not the fact table).
+  val q219 = Q(
+    "q219_basket_lift",
+    """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey % 50 AS it
+      |               FROM lineitem),
+      |n AS (SELECT count(DISTINCT o) AS n_orders FROM items),
+      |cnt AS (SELECT it, count(*) AS n_it FROM items GROUP BY it),
+      |pairs AS (SELECT x.it AS a, y.it AS b, count(*) AS n_ab
+      |          FROM items x JOIN items y ON y.o = x.o AND x.it < y.it
+      |          GROUP BY 1, 2),
+      |s AS (SELECT a, b, n_ab,
+      |             ca.n_it AS n_a, cb.n_it AS n_b, n.n_orders,
+      |             CAST(n_ab * n.n_orders AS BIGINT) AS lift_num,
+      |             CAST(ca.n_it * cb.n_it AS BIGINT) AS lift_den
+      |      FROM pairs
+      |      JOIN cnt ca ON ca.it = pairs.a
+      |      JOIN cnt cb ON cb.it = pairs.b
+      |      CROSS JOIN n),
+      |r AS (SELECT *, row_number() OVER (ORDER BY n_ab DESC, a, b) AS rk
+      |      FROM s)
+      |SELECT CAST(rk AS INT) AS rk, a, b, n_ab, n_a, n_b, n_orders,
+      |       lift_num, lift_den,
+      |       lift_num > lift_den AS lift_gt_1
+      |FROM r WHERE rk <= 50 ORDER BY rk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val items = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"),
+        pmod(col("l_partkey"), lit(50L)).as("it"))
+      .distinct()
+    val n = broadcast(items.agg(countDistinct("o").as("n_orders")))
+    val cnt = items.groupBy("it").agg(count(lit(1)).as("n_it"))
+    val pairs = items.as("x")
+      .join(items.as("y"),
+        col("y.o") === col("x.o") && col("x.it") < col("y.it"))
+      .groupBy(col("x.it").as("a"), col("y.it").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val scored = pairs
+      .join(cnt.select(col("it").as("a"), col("n_it").as("n_a")), Seq("a"))
+      .join(cnt.select(col("it").as("b"), col("n_it").as("n_b")), Seq("b"))
+      .crossJoin(n)
+      .withColumn("lift_num", col("n_ab") * col("n_orders"))
+      .withColumn("lift_den", col("n_a") * col("n_b"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_ab").desc, col("a"), col("b"))))
+      .filter(col("rk") <= 50)
+      .select(col("rk"), col("a"), col("b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_orders"), col("lift_num"), col("lift_den"),
+        (col("lift_num") > col("lift_den")).as("lift_gt_1"))
+      .orderBy("rk")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -6432,5 +6493,5 @@ object LlmQueries {
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
       q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
-      q212, q213, q214, q215, q216, q217, q218)
+      q212, q213, q214, q215, q216, q217, q218, q219)
 }
