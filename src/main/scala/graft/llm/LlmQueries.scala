@@ -6481,6 +6481,45 @@ object LlmQueries {
       .orderBy("rk")
   }
 
+  // ---------------------------------------------------------------- q220
+  // Funnel conversion latency (Funnel.conversionLatency — q216's
+  // follow-up metric: for users who complete the whole funnel IN
+  // ORDER, microseconds from the first view to the purchase that
+  // CLOSES the funnel — not the first purchase, which may predate the
+  // funnel and must not count). Same single window pass; exact integer
+  // µs. Oracle replays the chained hit flags and the two min-
+  // timestamps.
+  val q220 = Q(
+    "q220_funnel_latency",
+    """WITH a AS (SELECT user_id, event_type, ts, event_id,
+      |        CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS h0
+      |      FROM events),
+      |b AS (SELECT *,
+      |        max(h0) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f0
+      |      FROM a),
+      |c AS (SELECT *,
+      |        CASE WHEN event_type = 'click' AND f0 = 1 THEN 1 ELSE 0 END AS h1
+      |      FROM b),
+      |d AS (SELECT *,
+      |        max(h1) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1
+      |      FROM c),
+      |e AS (SELECT *,
+      |        CASE WHEN event_type = 'purchase' AND f1 = 1 THEN 1 ELSE 0 END AS h2
+      |      FROM d),
+      |g AS (SELECT user_id,
+      |        min(CASE WHEN h0 = 1 THEN epoch_us(ts) END) AS t0,
+      |        min(CASE WHEN h2 = 1 THEN epoch_us(ts) END) AS t1
+      |      FROM e GROUP BY user_id)
+      |SELECT user_id, CAST(t1 - t0 AS BIGINT) AS convert_us
+      |FROM g WHERE t1 IS NOT NULL ORDER BY user_id""".stripMargin) { (s, dir) =>
+    graft.operators.Funnel.conversionLatency(Tables(s, dir, "events"),
+        "user_id", "event_type", "ts", col("event_id"),
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -6493,5 +6532,5 @@ object LlmQueries {
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
       q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
-      q212, q213, q214, q215, q216, q217, q218, q219)
+      q212, q213, q214, q215, q216, q217, q218, q219, q220)
 }

@@ -57,4 +57,39 @@ object Funnel {
       .agg(count(lit(1)).as("n_events"),
         max(col("__stage")).cast("int").as("stage"))
   }
+
+  /** Conversion latency for users who complete the WHOLE funnel: the
+    * time from the first stage-1 event to the first event that closes
+    * the last stage in order (NOT the first last-stage event — a
+    * purchase before the funnel completed does not convert). Same one
+    * window pass as [[depth]]; emits (user, convert_us) in exact
+    * microseconds. */
+  def conversionLatency(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tiebreak: Column, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "latency needs at least two stages")
+    require(stages.distinct.size == stages.size,
+      s"stages must be distinct: ${stages.mkString(",")}")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), tiebreak)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var df = events
+    var prevFlag: Option[Column] = None
+    val hits = stages.zipWithIndex.map { case (st, i) =>
+      val flag = s"__f$i"
+      val hitName = s"__hit$i"
+      val hit = prevFlag match {
+        case None    => col(typeCol) === st
+        case Some(p) => col(typeCol) === st && p === 1
+      }
+      df = df.withColumn(hitName, when(hit, 1).otherwise(0))
+        .withColumn(flag, max(col(hitName)).over(w))
+      prevFlag = Some(col(flag))
+      hitName
+    }
+    df.groupBy(col(userCol))
+      .agg(
+        min(when(col(hits.head) === 1, unix_micros(col(tsCol)))).as("t0"),
+        min(when(col(hits.last) === 1, unix_micros(col(tsCol)))).as("t1"))
+      .filter(col("t1").isNotNull)
+      .select(col(userCol), (col("t1") - col("t0")).as("convert_us"))
+  }
 }

@@ -27,6 +27,21 @@ class FunnelSpec extends SparkSpec {
       4L -> ((2L, 1)), 5L -> ((1L, 0))))
   }
 
+  test("conversion latency: from first view to the CLOSING purchase") {
+    val df = Seq(
+      // user 1: purchase at t=1 predates the funnel — must not count;
+      // the closing purchase is at t=5 (after view t=2, click t=3)
+      (1L, 1L, "purchase"), (1L, 2L, "view"), (1L, 3L, "click"),
+      (1L, 5L, "purchase"),
+      // user 2 never completes
+      (2L, 1L, "view"), (2L, 2L, "purchase")).toDF("user", "t", "typ")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_micros(col("t") * 1000000L))
+    val got = Funnel.conversionLatency(df, "user", "typ", "ts", col("t"),
+        stages).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 3000000L))) // t=5 minus t=2, in µs
+  }
+
   test("repeated stage names are rejected (one event must not fill two)") {
     val ex = intercept[IllegalArgumentException] {
       Funnel.depth(Seq((1L, 1L, "view")).toDF("user", "t", "typ"),
