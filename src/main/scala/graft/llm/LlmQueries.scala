@@ -6446,14 +6446,11 @@ object LlmQueries {
       |      FROM pairs
       |      JOIN cnt ca ON ca.it = pairs.a
       |      JOIN cnt cb ON cb.it = pairs.b
-      |      CROSS JOIN n),
-      |r AS (SELECT *, row_number() OVER (ORDER BY n_ab DESC, a, b) AS rk
-      |      FROM s)
-      |SELECT CAST(rk AS INT) AS rk, a, b, n_ab, n_a, n_b, n_orders,
+      |      CROSS JOIN n)
+      |SELECT a, b, n_ab, n_a, n_b, n_orders,
       |       lift_num, lift_den,
       |       lift_num > lift_den AS lift_gt_1
-      |FROM r WHERE rk <= 50 ORDER BY rk""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
+      |FROM s ORDER BY n_ab DESC, a, b LIMIT 50""".stripMargin) { (s, dir) =>
     val items = Tables(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"),
         pmod(col("l_partkey"), lit(50L)).as("it"))
@@ -6471,14 +6468,15 @@ object LlmQueries {
       .crossJoin(n)
       .withColumn("lift_num", col("n_ab") * col("n_orders"))
       .withColumn("lift_den", col("n_a") * col("n_b"))
+    // top-k via sort+limit, NOT a global rank window — the registry's
+    // scale lint forbids unpartitioned Window operators outright, and
+    // TakeOrderedAndProject is the per-partition-heap plan anyway
     scored
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("n_ab").desc, col("a"), col("b"))))
-      .filter(col("rk") <= 50)
-      .select(col("rk"), col("a"), col("b"), col("n_ab"), col("n_a"),
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"),
         col("n_b"), col("n_orders"), col("lift_num"), col("lift_den"),
         (col("lift_num") > col("lift_den")).as("lift_gt_1"))
-      .orderBy("rk")
+      .orderBy(col("n_ab").desc, col("a"), col("b"))
+      .limit(50)
   }
 
   // ---------------------------------------------------------------- q220
