@@ -6518,6 +6518,64 @@ object LlmQueries {
       .orderBy("user_id")
   }
 
+  // ---------------------------------------------------------------- q221
+  // Per-group OLS trend (operators/Regression — "is daily shipped
+  // quantity drifting?"): the five sufficient statistics fold in ONE
+  // hash aggregate with map-side combine, and slope/intercept emit as
+  // EXACT INTEGER FRACTIONS (the q219 cross-multiplication discipline
+  // applied to regression — no float division to hash). x is centered
+  // on a fixed epoch anchor so n·Σx² keeps ~200× BIGINT headroom at
+  // sf0.1; the overflow contract is documented on the operator.
+  val q221 = Q(
+    "q221_ols_trend",
+    """WITH t AS (SELECT l_returnflag AS g,
+      |        CAST(date_diff('day', DATE '1995-01-01', l_shipdate) AS BIGINT) AS x,
+      |        CAST(l_quantity AS BIGINT) AS y FROM lineitem),
+      |s AS (SELECT g, count(*) AS n,
+      |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |        CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy
+      |      FROM t GROUP BY g)
+      |SELECT g, n, sx, sy, sxx, sxy,
+      |       n*sxy - sx*sy AS slope_num,
+      |       n*sxx - sx*sx AS slope_den,
+      |       sy*sxx - sx*sxy AS icept_num
+      |FROM s ORDER BY g""".stripMargin) { (s, dir) =>
+    graft.operators.Regression.olsFractions(
+        Tables(s, dir, "lineitem"),
+        col("l_returnflag"),
+        datediff(col("l_shipdate"), lit("1995-01-01")),
+        col("l_quantity"))
+      .orderBy("g")
+  }
+
+  // ---------------------------------------------------------------- q222
+  // Sweep-line peak concurrency (operators/SweepLine — "max
+  // simultaneous open sessions, and when?"): each event opens a
+  // 10-minute half-open interval; ±1 boundary events + one
+  // group-partitioned running sum replace the quadratic overlap
+  // self-join (q75 answers WHICH intervals overlap; this answers HOW
+  // MANY at once). Ordering (t, d) puts closes before opens at tied
+  // instants — the half-open contract decided by the sort key.
+  val q222 = Q(
+    "q222_peak_concurrency",
+    """WITH iv AS (SELECT event_type AS g, epoch_us(ts) AS st,
+      |                   epoch_us(ts) + 600000000 AS en FROM events),
+      |ev AS (SELECT g, st AS t, 1 AS d FROM iv
+      |       UNION ALL SELECT g, en, -1 FROM iv),
+      |r AS (SELECT g, t,
+      |        CAST(sum(d) OVER (PARTITION BY g ORDER BY t, d
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+      |      FROM ev),
+      |p AS (SELECT g, max(c) AS peak FROM r GROUP BY g)
+      |SELECT r.g, CAST(min(p.peak) AS BIGINT) AS peak, min(r.t) AS t_peak
+      |FROM r JOIN p ON p.g = r.g AND r.c = p.peak
+      |GROUP BY r.g ORDER BY r.g""".stripMargin) { (s, dir) =>
+    val us = unix_micros(col("ts"))
+    graft.operators.SweepLine.peakConcurrency(
+        Tables(s, dir, "events"), col("event_type"), us, us + lit(600000000L))
+      .orderBy("g")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -6530,5 +6588,5 @@ object LlmQueries {
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
       q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
-      q212, q213, q214, q215, q216, q217, q218, q219, q220)
+      q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222)
 }
