@@ -114,6 +114,7 @@ object GraftFunctions {
   val NearestCentroidName = "nearest_centroid"
   val CharEntropyName = "char_entropy"
   val MisraGriesName = "misra_gries"
+  val KmvName = "kmv_minhashes"
   val SignBandKeysName = "sign_band_keys"
   val FloorBandKeysName = "floor_band_keys"
   val NfcNormalizeName = "nfc_normalize"
@@ -207,6 +208,13 @@ object GraftFunctions {
         require(exprs(1).foldable, s"$MisraGriesName's capacity must be a literal")
         MisraGriesAgg(
           exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
+      }),
+    (FunctionIdentifier(KmvName),
+      new ExpressionInfo(classOf[KmvAgg].getName, KmvName),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"$KmvName takes 2 arguments")
+        require(exprs(1).foldable, s"$KmvName's k must be a literal")
+        KmvAgg(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
       }),
     (FunctionIdentifier(SignBandKeysName),
       new ExpressionInfo(classOf[SignBandKeys].getName, SignBandKeysName),

@@ -6576,6 +6576,94 @@ object LlmQueries {
       .orderBy("g")
   }
 
+  // ---------------------------------------------------------------- q223
+  // KMV distinct-cardinality sketch (functions/KmvAgg — the DISTINCT
+  // sibling of q207's Count-Min point frequency and q120's
+  // Misra-Gries top-k): k smallest distinct values of a PINNED affine
+  // hash per group, estimate (k−1)·M / R_k; fewer than k distinct →
+  // the sketch is exact. Unlike HLL (q08/q114, opaque bit patterns),
+  // every kept hash replays in SQL, so the whole estimate is
+  // integer-checked. Only k-long buffers shuffle (map-side combine);
+  // the exact countDistinct alongside is the A/B denominator.
+  val q223 = Q(
+    "q223_kmv_distinct",
+    """WITH h AS (SELECT DISTINCT lang AS g,
+      |        (doc_id*2654435761+101) % 4294967296 AS h FROM documents),
+      |r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+      |      FROM h),
+      |s AS (SELECT g, CAST(count(*) AS BIGINT) AS n_exact,
+      |             max(CASE WHEN rn = 64 THEN h END) AS kth,
+      |             CAST(sum(CASE WHEN rn <= 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |      FROM r GROUP BY g)
+      |SELECT g, n_kept, kth, n_exact,
+      |       CAST(CASE WHEN kth IS NULL THEN n_exact
+      |            ELSE (63 * 4294967296) // kth END AS BIGINT) AS est
+      |FROM s ORDER BY g""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val h = pmod(col("doc_id") * lit(2654435761L) + lit(101L),
+      lit(4294967296L))
+    Tables(s, dir, "documents")
+      .select(col("lang").as("g"), h.as("h"))
+      .groupBy("g")
+      .agg(expr("kmv_minhashes(h, 64)").as("kmv"),
+        countDistinct("h").as("n_exact"))
+      .select(col("g"),
+        size(col("kmv")).cast("long").as("n_kept"),
+        element_at(col("kmv"), 64).as("kth"),
+        col("n_exact"))
+      // `div`, not `/`: the estimate must be exact BIGINT division
+      // (the q217 discipline — Column `/` is double division)
+      .withColumn("est", when(col("kth").isNull, col("n_exact"))
+        .otherwise(expr(s"${63L * 4294967296L}L div kth")))
+      .orderBy("g")
+  }
+
+  // ---------------------------------------------------------------- q224
+  // SCD Type-2 history build (operators/Scd — q215 diffs TWO
+  // snapshots; this folds a four-generation stack into per-key
+  // validity intervals [gen_from, gen_to), the point-in-time
+  // dimension shape). Generations derive from orders with
+  // deterministic mutations: status flips once at gen k%4, price
+  // steps once at gen 2 — so every key collapses to ≤3 versions.
+  // Both windows and the run aggregate are key-partitioned; no
+  // snapshot-stack self-join. The oracle replays boundary flags,
+  // run ids, and the lead.
+  val q224 = Q(
+    "q224_scd2_history",
+    """WITH snap AS (
+      |  SELECT o_orderkey AS k, g.g AS g,
+      |         CASE WHEN g.g >= o_orderkey % 4 THEN 'S'
+      |              ELSE o_orderstatus END AS st,
+      |         o_totalprice + 10 * (g.g // 2) AS price
+      |  FROM orders CROSS JOIN (VALUES (0), (1), (2), (3)) AS g(g)),
+      |b AS (SELECT *,
+      |        CASE WHEN lag(g) OVER w IS NULL
+      |               OR st IS DISTINCT FROM lag(st) OVER w
+      |               OR price IS DISTINCT FROM lag(price) OVER w
+      |             THEN 1 ELSE 0 END AS chg
+      |      FROM snap WINDOW w AS (PARTITION BY k ORDER BY g)),
+      |r AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY k ORDER BY g
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+      |      FROM b),
+      |v AS (SELECT k, run, min(g) AS gen_from,
+      |             min(st) AS st, min(price) AS price
+      |      FROM r GROUP BY k, run)
+      |SELECT k, gen_from,
+      |       lead(gen_from) OVER (PARTITION BY k ORDER BY gen_from) AS gen_to,
+      |       st, price
+      |FROM v ORDER BY k, gen_from""".stripMargin) { (s, dir) =>
+    val snaps = Tables(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus"),
+        col("o_totalprice"), explode(array((0 to 3).map(lit): _*)).as("g"))
+      .select(col("k"), col("g"),
+        when(col("g") >= pmod(col("k"), lit(4L)).cast("int"), lit("S"))
+          .otherwise(col("o_orderstatus")).as("st"),
+        (col("o_totalprice") + lit(10) * (col("g") / 2).cast("int"))
+          .as("price"))
+    graft.operators.Scd.type2History(snaps, "k", "g", Seq("st", "price"))
+      .orderBy("k", "gen_from")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -6588,5 +6676,6 @@ object LlmQueries {
       q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
       q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
-      q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222)
+      q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222,
+      q223, q224)
 }
