@@ -6664,6 +6664,127 @@ object LlmQueries {
       .orderBy("k", "gen_from")
   }
 
+  // ---------------------------------------------------------------- q225
+  // Grid-bucketed radius join (operators/GridJoin — the planar
+  // sibling of q68's binned range join): suppliers and customers get
+  // deterministic integer coordinates on a [0,10000)² plane; "how
+  // many customers within 500 of each supplier, and how near is the
+  // nearest?" answers through a cell-width-r grid equi-join with a
+  // fixed 9× probe fan-out — no cartesian pair scan (the oracle IS
+  // the brute pair scan, feasible only at oracle scale). Zero-match
+  // suppliers still emit (left join), so the result is non-vacuous
+  // at every SF by construction.
+  val q225 = Q(
+    "q225_grid_radius_join",
+    """WITH c AS (SELECT c_custkey AS cid,
+      |        (c_custkey*7919+13) % 10000 AS x,
+      |        (c_custkey*104729+37) % 10000 AS y FROM customer),
+      |sup AS (SELECT s_suppkey AS sid,
+      |        (s_suppkey*4793+7) % 10000 AS x,
+      |        (s_suppkey*9973+91) % 10000 AS y FROM supplier),
+      |p AS (SELECT sid, cid,
+      |        (c.x-sup.x)*(c.x-sup.x) + (c.y-sup.y)*(c.y-sup.y) AS d2
+      |      FROM sup JOIN c
+      |        ON (c.x-sup.x)*(c.x-sup.x) + (c.y-sup.y)*(c.y-sup.y) <= 250000),
+      |a AS (SELECT sid, CAST(count(*) AS BIGINT) AS n_within,
+      |             min(d2) AS nearest_d2
+      |      FROM p GROUP BY sid)
+      |SELECT sup.sid, coalesce(a.n_within, 0) AS n_within, a.nearest_d2
+      |FROM sup LEFT JOIN a USING (sid) ORDER BY sup.sid""".stripMargin) { (s, dir) =>
+    def coords(df: org.apache.spark.sql.DataFrame, key: String, a1: Long,
+        b1: Long, a2: Long, b2: Long) =
+      df.select(col(key).as("id"),
+        pmod(col(key) * a1 + b1, lit(10000L)).as("x"),
+        pmod(col(key) * a2 + b2, lit(10000L)).as("y"))
+    val cust = coords(Tables(s, dir, "customer"), "c_custkey", 7919L, 13L,
+      104729L, 37L)
+    val sup = coords(Tables(s, dir, "supplier"), "s_suppkey", 4793L, 7L,
+      9973L, 91L)
+    val pairs = graft.operators.GridJoin.radiusJoin(cust, sup, 500L)
+    val agg = pairs.groupBy(col("probe_id").as("sid"))
+      .agg(count(lit(1)).as("n_within"), min("d2").as("nearest_d2"))
+    sup.select(col("id").as("sid"))
+      .join(agg, Seq("sid"), "left")
+      .select(col("sid"), coalesce(col("n_within"), lit(0L)).as("n_within"),
+        col("nearest_d2"))
+      .orderBy("sid")
+  }
+
+  // ---------------------------------------------------------------- q226
+  // Trigram-postings substring search (llm/TrigramIndex — the pg_trgm
+  // / Code Search design: LIKE '%p%' without the per-query full scan).
+  // Candidacy = the doc holds EVERY distinct trigram of the pattern
+  // (sound: can over-select, never miss), exact contains() runs on
+  // candidates only; n_candidates vs n_matched makes the pruning
+  // ratio part of the checked result. Patterns are pinned literals,
+  // so the oracle replays candidacy as an AND of contains() — no
+  // index needed on its side.
+  private val q226Patterns =
+    Seq("customer query", "merge batch", "slow filter", "vector")
+  val q226 = Q(
+    "q226_trigram_search",
+    q226Patterns.map { p =>
+      val candCond = p.sliding(3).toSeq.distinct
+        .map(t => s"contains(text, '$t')").mkString(" AND ")
+      s"""SELECT '$p' AS pattern,
+         |  CAST(sum(CASE WHEN $candCond THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+         |  CAST(sum(CASE WHEN contains(text, '$p') THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY pattern") { (s, dir) =>
+    TrigramIndex.search(Tables(s, dir, "documents"), "doc_id", "text",
+        q226Patterns)
+      .orderBy("pattern")
+  }
+
+  // ---------------------------------------------------------------- q227
+  // Combined-log-format parse (llm/AccessLog — the web-facing sibling
+  // of the WARC crawl tier; CLF's three quoted/bracketed islands break
+  // every split-on-space parser). The engine renders byte-faithful
+  // combined lines from events (ip octets, quoted request line,
+  // bracketed timestamp, referer/UA extension), re-parses them with
+  // the rule-explicit walker, and rolls up by method × status class;
+  // the oracle re-derives the rollup straight from the base columns —
+  // the render/parse round trip cancels only if BOTH are correct.
+  val q227 = Q(
+    "q227_access_log",
+    """WITH e AS (SELECT
+      |    CASE WHEN event_type IN ('purchase','signup') THEN 'POST'
+      |         ELSE 'GET' END AS method,
+      |    CASE WHEN event_type = 'error'
+      |         THEN CASE WHEN user_id % 2 = 0 THEN 500 ELSE 404 END
+      |         ELSE CASE WHEN user_id % 3 = 0 THEN 301 ELSE 200 END
+      |    END AS status,
+      |    user_id % 9973 AS bytes
+      |  FROM events)
+      |SELECT method, CAST(status // 100 AS BIGINT) AS status_class,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(bytes) AS BIGINT) AS total_bytes
+      |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val method = when(col("event_type").isin("purchase", "signup"),
+      lit("POST")).otherwise(lit("GET"))
+    val status = when(col("event_type") === "error",
+        when(pmod(col("user_id"), lit(2L)) === 0, 500).otherwise(404))
+      .otherwise(when(pmod(col("user_id"), lit(3L)) === 0, 301).otherwise(200))
+    val bytes = pmod(col("user_id"), lit(9973L))
+    val lines = Tables(s, dir, "events").select(col("event_id"), concat(
+      lit("10."), pmod(expr("user_id div 65536"), lit(256L)).cast("string"),
+      lit("."), pmod(expr("user_id div 256"), lit(256L)).cast("string"),
+      lit("."), pmod(col("user_id"), lit(256L)).cast("string"),
+      lit(" - u"), col("user_id").cast("string"),
+      lit(" [10/Oct/2000:13:55:36 +0000] \""), method, lit(" /"),
+      col("event_type"), lit("/"),
+      get_json_object(col("props"), "$.k"), lit(" HTTP/1.1\" "),
+      status.cast("string"), lit(" "), bytes.cast("string"),
+      lit(" \"-\" \"graft/1.0\"")).as("line"))
+      .as[(Long, String)]
+    AccessLog.parseAll(lines).toDF()
+      .groupBy(col("method"),
+        expr("CAST(status AS BIGINT) div 100").as("status_class"))
+      .agg(count(lit(1)).as("n"), sum("bytes").as("total_bytes"))
+      .orderBy("method", "status_class")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -6677,5 +6798,5 @@ object LlmQueries {
       q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
       q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222,
-      q223, q224)
+      q223, q224, q225, q226, q227)
 }
