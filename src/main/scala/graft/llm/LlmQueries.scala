@@ -6785,6 +6785,145 @@ object LlmQueries {
       .orderBy("method", "status_class")
   }
 
+  // ---------------------------------------------------------------- q228
+  // QOI decode (llm/Qoi — the 2021 game-texture/intermediate format
+  // beside PNG/BMP/TGA in a media lake; every chunk op mutates
+  // decoder STATE, so one mis-step poisons all later pixels). The
+  // fixture exercises RGB, RUN, DIFF, LUMA and (on id%3==0 docs)
+  // INDEX — the variant changes the ENCODING only, the decoded grid
+  // stays formula-derived, so the oracle certifies that both chunk
+  // paths land identical state. Per-row integer stats; row-local.
+  val q228 = Q(
+    "q228_qoi_decode",
+    """WITH d AS (SELECT doc_id, CAST(6 + doc_id % 5 AS INT) AS w,
+      |                  CAST(3 + doc_id % 2 AS INT) AS h FROM documents),
+      |r0 AS (SELECT doc_id, w, unnest(range(h)) AS y FROM d),
+      |c AS (SELECT doc_id, w, y,
+      |        (doc_id + y) % 256 AS pr, (2*y + 1) % 256 AS pg,
+      |        (2*doc_id + y) % 256 AS pb
+      |      FROM r0)
+      |SELECT doc_id, CAST(y AS INT) AS y,
+      |  CAST((w-3)*(pr+pg+pb)
+      |    + ((pr+1) % 256) + (pg-1) + pb
+      |    + ((pr+4) % 256) + ((pg+4) % 256) + ((pb+8) % 256)
+      |    + (3*doc_id + y) % 256 + (y+7) % 256 + (doc_id + 5*y) % 256
+      |    AS BIGINT) AS row_sum,
+      |  CAST(pr AS INT) AS r_first,
+      |  CAST((y+7) % 256 AS INT) AS g_last
+      |FROM c ORDER BY doc_id, y""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long].flatMap { id =>
+      val w = (6 + id % 5).toInt
+      val h = (3 + id % 2).toInt
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      out ++= "qoif".getBytes
+      for (v <- Seq(w, h); sh <- Seq(24, 16, 8, 0)) out += (v >> sh).toByte
+      out += 3; out += 0
+      def rgbChunk(r: Int, g: Int, b: Int): Unit = {
+        out += 0xfe.toByte; out += r.toByte; out += g.toByte; out += b.toByte
+      }
+      for (y <- 0 until h) {
+        val pr = ((id + y) % 256).toInt
+        val pg = (2 * y + 1) % 256
+        val pb = ((2 * id + y) % 256).toInt
+        rgbChunk(pr, pg, pb)
+        if (id % 3 == 0) {
+          // INDEX straight back to the pixel just inserted, then a
+          // shorter run — same decoded row, different chunk path
+          out += ((3 * pr + 5 * pg + 7 * pb + 11 * 255) % 64).toByte
+          out += (0xc0 | (w - 5 - 1)).toByte
+        } else out += (0xc0 | (w - 4 - 1)).toByte
+        out += (0x40 | (3 << 4) | (1 << 2) | 2).toByte // DIFF +1,-1,0
+        out += (0x80 | 37).toByte                      // LUMA dg=+5
+        out += ((6 << 4) | 11).toByte                  // dr-dg=-2, db-dg=+3
+        rgbChunk(((3 * id + y) % 256).toInt, (y + 7) % 256,
+          ((id + 5 * y) % 256).toInt)
+      }
+      out ++= Array[Byte](0, 0, 0, 0, 0, 0, 0, 1)
+      Qoi.decode(out.toArray) match {
+        case Some(img) =>
+          (0 until img.h).iterator.map { y =>
+            var sum = 0L
+            var x = 0
+            while (x < img.w) {
+              val v = img.px(y * img.w + x)
+              sum += ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+              x += 1
+            }
+            (id, y, sum, (img.px(y * img.w) >> 16) & 0xff,
+              (img.px(y * img.w + img.w - 1) >> 8) & 0xff)
+          }
+        case None => Iterator.empty // quarantine by omission
+      }
+    }.toDF("doc_id", "y", "row_sum", "r_first", "g_last")
+      .orderBy("doc_id", "y")
+  }
+
+  // ---------------------------------------------------------------- q229
+  // NetPBM decode (llm/Pnm — P2/P3/P5/P6 with comment lines legal
+  // anywhere in the header and binary bodies starting exactly one
+  // whitespace byte after maxval). Kind rotates with doc_id % 4 so
+  // every parser path decodes every round; values stay < 251 via the
+  // formula mod, so maxval=250 bounds-checks for real. Gray docs
+  // replicate to r=g=b — the oracle states that equality instead of
+  // repeating the sum. Per-doc channel totals; row-local.
+  val q229 = Q(
+    "q229_pnm_decode",
+    """WITH d AS (SELECT doc_id, CAST(4 + doc_id % 4 AS INT) AS w,
+      |                  CAST(2 + doc_id % 3 AS INT) AS h,
+      |                  CAST(doc_id % 4 AS INT) AS k FROM documents),
+      |r0 AS (SELECT doc_id, w, h, k, unnest(range(h)) AS y FROM d),
+      |px AS (SELECT doc_id, w, h, k, y, unnest(range(w)) AS x FROM r0),
+      |v AS (SELECT doc_id, w, h, k,
+      |        (doc_id + 2*x + 3*y) % 251 AS r,
+      |        CASE WHEN k IN (0, 1) THEN (2*doc_id + x) % 251
+      |             ELSE (doc_id + 2*x + 3*y) % 251 END AS g,
+      |        CASE WHEN k IN (0, 1) THEN (doc_id + x*y) % 251
+      |             ELSE (doc_id + 2*x + 3*y) % 251 END AS b
+      |      FROM px)
+      |SELECT doc_id,
+      |  CASE k WHEN 0 THEN 'P6' WHEN 1 THEN 'P3'
+      |         WHEN 2 THEN 'P5' ELSE 'P2' END AS kind,
+      |  CAST(min(w) AS INT) AS w, CAST(min(h) AS INT) AS h,
+      |  CAST(sum(r) AS BIGINT) AS sum_r,
+      |  CAST(sum(g) AS BIGINT) AS sum_g,
+      |  CAST(sum(b) AS BIGINT) AS sum_b
+      |FROM v GROUP BY doc_id, k ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long].flatMap { id =>
+      val w = (4 + id % 4).toInt
+      val h = (2 + id % 3).toInt
+      val k = (id % 4).toInt
+      val rgb = k <= 1
+      def r(x: Int, y: Int) = ((id + 2 * x + 3 * y) % 251).toInt
+      def g(x: Int, y: Int) = ((2 * id + x) % 251).toInt
+      def b(x: Int, y: Int) = ((id + x * y) % 251).toInt
+      val kind = Seq("P6", "P3", "P5", "P2")(k)
+      val header = s"$kind\n# graft synthetic fixture\n$w $h\n250\n"
+      val bytes: Array[Byte] = k match {
+        case 0 => header.getBytes ++ (for (y <- 0 until h; x <- 0 until w;
+          v <- Seq(r(x, y), g(x, y), b(x, y))) yield v.toByte).toArray
+        case 2 => header.getBytes ++ (for (y <- 0 until h; x <- 0 until w)
+          yield r(x, y).toByte).toArray
+        case 1 => (header + (0 until h).map(y => (0 until w).map(x =>
+          s"${r(x, y)} ${g(x, y)} ${b(x, y)}").mkString(" "))
+          .mkString("\n") + "\n").getBytes
+        case _ => (header + (0 until h).map(y => (0 until w).map(x =>
+          s"${r(x, y)}").mkString(" ")).mkString("\n") + "\n").getBytes
+      }
+      Pnm.decode(bytes) match {
+        case Some(img) =>
+          var sr = 0L; var sg = 0L; var sb = 0L
+          for (v <- img.px) {
+            sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+          }
+          Iterator.single((id, img.kind, img.w, img.h, sr, sg, sb))
+        case None => Iterator.empty
+      }
+    }.toDF("doc_id", "kind", "w", "h", "sum_r", "sum_g", "sum_b")
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -6798,5 +6937,5 @@ object LlmQueries {
       q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
       q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222,
-      q223, q224, q225, q226, q227)
+      q223, q224, q225, q226, q227, q228, q229)
 }
