@@ -159,4 +159,25 @@ class PlanContractSpec extends SparkSpec {
     assert(!p192.toLowerCase.contains("unboundedfollowing"),
       "an UnboundedFollowing frame appeared in q192")
   }
+
+  test("r14 continuation: grid/trigram joins stay equi-joins; OLS is one aggregate") {
+    // q225 grid radius join: candidate generation must remain the
+    // cell-keyed equi-join — a loop or cartesian means the 9-cell
+    // neighborhood degenerated to the all-pairs scan it exists to avoid
+    val p225 = plan("q225_grid_radius_join")
+    for (bad <- Seq("BroadcastNestedLoopJoin", "CartesianProduct"))
+      assert(!p225.contains(bad), s"$bad appeared in q225")
+    // q226 trigram search: postings joins are equi on tri/pattern/doc_id
+    val p226 = plan("q226_trigram_search")
+    for (bad <- Seq("BroadcastNestedLoopJoin", "CartesianProduct"))
+      assert(!p226.contains(bad), s"$bad appeared in q226")
+    // q221 OLS: the five statistics fold in ONE hash aggregate — the
+    // plan may hold exactly one pair of partial/final agg exchanges and
+    // no join (a second scan or join means the sufficient-statistics
+    // fold regressed to multiple passes)
+    val p221 = plan("q221_ols_trend")
+    assert(!p221.contains("Join"), "a join appeared in q221's single fold")
+    assert("Exchange hashpartitioning".r.findAllIn(p221).size == 1,
+      "q221 grew beyond its single aggregate exchange")
+  }
 }

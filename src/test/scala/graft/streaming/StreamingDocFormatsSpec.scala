@@ -392,4 +392,46 @@ class StreamingDocFormatsSpec extends SparkSpec {
     assert(streamed == decode(docs.toDS()).collect().sortBy(_._1).toSeq)
     assert(streamed == Seq((1L, "d1.txt", "text 1"), (2L, "<quarantine>", "")))
   }
+
+  test("streaming access-log + qoi + pnm ≡ batch (r14 continuation tier)") {
+    import graft.llm.{AccessLog, Pnm, Qoi}
+    val lines = Seq(
+      (1L, "10.0.0.1 - u1 [10/Oct/2000:13:55:36 +0000] " +
+        "\"GET /a/1 HTTP/1.1\" 200 512 \"-\" \"graft/1.0\""),
+      (2L, "10.0.0.2 - u2 [10/Oct/2000:13:55:37 +0000] " +
+        "\"POST /b/2 HTTP/1.1\" 404 -"),
+      (3L, "malformed line"))
+    val ldir = stage(lines)
+    def lstream = spark.readStream
+      .schema(lines.toDS().schema).parquet(ldir).as[(Long, String)]
+    run(AccessLog.parseAll(lstream), "clf_stream")
+    val streamed = spark.table("clf_stream").as[AccessLog.LogLine]
+      .collect().sortBy(_.doc_id).toSeq
+    assert(streamed == AccessLog.parseAll(lines.toDS())
+      .collect().sortBy(_.doc_id).toSeq)
+    assert(streamed.map(r => (r.doc_id, r.method, r.status, r.bytes)) ==
+      Seq((1L, "GET", 200, 512L), (2L, "POST", 404, -1L)))
+    // Qoi.decode / Pnm.decode are pure functions — pin that they
+    // serialize into a streaming map (the Tga/Rle8 treatment)
+    val qoiTiny = "qoif".getBytes ++
+      Array[Byte](0, 0, 0, 1, 0, 0, 0, 1, 3, 0,        // 1×1, 3ch
+        0xfe.toByte, 5, 6, 7, 0, 0, 0, 0, 0, 0, 0, 1)  // RGB + marker
+    val pnmTiny = "P5 1 1 255\n".getBytes ++ Array[Byte](9)
+    val blobs = Seq(Multimodal.Blob(1L, qoiTiny),
+      Multimodal.Blob(2L, pnmTiny),
+      Multimodal.Blob(3L, Array[Byte](1, 2, 3)))
+    val bdir = stage(blobs)
+    val decStream = spark.readStream.schema(blobs.toDS().schema).parquet(bdir)
+      .as[Multimodal.Blob]
+      .map { b =>
+        val q = Qoi.decode(b.payload).map(_.px.head & 0xffffff).getOrElse(-1)
+        val p = Pnm.decode(b.payload).map(_.px.head).getOrElse(-1)
+        (b.doc_id, q, p)
+      }
+    run(decStream, "qoi_pnm_stream")
+    assert(spark.table("qoi_pnm_stream").as[(Long, Int, Int)]
+      .collect().sortBy(_._1).toSeq ==
+      Seq((1L, (5 << 16) | (6 << 8) | 7, -1), (2L, -1, 0x090909),
+        (3L, -1, -1)))
+  }
 }
