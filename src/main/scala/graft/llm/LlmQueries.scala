@@ -6924,6 +6924,72 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q230
+  // Exact-threshold Jaccard set-similarity join (llm/SetSimJoin —
+  // AllPairs/SSJoin prefix filtering): the near-dup matrix's missing
+  // exact engine (MinHash q31/q33 approximates this with recall < 1).
+  // Rare-first prefix candidacy is COMPLETE, so the oracle is the
+  // independent BRUTE pair scan — a wrong prefix length or non-global
+  // token order silently drops true pairs and hash-fails. 8-gram
+  // shingles over documents find the planted near-dup families;
+  // J ≥ 1/2 cross-multiplied, nothing floats.
+  val q230 = Q(
+    "q230_jaccard_join",
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
+      |g AS (SELECT doc_id, unnest(range(1, length(text)-6)) AS i, text FROM d),
+      |sh AS (SELECT DISTINCT doc_id, substr(text, i, 8) AS s FROM g),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |i AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+      |      FROM sh a JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT ia AS id_a, ib AS id_b, CAST(inter AS BIGINT) AS inter,
+      |       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
+      |FROM i JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+      |WHERE 3*inter >= sa.n + sb.n
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val sets = SetSimJoin.shingles(Tables(s, dir, "documents"),
+      "doc_id", "text", 8)
+    SetSimJoin.jaccardJoin(sets, 1, 2).orderBy("id_a", "id_b")
+  }
+
+  // ---------------------------------------------------------------- q231
+  // Bounded-hop BFS distances (operators/Bfs — the graph tier's
+  // traversal corner: components q62 ask WHETHER connected, PageRank
+  // q155 HOW CENTRAL, triangles q214 HOW CLUSTERED; this asks HOW
+  // FAR, the link-distance feature crawl curation derives from a
+  // seed set). Exactly maxHops propagation rounds by CONTRACT —
+  // vertices farther than 3 hops are absent, not converged-to; the
+  // oracle replays the three rounds as chained aggregating CTEs.
+  // Sparse 20k-node graph (sampled lineitem arithmetic) keeps all
+  // four distance values populated at every SF.
+  val q231 = Q(
+    "q231_bfs_distances",
+    """WITH e0 AS (SELECT DISTINCT (l_orderkey*7 + l_linenumber) % 20000 AS u,
+      |                   (l_orderkey*13 + l_partkey) % 20000 AS v
+      |            FROM lineitem WHERE l_partkey % 5 = 0),
+      |e AS (SELECT u, v FROM e0 WHERE u <> v
+      |      UNION SELECT v, u FROM e0 WHERE u <> v),
+      |s AS (SELECT DISTINCT u AS id FROM e WHERE u % 10 = 0),
+      |d0 AS (SELECT id, CAST(0 AS BIGINT) AS dist FROM s),
+      |d1 AS (SELECT id, min(dist) AS dist FROM (SELECT * FROM d0 UNION ALL
+      |        SELECT e.v, d0.dist+1 FROM e JOIN d0 ON d0.id = e.u) GROUP BY id),
+      |d2 AS (SELECT id, min(dist) AS dist FROM (SELECT * FROM d1 UNION ALL
+      |        SELECT e.v, d1.dist+1 FROM e JOIN d1 ON d1.id = e.u) GROUP BY id),
+      |d3 AS (SELECT id, min(dist) AS dist FROM (SELECT * FROM d2 UNION ALL
+      |        SELECT e.v, d2.dist+1 FROM e JOIN d2 ON d2.id = e.u) GROUP BY id)
+      |SELECT id, CAST(dist AS BIGINT) AS dist FROM d3
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    val raw = Tables(s, dir, "lineitem")
+      .filter(pmod(col("l_partkey"), lit(5L)) === 0)
+      .select(pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(20000L)).as("u"),
+        pmod(col("l_orderkey") * 13 + col("l_partkey"), lit(20000L)).as("v"))
+      .filter(col("u") =!= col("v"))
+    val sources = raw.select(col("u")).union(raw.select(col("v")))
+      .distinct().filter(pmod(col("u"), lit(10L)) === 0)
+    graft.operators.Bfs.boundedDistances(raw, "u", "v", sources, 3)
+      .orderBy("id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -6937,5 +7003,5 @@ object LlmQueries {
       q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
       q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222,
-      q223, q224, q225, q226, q227, q228, q229)
+      q223, q224, q225, q226, q227, q228, q229, q230, q231)
 }
