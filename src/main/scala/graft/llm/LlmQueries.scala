@@ -6990,6 +6990,59 @@ object LlmQueries {
       .orderBy("id")
   }
 
+  // ---------------------------------------------------------------- q232
+  // Bounded-round k-core peel (operators/KCore — HOW DEEP each vertex
+  // sits: the density-tier screen separating dense community cores
+  // from fringe in link-graph curation). A deterministic tree-like
+  // graph (u → u/2, u → u/3 halver edges) peels in clean layers —
+  // leaves first — so every round label and the surviving core are
+  // populated at every SF; isolated-by-peeling vertices peel via
+  // their 0 left-join degree (phantom-survivor guard, spec-pinned).
+  // Oracle replays all three rounds as chained aggregating CTEs.
+  val q232 = Q(
+    "q232_kcore_peel",
+    """WITH u0 AS (SELECT DISTINCT (l_orderkey*7 + l_linenumber) % 4000 AS u
+      |            FROM lineitem),
+      |e0 AS (SELECT u, u // 2 AS v FROM u0 WHERE u >= 2
+      |       UNION SELECT u, u // 3 AS v FROM u0 WHERE u >= 3),
+      |e AS (SELECT u, v FROM e0 WHERE u <> v
+      |      UNION SELECT v, u FROM e0 WHERE u <> v),
+      |v0 AS (SELECT DISTINCT u AS id FROM e),
+      |d1 AS (SELECT a.id, count(e.v) AS d FROM v0 a
+      |       LEFT JOIN e ON e.u = a.id GROUP BY a.id),
+      |rm1 AS (SELECT id FROM d1 WHERE d < 3),
+      |v1 AS (SELECT id FROM d1 WHERE d >= 3),
+      |e1 AS (SELECT u, v FROM e WHERE u IN (SELECT id FROM v1)
+      |       AND v IN (SELECT id FROM v1)),
+      |d2 AS (SELECT a.id, count(e1.v) AS d FROM v1 a
+      |       LEFT JOIN e1 ON e1.u = a.id GROUP BY a.id),
+      |rm2 AS (SELECT id FROM d2 WHERE d < 3),
+      |v2 AS (SELECT id FROM d2 WHERE d >= 3),
+      |e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT id FROM v2)
+      |       AND v IN (SELECT id FROM v2)),
+      |d3 AS (SELECT a.id, count(e2.v) AS d FROM v2 a
+      |       LEFT JOIN e2 ON e2.u = a.id GROUP BY a.id),
+      |rm3 AS (SELECT id FROM d3 WHERE d < 3),
+      |v3 AS (SELECT id FROM d3 WHERE d >= 3)
+      |SELECT id, removed_round FROM (
+      |  SELECT id, 1 AS removed_round FROM rm1
+      |  UNION ALL SELECT id, 2 FROM rm2
+      |  UNION ALL SELECT id, 3 FROM rm3
+      |  UNION ALL SELECT id, 0 FROM v3)
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    val u0 = Tables(s, dir, "lineitem")
+      .select(pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(4000L))
+        .as("u"))
+      .distinct()
+    val halves = u0.filter(col("u") >= 2)
+      .select(col("u"), expr("u div 2").as("v"))
+    val thirds = u0.filter(col("u") >= 3)
+      .select(col("u"), expr("u div 3").as("v"))
+    graft.operators.KCore.peelRounds(
+        halves.union(thirds).distinct(), "u", "v", 3, 3)
+      .orderBy("id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -7003,5 +7056,5 @@ object LlmQueries {
       q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
       q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222,
-      q223, q224, q225, q226, q227, q228, q229, q230, q231)
+      q223, q224, q225, q226, q227, q228, q229, q230, q231, q232)
 }
