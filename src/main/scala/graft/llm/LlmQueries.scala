@@ -7043,6 +7043,78 @@ object LlmQueries {
       .orderBy("id")
   }
 
+  // ---------------------------------------------------------------- q233
+  // 2×2 chi-square A/B readout (operators/Contingency — the
+  // hypothesis-test tier the analytics plane lacked: χ² =
+  // N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) as a ratio of two BIGINTs, the
+  // q221 discipline applied to testing; significance decided by
+  // cross-multiplied integers at the pinned 3.84 critical value).
+  // Treatment = user parity; the signup arm carries a real planted
+  // lift (odd-moduli outcome stays parity-independent elsewhere), so
+  // verdicts split true/false by group; the event_id % 29 subsample
+  // keeps N⁵/16 inside BIGINT through sf1 (documented contract).
+  val q233 = Q(
+    "q233_ab_chisquare",
+    """WITH e AS (SELECT event_type AS g, user_id % 2 = 0 AS t,
+      |    CASE WHEN event_type = 'signup' AND user_id % 2 = 0
+      |         THEN user_id % 3 = 0 OR user_id % 5 = 0
+      |         ELSE user_id % 3 = 0 END AS h
+      |  FROM events WHERE event_id % 29 = 0),
+      |c AS (SELECT g,
+      |    CAST(sum(CASE WHEN t AND h THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN t AND NOT h THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |    CAST(sum(CASE WHEN NOT t AND h THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+      |    CAST(sum(CASE WHEN NOT t AND NOT h THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM e GROUP BY g)
+      |SELECT g, a, b, c2 AS c, d,
+      |  (a+b+c2+d)*(a*d - b*c2)*(a*d - b*c2) AS chi2_num,
+      |  (a+b)*(c2+d)*(a+c2)*(b+d) AS chi2_den,
+      |  ((a+b)*(c2+d)*(a+c2)*(b+d) > 0 AND
+      |   100*((a+b+c2+d)*(a*d - b*c2)*(a*d - b*c2))
+      |     >= 384*((a+b)*(c2+d)*(a+c2)*(b+d))) AS sig_05
+      |FROM c ORDER BY g""".stripMargin) { (s, dir) =>
+    val treated = pmod(col("user_id"), lit(2L)) === 0
+    val hit = when(col("event_type") === "signup" && treated,
+        pmod(col("user_id"), lit(3L)) === 0 ||
+          pmod(col("user_id"), lit(5L)) === 0)
+      .otherwise(pmod(col("user_id"), lit(3L)) === 0)
+    graft.operators.Contingency.chiSquare2x2(
+        Tables(s, dir, "events").filter(pmod(col("event_id"), lit(29L)) === 0),
+        col("event_type"), treated, hit)
+      .orderBy("g")
+  }
+
+  // ---------------------------------------------------------------- q234
+  // Directory-prefix rollup (operators/PathRollup — du over a
+  // manifest: files/bytes under every directory at every depth, the
+  // partition-size audit and hot-prefix screen object-store sharding
+  // decisions read). One HOF explode of each path's ancestor chain
+  // (fan-out = depth, bounded by namespace design) + one map-side-
+  // combined aggregate; the oracle derives the three fixed-depth
+  // prefixes arithmetically — no split anywhere on its side.
+  val q234 = Q(
+    "q234_path_rollup",
+    """WITH f AS (SELECT 'data/' || source || '/' || lang ||
+      |                  '/doc_' || doc_id || '.txt' AS p,
+      |                  n_chars FROM documents),
+      |pre AS (SELECT 'data' AS prefix, 1 AS depth, n_chars FROM f
+      |        UNION ALL
+      |        SELECT 'data/' || source, 2, n_chars
+      |        FROM documents
+      |        UNION ALL
+      |        SELECT 'data/' || source || '/' || lang, 3, n_chars
+      |        FROM documents)
+      |SELECT prefix, depth, CAST(count(*) AS BIGINT) AS n_files,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_bytes
+      |FROM pre GROUP BY prefix, depth ORDER BY prefix""".stripMargin) { (s, dir) =>
+    val files = Tables(s, dir, "documents")
+      .select(concat(lit("data/"), col("source"), lit("/"), col("lang"),
+        lit("/doc_"), col("doc_id").cast("string"), lit(".txt")).as("path"),
+        col("n_chars"))
+    graft.operators.PathRollup.prefixRollup(files, col("path"), col("n_chars"))
+      .orderBy("prefix")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -7056,5 +7128,6 @@ object LlmQueries {
       q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200,
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
       q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222,
-      q223, q224, q225, q226, q227, q228, q229, q230, q231, q232)
+      q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
+      q234)
 }
