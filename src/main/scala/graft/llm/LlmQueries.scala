@@ -7051,15 +7051,16 @@ object LlmQueries {
   // cross-multiplied integers at the pinned 3.84 critical value).
   // Treatment = user parity; the signup arm carries a real planted
   // lift (odd-moduli outcome stays parity-independent elsewhere), so
-  // verdicts split true/false by group; the event_id % 29 subsample
-  // keeps N⁵/16 inside BIGINT through sf1 (documented contract).
+  // verdicts split true/false by group; the event_id % 11 subsample
+  // keeps the worst-case N⁵/16 inside BIGINT through sf0.1 with wide
+  // margin (documented contract on the operator).
   val q233 = Q(
     "q233_ab_chisquare",
     """WITH e AS (SELECT event_type AS g, user_id % 2 = 0 AS t,
       |    CASE WHEN event_type = 'signup' AND user_id % 2 = 0
-      |         THEN user_id % 3 = 0 OR user_id % 5 = 0
+      |         THEN user_id % 3 = 0 OR user_id % 5 = 0 OR user_id % 7 = 0
       |         ELSE user_id % 3 = 0 END AS h
-      |  FROM events WHERE event_id % 29 = 0),
+      |  FROM events WHERE event_id % 11 = 0),
       |c AS (SELECT g,
       |    CAST(sum(CASE WHEN t AND h THEN 1 ELSE 0 END) AS BIGINT) AS a,
       |    CAST(sum(CASE WHEN t AND NOT h THEN 1 ELSE 0 END) AS BIGINT) AS b,
@@ -7076,10 +7077,11 @@ object LlmQueries {
     val treated = pmod(col("user_id"), lit(2L)) === 0
     val hit = when(col("event_type") === "signup" && treated,
         pmod(col("user_id"), lit(3L)) === 0 ||
-          pmod(col("user_id"), lit(5L)) === 0)
+          pmod(col("user_id"), lit(5L)) === 0 ||
+          pmod(col("user_id"), lit(7L)) === 0)
       .otherwise(pmod(col("user_id"), lit(3L)) === 0)
     graft.operators.Contingency.chiSquare2x2(
-        Tables(s, dir, "events").filter(pmod(col("event_id"), lit(29L)) === 0),
+        Tables(s, dir, "events").filter(pmod(col("event_id"), lit(11L)) === 0),
         col("event_type"), treated, hit)
       .orderBy("g")
   }

@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
   * 100·num ≥ (100q)·den; the engine emits num/den and the p<0.05
   * verdict at χ²₀.₀₅,₁ = 3.84.
   *
-  * Overflow contract: num ≈ N·(N²/4)² = N⁵/16 — BIGINT holds to
-  * N ≈ 6×10⁴ per group. Experiment readouts aggregate per metric
-  * cell, not per corpus row, so cells stay panel-sized; a bigger
-  * panel switches num/den to DECIMAL(38,0) (≈ N ≈ 10⁷), a cast-only
+  * Overflow contract: worst-case num = N·(N²/4)² = N⁵/16 — BIGINT
+  * holds to N ≈ 10⁴ rows per group (real dets sit far below the
+  * N²/4 worst case, but the contract states the guarantee, not the
+  * luck). Experiment readouts aggregate per metric cell, not per
+  * corpus row, so cells stay panel-sized; a bigger panel switches
+  * num/den to DECIMAL(38,0) (N ≈ 3×10⁷ worst-case), a cast-only
   * change. Degenerate margins (an empty row or column) emit den = 0
   * — "not testable", never a division.
   *
