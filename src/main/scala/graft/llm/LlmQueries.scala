@@ -6931,13 +6931,22 @@ object LlmQueries {
   // Rare-first prefix candidacy is COMPLETE, so the oracle is the
   // independent BRUTE pair scan — a wrong prefix length or non-global
   // token order silently drops true pairs and hash-fails. 8-gram
-  // shingles over documents find the planted near-dup families;
-  // J ≥ 1/2 cross-multiplied, nothing floats.
+  // shingles over documents find the planted near-dup families
+  // (all at J ≈ 0.99, the next pair below 0.2 — measured); J ≥ 4/5
+  // cross-multiplied, nothing floats. The threshold sets the PREFIX
+  // length (rarest ~20% of each set), which is what keeps candidate
+  // fan-out flat as the corpus grows — at t = 1/2 the prefixes held
+  // half of every set and candidates exploded 70× (measured, r14).
+  // 12-char shingles (not 8) because this corpus's 31-word vocabulary
+  // makes short shingles globally common — longer spans restore the
+  // Zipfian rarity the prefix filter feeds on (47× fewer candidates
+  // with the length filter, measured); the planted families stay
+  // untouched at J ≈ 0.99.
   val q230 = Q(
     "q230_jaccard_join",
-    """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
-      |g AS (SELECT doc_id, unnest(range(1, length(text)-6)) AS i, text FROM d),
-      |sh AS (SELECT DISTINCT doc_id, substr(text, i, 8) AS s FROM g),
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 12),
+      |g AS (SELECT doc_id, unnest(range(1, length(text)-10)) AS i, text FROM d),
+      |sh AS (SELECT DISTINCT doc_id, substr(text, i, 12) AS s FROM g),
       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |i AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
       |      FROM sh a JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
@@ -6945,11 +6954,11 @@ object LlmQueries {
       |SELECT ia AS id_a, ib AS id_b, CAST(inter AS BIGINT) AS inter,
       |       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
       |FROM i JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
-      |WHERE 3*inter >= sa.n + sb.n
+      |WHERE 9*inter >= 4*(sa.n + sb.n)
       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     val sets = SetSimJoin.shingles(Tables(s, dir, "documents"),
-      "doc_id", "text", 8)
-    SetSimJoin.jaccardJoin(sets, 1, 2).orderBy("id_a", "id_b")
+      "doc_id", "text", 12)
+    SetSimJoin.jaccardJoin(sets, 4, 5).orderBy("id_a", "id_b")
   }
 
   // ---------------------------------------------------------------- q231
