@@ -5738,7 +5738,7 @@ object LlmQueries {
         * lit(40503L), lit(1024L)))
       .withColumn("z", graft.operators.ZCurve.zColumn(col("x"), col("y")))
     graft.operators.ZCurve.boxFilter(df, col("x"), col("y"), col("z"),
-        100L, 400L, 200L, 500L, bits = 10, budget = 64)
+        100L, 400L, 200L, 500L, bits = 10, budget = 32)
       .orderBy("l_orderkey", "l_linenumber")
   }
 

@@ -63,13 +63,21 @@ object ZCurve {
   /** (x, y) cell of one z-value. */
   def unzValue(z: Long): (Long, Long) = (compact(z), compact(z >> 1))
 
-  private def spreadCol(c: Column): Column = {
-    var x = c.bitwiseAND(lit(0xffffL))
-    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00ff00ffL))
-    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0f0f0f0fL))
-    x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x33333333L))
-    x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
-  }
+  /** Column-land dilation as a LINEAR sum of per-bit terms, not the
+    * magic-bits chain: each chain step references its input twice, so
+    * the Column expression TREE doubles per step (2⁵ leaves per
+    * spread) — and when a z-range filter is pushed through the
+    * projection, Catalyst substitutes that whole tree into every
+    * range term, exploding one generated method past janino's limit
+    * (whole-stage codegen then silently falls back to interpreted —
+    * caught in r14 via the bench log's single ERROR CodeGenerator).
+    * The sum form references the input once per bit: linear size,
+    * same exact value. Driver-side [[spread]] keeps the magic-bits
+    * form — scalar Longs don't have expression trees. */
+  private def spreadCol(c: Column): Column =
+    (0 until MaxBits).map { i =>
+      shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
 
   /** Morton key Column: interleave the low 16 bits of two non-negative
     * integer columns (caller buckets wider domains first). Codegen'd
