@@ -7126,6 +7126,133 @@ object LlmQueries {
       .orderBy("prefix")
   }
 
+  // ---------------------------------------------------------------- q235
+  // Last-touch attribution (operators/Attribution — the funnel
+  // family's money-counting sibling: credit each purchase to the
+  // channel of the user's most recent view/click within 7 days, else
+  // 'direct'). One running last(ignoreNulls) window carries the
+  // latest touch onto every row — as-of semantics in one pass, no
+  // join; the lookback test is row-local integer µs. Revenue folds
+  // as floor(value·100) BIGINT cents (floor, not cast — Spark casts
+  // truncate where DuckDB CASTs round).
+  val q235 = Q(
+    "q235_last_touch_attribution",
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+      |    event_type IN ('view', 'click') AS is_t,
+      |    event_type = 'purchase' AS is_c,
+      |    CASE CAST(json_extract_string(props, '$.k') AS BIGINT) % 4
+      |      WHEN 0 THEN 'ads' WHEN 1 THEN 'email'
+      |      WHEN 2 THEN 'social' ELSE 'organic' END AS ch,
+      |    CAST(floor(value * 100) AS BIGINT) AS rev
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |m AS (SELECT *,
+      |    last_value(CASE WHEN is_t THEN struct_pack(ts := t, ch := ch) END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt
+      |  FROM ev),
+      |c AS (SELECT CASE WHEN lt IS NOT NULL AND t - lt.ts <= 604800000000
+      |             THEN lt.ch ELSE 'direct' END AS channel, rev
+      |      FROM m WHERE is_c)
+      |SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
+      |       CAST(sum(rev) AS BIGINT) AS revenue
+      |FROM c GROUP BY channel ORDER BY channel""".stripMargin) { (s, dir) =>
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    val ch = when(pmod(k, lit(4L)) === 0, "ads")
+      .when(pmod(k, lit(4L)) === 1, "email")
+      .when(pmod(k, lit(4L)) === 2, "social")
+      .otherwise("organic")
+    graft.operators.Attribution.lastTouch(
+        Tables(s, dir, "events")
+          .filter(col("event_type").isin("view", "click", "purchase")),
+        "user_id", unix_micros(col("ts")), col("event_id"),
+        col("event_type").isin("view", "click"), ch,
+        col("event_type") === "purchase",
+        floor(col("value") * 100).cast("long"), 604800000000L)
+      .orderBy("channel")
+  }
+
+  // ---------------------------------------------------------------- q236
+  // Fixed-width layout parse (llm/FixedWidth — the mainframe/COBOL
+  // export shape: no delimiters, declared byte ranges, zero-padded
+  // numerics, space-padded text). The layout compiles to SUBSTRING
+  // columns (pure codegen, no per-row interpreter) behind a strict
+  // record-length gate — every 101st record renders TRUNCATED and
+  // must quarantine whole rather than shift-corrupt its tail fields;
+  // the oracle rebuilds the rollup from base columns excluding
+  // exactly those records.
+  val q236 = Q(
+    "q236_fixed_width",
+    """WITH src AS (SELECT event_id, user_id, event_type,
+      |    epoch_us(ts) // 86400000000 AS day,
+      |    CAST(floor(value * 100) AS BIGINT) AS amount
+      |  FROM events WHERE event_id % 101 <> 0)
+      |SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(amount) AS BIGINT) AS total_amount,
+      |  CAST(max(day) AS BIGINT) AS max_day
+      |FROM src GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import graft.llm.FixedWidth.Field
+    val layout = Seq(Field("uid", 1, 8), Field("day", 9, 8),
+      Field("etype", 17, 10), Field("amount", 27, 10))
+    val rendered = Tables(s, dir, "events").select(
+      concat(
+        lpad(col("user_id").cast("string"), 8, "0"),
+        lpad(expr("unix_micros(ts) div 86400000000").cast("string"), 8, "0"),
+        rpad(col("event_type"), 10, " "),
+        lpad(floor(col("value") * 100).cast("long").cast("string"), 10, "0"))
+        .as("line0"),
+      col("event_id"))
+      // every 101st record truncates mid-field — the corrupt class
+      .select(when(pmod(col("event_id"), lit(101L)) === 0,
+        substring(col("line0"), 1, 20)).otherwise(col("line0")).as("line"))
+    FixedWidth.project(rendered, col("line"), layout)
+      .groupBy(rtrim(col("etype")).as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("amount").cast("long")).as("total_amount"),
+        max(col("day").cast("long")).as("max_day"))
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------- q237
+  // Benford first-digit audit (B11/B24 — the fraud/quality screen:
+  // does a money column's leading-digit distribution track Benford's
+  // law?): per digit the observed count vs the PINNED per-mille
+  // expectation (301, 176, …), deviation decided by cross-multiplied
+  // integers (1000·n_obs vs N·exp_pm) — an audit emits flags, it does
+  // not assert the law holds (TPC-H's bounded price range deviates,
+  // which is exactly what the readout shows). One aggregate + one
+  // broadcast total.
+  val q237 = Q(
+    "q237_benford_audit",
+    """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+      |                 AS VARCHAR), 1, 1) AS INT) AS digit
+      |           FROM orders),
+      |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY digit),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM d),
+      |e AS (SELECT * FROM (VALUES (1, 301), (2, 176), (3, 125), (4, 97),
+      |      (5, 79), (6, 67), (7, 58), (8, 51), (9, 46)) AS t(digit, exp_pm))
+      |SELECT e.digit, coalesce(c.n_obs, 0) AS n_obs,
+      |       CAST(e.exp_pm AS BIGINT) AS exp_pm, n.total,
+      |       1000 * coalesce(c.n_obs, 0) > n.total * e.exp_pm AS over_expected
+      |FROM e LEFT JOIN c ON c.digit = e.digit CROSS JOIN n
+      |ORDER BY e.digit""".stripMargin) { (s, dir) =>
+    val spark = s
+    import spark.implicits._
+    val d = Tables(s, dir, "orders")
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"),
+        1, 1).cast("int").as("digit"))
+    val c = d.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val n = broadcast(d.agg(count(lit(1)).as("total")))
+    val e = Seq((1, 301L), (2, 176L), (3, 125L), (4, 97L), (5, 79L),
+      (6, 67L), (7, 58L), (8, 51L), (9, 46L)).toDF("digit", "exp_pm")
+    e.join(c, Seq("digit"), "left").crossJoin(n)
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("exp_pm"), col("total"),
+        (lit(1000L) * coalesce(col("n_obs"), lit(0L)) >
+          col("total") * col("exp_pm")).as("over_expected"))
+      .orderBy("digit")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -7140,5 +7267,5 @@ object LlmQueries {
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
       q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222,
       q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
-      q234)
+      q234, q235, q236, q237)
 }
