@@ -7253,6 +7253,59 @@ object LlmQueries {
       .orderBy("digit")
   }
 
+  // ---------------------------------------------------------------- q238
+  // ICO container decode (llm/Ico — the favicon/Windows-resource
+  // directory: header-less DIBs with DOUBLED biHeight sharing one
+  // header between the XOR color plane and the 1-bpp AND mask, rows
+  // padded to 32 bits — every place a naive BMP reuse breaks). Multi-
+  // size directories (1–3 entries per doc), formula pixels incl. an
+  // alternating alpha and a modular mask; the oracle re-derives every
+  // entry's channel/alpha/mask aggregates from the formulas.
+  // PNG-compressed entries stay the documented entry-level
+  // quarantine boundary (spec-pinned). Row-local, no shuffle.
+  val q238 = Q(
+    "q238_ico_decode",
+    """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS n
+      |           FROM documents),
+      |ent AS (SELECT doc_id, unnest(range(n)) AS j FROM d),
+      |dim AS (SELECT doc_id, j, CAST(4 + 2*((doc_id + j) % 3) AS INT) AS w
+      |        FROM ent),
+      |p0 AS (SELECT doc_id, j, w, unnest(range(w)) AS y FROM dim),
+      |px AS (SELECT doc_id, j, w, y, unnest(range(w)) AS x FROM p0)
+      |SELECT doc_id, CAST(j AS INT) AS idx, CAST(min(w) AS INT) AS w,
+      |  CAST(sum((2*doc_id + y) % 256) AS BIGINT) AS sum_r,
+      |  CAST(sum(255 - ((x + y) % 2) * 17) AS BIGINT) AS sum_a,
+      |  CAST(sum(CASE WHEN (x + y + doc_id) % 5 = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_mask
+      |FROM px GROUP BY doc_id, j
+      |ORDER BY doc_id, idx""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long].flatMap { id =>
+      val n = (1 + id % 3).toInt
+      val entries = (0 until n).map { j =>
+        val w = (4 + 2 * ((id + j) % 3)).toInt
+        val px = Array.tabulate(w * w) { p =>
+          val x = p % w; val y = p / w
+          val a = 255 - ((x + y) % 2) * 17
+          val r = ((2 * id + y) % 256).toInt
+          val g = (x + y + j) % 256
+          val b = ((id + x) % 256).toInt
+          (a << 24) | (r << 16) | (g << 8) | b
+        }
+        (w, w, px, (x: Int, y: Int) => (x + y + id) % 5 == 0)
+      }
+      Ico.decode(Ico.build(entries)) match {
+        case Some(es) => es.iterator.map { e =>
+          var sr = 0L; var sa = 0L
+          for (v <- e.px) { sr += (v >> 16) & 0xff; sa += (v >>> 24) & 0xff }
+          (id, e.idx, e.w, sr, sa, e.maskSet.toLong)
+        }
+        case None => Iterator.empty // quarantine by omission
+      }
+    }.toDF("doc_id", "idx", "w", "sum_r", "sum_a", "n_mask")
+      .orderBy("doc_id", "idx")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -7267,5 +7320,5 @@ object LlmQueries {
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
       q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222,
       q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
-      q234, q235, q236, q237)
+      q234, q235, q236, q237, q238)
 }
