@@ -7306,6 +7306,50 @@ object LlmQueries {
       .orderBy("doc_id", "idx")
   }
 
+  // ---------------------------------------------------------------- q239
+  // OGG page walk (llm/Ogg — RFC 3533 transport, the audio-container
+  // gap beside MP3 frames q131 / MP4 boxes q134 / WAV chunks):
+  // 27-byte headers, lacing-table packet framing (a packet completes
+  // at the first lacing < 255), and OGG's OWN direct-feed CRC-32
+  // (0x04C11DB7, not zlib's reflected one) VERIFIED per page — every
+  // 7th doc ships one payload-corrupted page that must quarantine
+  // while the walk resumes at the next page (OGG's per-page resync
+  // story). The oracle re-derives page/packet/payload/granule
+  // aggregates from the formulas, minus exactly the corrupted pages.
+  val q239 = Q(
+    "q239_ogg_pages",
+    """WITH d AS (SELECT doc_id, CAST(3 + doc_id % 3 AS INT) AS np
+      |           FROM documents),
+      |p AS (SELECT doc_id, np, unnest(range(np)) AS j FROM d),
+      |sv AS (SELECT doc_id, np, j, (doc_id + j) % 200 + 285 + j AS pay
+      |       FROM p WHERE NOT (doc_id % 7 = 0 AND j = 1))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pages,
+      |  CAST(2 * count(*) AS BIGINT) AS n_packets,
+      |  CAST(sum(pay) AS BIGINT) AS total_payload,
+      |  CAST(max(doc_id * 1000 + (np - 1) * 100) AS BIGINT) AS last_granule
+      |FROM sv GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long].flatMap { id =>
+      val np = (3 + id % 3).toInt
+      val bytes = (0 until np).flatMap { j =>
+        val lace = Seq(((id + j) % 200).toInt, 255, 30 + j)
+        val flags = (if (j == 0) 2 else 0) | (if (j == np - 1) 4 else 0)
+        val page = Ogg.buildPage(id, j.toLong, id * 1000 + j * 100, flags,
+          lace, Array.fill(lace.sum)(((id + j) % 251).toByte))
+        if (id % 7 == 0 && j == 1) { // corrupt one payload byte
+          page(page.length - 1) = (page(page.length - 1) ^ 0x5a).toByte
+        }
+        page
+      }.toArray
+      val ps = Ogg.pages(bytes)
+      if (ps.isEmpty) Iterator.empty
+      else Iterator.single((id, ps.size.toLong,
+        ps.map(_.packets.toLong).sum, ps.map(_.payloadBytes.toLong).sum,
+        ps.map(_.granule).max))
+    }.toDF("doc_id", "n_pages", "n_packets", "total_payload", "last_granule")
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -7320,5 +7364,5 @@ object LlmQueries {
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
       q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222,
       q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
-      q234, q235, q236, q237, q238)
+      q234, q235, q236, q237, q238, q239)
 }
