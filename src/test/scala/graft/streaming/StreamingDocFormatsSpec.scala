@@ -434,4 +434,41 @@ class StreamingDocFormatsSpec extends SparkSpec {
       Seq((1L, (5 << 16) | (6 << 8) | 7, -1), (2L, -1, 0x090909),
         (3L, -1, -1)))
   }
+
+  test("streaming fixed-width + ico + ogg ≡ batch (r14 continuation tier 2)") {
+    import graft.llm.{FixedWidth, Ico, Ogg}
+    import org.apache.spark.sql.functions.col
+    // FixedWidth.project is a Column pipeline — identical over a stream
+    val lines = Seq((1L, "0001ab 0100"), (2L, "short"))
+    val ldir = stage(lines)
+    val layout = Seq(FixedWidth.Field("id", 1, 4),
+      FixedWidth.Field("tag", 5, 3), FixedWidth.Field("amt", 8, 4))
+    def parse(df: org.apache.spark.sql.DataFrame) =
+      FixedWidth.project(df, col("_2"), layout)
+    run(parse(spark.readStream.schema(lines.toDS().schema).parquet(ldir))
+      .as[(String, String, String)], "fw_stream")
+    val fwStreamed = spark.table("fw_stream").as[(String, String, String)]
+      .collect().toSeq.sorted
+    assert(fwStreamed == parse(lines.toDF("_1", "_2"))
+      .as[(String, String, String)].collect().toSeq.sorted)
+    assert(fwStreamed == Seq(("0001", "ab ", "0100")))
+    // Ico.decode / Ogg.pages are pure functions — pin serialization
+    // into a streaming map (the Qoi/Pnm treatment)
+    val icoBytes = Ico.build(Seq((1, 1, Array(0xff010203), (_, _) => true)))
+    val oggBytes = Ogg.buildPage(9L, 0L, 42L, 2, Seq(3), Array[Byte](1, 2, 3))
+    val blobs = Seq(Multimodal.Blob(1L, icoBytes), Multimodal.Blob(2L, oggBytes),
+      Multimodal.Blob(3L, Array[Byte](1, 2)))
+    val bdir = stage(blobs)
+    val decStream = spark.readStream.schema(blobs.toDS().schema).parquet(bdir)
+      .as[Multimodal.Blob]
+      .map { b =>
+        val ic = Ico.decode(b.payload).map(_.map(_.maskSet).sum).getOrElse(-1)
+        val og = Ogg.pages(b.payload).map(_.granule).sum
+        (b.doc_id, ic, og)
+      }
+    run(decStream, "ico_ogg_stream")
+    assert(spark.table("ico_ogg_stream").as[(Long, Int, Long)]
+      .collect().sortBy(_._1).toSeq ==
+      Seq((1L, 1, 0L), (2L, -1, 42L), (3L, -1, 0L)))
+  }
 }
