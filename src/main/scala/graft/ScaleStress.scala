@@ -856,6 +856,56 @@ object ScaleStress {
     }
   }
 
+  /** Grid radius join A/B (q225 engine) — brute pair scan vs the
+    * 9-cell candidate join at growing corpus size with DENSITY HELD
+    * CONSTANT (the plane side scales with √n), so matches-per-probe
+    * stays flat and any wall growth is the join's own. The
+    * load-bearing numbers: grid candidates grow ~linearly in n (9
+    * cells × per-cell occupancy) while brute candidates are n·|probe|
+    * — and the two MATCH counts must agree exactly (candidate
+    * completeness asserted, not assumed). */
+  def gridCurve(spark: SparkSession): Unit = {
+    println("== grid radius join (q225 engine): brute vs 9-cell candidates, r=500 ==")
+    val r = 500L
+    for (n <- Seq(20000L, 40000L, 80000L, 160000L)) {
+      val side = math.round(10000.0 * math.sqrt(n.toDouble / 20000.0))
+      def pts(m: Long, a1: Long, b1: Long, a2: Long, b2: Long) =
+        spark.range(m).select(col("id"),
+          pmod(col("id") * a1 + b1, lit(side)).as("x"),
+          pmod(col("id") * a2 + b2, lit(side)).as("y"))
+      val build = pts(n, 7919L, 13L, 104729L, 37L).cache()
+      val probe = pts(2000L, 4793L, 7L, 9973L, 91L).cache()
+      build.count(); probe.count()
+      val dx = col("b.x") - col("p.x")
+      val dy = col("b.y") - col("p.y")
+      val (bruteMatches, tBrute) = time {
+        build.as("b").crossJoin(probe.as("p"))
+          .filter(dx * dx + dy * dy <= r * r).count()
+      }
+      val (gridMatches, tGrid) = time {
+        graft.operators.GridJoin.radiusJoin(build, probe, r).count()
+      }
+      require(gridMatches == bruteMatches,
+        s"grid join lost pairs: $gridMatches vs brute $bruteMatches")
+      // candidate volume = 9-cell hood pairs BEFORE the exact test
+      def cells(df: org.apache.spark.sql.DataFrame) =
+        df.select(expr(s"x div $r").as("cx"), expr(s"y div $r").as("cy"))
+      val hood = probe.select(col("x"), col("y"),
+          explode(array((-1 to 1).flatMap(i => (-1 to 1).map(j =>
+            struct(lit(i.toLong).as("dx"), lit(j.toLong).as("dy")))): _*)).as("d"))
+        .select((expr(s"x div $r") + col("d.dx")).as("cx"),
+          (expr(s"y div $r") + col("d.dy")).as("cy"))
+        .groupBy("cx", "cy").agg(count(lit(1)).as("np"))
+      val cand = cells(build).groupBy("cx", "cy").agg(count(lit(1)).as("nb"))
+        .join(hood, Seq("cx", "cy"))
+        .agg(coalesce(sum(col("nb") * col("np")), lit(0L))).head().getLong(0)
+      println(f"n=$n%7d side=$side%6d: brute_cand=${n * 2000L}%12d " +
+        f"(${tBrute}%5.2f s)  grid_cand=$cand%10d  matches=$gridMatches%6d " +
+        f"(${tGrid}%5.2f s)")
+      build.unpersist(); probe.unpersist()
+    }
+  }
+
   /** Parquet BLOOM-FILTER pruning A/B — the point-lookup sibling of
     * [[layout]]: a needle probe (`event_id = k`) on a HASH-SCATTERED
     * layout where min/max statistics are useless (every file spans the
@@ -1890,6 +1940,11 @@ object ScaleStress {
     }
     if (args.contains("--triangles")) {
       trianglesCurve(spark)
+      spark.stop()
+      return
+    }
+    if (args.contains("--grid")) {
+      gridCurve(spark)
       spark.stop()
       return
     }
