@@ -7350,6 +7350,129 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q240
+  // Punycode host decode (llm/Punycode — RFC 3492, the ACE encoding
+  // inside every `xn--` IDN label): two spellings of one IDN host
+  // must group together, so the domain tier decodes ACE before any
+  // host-keyed operation. Full adaptive-bias algorithm, certified
+  // against java.net.IDN (an INDEPENDENT implementation) in the spec;
+  // the fixture/oracle side pins (unicode, punycode) LITERAL pairs —
+  // no encoder exists in this repo, so a bug pair cannot cancel.
+  // Every 9th doc carries an overflowing ACE label that must
+  // quarantine the whole host. Row-local.
+  val q240 = Q(
+    "q240_punycode_hosts",
+    """WITH h AS (SELECT doc_id FROM documents WHERE doc_id % 9 <> 0),
+      |m AS (SELECT CASE doc_id % 8
+      |        WHEN 0 THEN 'münchen' WHEN 1 THEN 'bücher'
+      |        WHEN 2 THEN 'café' WHEN 3 THEN 'niño'
+      |        WHEN 4 THEN 'zürich' WHEN 5 THEN 'résumé'
+      |        WHEN 6 THEN '北京' ELSE 'москва' END || '.shop' AS host
+      |      FROM h)
+      |SELECT host, CAST(count(*) AS BIGINT) AS n
+      |FROM m GROUP BY host ORDER BY host""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val puny = Array("mnchen-3ya", "bcher-kva", "caf-dma", "nio-8ma",
+      "zrich-kva", "rsum-bpad", "1lq90i", "80adxhks")
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long].flatMap { id =>
+      val ace =
+        if (id % 9 == 0) "xn--999999999999999999.shop"
+        else s"xn--${puny((id % 8).toInt)}.shop"
+      Punycode.decodeHost(ace).iterator
+    }.toDF("host")
+      .groupBy("host").agg(count(lit(1)).as("n"))
+      .orderBy("host")
+  }
+
+  // ---------------------------------------------------------------- q241
+  // Day-of-week seasonal profile (B11/B23 — the seasonality readout
+  // behind anomaly baselines: each event type's weekly rhythm, with
+  // over/under-uniform flags per cell): epoch-day % 7, NOT the SQL
+  // dayofweek() — Spark counts 1=Sunday where DuckDB counts
+  // 0=Sunday, so the pure-integer day index is the only
+  // calendar-free formulation both engines share. The uniform test
+  // is cross-multiplied (7·n_cell vs total).
+  val q241 = Q(
+    "q241_seasonal_profile",
+    """WITH e AS (SELECT event_type AS g,
+      |        (epoch_us(ts) // 86400000000) % 7 AS dow FROM events),
+      |c AS (SELECT g, dow, CAST(count(*) AS BIGINT) AS n
+      |      FROM e GROUP BY g, dow),
+      |t AS (SELECT g, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY g)
+      |SELECT c.g, CAST(c.dow AS BIGINT) AS dow, c.n, t.total,
+      |       7 * c.n > t.total AS over_uniform
+      |FROM c JOIN t ON t.g = c.g
+      |ORDER BY c.g, dow""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir, "events").select(col("event_type").as("g"),
+      pmod(expr("unix_micros(ts) div 86400000000"), lit(7L)).as("dow"))
+    val c = e.groupBy("g", "dow").agg(count(lit(1)).as("n"))
+    val t = c.groupBy("g").agg(sum("n").as("total"))
+    c.join(t, Seq("g"))
+      .select(col("g"), col("dow"), col("n"), col("total"),
+        (lit(7L) * col("n") > col("total")).as("over_uniform"))
+      .orderBy("g", "dow")
+  }
+
+  // ---------------------------------------------------------------- q242
+  // Point-in-time lookup over SCD2 history (the join q224's intervals
+  // exist FOR: "what was this key's version at generation g?"):
+  // probes carry their own generation; ONE equi-join on the key with
+  // the half-open interval test as the residual condition — a hash
+  // join with a row-local filter, no range-join machinery needed
+  // because the equi key exists (the planner contract a bitemporal
+  // lookup should have). Null gen_to = still current, covers probes
+  // past the last generation. Oracle replays the q224 CTE stack plus
+  // the interval containment.
+  val q242 = Q(
+    "q242_pit_lookup",
+    """WITH snap AS (
+      |  SELECT o_orderkey AS k, g.g AS g,
+      |         CASE WHEN g.g >= o_orderkey % 4 THEN 'S'
+      |              ELSE o_orderstatus END AS st,
+      |         o_totalprice + 10 * (g.g // 2) AS price
+      |  FROM orders CROSS JOIN (VALUES (0), (1), (2), (3)) AS g(g)),
+      |b AS (SELECT *,
+      |        CASE WHEN lag(g) OVER w IS NULL
+      |               OR st IS DISTINCT FROM lag(st) OVER w
+      |               OR price IS DISTINCT FROM lag(price) OVER w
+      |             THEN 1 ELSE 0 END AS chg
+      |      FROM snap WINDOW w AS (PARTITION BY k ORDER BY g)),
+      |r AS (SELECT *, sum(chg) OVER (PARTITION BY k ORDER BY g
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |      FROM b),
+      |v AS (SELECT k, run, min(g) AS gen_from,
+      |             min(st) AS st, min(price) AS price
+      |      FROM r GROUP BY k, run),
+      |hist AS (SELECT k, gen_from,
+      |           lead(gen_from) OVER (PARTITION BY k ORDER BY gen_from) AS gen_to,
+      |           st, price FROM v),
+      |probe AS (SELECT o_orderkey AS k,
+      |            CAST((o_orderkey * 7) % 5 AS INT) AS g FROM orders)
+      |SELECT probe.k, probe.g, hist.st, hist.price
+      |FROM probe JOIN hist ON hist.k = probe.k
+      |  AND hist.gen_from <= probe.g
+      |  AND (hist.gen_to IS NULL OR probe.g < hist.gen_to)
+      |ORDER BY probe.k""".stripMargin) { (s, dir) =>
+    val snaps = Tables(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus"),
+        col("o_totalprice"), explode(array((0 to 3).map(lit): _*)).as("g"))
+      .select(col("k"), col("g"),
+        when(col("g") >= pmod(col("k"), lit(4L)).cast("int"), lit("S"))
+          .otherwise(col("o_orderstatus")).as("st"),
+        (col("o_totalprice") + lit(10) * (col("g") / 2).cast("int"))
+          .as("price"))
+    val hist = graft.operators.Scd.type2History(snaps, "k", "g",
+      Seq("st", "price"))
+    val probe = Tables(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        pmod(col("o_orderkey") * 7, lit(5L)).cast("int").as("g"))
+    probe.join(hist.withColumnRenamed("k", "hk"),
+        col("hk") === col("k") && col("gen_from") <= col("g") &&
+          (col("gen_to").isNull || col("g") < col("gen_to")))
+      .select(col("k"), col("g"), col("st"), col("price"))
+      .orderBy("k")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -7364,5 +7487,5 @@ object LlmQueries {
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
       q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222,
       q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
-      q234, q235, q236, q237, q238, q239)
+      q234, q235, q236, q237, q238, q239, q240, q241, q242)
 }
