@@ -7473,6 +7473,71 @@ object LlmQueries {
       .orderBy("k")
   }
 
+  // ---------------------------------------------------------------- q243
+  // Largest-remainder quota allocation (operators/Allocate — the
+  // Hamilton method: split a fixed sampling budget across strata in
+  // INTEGERS that sum to exactly k; naive rounding loses or invents
+  // slots). Base = (k·wᵢ) div W, leftover slots to the largest
+  // remainders, ties by stratum ascending (deterministic reruns).
+  // The remainder rank is a window over the STRATA-sized aggregate —
+  // the operator asserts the strata bound rather than hoping.
+  val q243 = Q(
+    "q243_quota_allocation",
+    """WITH w AS (SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS weight
+      |           FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(sum(weight) AS BIGINT) AS tot FROM w),
+      |b AS (SELECT stratum, weight,
+      |        (100000 * weight) // tot AS base,
+      |        (100000 * weight) % tot AS rem
+      |      FROM w CROSS JOIN t),
+      |l AS (SELECT CAST(100000 - sum(base) AS BIGINT) AS leftover FROM b),
+      |r AS (SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, stratum)
+      |        AS INT) AS rem_rank FROM b)
+      |SELECT stratum, weight, CAST(base AS BIGINT) AS base, rem_rank,
+      |  CAST(base + CASE WHEN rem_rank <= l.leftover THEN 1 ELSE 0 END
+      |    AS BIGINT) AS alloc
+      |FROM r CROSS JOIN l ORDER BY stratum""".stripMargin) { (s, dir) =>
+    val w = Tables(s, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("weight"))
+    graft.operators.Allocate.largestRemainder(w, "lang", col("weight"),
+        100000L)
+      .orderBy("stratum")
+  }
+
+  // ---------------------------------------------------------------- q244
+  // Stream-disorder audit (B16/B37 — the watermark-tuning input: how
+  // out-of-order does each user's stream ARRIVE, and how far back do
+  // the jumps reach?): arrival order is a deterministic hash shuffle
+  // of event_id (the fixture's ids are ts-sorted, so real disorder
+  // must be synthesized to exercise the metric); per user one lag
+  // window in arrival order counts event-time regressions and the
+  // deepest backward jump in exact µs — the numbers that size a
+  // withWatermark delay.
+  val q244 = Q(
+    "q244_stream_disorder",
+    """WITH o AS (SELECT user_id, epoch_us(ts) AS t,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY (event_id * 48271) % 1000000007) AS pt
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(count(pt) AS BIGINT) AS n_adjacent,
+      |  CAST(sum(CASE WHEN pt > t THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
+      |  CAST(max(CASE WHEN pt > t THEN pt - t ELSE 0 END) AS BIGINT) AS max_backjump_us
+      |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val arr = pmod(col("event_id") * lit(48271L), lit(1000000007L))
+    val w = Window.partitionBy("user_id").orderBy(arr)
+    Tables(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        lag(unix_micros(col("ts")), 1).over(w).as("pt"))
+      .groupBy("user_id")
+      .agg(count(col("pt")).as("n_adjacent"),
+        sum(when(col("pt") > col("t"), 1L).otherwise(0L)).as("n_inversions"),
+        max(when(col("pt") > col("t"), col("pt") - col("t")).otherwise(0L))
+          .as("max_backjump_us"))
+      .orderBy("user_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -7487,5 +7552,5 @@ object LlmQueries {
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
       q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222,
       q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
-      q234, q235, q236, q237, q238, q239, q240, q241, q242)
+      q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244)
 }
