@@ -7538,6 +7538,48 @@ object LlmQueries {
       .orderBy("user_id")
   }
 
+  // ---------------------------------------------------------------- q245
+  // Magic-number format census (llm/MagicSniff — the router in FRONT
+  // of the decode tier: before any decoder runs on 100 TB, every
+  // blob gets a bounded ≤265-byte kind verdict, and the census
+  // decides which tiers to schedule; q197 audits the decoders, this
+  // audits the dispatch). Fixture rotates TEN blob classes through
+  // the CERTIFIED builders (bmp/wav/pdf/zip/qoi/pnm/ico/ogg/tar) plus
+  // garbage; positional magics (RIFF form types, tar's offset-257
+  // ustar) and the no-magic TGA negative are spec-pinned. Row-local.
+  val q245 = Q(
+    "q245_format_census",
+    """WITH d AS (SELECT CASE doc_id % 10
+      |    WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' WHEN 2 THEN 'pdf'
+      |    WHEN 3 THEN 'zip' WHEN 4 THEN 'qoi' WHEN 5 THEN 'pnm'
+      |    WHEN 6 THEN 'ico' WHEN 7 THEN 'ogg' WHEN 8 THEN 'tar'
+      |    ELSE 'unknown' END AS kind
+      |  FROM documents)
+      |SELECT kind, CAST(count(*) AS BIGINT) AS n
+      |FROM d GROUP BY kind ORDER BY kind""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val blob: Array[Byte] = (id % 10) match {
+        case 0 => Bmp.encode24(1, 1, Array((id % 255).toInt))
+        case 1 => Wav.encodePcm16(8000, Array((id % 100).toShort))
+        case 2 => Pdf.build(Seq(s"BT (doc $id) Tj ET"), flate = false)
+        case 3 => Zip.build(Seq((s"f$id", s"body $id".getBytes, false)))
+        case 4 => "qoif".getBytes ++ Array[Byte](0, 0, 0, 1, 0, 0, 0, 1,
+          3, 0, 0xfe.toByte, 1, 2, 3, 0, 0, 0, 0, 0, 0, 0, 1)
+        case 5 => s"P5 1 1 255\n".getBytes ++ Array[Byte]((id % 200).toByte)
+        case 6 => Ico.build(Seq((1, 1, Array(0xff000000 | (id % 255).toInt),
+          (_: Int, _: Int) => false)))
+        case 7 => Ogg.buildPage(id, 0L, id, 2, Seq(1),
+          Array[Byte]((id % 100).toByte))
+        case 8 => Tar.build(Seq((s"m$id.txt", s"text $id".getBytes, '0')))
+        case _ => s"no magic here $id".getBytes
+      }
+      MagicSniff.sniff(blob)
+    }.toDF("kind")
+      .groupBy("kind").agg(count(lit(1)).as("n"))
+      .orderBy("kind")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -7552,5 +7594,6 @@ object LlmQueries {
       q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
       q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222,
       q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
-      q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244)
+      q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
+      q245)
 }
