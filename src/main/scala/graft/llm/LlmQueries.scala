@@ -7580,6 +7580,45 @@ object LlmQueries {
       .orderBy("kind")
   }
 
+  // ---------------------------------------------------------------- q246
+  // LaTeX-to-text strip (llm/Latex — the arXiv-prep operator:
+  // scientific corpora arrive as .tex and training wants the PROSE,
+  // not preamble/math/citation keys). The engine walks a full
+  // synthetic paper (preamble, comment, title, document env, inline +
+  // display math, cite, tie, escaped percent); the oracle
+  // CONSTRUCTS the expected plain text from the same formulas
+  // without ever seeing LaTeX — exact string compare through the
+  // hash, the strongest possible gate for a text transform.
+  // Row-local, no shuffle.
+  val q246 = Q(
+    "q246_latex_strip",
+    """SELECT doc_id,
+      |  chr(10) || 'Doc ' || doc_id || chr(10) || chr(10) ||
+      |  'Intro ' || doc_id || ' with bold ' || (doc_id % 7) ||
+      |  ' and  refs.' || chr(10) || chr(10) || chr(10) ||
+      |  'Tail text ' || (doc_id % 5) || ', 100% real.' || chr(10) || chr(10)
+      |  AS text
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val texs = Tables(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val src = s"""\\documentclass{article}
+          |% synthetic $id
+          |\\title{Doc $id}
+          |\\begin{document}
+          |Intro $id with \\textbf{bold ${id % 7}} and \\cite{x$id} refs.
+          |$$e=mc^2$$
+          |\\begin{equation}
+          |x_$id
+          |\\end{equation}
+          |Tail~text ${id % 5}, 100\\% real.
+          |\\end{document}
+          |""".stripMargin
+        (id, src)
+      }
+    Latex.stripAll(texs).toDF("doc_id", "text").orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -7595,5 +7634,5 @@ object LlmQueries {
       q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222,
       q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
       q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
-      q245)
+      q245, q246)
 }
