@@ -7619,6 +7619,53 @@ object LlmQueries {
     Latex.stripAll(texs).toDF("doc_id", "text").orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q247
+  // Stratified sample assembly (the pipeline q243's allocation exists
+  // FOR: allocate a fixed budget across languages by corpus share,
+  // then take exactly that many docs per language by deterministic
+  // hash priority — the reproducible "draw 100 docs proportionally"
+  // every training-mix build runs). Composition: Allocate (Hamilton,
+  // driver-side strata rank) + one language-partitioned row_number
+  // over hash priority + one broadcast alloc join; ties on priority
+  // break by doc_id. Output is exactly k rows at every SF.
+  val q247 = Q(
+    "q247_stratified_sample",
+    """WITH w AS (SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS weight
+      |           FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(sum(weight) AS BIGINT) AS tot FROM w),
+      |b AS (SELECT stratum, weight,
+      |        (100 * weight) // tot AS base, (100 * weight) % tot AS rem
+      |      FROM w CROSS JOIN t),
+      |l AS (SELECT CAST(100 - sum(base) AS BIGINT) AS leftover FROM b),
+      |a AS (SELECT stratum, base + CASE WHEN row_number()
+      |          OVER (ORDER BY rem DESC, stratum) <= l.leftover
+      |        THEN 1 ELSE 0 END AS alloc
+      |      FROM b CROSS JOIN l),
+      |r AS (SELECT lang, doc_id,
+      |        (doc_id * 2654435761 + 17) % 4294967296 AS pri,
+      |        row_number() OVER (PARTITION BY lang
+      |          ORDER BY (doc_id * 2654435761 + 17) % 4294967296, doc_id)
+      |          AS rk
+      |      FROM documents)
+      |SELECT r.lang, r.doc_id, CAST(r.rk AS BIGINT) AS rk
+      |FROM r JOIN a ON a.stratum = r.lang AND r.rk <= a.alloc
+      |ORDER BY r.lang, rk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+    val w = docs.groupBy(col("lang")).agg(count(lit(1)).as("weight"))
+    val alloc = graft.operators.Allocate
+      .largestRemainder(w, "lang", col("weight"), 100L)
+      .select(col("stratum").as("lang"), col("alloc"))
+    val pri = pmod(col("doc_id") * lit(2654435761L) + 17L, lit(4294967296L))
+    val ranked = docs.select(col("lang"), col("doc_id"), pri.as("pri"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("pri"), col("doc_id"))))
+    ranked.join(broadcast(alloc), Seq("lang"))
+      .filter(col("rk") <= col("alloc"))
+      .select(col("lang"), col("doc_id"), col("rk").cast("long").as("rk"))
+      .orderBy("lang", "rk")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -7634,5 +7681,5 @@ object LlmQueries {
       q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222,
       q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
       q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
-      q245, q246)
+      q245, q246, q247)
 }

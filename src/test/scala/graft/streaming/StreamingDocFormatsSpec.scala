@@ -471,4 +471,32 @@ class StreamingDocFormatsSpec extends SparkSpec {
       .collect().sortBy(_._1).toSeq ==
       Seq((1L, 1, 0L), (2L, -1, 42L), (3L, -1, 0L)))
   }
+
+  test("streaming latex + punycode + magic sniff ≡ batch (r14 text tier)") {
+    import graft.llm.{Latex, MagicSniff, Punycode}
+    val docs = Seq(
+      (1L, "\\title{T}\\begin{document}body $x$\\end{document}"),
+      (2L, "plain % c\nrest"))
+    val dir = stage(docs)
+    def stream = spark.readStream.schema(docs.toDS().schema).parquet(dir)
+      .as[(Long, String)]
+    run(Latex.stripAll(stream), "latex_stream")
+    val streamed = spark.table("latex_stream").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(streamed == Latex.stripAll(docs.toDS())
+      .collect().sortBy(_._1).toSeq)
+    assert(streamed == Seq((1L, "Tbody "), (2L, "plain rest")))
+    // Punycode.decodeHost / MagicSniff.sniff serialize into a map
+    val hosts = Seq((1L, "xn--caf-dma.x"), (2L, "bad.xn--999999999999999999"))
+    val hdir = stage(hosts)
+    val hs = spark.readStream.schema(hosts.toDS().schema).parquet(hdir)
+      .as[(Long, String)]
+      .map { case (id, h) =>
+        (id, Punycode.decodeHost(h).getOrElse("<quarantine>"),
+          MagicSniff.sniff(h.getBytes)) }
+    run(hs, "puny_stream")
+    assert(spark.table("puny_stream").as[(Long, String, String)]
+      .collect().sortBy(_._1).toSeq ==
+      Seq((1L, "café.x", "unknown"), (2L, "<quarantine>", "unknown")))
+  }
 }
