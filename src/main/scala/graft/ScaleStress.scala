@@ -906,6 +906,59 @@ object ScaleStress {
     }
   }
 
+  /** Exact-Jaccard prefix-filter join (q230 engine) — candidate and
+    * wall growth across corpus doublings: the AllPairs claim is that
+    * prefix+length filtering keeps candidates near the TRUE pair
+    * count, so candidates should track the planted-duplicate count
+    * (linear in corpus), not the n² pair space. Verified pairs are
+    * cross-checked against the brute intersection join at the
+    * smallest point (completeness, asserted). */
+  def setsimCurve(spark: SparkSession, sfDir: String): Unit = {
+    println("== exact-Jaccard join (q230 engine): candidates vs corpus size, t=4/5 ==")
+    val all = Tables(spark, sfDir, "documents")
+    var checkedBrute = false
+    for (n <- Seq(1250L, 2500L, 5000L)) {
+      val docs = all.filter(col("doc_id") < n).cache()
+      val m = docs.count()
+      val sets = graft.llm.SetSimJoin.shingles(docs, "doc_id", "text", 12)
+        .cache()
+      sets.count()
+      val (pairs, secs) = time {
+        graft.llm.SetSimJoin.jaccardJoin(sets, 4, 5).count()
+      }
+      if (!checkedBrute) { // completeness vs the brute intersection join
+        val sz = sets.groupBy("doc_id").agg(count(lit(1)).as("bn"))
+        val brute = sets.as("x").join(sets.as("y"),
+            col("y.s") === col("x.s") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sz.select(col("doc_id").as("ia"), col("bn").as("na")), Seq("ia"))
+          .join(sz.select(col("doc_id").as("ib"), col("bn").as("nb")), Seq("ib"))
+          .filter(lit(9L) * col("inter") >= lit(4L) * (col("na") + col("nb")))
+          .count()
+        require(pairs == brute, s"prefix filter lost pairs: $pairs vs $brute")
+        checkedBrute = true
+      }
+      // candidate volume: replicate the prefix explode + key join
+      val cnt = sets.groupBy("s").agg(count(lit(1)).as("c"))
+      val keyed = sets.join(cnt, Seq("s")).select(col("doc_id"),
+        concat(lpad(col("c").cast("string"), 12, "0"), lit("|"), col("s"))
+          .as("key"))
+      val arrs = keyed.groupBy("doc_id")
+        .agg(sort_array(collect_list("key")).as("ks"), count(lit(1)).as("n"))
+        .withColumn("p", col("n") - expr("(4L * n + 4L) div 5L") + 1L)
+      val pref = arrs.select(col("doc_id"), col("n"),
+        explode(slice(col("ks"), lit(1), col("p"))).as("key"))
+      val cand = pref.as("a").join(pref.as("b"),
+          col("b.key") === col("a.key") && col("a.doc_id") < col("b.doc_id") &&
+            lit(5L) * col("a.n") >= lit(4L) * col("b.n") &&
+            lit(5L) * col("b.n") >= lit(4L) * col("a.n"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+      println(f"docs=$m%5d: candidates=$cand%8d  pairs=$pairs%5d  (${secs}%5.2f s)")
+      sets.unpersist(); docs.unpersist()
+    }
+  }
+
   /** Parquet BLOOM-FILTER pruning A/B — the point-lookup sibling of
     * [[layout]]: a needle probe (`event_id = k`) on a HASH-SCATTERED
     * layout where min/max statistics are useless (every file spans the
@@ -1945,6 +1998,11 @@ object ScaleStress {
     }
     if (args.contains("--grid")) {
       gridCurve(spark)
+      spark.stop()
+      return
+    }
+    if (args.contains("--setsim")) {
+      setsimCurve(spark, sfDir)
       spark.stop()
       return
     }
