@@ -705,6 +705,7 @@ object ScaleStress {
     // ONE dilation implementation: the layout-side key and the query-side
     // predicates (boxFilter below) must come from the same bit interleave
     // or the A/B compares different curves
+    graft.functions.GraftFunctions.register(spark)
     val zKey = graft.operators.ZCurve.zColumn(
       bucket(unix_micros(col("ts")), tlo, thi),
       bucket(col("user_id"), ulo, uhi))

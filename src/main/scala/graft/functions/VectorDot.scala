@@ -115,6 +115,7 @@ object GraftFunctions {
   val CharEntropyName = "char_entropy"
   val MisraGriesName = "misra_gries"
   val KmvName = "kmv_minhashes"
+  val MortonName = "morton_interleave"
   val SignBandKeysName = "sign_band_keys"
   val FloorBandKeysName = "floor_band_keys"
   val NfcNormalizeName = "nfc_normalize"
@@ -208,6 +209,12 @@ object GraftFunctions {
         require(exprs(1).foldable, s"$MisraGriesName's capacity must be a literal")
         MisraGriesAgg(
           exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
+      }),
+    (FunctionIdentifier(MortonName),
+      new ExpressionInfo(classOf[MortonInterleave].getName, MortonName),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"$MortonName takes 2 arguments")
+        MortonInterleave(exprs.head, exprs(1))
       }),
     (FunctionIdentifier(KmvName),
       new ExpressionInfo(classOf[KmvAgg].getName, KmvName),

@@ -5731,6 +5731,7 @@ object LlmQueries {
       |FROM d
       |WHERE x BETWEEN 100 AND 400 AND y BETWEEN 200 AND 500
       |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
     val df = Tables(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"))
       .withColumn("x", pmod(col("l_orderkey") * lit(2654435761L), lit(1024L)))
@@ -5738,7 +5739,7 @@ object LlmQueries {
         * lit(40503L), lit(1024L)))
       .withColumn("z", graft.operators.ZCurve.zColumn(col("x"), col("y")))
     graft.operators.ZCurve.boxFilter(df, col("x"), col("y"), col("z"),
-        100L, 400L, 200L, 500L, bits = 10, budget = 32)
+        100L, 400L, 200L, 500L, bits = 10, budget = 64)
       .orderBy("l_orderkey", "l_linenumber")
   }
 

@@ -63,27 +63,21 @@ object ZCurve {
   /** (x, y) cell of one z-value. */
   def unzValue(z: Long): (Long, Long) = (compact(z), compact(z >> 1))
 
-  /** Column-land dilation as a LINEAR sum of per-bit terms, not the
-    * magic-bits chain: each chain step references its input twice, so
-    * the Column expression TREE doubles per step (2⁵ leaves per
-    * spread) — and when a z-range filter is pushed through the
-    * projection, Catalyst substitutes that whole tree into every
-    * range term, exploding one generated method past janino's limit
-    * (whole-stage codegen then silently falls back to interpreted —
-    * caught in r14 via the bench log's single ERROR CodeGenerator).
-    * The sum form references the input once per bit: linear size,
-    * same exact value. Driver-side [[spread]] keeps the magic-bits
-    * form — scalar Longs don't have expression trees. */
-  private def spreadCol(c: Column): Column =
-    (0 until MaxBits).map { i =>
-      shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), 2 * i)
-    }.reduce(_ + _)
-
   /** Morton key Column: interleave the low 16 bits of two non-negative
-    * integer columns (caller buckets wider domains first). Codegen'd
-    * bitwise arithmetic — no UDF. */
+    * integer columns (caller buckets wider domains first). A custom
+    * codegen'd Expression — ONE static call per evaluation site — not
+    * a Column-built dilation: when the z-range filter is pushed
+    * through the projection, Catalyst substitutes z's expression into
+    * EVERY range term, and both Column forms failed at that
+    * multiplication (r14, measured): the magic-bits chain doubles its
+    * tree per step and overflowed janino outright; the linear per-bit
+    * sum compiled into a method so large HotSpot refused to JIT it
+    * and the stage ran interpreted bytecode at ~50× cpu. The call
+    * form keeps every site 4 bytes of codegen and the dilation in one
+    * JIT-hot method ([[zValue]], via the object's static forwarder). */
   def zColumn(x: Column, y: Column): Column =
-    spreadCol(x).bitwiseOR(shiftleft(spreadCol(y), 1))
+    call_function(graft.functions.GraftFunctions.MortonName,
+      x.cast("long"), y.cast("long"))
 
   /** Decompose the inclusive box [x0,x1]×[y0,y1] (cell coordinates in
     * [0, 2^bits)) into at most `budget` disjoint, sorted, inclusive

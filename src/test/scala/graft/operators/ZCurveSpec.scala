@@ -4,6 +4,9 @@ import graft.SparkSpec
 
 class ZCurveSpec extends SparkSpec {
 
+  // zColumn resolves through the registered morton_interleave expression
+  graft.functions.GraftFunctions.register(spark)
+
   test("spread/compact round-trip and interleave landmarks") {
     for (v <- Seq(0L, 1L, 2L, 0xffL, 0x1234L, 0xffffL)) {
       assert(ZCurve.compact(ZCurve.spread(v)) == v)
