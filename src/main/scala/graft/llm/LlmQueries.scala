@@ -7667,6 +7667,98 @@ object LlmQueries {
       .orderBy("lang", "rk")
   }
 
+  // ---------------------------------------------------------------- q248
+  // Activity streaks (the gaps-and-islands classic on CALENDAR days —
+  // q101's sessionize groups by time gap in µs; this answers "longest
+  // run of CONSECUTIVE ACTIVE DAYS per user", the DAU-streak staple):
+  // distinct epoch-days per user, then day − row_number() is CONSTANT
+  // within a consecutive run — one partitioned window + one island
+  // aggregate, no self-join; epoch-day integers so no calendar
+  // function can diverge (the q241 discipline).
+  val q248 = Q(
+    "q248_activity_streaks",
+    """WITH d AS (SELECT DISTINCT user_id,
+      |        epoch_us(ts) // 86400000000 AS day FROM events),
+      |i AS (SELECT user_id, day,
+      |        day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+      |          AS island
+      |      FROM d),
+      |s AS (SELECT user_id, island, CAST(count(*) AS BIGINT) AS len,
+      |             min(day) AS streak_start
+      |      FROM i GROUP BY user_id, island)
+      |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+      |  CAST(count(*) AS BIGINT) AS n_streaks,
+      |  CAST(min(streak_start) AS BIGINT) AS first_day
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(s, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val i = d.withColumn("island", col("day") -
+      row_number().over(Window.partitionBy("user_id").orderBy("day")))
+    val st = i.groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"), min("day").as("streak_start"))
+    st.groupBy("user_id")
+      .agg(max("len").as("longest_streak"), count(lit(1)).as("n_streaks"),
+        min("streak_start").as("first_day"))
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------- q249
+  // Conversion-latency percentiles per cohort (q220's follow-up
+  // readout: not each user's latency but the DISTRIBUTION — p50/p90
+  // as EXACT rank selections over integer µs, no interpolation to
+  // diverge between engines): converting users cohort by first-event
+  // epoch-week; within each cohort the p-th percentile is the value
+  // at rank ⌈p·n⌉ (nearest-rank definition, stated) via one
+  // cohort-partitioned rank window over the (cohort-sized) latency
+  // rows.
+  val q249 = Q(
+    "q249_conversion_percentiles",
+    """WITH a AS (SELECT user_id, event_type, ts, event_id,
+      |        CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS h0
+      |      FROM events),
+      |b AS (SELECT *, max(h0) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f0 FROM a),
+      |c AS (SELECT *, CASE WHEN event_type = 'click' AND f0 = 1
+      |        THEN 1 ELSE 0 END AS h1 FROM b),
+      |d AS (SELECT *, max(h1) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1 FROM c),
+      |e AS (SELECT *, CASE WHEN event_type = 'purchase' AND f1 = 1
+      |        THEN 1 ELSE 0 END AS h2 FROM d),
+      |g AS (SELECT user_id,
+      |        min(CASE WHEN h0 = 1 THEN epoch_us(ts) END) AS t0,
+      |        min(CASE WHEN h2 = 1 THEN epoch_us(ts) END) AS t1,
+      |        min(epoch_us(ts)) // 604800000000 AS cohort
+      |      FROM e GROUP BY user_id),
+      |lat AS (SELECT cohort, t1 - t0 AS us FROM g WHERE t1 IS NOT NULL),
+      |r AS (SELECT cohort, us,
+      |        row_number() OVER (PARTITION BY cohort ORDER BY us, cohort) AS rk,
+      |        count(*) OVER (PARTITION BY cohort) AS n
+      |      FROM lat)
+      |SELECT cohort, CAST(min(n) AS BIGINT) AS n_converted,
+      |  CAST(min(CASE WHEN 2*rk >= n THEN us END) AS BIGINT) AS p50_us,
+      |  CAST(min(CASE WHEN 10*rk >= 9*n THEN us END) AS BIGINT) AS p90_us
+      |FROM r GROUP BY cohort ORDER BY cohort""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(s, dir, "events")
+    val lat = graft.operators.Funnel.conversionLatency(ev, "user_id",
+      "event_type", "ts", col("event_id"), Seq("view", "click", "purchase"))
+    val cohort = ev.groupBy("user_id")
+      .agg(expr("min(unix_micros(ts)) div 604800000000").as("cohort"))
+    val r = lat.join(cohort, Seq("user_id"))
+      .select(col("cohort"), col("convert_us").as("us"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cohort").orderBy(col("us"), col("cohort"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("cohort")))
+    r.groupBy("cohort")
+      .agg(min("n").as("n_converted"),
+        min(when(lit(2) * col("rk") >= col("n"), col("us"))).as("p50_us"),
+        min(when(lit(10) * col("rk") >= lit(9) * col("n"), col("us")))
+          .as("p90_us"))
+      .orderBy("cohort")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -7682,5 +7774,5 @@ object LlmQueries {
       q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222,
       q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
       q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
-      q245, q246, q247)
+      q245, q246, q247, q248, q249)
 }
