@@ -76,6 +76,13 @@ def type_class(t, oracle_side=False):
     return str(t)
 
 
+def is_nested(t):
+    """Arrow types pandas sort_values cannot canonicalize (unhashable cells)."""
+    return (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_fixed_size_list(t) or pa.types.is_map(t)
+            or pa.types.is_struct(t))
+
+
 def render(v):
     """Canonical rendered form of one cell — the hashed representation."""
     if v is None:
@@ -182,6 +189,38 @@ def main():
         if dec_cols:
             print(f"FAIL {name}: engine emits DECIMAL column(s) {dec_cols} — "
                   f"forbidden; cast the final column to DOUBLE on both sides")
+            failures += 1
+            continue
+
+        # 5. no-nested-type lint on the ENGINE side: the driver's pandas
+        #    sort_values canonicalization raises `TypeError: unhashable
+        #    type: numpy.ndarray` on list/map/struct cells (the r14 q215
+        #    incident) — fail BEFORE the sort so the message names the fix
+        nested_cols = [c for c in ecols
+                       if is_nested(earrow.schema.field(c).type)]
+        if nested_cols:
+            print(f"FAIL {name}: engine emits nested column(s) {nested_cols}"
+                  f" — the driver's pandas sort_values cannot canonicalize "
+                  f"ARRAY/MAP/STRUCT cells; array_join/to_json the final "
+                  f"column on both sides")
+            failures += 1
+            continue
+
+        # 6. driver-faithful canonicalization: the driver sorts BOTH frames
+        #    with pandas sort_values over all columns before hashing — if
+        #    that errors here it errors at the driver (q215's failure mode;
+        #    the nested lint above should catch it first, but this is the
+        #    faithful reproduction for anything the lint misses)
+        try:
+            # by name-sorted columns on BOTH sides (the driver sorts columns
+            # by name before hashing) so tie-breaking is frame-independent
+            odf = odf.sort_values(by=ocols,
+                                  kind="mergesort").reset_index(drop=True)
+            edf = edf.sort_values(by=ecols,
+                                  kind="mergesort").reset_index(drop=True)
+        except TypeError as e:
+            print(f"FAIL {name}: driver sort_values canonicalization "
+                  f"errors: {e}")
             failures += 1
             continue
 

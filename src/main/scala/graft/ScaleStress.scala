@@ -705,8 +705,7 @@ object ScaleStress {
     // ONE dilation implementation: the layout-side key and the query-side
     // predicates (boxFilter below) must come from the same bit interleave
     // or the A/B compares different curves
-    graft.functions.GraftFunctions.register(spark)
-    val zKey = graft.operators.ZCurve.zColumn(
+    val zKey = graft.operators.ZCurve.zColumn(spark,
       bucket(unix_micros(col("ts")), tlo, thi),
       bucket(col("user_id"), ulo, uhi))
 
@@ -769,7 +768,7 @@ object ScaleStress {
       events
         .withColumn("xb", bucket(unix_micros(col("ts")), tlo, thi))
         .withColumn("yb", bucket(col("user_id"), ulo, uhi))
-        .withColumn("__z", ZCurve.zColumn(col("xb"), col("yb")))
+        .withColumn("__z", ZCurve.zColumn(spark, col("xb"), col("yb")))
         .repartitionByRange(64, col("__z")).sortWithinPartitions("__z")
         .write.option("parquet.block.size", 64 * 1024).parquet(zIdxPath)
       // an 8%-per-axis box at 30% of each range (~0.6% of the plane)

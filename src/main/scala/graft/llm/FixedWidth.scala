@@ -5,10 +5,21 @@ import org.apache.spark.sql.functions._
 
 /** Fixed-width record layouts — the mainframe/COBOL export shape
   * (and fortran-era scientific data) that still feeds warehouse
-  * backfills: no delimiters, every field a byte range, numerics
+  * backfills: no delimiters, every field a fixed range, numerics
   * zero-padded, text space-padded. A delimiter-minded reader corrupts
   * every record silently, which is why the layout is a DECLARED
   * contract here, not a guess.
+  *
+  * Offset semantics are CHARACTER-based, not byte-based: [[project]]
+  * compiles to Spark `substring`/`length`, which count Unicode
+  * characters. For ASCII exports (the overwhelmingly common
+  * fixed-width case) characters ≡ bytes and the two contracts
+  * coincide; a genuinely byte-addressed layout carrying multi-byte
+  * UTF-8 content would slice at the wrong offsets — callers with a
+  * byte-layout contract must decode on BinaryType instead (encode the
+  * line to bytes and slice with binary substr). The length gate below
+  * is likewise character-counted, so multi-byte content that shifts
+  * byte offsets while preserving character counts is NOT quarantined.
   *
   * Spark-idiomatic: [[project]] compiles the layout to SUBSTRING
   * Columns — pure codegen, no UDF, no per-row interpreter — plus a
@@ -22,7 +33,9 @@ import org.apache.spark.sql.functions._
   * whole-stage codegen. */
 object FixedWidth {
 
-  /** One field: 1-BASED start (SQL substring convention), byte length. */
+  /** One field: 1-BASED start (SQL substring convention), CHARACTER
+    * length (see the object scaladoc — byte ≡ character only for
+    * ASCII content). */
   final case class Field(name: String, start: Int, len: Int) {
     require(start >= 1 && len >= 1, s"bad field $name: start=$start len=$len")
   }

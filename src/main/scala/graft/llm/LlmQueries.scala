@@ -5731,13 +5731,12 @@ object LlmQueries {
       |FROM d
       |WHERE x BETWEEN 100 AND 400 AND y BETWEEN 200 AND 500
       |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
-    graft.functions.GraftFunctions.register(s)
     val df = Tables(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"))
       .withColumn("x", pmod(col("l_orderkey") * lit(2654435761L), lit(1024L)))
       .withColumn("y", pmod((col("l_orderkey") + col("l_linenumber"))
         * lit(40503L), lit(1024L)))
-      .withColumn("z", graft.operators.ZCurve.zColumn(col("x"), col("y")))
+      .withColumn("z", graft.operators.ZCurve.zColumn(s, col("x"), col("y")))
     graft.operators.ZCurve.boxFilter(df, col("x"), col("y"), col("z"),
         100L, 400L, 200L, 500L, bits = 10, budget = 64)
       .orderBy("l_orderkey", "l_linenumber")
@@ -6278,7 +6277,13 @@ object LlmQueries {
   // diff-sized, not table-sized). ONE full-outer hash join; the
   // attribution is row-local array arithmetic. The after-snapshot
   // derives from orders with deterministic mutations; the oracle
-  // replays join + IS DISTINCT FROM attribution.
+  // replays join + IS DISTINCT FROM attribution. The final
+  // changed_cols column is array_join'd to a plain string — the
+  // driver's pandas canonicalization cannot sort ARRAY columns
+  // (r14's only red row), same contract as the r6 no-DECIMAL rule;
+  // Drift.changedColumns keeps returning the array for programmatic
+  // callers. DuckDB quirk: array_to_string([]) is NULL, not '' —
+  // coalesce'd so added/removed rows hash like the engine's ''.
   val q215 = Q(
     "q215_snapshot_drift",
     """WITH b AS (SELECT o_orderkey AS k, o_totalprice AS price,
@@ -6305,7 +6310,7 @@ object LlmQueries {
       |  CASE WHEN NOT inb THEN 'added'
       |       WHEN NOT ina THEN 'removed'
       |       ELSE 'changed' END AS status,
-      |  changed_cols
+      |  coalesce(array_to_string(changed_cols, ','), '') AS changed_cols
       |FROM c
       |WHERE NOT inb OR NOT ina OR len(changed_cols) > 0
       |ORDER BY k""".stripMargin) { (s, dir) =>
@@ -6320,6 +6325,7 @@ object LlmQueries {
       .unionByName(before.filter(col("k") % 17 === 0)
         .select((col("k") + 2000000000L).as("k"), col("price"), col("st")))
     graft.operators.Drift.changedColumns(before, after, "k", Seq("price", "st"))
+      .withColumn("changed_cols", array_join(col("changed_cols"), ","))
       .orderBy("k")
   }
 
@@ -6610,7 +6616,10 @@ object LlmQueries {
         countDistinct("h").as("n_exact"))
       .select(col("g"),
         size(col("kmv")).cast("long").as("n_kept"),
-        element_at(col("kmv"), 64).as("kth"),
+        // try_element_at, not element_at: under Spark 4's ANSI default,
+        // element_at THROWS on groups with <64 distinct hashes instead of
+        // yielding the NULL the exact-count fallback below keys on
+        try_element_at(col("kmv"), lit(64)).as("kth"),
         col("n_exact"))
       // `div`, not `/`: the estimate must be exact BIGINT division
       // (the q217 discipline — Column `/` is double division)

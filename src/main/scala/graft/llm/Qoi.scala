@@ -47,7 +47,11 @@ object Qoi extends Serializable {
     val h = u32(8)
     val channels = data(12) & 0xff
     val colorspace = data(13) & 0xff
-    if (w <= 0 || h <= 0 || w * h > MaxPixels) return None
+    // reject each dimension BEFORE multiplying: w=h=0xFFFFFFFF makes
+    // w*h overflow Long (wraps negative, then (w*h).toInt truncates to 1),
+    // silently bypassing the pixel cap; per-dim bounds make the product safe
+    if (w <= 0 || h <= 0 || w > MaxPixels || h > MaxPixels ||
+      w * h > MaxPixels) return None
     if ((channels != 3 && channels != 4) || colorspace > 1) return None
     val n = (w * h).toInt
     val px = new Array[Int](n)

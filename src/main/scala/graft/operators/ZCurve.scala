@@ -74,10 +74,26 @@ object ZCurve {
     * sum compiled into a method so large HotSpot refused to JIT it
     * and the stage ran interpreted bytecode at ~50× cpu. The call
     * form keeps every site 4 bytes of codegen and the dilation in one
-    * JIT-hot method ([[zValue]], via the object's static forwarder). */
+    * JIT-hot method ([[zValue]], via the object's static forwarder).
+    *
+    * PRECONDITION: `call_function` resolves through the ACTIVE session's
+    * function registry, so `GraftFunctions.register(spark)` must have run
+    * on that session first — otherwise analysis fails with
+    * UNRESOLVED_ROUTINE. Prefer the `zColumn(spark, x, y)` overload,
+    * which registers idempotently and has no such footgun. */
   def zColumn(x: Column, y: Column): Column =
     call_function(graft.functions.GraftFunctions.MortonName,
       x.cast("long"), y.cast("long"))
+
+  /** [[zColumn]] with the registration precondition discharged: registers
+    * the graft function set on `spark` (idempotent, cheap) before building
+    * the Column, so fresh sessions and new call sites can't hit
+    * UNRESOLVED_ROUTINE. */
+  def zColumn(spark: org.apache.spark.sql.SparkSession, x: Column,
+      y: Column): Column = {
+    graft.functions.GraftFunctions.register(spark)
+    zColumn(x, y)
+  }
 
   /** Decompose the inclusive box [x0,x1]×[y0,y1] (cell coordinates in
     * [0, 2^bits)) into at most `budget` disjoint, sorted, inclusive

@@ -60,6 +60,9 @@ class QoiSpec extends AnyFunSuite {
       .isEmpty, "bad channels")
     assert(Qoi.decode(header(70000, 70000) ++ marker).isEmpty,
       "dims over the pixel cap must be rejected before allocation")
+    assert(Qoi.decode(header(0xFFFFFFFF, 0xFFFFFFFF) ++ marker).isEmpty,
+      "u32-max dims: w*h overflows Long and truncates toInt to 1 — " +
+        "the per-dimension bound must reject before the product")
     assert(Qoi.decode(stream(2, 1, Seq(0xfe, 1, 2, 3, 0xfe, 9))).isEmpty,
       "truncated RGB chunk")
   }

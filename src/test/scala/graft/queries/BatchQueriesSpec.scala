@@ -24,6 +24,22 @@ class BatchQueriesSpec extends SparkSpec {
       assert(decCols.isEmpty,
         s"${q.name} emits DECIMAL output column(s) ${decCols.mkString(", ")} — " +
           "cast the final column to DOUBLE on both engine and oracle sides")
+      // registry lint: the driver canonicalizes oracle-checked results with
+      // pandas sort_values over ALL columns, which raises `TypeError:
+      // unhashable type: numpy.ndarray` on ARRAY (and MAP/STRUCT) cells —
+      // the r14 q215 incident. Oracle-declared queries must emit only
+      // scalar final columns (array_join/to_json the nested value); rows-
+      // only queries never reach the pandas path so nested outputs are fine.
+      if (q.oracle.isDefined) {
+        val nestedCols = df.schema.fields.collect {
+          case f if isNested(f.dataType) => f.name
+        }
+        assert(nestedCols.isEmpty,
+          s"${q.name} declares an oracle but emits nested output column(s) " +
+            s"${nestedCols.mkString(", ")} — the driver's pandas sort_values " +
+            "cannot canonicalize ARRAY/MAP/STRUCT cells; array_join or " +
+            "to_json the final column on both engine and oracle sides")
+      }
       // scale lint: an unpartitioned Window moves ALL rows to one
       // partition — fatal at 100 TB and a WindowExec warning per run
       import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
@@ -32,6 +48,14 @@ class BatchQueriesSpec extends SparkSpec {
       }
       assert(unpart.isEmpty,
         s"${q.name} plans ${unpart.size} unpartitioned Window operator(s)")
+    }
+  }
+
+  private def isNested(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: ArrayType | _: MapType | _: StructType => true
+      case _                                         => false
     }
   }
 
