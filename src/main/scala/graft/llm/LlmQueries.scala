@@ -7768,6 +7768,219 @@ object LlmQueries {
       .orderBy("cohort")
   }
 
+  // ---------------------------------------------------------------- q250
+  // SentencePiece-Unigram encode (llm/Unigram — Kudo 2018, completing
+  // the published tokenizer matrix: BPE learn/encode/decode q79/q80/
+  // q193, WordPiece q205, and now the Viterbi family the T5/mT5/LLaMA
+  // lineage ships). Integer piece costs (scaled −log p, the q221
+  // exact-arithmetic discipline) make the DP minimum engine-agnostic;
+  // arg-min ties break toward the LONGEST piece at each backward step
+  // (the DemoVocab plants an exact tie — 'ab' = 'a'+'b' — so the rule
+  // is exercised on fixture words like 'table'). Engine segments
+  // DISTINCT words once and joins positions back (the q80/q205
+  // dictionary-join shape). The oracle replays the DP itself — not a
+  // greedy approximation: a forward recursive CTE carries the
+  // prefix-best vector as a LIST (one row per word per step, the q198
+  // deep-replay precedent), then a backward CTE reconstructs the path
+  // with the same longest-piece tie-break via list_max.
+  val q250 = Q(
+    "q250_unigram_encode",
+    """WITH RECURSIVE
+      |w0 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+      |       FROM documents),
+      |words AS (SELECT doc_id, CAST(wi AS INT) AS widx, arr[wi+1] AS word
+      |          FROM (SELECT doc_id, arr, unnest(range(len(arr))) AS wi FROM w0)
+      |          WHERE arr[wi+1] <> ''),
+      |sing AS (SELECT chr(97+CAST(i AS INT)) AS core, 100 AS c
+      |         FROM (SELECT unnest(range(26)) AS i) WHERE i <> 16),
+      |multi(core, c) AS (VALUES
+      |  ('the',190),('jo',150),('in',120),('join',230),
+      |  ('or',130),('so',150),('rt',150),('key',240),
+      |  ('fa',140),('st',110),('mer',210),('ge',130),
+      |  ('an',120),('col',220),('umn',250),('win',200),
+      |  ('dow',240),('val',230),('ue',140),('str',200),
+      |  ('eam',230),('er',120),('ed',130),('ing',180),
+      |  ('ab',200)),
+      |vocab AS (SELECT core, CAST(len(core) AS INT) AS l, CAST(c AS INT) AS c
+      |          FROM (SELECT * FROM sing UNION ALL SELECT * FROM multi)),
+      |dw AS (SELECT DISTINCT word FROM words WHERE len(word) <= 32),
+      |poss AS (SELECT word, CAST(pe AS INT) AS pe
+      |         FROM (SELECT word, unnest(range(1, len(word)+1)) AS pe FROM dw)),
+      |cand AS (SELECT p.word, p.pe, v.l, v.c
+      |         FROM poss p JOIN vocab v
+      |           ON v.l <= p.pe
+      |          AND substr(p.word, p.pe - v.l + 1, v.l) = v.core),
+      |mm AS (SELECT word, pe, list(struct_pack(l := l, c := c) ORDER BY l) AS ms
+      |       FROM cand GROUP BY 1, 2),
+      |wm AS (SELECT p.word,
+      |         list(CASE WHEN mm.ms IS NULL
+      |                   THEN CAST([] AS STRUCT(l INTEGER, c INTEGER)[])
+      |                   ELSE mm.ms END ORDER BY p.pe) AS msv
+      |       FROM poss p LEFT JOIN mm USING (word, pe)
+      |       GROUP BY p.word),
+      |fwd(word, p, bests) AS (
+      |  SELECT word, 0, [CAST(0 AS INTEGER)] FROM dw
+      |  UNION ALL
+      |  SELECT f.word, f.p + 1,
+      |    list_append(f.bests, list_min(list_filter(
+      |      list_transform(w.msv[f.p + 1],
+      |        m -> CASE WHEN f.bests[f.p + 2 - m.l] IS NULL THEN NULL
+      |                  ELSE f.bests[f.p + 2 - m.l] + m.c END),
+      |      x -> x IS NOT NULL)))
+      |  FROM fwd f JOIN wm w USING (word)
+      |  WHERE f.p < len(f.word)),
+      |fin AS (SELECT word, bests FROM fwd WHERE p = len(word)),
+      |bwd(word, q, pieces) AS (
+      |  SELECT word, CAST(len(word) AS INT), CAST([] AS VARCHAR[])
+      |  FROM fin WHERE bests[len(word) + 1] IS NOT NULL
+      |  UNION ALL
+      |  SELECT b.word,
+      |    b.q - list_max(list_transform(list_filter(w.msv[b.q],
+      |        m -> f.bests[b.q - m.l + 1] IS NOT NULL
+      |         AND f.bests[b.q - m.l + 1] + m.c = f.bests[b.q + 1]),
+      |      m -> m.l)),
+      |    list_prepend(substr(b.word,
+      |        b.q - list_max(list_transform(list_filter(w.msv[b.q],
+      |            m -> f.bests[b.q - m.l + 1] IS NOT NULL
+      |             AND f.bests[b.q - m.l + 1] + m.c = f.bests[b.q + 1]),
+      |          m -> m.l)) + 1,
+      |        list_max(list_transform(list_filter(w.msv[b.q],
+      |            m -> f.bests[b.q - m.l + 1] IS NOT NULL
+      |             AND f.bests[b.q - m.l + 1] + m.c = f.bests[b.q + 1]),
+      |          m -> m.l))),
+      |      b.pieces)
+      |  FROM bwd b JOIN wm w USING (word) JOIN fin f USING (word)
+      |  WHERE b.q > 0),
+      |seg AS (SELECT word, pieces FROM bwd WHERE q = 0),
+      |segk AS (SELECT word, CAST(k0 AS INT) AS k, pieces[CAST(k0 AS INT) + 1] AS piece
+      |         FROM (SELECT word, pieces, unnest(range(len(pieces))) AS k0 FROM seg)),
+      |unk AS (SELECT word, 0 AS k, '<unk>' AS piece
+      |        FROM (SELECT DISTINCT word FROM words)
+      |        WHERE word NOT IN (SELECT word FROM seg))
+      |SELECT w.doc_id, w.widx, p.k, p.piece
+      |FROM words w
+      |JOIN (SELECT * FROM segk UNION ALL SELECT * FROM unk) p USING (word)
+      |ORDER BY doc_id, widx, k""".stripMargin) { (s, dir) =>
+    Unigram.segmentAll(Tables(s, dir, "documents"))
+      .orderBy("doc_id", "widx", "k")
+  }
+
+  // ---------------------------------------------------------------- q251
+  // CDC pipeline round-trip (the composed warehouse-plane law, the
+  // q177/q149 treatment: q215 diffs snapshots, q208 applies
+  // changelogs, q224 builds SCD2 history, q242 probes it — this
+  // composes ALL FOUR and pins the algebra that makes them a
+  // pipeline): (1) derive a changelog from adjacent snapshot
+  // generations with Drift (upserts from added/changed, tombstones
+  // from removed), (2) Upsert-apply it over generation 0 — the result
+  // must equal generation 3 EXACTLY (apply ∘ diff ≡ identity on the
+  // final state), (3) build SCD2 history over the full key×gen
+  // lattice (absent generations carried as present=false with NULL
+  // attrs — exercising the null-safe boundary comparisons), (4)
+  // point-in-time-probe the history at EVERY generation — each
+  // reconstruction must equal its snapshot. The fixture plants
+  // deletions AND re-insertions (keys k%10=g vanish at exactly
+  // generation g), so tombstone apply, interval splitting, and
+  // re-appearance all execute. Output: per-generation key counts and
+  // checksums derived independently by the oracle from the mutation
+  // formula, plus the two law columns pinned to 0 — the engine earns
+  // its zeros through real full-outer drift joins. Scale shape: every
+  // stage is the underlying operator's (key-keyed joins/aggregates/
+  // windows); nothing new materializes beyond diff-sized frames.
+  val q251 = Q(
+    "q251_cdc_roundtrip",
+    """WITH l AS (
+      |  SELECT o_orderkey AS k, g.g AS g,
+      |         CASE WHEN g.g >= o_orderkey % 4 THEN 'S'
+      |              ELSE o_orderstatus END AS st
+      |  FROM orders CROSS JOIN (VALUES (0), (1), (2), (3)) AS g(g)
+      |  WHERE NOT (g.g > 0 AND o_orderkey % 10 = g.g))
+      |SELECT CAST(g AS BIGINT) AS gen,
+      |  CAST(count(*) AS BIGINT) AS n_keys,
+      |  CAST(sum(k) AS BIGINT) AS k_sum,
+      |  CAST(count(CASE WHEN st = 'S' THEN 1 END) AS BIGINT) AS n_st_s,
+      |  CAST(0 AS BIGINT) AS pit_drift,
+      |  CAST(0 AS BIGINT) AS apply_drift
+      |FROM l GROUP BY g ORDER BY gen""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.{Drift, Scd, Upsert}
+    val o = Tables(s, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st0"),
+      col("o_totalprice").as("price0"))
+    // deterministic generation g of the snapshot stack: q224's status/
+    // price mutations plus planted deletions (k%10 = g vanishes at g)
+    def stAt(g: Int) = when(lit(g) >= pmod(col("k"), lit(4L)).cast("int"),
+      lit("S")).otherwise(col("st0"))
+    def priceAt(g: Int) = col("price0") + lit(10.0 * (g / 2))
+    def snap(g: Int): DataFrame = o
+      .filter(if (g == 0) lit(true) else pmod(col("k"), lit(10L)) =!= g)
+      .select(col("k"), stAt(g).as("st"), priceAt(g).as("price"))
+    val gens = 0 to 3
+    // leg 1: changelog from adjacent generations via Drift, applied
+    // over generation 0 via Upsert — must reproduce generation 3
+    val changelog = (1 to 3).map { g =>
+      val d = Drift.changedColumns(snap(g - 1), snap(g), "k",
+        Seq("st", "price"))
+      val ups = d.filter(col("status") =!= "removed").select("k")
+        .join(snap(g), Seq("k"))
+        .select(col("k"), col("st"), col("price"),
+          lit(g.toLong).as("version"), lit("U").as("op"))
+      val dels = d.filter(col("status") === "removed")
+        .select(col("k"), lit(null).cast("string").as("st"),
+          lit(null).cast("double").as("price"),
+          lit(g.toLong).as("version"), lit("D").as("op"))
+      ups.unionByName(dels)
+    }.reduce(_ unionByName _)
+    val base = snap(0)
+      .withColumn("version", lit(0L)).withColumn("op", lit("U"))
+    val applied = Upsert(base, changelog, Seq("k"))
+      .select("k", "st", "price")
+    val applyDrift = Drift.changedColumns(applied, snap(3), "k",
+        Seq("st", "price"))
+      .agg(count(lit(1)).as("apply_drift"))
+    // leg 2: SCD2 over the full key×gen lattice (absent gens present=
+    // false, NULL attrs), PIT-probed at every generation
+    val lattice = o
+      .select(col("k"), col("st0"), col("price0"),
+        explode(array(gens.map(lit): _*)).as("g"))
+      .withColumn("present",
+        !(col("g") > 0 && pmod(col("k"), lit(10L)) === col("g")))
+      .select(col("k"), col("g"),
+        when(col("present"), when(col("g") >= pmod(col("k"), lit(4L))
+          .cast("int"), lit("S")).otherwise(col("st0"))).as("st"),
+        when(col("present"),
+          col("price0") + lit(10.0) * floor(col("g") / 2)).as("price"),
+        col("present"))
+    val scd = Scd.type2History(lattice, "k", "g",
+      Seq("st", "price", "present")).cache()
+    def pit(g: Int): DataFrame = scd
+      .filter(col("gen_from") <= g &&
+        (col("gen_to").isNull || lit(g) < col("gen_to")) && col("present"))
+      .select("k", "st", "price")
+    val pitDriftRows = gens.map { g =>
+      Drift.changedColumns(pit(g), snap(g), "k", Seq("st", "price"))
+        .select(lit(g.toLong).as("gen"))
+    }.reduce(_ unionByName _)
+    val genFrame = {
+      import s.implicits._
+      gens.map(_.toLong).toDF("gen")
+    }
+    val pitDrift = genFrame.join(
+        pitDriftRows.groupBy("gen").agg(count(lit(1)).as("pd")),
+        Seq("gen"), "left")
+      .select(col("gen"), coalesce(col("pd"), lit(0L)).as("pit_drift"))
+    // independent per-generation stats (the oracle's derivation)
+    val stats = lattice.filter(col("present"))
+      .groupBy(col("g").cast("long").as("gen"))
+      .agg(count(lit(1)).as("n_keys"), sum("k").as("k_sum"),
+        count(when(col("st") === "S", lit(1))).as("n_st_s"))
+    stats.join(pitDrift, Seq("gen"))
+      .crossJoin(applyDrift)
+      .select(col("gen"), col("n_keys"), col("k_sum"), col("n_st_s"),
+        col("pit_drift"), col("apply_drift"))
+      .orderBy("gen")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -7783,5 +7996,5 @@ object LlmQueries {
       q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222,
       q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
       q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
-      q245, q246, q247, q248, q249)
+      q245, q246, q247, q248, q249, q250, q251)
 }
