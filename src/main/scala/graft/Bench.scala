@@ -180,6 +180,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // AFTER session init: Spark's logging bootstrap replaces the log4j
+    // Configuration, detaching any appender installed earlier
+    CodegenGuard.install()
 
     val listener = new QueryMetricsListener
     spark.sparkContext.addSparkListener(listener)
@@ -332,6 +335,7 @@ object Bench {
       s""""unit":"sec","queries":$qs,"failed":$failed,""" +
       s""""storage_bytes":$sb,"metrics":$mx,"retries":$retriesJson,""" +
       s""""baseline_file":"$baselinePath","baseline_known":${baselines.size},""" +
+      s""""codegen_errors":${CodegenGuard.count},""" +
       s""""calib":$calibJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
@@ -381,8 +385,16 @@ object Bench {
       s""""segs_cpu_shuffle":$segCompact}"""
     spark.stop()
     println(s"full per-query metrics -> $outPath")
+    // zero-`ERROR CodeGenerator` invariant, asserted (r14 maintenance):
+    // an interpreted-fallback bench wall is not a measurement — surface
+    // the count in the artifact AND fail loudly on stderr (the JSON line
+    // must still print: the consumer tail-parses stdout)
+    if (CodegenGuard.count > 0)
+      System.err.println(s"[bench] CODEGEN INVARIANT VIOLATED: " +
+        CodegenGuard.report)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.count(_._3)},""" +
       s""""failed":$failed,"retried":${retries.size},"healed_total":${r3(healedTotal)},""" +
+      s""""codegen_errors":${CodegenGuard.count},""" +
       s""""calib":$calibCompact,""" +
       s""""queries":{$hl},"full":"$outPath","sf":"$sfDir"}""")
   }

@@ -7981,6 +7981,152 @@ object LlmQueries {
       .orderBy("gen")
   }
 
+  // ---------------------------------------------------------------- q252
+  // Incremental SCD2 merge (operators/ScdMerge — q224 is the backfill,
+  // this is the nightly load: apply ONE new snapshot generation to an
+  // existing history without the snapshot stack, which at 100 TB is
+  // orders of magnitude larger than the history and may no longer
+  // exist). The oracle REBUILDS from the full 4-generation stack
+  // (q224's CTE verbatim) while the engine merges generation 3 into
+  // the history built from generations 0–2 — a hash match certifies
+  // the incremental-apply law merge(build(0..2), snap_3) ≡ build(0..3)
+  // (the q208 upsert-law treatment for the dimension plane; also
+  // law-checked directly in ScdMergeSpec with new-key/null-safe
+  // cases). Scale shape: closed intervals never move; only the per-key
+  // open row joins the snapshot — one key-keyed full-outer join.
+  val q252 = Q(
+    "q252_scd2_merge",
+    """WITH snap AS (
+      |  SELECT o_orderkey AS k, g.g AS g,
+      |         CASE WHEN g.g >= o_orderkey % 4 THEN 'S'
+      |              ELSE o_orderstatus END AS st,
+      |         o_totalprice + 10 * (g.g // 2) AS price
+      |  FROM orders CROSS JOIN (VALUES (0), (1), (2), (3)) AS g(g)),
+      |b AS (SELECT *,
+      |        CASE WHEN lag(g) OVER w IS NULL
+      |               OR st IS DISTINCT FROM lag(st) OVER w
+      |               OR price IS DISTINCT FROM lag(price) OVER w
+      |             THEN 1 ELSE 0 END AS chg
+      |      FROM snap WINDOW w AS (PARTITION BY k ORDER BY g)),
+      |r AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY k ORDER BY g
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+      |      FROM b),
+      |v AS (SELECT k, run, min(g) AS gen_from,
+      |             min(st) AS st, min(price) AS price
+      |      FROM r GROUP BY k, run)
+      |SELECT k, CAST(gen_from AS BIGINT) AS gen_from,
+      |       CAST(lead(gen_from) OVER (PARTITION BY k ORDER BY gen_from)
+      |            AS BIGINT) AS gen_to,
+      |       st, price
+      |FROM v ORDER BY k, gen_from""".stripMargin) { (s, dir) =>
+    val snaps = Tables(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus"),
+        col("o_totalprice"), explode(array((0 to 3).map(lit): _*)).as("g"))
+      .select(col("k"), col("g"),
+        when(col("g") >= pmod(col("k"), lit(4L)).cast("int"), lit("S"))
+          .otherwise(col("o_orderstatus")).as("st"),
+        (col("o_totalprice") + lit(10) * (col("g") / 2).cast("int"))
+          .as("price"))
+    val history012 = graft.operators.Scd.type2History(
+      snaps.filter(col("g") <= 2), "k", "g", Seq("st", "price"))
+    val snap3 = snaps.filter(col("g") === 3).select("k", "st", "price")
+    graft.operators.ScdMerge.merge(history012, snap3, "k",
+        Seq("st", "price"), 3L)
+      .orderBy("k", "gen_from")
+  }
+
+  // ---------------------------------------------------------------- q253
+  // Integer EWMA smoothing (operators/Ewma — the metrics-drift readout
+  // beside q241's seasonal profile and q244's disorder audit): daily
+  // event counts per (event_type, user-bucket) smoothed with α = 1/8,
+  // state in 1/64 units, all arithmetic non-negative integers so
+  // truncating (Spark div) and flooring (DuckDB //) division agree —
+  // the q221 exactness discipline applied to a RECURRENCE. Engine
+  // folds each bounded per-key series with a codegen'd higher-order
+  // aggregate (one key-keyed shuffle, no window, no UDF, no driver
+  // loop — parallelism is across keys, the only parallelism a
+  // sequential recurrence has); oracle replays the recurrence as a
+  // rank-joined recursive CTE.
+  val q253 = Q(
+    "q253_ewma_daily",
+    """WITH RECURSIVE
+      |e AS (SELECT event_type, user_id % 8 AS ub,
+      |             epoch_us(ts) // 86400000000 AS d FROM events),
+      |c AS (SELECT event_type, ub, d, CAST(count(*) AS BIGINT) AS x
+      |      FROM e GROUP BY 1, 2, 3),
+      |o AS (SELECT *, row_number() OVER (PARTITION BY event_type, ub
+      |        ORDER BY d) AS rn FROM c),
+      |r(event_type, ub, rn, d, x, s) AS (
+      |  SELECT event_type, ub, rn, d, x, 64 * x FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.event_type, o.ub, o.rn, o.d, o.x, (7 * r.s + 64 * o.x) // 8
+      |  FROM r JOIN o ON o.event_type = r.event_type AND o.ub = r.ub
+      |   AND o.rn = r.rn + 1)
+      |SELECT event_type, ub, d, x, CAST(s AS BIGINT) AS ewma64
+      |FROM r ORDER BY event_type, ub, d""".stripMargin) { (s, dir) =>
+    val counts = Tables(s, dir, "events")
+      .select(col("event_type"), pmod(col("user_id"), lit(8L)).as("ub"),
+        expr("unix_micros(ts) div 86400000000").as("d"))
+      .groupBy("event_type", "ub", "d").agg(count(lit(1)).as("x"))
+    graft.operators.Ewma.smooth(counts, Seq("event_type", "ub"), "d", "x",
+        maxLen = 100000)
+      .orderBy("event_type", "ub", "d")
+  }
+
+  // ---------------------------------------------------------------- q254
+  // Sorted-neighborhood record linkage (operators/SortedNeighborhood —
+  // Hernández & Stolfo 1995, the blocking method the dedup tier
+  // lacked: q31/q32 key on content overlap, q139 on global edit
+  // distance; this keys on SORT proximity — compare only rows within w
+  // positions of a blocked sort, the merge/purge staple for dirty
+  // entity names). Fixture plants a one-character-deletion twin for
+  // every 5th part (drop position = partkey mod len, so some twins
+  // lose their FIRST character and sort into another block — the
+  // method's documented blind spot, exercised not hidden); candidates
+  // verify with levenshtein ≤ 2. Rank per BLOCK (first character) — a
+  // global rank is a single-partition window, the registry lint's
+  // target — and the pair join buckets ranks by `div (w−1)` with
+  // fan-out 2 (the q225 grid discipline in 1-D), never a rank-band
+  // theta join. Oracle replays block-rank, window pairing, and the
+  // levenshtein verify wholesale.
+  val q254 = Q(
+    "q254_sorted_neighborhood",
+    """WITH recs AS (
+      |  SELECT p_partkey AS id, p_name AS key FROM part
+      |  UNION ALL
+      |  SELECT p_partkey + 1000000000,
+      |         substr(p_name, 1, p_partkey % len(p_name)) ||
+      |         substr(p_name, (p_partkey % len(p_name)) + 2)
+      |  FROM part WHERE p_partkey % 5 = 0),
+      |r AS (SELECT id, key, substr(key, 1, 1) AS block,
+      |        row_number() OVER (PARTITION BY substr(key, 1, 1)
+      |          ORDER BY key, id) AS rn
+      |      FROM recs),
+      |p AS (SELECT a.id AS id1, b.id AS id2, a.key AS key1, b.key AS key2,
+      |             b.rn - a.rn AS gap
+      |      FROM r a JOIN r b
+      |        ON a.block = b.block AND b.rn - a.rn BETWEEN 1 AND 3)
+      |SELECT id1, id2, key1, key2, CAST(gap AS BIGINT) AS gap,
+      |       CAST(levenshtein(key1, key2) AS BIGINT) AS dist
+      |FROM p WHERE levenshtein(key1, key2) <= 2
+      |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+    val part = Tables(s, dir, "part")
+    val dirty = part.filter(col("p_partkey") % 5 === 0)
+      .select((col("p_partkey") + 1000000000L).as("id"),
+        expr("substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT)) || " +
+          "substr(p_name, CAST(p_partkey % length(p_name) AS INT) + 2)")
+          .as("key"))
+    val recs = part.select(col("p_partkey").as("id"), col("p_name").as("key"))
+      .unionByName(dirty)
+    graft.operators.SortedNeighborhood.pairs(recs, "id", "key",
+        substring(col("key"), 1, 1), w = 4)
+      .filter(levenshtein(col("key1"), col("key2")) <= 2)
+      .select(col("id1"), col("id2"), col("key1"), col("key2"),
+        col("gap").cast("long").as("gap"),
+        levenshtein(col("key1"), col("key2")).cast("long").as("dist"))
+      .orderBy("id1", "id2")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -7996,5 +8142,5 @@ object LlmQueries {
       q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222,
       q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
       q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
-      q245, q246, q247, q248, q249, q250, q251)
+      q245, q246, q247, q248, q249, q250, q251, q252, q253, q254)
 }
