@@ -8127,6 +8127,62 @@ object LlmQueries {
       .orderBy("id1", "id2")
   }
 
+  // ---------------------------------------------------------------- q255
+  // FLAC metadata walk (llm/Flac — the lossless-audio container beside
+  // WAV chunks / MP3 frames q131 / MP4 boxes q134 / OGG pages q239;
+  // RFC 9639): ingest needs rate/channels/bits/length and tags WITHOUT
+  // decoding audio, and the format plants two classic traps this walk
+  // certifies — bit-packed big-endian STREAMINFO fields at fixed
+  // offsets (20-bit rate, 36-bit total spanning byte boundaries) and a
+  // LITTLE-endian vorbis-comment block inside the big-endian container.
+  // Sample decode stays out of scope with the perceptual codecs: FLAC
+  // audio is rice-coded bit-level territory, while the metadata section
+  // is byte-structured and exactly checkable. Every 6th doc carries a
+  // PADDING block (skipped, counted), every 3rd an extra comment, every
+  // 11th a corrupt magic that quarantines the WHOLE stream; trailing
+  // fake audio bytes prove the walk stops at the last-flagged block.
+  // Oracle re-derives every field from the generating formula (the
+  // builder can't cancel: FlacSpec pins the 34 STREAMINFO bytes BY
+  // HAND). Row-local, no shuffle.
+  val q255 = Q(
+    "q255_flac_metadata",
+    """SELECT doc_id,
+      |  CAST(8000 * (1 + doc_id % 6) AS BIGINT) AS sample_rate,
+      |  CAST(1 + doc_id % 3 AS BIGINT) AS channels,
+      |  CAST(8 + 4 * (doc_id % 5) AS BIGINT) AS bps,
+      |  CAST(1000 + doc_id * 7 AS BIGINT) AS total_samples,
+      |  CAST(CASE WHEN doc_id % 6 = 0 THEN 3 ELSE 2 END AS BIGINT) AS n_blocks,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS BIGINT) AS n_comments,
+      |  'doc' || doc_id AS title
+      |FROM documents WHERE doc_id % 11 <> 0
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long].flatMap { id =>
+      val md5 = Array.tabulate[Byte](16)(j => ((id * 7 + j) % 256).toByte)
+      val info = Flac.buildStreamInfo(4096, 4096, 14, 8192,
+        (8000 * (1 + id % 6)).toInt, (1 + id % 3).toInt,
+        (8 + 4 * (id % 5)).toInt, 1000L + id * 7, md5)
+      val comments = Seq("TITLE" -> s"doc$id",
+        "LANGUAGE" -> Seq("en", "de", "fr", "ja")((id % 4).toInt)) ++
+        (if (id % 3 == 0) Seq("NOTE" -> "planted") else Nil)
+      val vc = Flac.buildVorbisComment("graft", comments)
+      val blocks = (0 -> info) +:
+        (if (id % 6 == 0) Seq(1 -> new Array[Byte](32)) else Nil) :+
+        (4 -> vc)
+      val bytes = Flac.build(blocks) ++
+        Array.fill[Byte](19)(((id % 251) + 1).toByte) // fake audio frames
+      if (id % 11 == 0) bytes(2) = 'X'.toByte // corrupt magic -> quarantine
+      Flac.metadata(bytes).iterator.map { m =>
+        (id, m.info.sampleRate.toLong, m.info.channels.toLong,
+          m.info.bitsPerSample.toLong, m.info.totalSamples,
+          m.nBlocks.toLong, m.comments.size.toLong,
+          m.comments.find(_._1 == "TITLE").map(_._2).getOrElse(""))
+      }
+    }.toDF("doc_id", "sample_rate", "channels", "bps", "total_samples",
+        "n_blocks", "n_comments", "title")
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -8142,5 +8198,5 @@ object LlmQueries {
       q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222,
       q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
       q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
-      q245, q246, q247, q248, q249, q250, q251, q252, q253, q254)
+      q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255)
 }

@@ -499,4 +499,27 @@ class StreamingDocFormatsSpec extends SparkSpec {
       .collect().sortBy(_._1).toSeq ==
       Seq((1L, "café.x", "unknown"), (2L, "<quarantine>", "unknown")))
   }
+
+  test("streaming flac metadata ≡ batch (r15 audio-container tier)") {
+    import graft.llm.Flac
+    // Flac.metadata is a pure function — pin serialization into a
+    // streaming map (the Ico/Ogg treatment)
+    val good = Flac.build(Seq(
+      0 -> Flac.buildStreamInfo(4096, 4096, 14, 14, 22050, 2, 16, 99L,
+        Array.fill[Byte](16)(7)),
+      4 -> Flac.buildVorbisComment("v", Seq("TITLE" -> "t"))))
+    val blobs = Seq(Multimodal.Blob(1L, good),
+      Multimodal.Blob(2L, good.updated(0, 'x'.toByte)))
+    val bdir = stage(blobs)
+    def decode(b: Multimodal.Blob) = Flac.metadata(b.payload)
+      .map(m => (b.doc_id, m.info.sampleRate, m.comments.size))
+      .getOrElse((b.doc_id, -1, -1))
+    val decStream = spark.readStream.schema(blobs.toDS().schema)
+      .parquet(bdir).as[Multimodal.Blob].map(decode)
+    run(decStream, "flac_stream")
+    val streamed = spark.table("flac_stream").as[(Long, Int, Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(streamed == blobs.map(decode).sortBy(_._1))
+    assert(streamed == Seq((1L, 22050, 1), (2L, -1, -1)))
+  }
 }
