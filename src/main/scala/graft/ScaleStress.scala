@@ -1874,12 +1874,125 @@ object ScaleStress {
     }
   }
 
+  /** Incremental SCD2 merge vs full rebuild (q252 engine) — the curve
+    * that justifies ScdMerge's existence: the rebuild consumes the
+    * whole G-generation snapshot stack (G·n rows), the merge consumes
+    * the HISTORY (versions-sized) plus ONE snapshot (n rows), so
+    * rebuild cost grows with G while merge cost is flat in G. Equality
+    * of the two results is ASSERTED at every point (the law, not a
+    * sample), so the speedup is never bought with a wrong answer. */
+  def scdMergeCurve(spark: SparkSession): Unit = {
+    import graft.operators.{Scd, ScdMerge}
+    val n = 200000L
+    println(s"== SCD2: incremental merge vs full rebuild ($n keys) ==")
+    def snap(g: Int): DataFrame = spark.range(n).select(
+      col("id").as("k"), lit(g.toLong).as("g"),
+      // each key mutates at generations ≡ its residue (sparse changes,
+      // the realistic dimension shape: most keys unchanged per load)
+      when(pmod(col("id"), lit(7L)) === g % 7, lit(s"s$g"))
+        .otherwise(lit("base")).as("st"),
+      (col("id") % 1000 + 10 * (g / 4)).as("v"))
+    for (gens <- Seq(4, 8, 16, 32)) {
+      val stack = (0 until gens).map(snap).reduce(_ unionByName _)
+      val ((rebuilt, nRebuilt), tRebuild) = time {
+        val r = Scd.type2History(stack, "k", "g", Seq("st", "v")).cache()
+        (r, r.count())
+      }
+      val history = Scd.type2History(
+        (0 until gens - 1).map(snap).reduce(_ unionByName _),
+        "k", "g", Seq("st", "v")).cache()
+      history.count() // materialize OUTSIDE the timed merge window
+      val ((merged, nMerged), tMerge) = time {
+        val m = ScdMerge.merge(history, snap(gens - 1).drop("g"), "k",
+          Seq("st", "v"), (gens - 1).toLong).cache()
+        (m, m.count())
+      }
+      // the law, asserted at every point (both directions)
+      val diff = merged.exceptAll(rebuilt).count() +
+        rebuilt.exceptAll(merged).count()
+      require(diff == 0 && nMerged == nRebuilt,
+        s"merge != rebuild at gens=$gens: diff=$diff")
+      println(f"gens=$gens%3d: stack=${gens * n}%9d rows  " +
+        f"rebuild=${tRebuild}%6.2f s ($nRebuilt%8d versions)  " +
+        f"merge=${tMerge}%6.2f s  ratio=${tRebuild / tMerge}%5.2f x")
+      rebuilt.unpersist(); history.unpersist(); merged.unpersist()
+    }
+  }
+
+  /** Sorted-neighborhood candidate growth (q254 engine) — the blocking
+    * argument in numbers: SNM candidates are ≤ n·(w−1) BY CONSTRUCTION
+    * (each rank pairs with at most w−1 successors) while the in-block
+    * pair space grows quadratically; planted twins are TAIL typos
+    * (last character dropped), the case sorted-neighborhood is designed
+    * for — they share the long sort prefix, so recall stays high and
+    * FLAT as the corpus grows. A typo early in the key sorts the twin
+    * away (the method's documented blind spot) — that case is pinned in
+    * q254/SortedNeighborhoodSpec, not measured here: its recall is ~0
+    * by design and production answers it with a second pass on a
+    * different key. */
+  def snmCurve(spark: SparkSession): Unit = {
+    import spark.implicits._
+    import graft.operators.SortedNeighborhood
+    println("== sorted neighborhood: candidates vs in-block pair space ==")
+    val adj = Vector("red", "blue", "hot", "cold", "big", "small", "fast",
+      "slow", "dark", "light", "old", "new", "high", "low", "wide", "thin")
+    val noun = Vector("widget", "gizmo", "bolt", "gear", "ring", "valve",
+      "lever", "panel", "probe", "crank", "shaft", "brace", "clamp", "dial",
+      "fuse", "hinge")
+    for (n <- Seq(50000L, 100000L, 200000L, 400000L)) {
+      // the numeric tail is the UNIQUE zero-padded id: a truncated twin
+      // then shares its 6-digit prefix with (almost) only its source —
+      // a modular suffix made every 1-digit twin collapse to the same
+      // key and cluster AWAY from its source (measured: recall fell
+      // with n for fixture reasons, not method reasons)
+      val base = spark.range(n).select(col("id"),
+        concat_ws(" ",
+          element_at(typedLit(adj), (pmod(col("id") * 2654435761L, lit(16L)) + 1).cast("int")),
+          element_at(typedLit(noun), (pmod(col("id") * 40503L, lit(16L)) + 1).cast("int")),
+          lpad(col("id").cast("string"), 7, "0")).as("key"))
+      val dirty = base.filter(col("id") % 4 === 0).select(
+        (col("id") + 1000000000L).as("id"),
+        expr("substr(key, 1, length(key) - 1)").as("key"))
+      val recs = base.unionByName(dirty).cache()
+      recs.count()
+      val ((candidates, matched), t) = time {
+        val p = SortedNeighborhood.pairs(recs, "id", "key",
+          substring(col("key"), 1, 1), w = 4).cache()
+        val c = p.count()
+        // planted recall: twin pair (id, id+1e9) recovered by the window
+        val m = p.filter(col("id2") === col("id1") + 1000000000L ||
+          col("id1") === col("id2") + 1000000000L).count()
+        p.unpersist()
+        (c, m)
+      }
+      val planted = n / 4
+      // in-block pair space (what a block-local all-pairs join would scan)
+      val pairSpace = recs.groupBy(substring(col("key"), 1, 1))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c * (c - 1) div 2"))).head().getLong(0)
+      println(f"n=$n%7d: candidates=$candidates%9d  " +
+        f"block_pair_space=$pairSpace%12d (${pairSpace / math.max(candidates, 1)}%5d x)  " +
+        f"planted_recall=${100.0 * matched / planted}%5.1f %%  wall=${t}%5.2f s")
+      recs.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.filterNot(_.startsWith("--")).headOption
       .getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (args.contains("--scdmerge")) {
+      scdMergeCurve(spark)
+      spark.stop()
+      return
+    }
+    if (args.contains("--snm")) {
+      snmCurve(spark)
+      spark.stop()
+      return
+    }
     if (args.contains("--docformats")) {
       docFormatsThroughput(spark)
       spark.stop()
