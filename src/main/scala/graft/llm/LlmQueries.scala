@@ -8183,6 +8183,59 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q256
+  // Weighted systematic PPS draw (operators/Systematic — the
+  // token-budgeted corpus draw q247 is the document-budgeted half of:
+  // a training mix budgets TOKENS, so inclusion must be proportional
+  // to length; Madow 1949 midpoint systematic sampling makes that an
+  // EXACT INTEGER draw — points p_j = ⌊W(2j+1)/2k⌋ on the cumulative-
+  // weight line, no float probabilities, no seeded RNG, reruns and
+  // oracles derive the identical sample). Per-language quotas come
+  // from q243's Hamilton allocator over char mass; the line order is
+  // the pinned multiplicative hash (q244's LCG), so position can't
+  // correlate with weight. Exactly 1000 output rows at EVERY SF by
+  // construction (the exact-k contract; heavy docs repeat — PPS with
+  // multiplicity, the stated semantics). One lang-keyed window + one
+  // lang-sized aggregate + a BROADCAST points join (≤k rows) with the
+  // interval test residual — the corpus never shuffles for the points.
+  val q256 = Q(
+    "q256_pps_systematic",
+    """WITH w AS (SELECT lang AS stratum, CAST(sum(n_chars) AS BIGINT) AS weight
+      |           FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(sum(weight) AS BIGINT) AS tot FROM w),
+      |b AS (SELECT stratum, weight,
+      |        (1000 * weight) // tot AS base,
+      |        (1000 * weight) % tot AS rem
+      |      FROM w CROSS JOIN t),
+      |l AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS leftover FROM b),
+      |al AS (SELECT stratum, weight,
+      |         base + CASE WHEN row_number() OVER (ORDER BY rem DESC, stratum)
+      |                       <= l.leftover THEN 1 ELSE 0 END AS alloc
+      |       FROM b CROSS JOIN l),
+      |it AS (SELECT lang AS stratum, doc_id AS id,
+      |         CAST(n_chars AS BIGINT) AS w,
+      |         coalesce(sum(n_chars) OVER (PARTITION BY lang
+      |           ORDER BY (doc_id * 48271) % 1000000007, doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cexcl
+      |       FROM documents),
+      |pts AS (SELECT stratum, j, (weight * (2 * j + 1)) // (2 * alloc) AS p
+      |        FROM (SELECT stratum, weight, alloc, unnest(range(alloc)) AS j
+      |              FROM al WHERE alloc >= 1))
+      |SELECT it.stratum, CAST(pts.j AS BIGINT) AS j, it.id, it.w
+      |FROM it JOIN pts ON pts.stratum = it.stratum
+      | AND pts.p >= it.cexcl AND pts.p < it.cexcl + it.w
+      |ORDER BY it.stratum, j""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val weights = docs.groupBy(col("lang"))
+      .agg(sum(col("n_chars")).as("weight"))
+    val allocs = graft.operators.Allocate.largestRemainder(
+      weights, "lang", col("weight"), 1000L)
+    graft.operators.Systematic.sample(
+        docs.select(col("lang"), col("doc_id"), col("n_chars")),
+        "lang", "doc_id", col("n_chars"), allocs)
+      .orderBy("stratum", "j")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -8198,5 +8251,6 @@ object LlmQueries {
       q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222,
       q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
       q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
-      q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255)
+      q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
+      q256)
 }
