@@ -8236,6 +8236,102 @@ object LlmQueries {
       .orderBy("stratum", "j")
   }
 
+  // ---------------------------------------------------------------- q257
+  // Interval union / coverage report (operators/Intervals — the
+  // gaps-and-islands MERGE, completing the interval toolkit beside
+  // q222's sweep-line overlap count and q248's integer-run streaks:
+  // billing hours, SLA uptime stretches, and availability reports all
+  // reduce to "how much did each key cover, in how many stretches,
+  // with what biggest hole"). The load-bearing subtlety is the
+  // SWALLOWING case: an island boundary tests the start against the
+  // RUNNING MAX of all earlier ends — lag(end) splits wrongly when a
+  // long interval swallows its successors (spec-pinned). Touching
+  // intervals merge (half-open [s,e) semantics). ONE user-keyed window
+  // shuffle shared by both windows and the island aggregate; the gap
+  // pass runs over merged island rows. All integer µs.
+  val q257 = Q(
+    "q257_interval_coverage",
+    """WITH i AS (SELECT user_id,
+      |    epoch_us(ts) AS s,
+      |    epoch_us(ts) + (event_id % 50 + 10) * 60000000 AS e
+      |  FROM events),
+      |o AS (SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      |      FROM i),
+      |f AS (SELECT *, CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END
+      |        AS nw FROM o),
+      |g AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      |      FROM f),
+      |v AS (SELECT user_id, isl, count(*) AS n, min(s) AS ms, max(e) AS me
+      |      FROM g GROUP BY 1, 2),
+      |w2 AS (SELECT *, coalesce(lead(ms) OVER (PARTITION BY user_id
+      |         ORDER BY ms) - me, 0) AS gap FROM v)
+      |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals,
+      |  CAST(count(*) AS BIGINT) AS n_islands,
+      |  CAST(sum(me - ms) AS BIGINT) AS covered_us,
+      |  CAST(max(gap) AS BIGINT) AS max_gap_us
+      |FROM w2 GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val iv = Tables(s, dir, "events").select(col("user_id"),
+      unix_micros(col("ts")).as("s"),
+      (unix_micros(col("ts")) +
+        (pmod(col("event_id"), lit(50L)) + 10) * 60000000L).as("e"))
+    graft.operators.Intervals.coverage(iv, "user_id", "s", "e")
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------- q258
+  // Rendezvous (HRW) sharding with a resize-movement audit (Thaler &
+  // Ravishankar 1996 — the stable-assignment primitive behind
+  // consistent shuffles, cache rings, and cluster resizes at 100 TB:
+  // when the shard count changes, only keys whose NEW shard wins move;
+  // everything else stays). shard(k, S) = the s < S maximizing a
+  // pinned affine hash h(k, s), ties to the SMALLEST s — the argmax is
+  // a codegen'd higher-order fold (max over an array of (h, −s)
+  // structs), row-local, no shuffle until the final count. The output
+  // certifies the HRW LAW: resizing 8 → 9 moves keys ONLY INTO the new
+  // shard (n_stayed = n_keys on shards 0–7, 0 on shard 8) at ~1/9 of
+  // the keyspace. Oracle replays the argmax as max-hash + min-shard
+  // joins over an unnested shard range. The hash is QUADRATIC in the
+  // reduced affine form — h = a·(a+12345) mod p with a = (k·P₁ + s·P₂
+  // + 17) mod p — because ANY affine-in-s hash makes argmax degenerate
+  // (h(s) steps by a constant mod p, so one shard wins almost always;
+  // the first cut measured 64% on shard 0), and a < p keeps the
+  // product under 2⁶³ in both engines (no ANSI overflow).
+  val q258 = Q(
+    "q258_rendezvous_shards",
+    """WITH k AS (SELECT o_orderkey AS k FROM orders),
+      |h AS (SELECT k, s, a * (a + 12345) % 1000000007 AS h
+      |      FROM (SELECT k, s,
+      |              (k * 2654435761 + s * 40503 + 17) % 1000000007 AS a
+      |            FROM k CROSS JOIN (SELECT unnest(range(9)) AS s) t)),
+      |m8 AS (SELECT k, max(h) AS mh FROM h WHERE s < 8 GROUP BY k),
+      |a8 AS (SELECT h.k, CAST(min(s) AS BIGINT) AS s8
+      |       FROM h JOIN m8 ON h.k = m8.k AND h.h = m8.mh AND h.s < 8
+      |       GROUP BY h.k),
+      |m9 AS (SELECT k, max(h) AS mh FROM h GROUP BY k),
+      |a9 AS (SELECT h.k, CAST(min(s) AS BIGINT) AS s9
+      |       FROM h JOIN m9 ON h.k = m9.k AND h.h = m9.mh GROUP BY h.k)
+      |SELECT s9, CAST(count(*) AS BIGINT) AS n_keys,
+      |  CAST(sum(CASE WHEN s8 = s9 THEN 1 ELSE 0 END) AS BIGINT) AS n_stayed
+      |FROM a8 JOIN a9 USING (k)
+      |GROUP BY s9 ORDER BY s9""".stripMargin) { (s, dir) =>
+    def shard(n: Int) = expr(
+      s"""-(array_max(transform(
+         |  transform(sequence(0, ${n - 1}),
+         |    s -> named_struct('a',
+         |      (o_orderkey * 2654435761L + s * 40503L + 17L) % 1000000007L,
+         |      'ns', -s)),
+         |  e -> struct(e.a * (e.a + 12345L) % 1000000007L AS h,
+         |       e.ns AS ns))).ns)""".stripMargin).cast("long")
+    Tables(s, dir, "orders")
+      .select(shard(8).as("s8"), shard(9).as("s9"))
+      .groupBy("s9")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("s8") === col("s9"), 1L).otherwise(0L)).as("n_stayed"))
+      .orderBy("s9")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -8252,5 +8348,5 @@ object LlmQueries {
       q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
       q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
       q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
-      q256)
+      q256, q257, q258)
 }
