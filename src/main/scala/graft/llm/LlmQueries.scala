@@ -8332,6 +8332,53 @@ object LlmQueries {
       .orderBy("s9")
   }
 
+  // ---------------------------------------------------------------- q259
+  // WebP feature census (llm/Webp — the RIFF-contained image format a
+  // crawl meets beside PNG/GIF/JPEG; RIFF is WAV's own chunk layout):
+  // pixel decode is perceptual-codec territory (VP8 is a video intra
+  // frame — the documented native boundary), but the DIMENSIONS are
+  // byte/bit-structured in three different ways and each is exactly
+  // checkable: VP8X 24-bit LE canvas dims + flag bits (fixture widths
+  // exceed 16 bits so a u16 misread cannot pass), lossy VP8 u16le dims
+  // behind a start code with 2 scaling-hint bits masked off, lossless
+  // VP8L 14+14 bits packed LSB-first. Every 7th doc truncates →
+  // quarantines whole (the RIFF size must agree with the buffer);
+  // skippable pre-image chunks with odd-length padding are WebpSpec
+  // territory. Oracle re-derives every field from the generating
+  // formula. Row-local, no shuffle.
+  val q259 = Q(
+    "q259_webp_census",
+    """SELECT doc_id,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'VP8X' WHEN 1 THEN 'VP8'
+      |       ELSE 'VP8L' END AS format,
+      |  CAST(CASE CAST(doc_id % 3 AS INT)
+      |       WHEN 0 THEN 65536 + doc_id % 1000
+      |       WHEN 1 THEN 16 + doc_id % 1000
+      |       ELSE 1 + doc_id % 16383 END AS BIGINT) AS width,
+      |  CAST(CASE CAST(doc_id % 3 AS INT)
+      |       WHEN 0 THEN 300 + doc_id % 200
+      |       WHEN 1 THEN 16 + doc_id % 800
+      |       ELSE 1 + doc_id % 500 END AS BIGINT) AS height,
+      |  doc_id % 3 = 0 AND doc_id % 2 = 0 AS has_alpha,
+      |  doc_id % 3 = 0 AND doc_id % 4 = 0 AS has_anim
+      |FROM documents WHERE doc_id % 7 <> 0
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir, "documents").select(col("doc_id")).as[Long].flatMap { id =>
+      val bytes = (id % 3) match {
+        case 0 => Webp.buildVp8x((65536 + id % 1000).toInt,
+          (300 + id % 200).toInt, alpha = id % 2 == 0, anim = id % 4 == 0)
+        case 1 => Webp.buildVp8((16 + id % 1000).toInt, (16 + id % 800).toInt)
+        case _ => Webp.buildVp8l((1 + id % 16383).toInt, (1 + id % 500).toInt)
+      }
+      val blob = if (id % 7 == 0) bytes.dropRight(3) else bytes
+      Webp.features(blob).iterator.map(f =>
+        (id, f.format, f.width.toLong, f.height.toLong, f.hasAlpha,
+          f.hasAnim))
+    }.toDF("doc_id", "format", "width", "height", "has_alpha", "has_anim")
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -8348,5 +8395,5 @@ object LlmQueries {
       q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
       q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
       q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
-      q256, q257, q258)
+      q256, q257, q258, q259)
 }

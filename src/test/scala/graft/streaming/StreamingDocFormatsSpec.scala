@@ -500,6 +500,28 @@ class StreamingDocFormatsSpec extends SparkSpec {
       Seq((1L, "café.x", "unknown"), (2L, "<quarantine>", "unknown")))
   }
 
+  test("streaming webp census ≡ batch (r15 image-container tier)") {
+    import graft.llm.Webp
+    // Webp.features is a pure function — pin serialization into a
+    // streaming map (the Ico/Ogg treatment)
+    val blobs = Seq(
+      Multimodal.Blob(1L, Webp.buildVp8(64, 32)),
+      Multimodal.Blob(2L, Webp.buildVp8l(10, 20)),
+      Multimodal.Blob(3L, Webp.buildVp8(64, 32).dropRight(1)))
+    val bdir = stage(blobs)
+    def decode(b: Multimodal.Blob) = Webp.features(b.payload)
+      .map(f => (b.doc_id, f.format, f.width.toLong * 100000 + f.height))
+      .getOrElse((b.doc_id, "quarantine", -1L))
+    val decStream = spark.readStream.schema(blobs.toDS().schema)
+      .parquet(bdir).as[Multimodal.Blob].map(decode)
+    run(decStream, "webp_stream")
+    val streamed = spark.table("webp_stream").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(streamed == blobs.map(decode).sortBy(_._1))
+    assert(streamed == Seq((1L, "VP8", 6400032L), (2L, "VP8L", 1000020L),
+      (3L, "quarantine", -1L)))
+  }
+
   test("streaming flac metadata ≡ batch (r15 audio-container tier)") {
     import graft.llm.Flac
     // Flac.metadata is a pure function — pin serialization into a
