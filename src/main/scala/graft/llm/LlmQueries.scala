@@ -8379,6 +8379,104 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q260
+  // Referential-integrity audit (B6/B8 — the warehouse health check a
+  // 100 TB lake runs after every load: per declared FK relationship,
+  // how many child rows/keys point at a parent that does not exist;
+  // orphans are how a partial parent load or an out-of-order ingest
+  // first surfaces). Six TPC-H-shaped relationships in one report;
+  // each is ONE anti-join (broadcastable parent keysets for the small
+  // dims, key-shuffle for the big ones — Catalyst's call via AQE) plus
+  // a distinct count; the report is relationship-sized. Oracle replays
+  // each as NOT IN over the parent keyset. The fixture is referentially
+  // clean by construction (orphan columns 0 — a fact worth hashing),
+  // so a seventh PLANTED relationship corrupts the FK of every 13th
+  // ORDER's lineitems to certify the orphan arithmetic with non-zero
+  // values (l_linenumber never reaches 13 — the first cut keyed the
+  // corruption on it and planted nothing).
+  val q260 = Q(
+    "q260_fk_audit",
+    """WITH rel(name, child_rows, child_keys, orphan_rows, orphan_keys) AS (
+      |  SELECT 'lineitem.orderkey->orders', count(*), count(DISTINCT l_orderkey),
+      |    count(*) FILTER (o_orderkey IS NULL),
+      |    count(DISTINCT l_orderkey) FILTER (o_orderkey IS NULL)
+      |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+      |  UNION ALL
+      |  SELECT 'lineitem.partkey->part', count(*), count(DISTINCT l_partkey),
+      |    count(*) FILTER (p_partkey IS NULL),
+      |    count(DISTINCT l_partkey) FILTER (p_partkey IS NULL)
+      |  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+      |  UNION ALL
+      |  SELECT 'lineitem.suppkey->supplier', count(*), count(DISTINCT l_suppkey),
+      |    count(*) FILTER (s_suppkey IS NULL),
+      |    count(DISTINCT l_suppkey) FILTER (s_suppkey IS NULL)
+      |  FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+      |  UNION ALL
+      |  SELECT 'orders.custkey->customer', count(*), count(DISTINCT o_custkey),
+      |    count(*) FILTER (c_custkey IS NULL),
+      |    count(DISTINCT o_custkey) FILTER (c_custkey IS NULL)
+      |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |  UNION ALL
+      |  SELECT 'customer.nationkey->nation', count(*), count(DISTINCT c_nationkey),
+      |    count(*) FILTER (n_nationkey IS NULL),
+      |    count(DISTINCT c_nationkey) FILTER (n_nationkey IS NULL)
+      |  FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+      |  UNION ALL
+      |  SELECT 'nation.regionkey->region', count(*), count(DISTINCT n_regionkey),
+      |    count(*) FILTER (r_regionkey IS NULL),
+      |    count(DISTINCT n_regionkey) FILTER (r_regionkey IS NULL)
+      |  FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+      |  UNION ALL
+      |  SELECT 'planted.orderkey->orders', count(*), count(DISTINCT k),
+      |    count(*) FILTER (o_orderkey IS NULL),
+      |    count(DISTINCT k) FILTER (o_orderkey IS NULL)
+      |  FROM (SELECT CASE WHEN l_orderkey % 13 = 0
+      |               THEN l_orderkey + 2000000000 ELSE l_orderkey END AS k
+      |        FROM lineitem) c
+      |  LEFT JOIN orders ON c.k = o_orderkey)
+      |SELECT name, CAST(child_rows AS BIGINT) AS child_rows,
+      |  CAST(child_keys AS BIGINT) AS child_keys,
+      |  CAST(orphan_rows AS BIGINT) AS orphan_rows,
+      |  CAST(orphan_keys AS BIGINT) AS orphan_keys
+      |FROM rel ORDER BY name""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.DataFrame
+    def audit(name: String, child: DataFrame, fk: String, parent: DataFrame,
+        pk: String): DataFrame = {
+      val j = child.select(col(fk)).join(
+        parent.select(col(pk)).distinct().withColumn("__p", lit(true)),
+        col(fk) === col(pk), "left")
+      j.agg(
+        lit(name).as("name"),
+        count(lit(1)).as("child_rows"),
+        countDistinct(col(fk)).as("child_keys"),
+        count(when(col("__p").isNull, 1)).as("orphan_rows"),
+        countDistinct(when(col("__p").isNull, col(fk))).as("orphan_keys"))
+        .select("name", "child_rows", "child_keys", "orphan_rows",
+          "orphan_keys")
+    }
+    val li = Tables(s, dir, "lineitem")
+    Seq(
+      audit("lineitem.orderkey->orders", li, "l_orderkey",
+        Tables(s, dir, "orders"), "o_orderkey"),
+      audit("lineitem.partkey->part", li, "l_partkey",
+        Tables(s, dir, "part"), "p_partkey"),
+      audit("lineitem.suppkey->supplier", li, "l_suppkey",
+        Tables(s, dir, "supplier"), "s_suppkey"),
+      audit("orders.custkey->customer", Tables(s, dir, "orders"),
+        "o_custkey", Tables(s, dir, "customer"), "c_custkey"),
+      audit("customer.nationkey->nation", Tables(s, dir, "customer"),
+        "c_nationkey", Tables(s, dir, "nation"), "n_nationkey"),
+      audit("nation.regionkey->region", Tables(s, dir, "nation"),
+        "n_regionkey", Tables(s, dir, "region"), "r_regionkey"),
+      audit("planted.orderkey->orders",
+        li.select(when(col("l_orderkey") % 13 === 0,
+          col("l_orderkey") + 2000000000L)
+          .otherwise(col("l_orderkey")).as("k")), "k",
+        Tables(s, dir, "orders"), "o_orderkey"))
+      .reduce(_ unionByName _)
+      .orderBy("name")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -8395,5 +8493,5 @@ object LlmQueries {
       q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
       q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
       q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
-      q256, q257, q258, q259)
+      q256, q257, q258, q259, q260)
 }
