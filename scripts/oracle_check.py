@@ -206,18 +206,18 @@ def main():
             failures += 1
             continue
 
-        # 6. driver-faithful canonicalization: the driver sorts BOTH frames
-        #    with pandas sort_values over all columns before hashing — if
-        #    that errors here it errors at the driver (q215's failure mode;
-        #    the nested lint above should catch it first, but this is the
-        #    faithful reproduction for anything the lint misses)
+        # 6. driver-faithful canonicalization PROBE: the driver sorts both
+        #    frames with pandas sort_values before hashing — if that errors
+        #    here it errors at the driver (q215's failure mode; the nested
+        #    lint above should catch it first, but this reproduces anything
+        #    the lint misses). The sorted frames are DISCARDED: the value
+        #    compare below runs in ORIGINAL query-output order, which is
+        #    STRICTER than the driver (it catches an engine ORDER BY bug
+        #    that the driver's canonicalization would mask — dropping that
+        #    strictness was a review finding on the first cut of this step)
         try:
-            # by name-sorted columns on BOTH sides (the driver sorts columns
-            # by name before hashing) so tie-breaking is frame-independent
-            odf = odf.sort_values(by=ocols,
-                                  kind="mergesort").reset_index(drop=True)
-            edf = edf.sort_values(by=ecols,
-                                  kind="mergesort").reset_index(drop=True)
+            odf.sort_values(by=ocols, kind="mergesort")
+            edf.sort_values(by=ecols, kind="mergesort")
         except TypeError as e:
             print(f"FAIL {name}: driver sort_values canonicalization "
                   f"errors: {e}")

@@ -78,11 +78,13 @@ object CodegenGuard {
   def count: Long = errors.get()
 
   /** Test hook: CodegenGuardSpec proves the appender wiring by logging a
-    * synthetic ERROR on the exact logger and must then zero the global
-    * counter so every other suite's afterAll invariant stays meaningful. */
-  private[graft] def resetForTest(): Unit = {
-    errors.set(0)
-    samples.clear()
+    * synthetic ERROR on the exact logger, then RETRACTS exactly that one
+    * event — a full reset would also erase any REAL fallback counted
+    * earlier in the JVM and make every later suite's zero-count
+    * assertion vacuous (review finding on the first cut, which zeroed). */
+  private[graft] def retractOneForTest(syntheticMarker: String): Unit = {
+    errors.decrementAndGet()
+    samples.removeIf(_.contains(syntheticMarker))
   }
 
   def report: String = {

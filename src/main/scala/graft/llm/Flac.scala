@@ -56,6 +56,7 @@ object Flac extends Serializable {
     var info: Option[StreamInfo] = None
     var vendor = ""
     var comments = Seq.empty[(String, String)]
+    var seenVc = false
     var last = false
     var n = 0
     while (!last) {
@@ -83,6 +84,10 @@ object Flac extends Serializable {
       } else if (btype == 0) {
         return None // a second STREAMINFO is malformed
       } else if (btype == 4) {
+        // RFC 9639 permits at most ONE vorbis-comment block; last-wins
+        // would be the half-parsed acceptance the contract forbids
+        if (seenVc) return None
+        seenVc = true
         // vorbis comment: LITTLE-endian lengths inside the BE container
         var q = p
         val end = p + len

@@ -8068,8 +8068,11 @@ object LlmQueries {
       .select(col("event_type"), pmod(col("user_id"), lit(8L)).as("ub"),
         expr("unix_micros(ts) div 86400000000").as("d"))
       .groupBy("event_type", "ub", "d").agg(count(lit(1)).as("x"))
+    // maxLen = days of a decade: the grain is DAILY by construction, so
+    // the honest bound is calendar-sized, not corpus-sized (the fold is
+    // O(n²) per key — a loose cap would permit the blowup it guards)
     graft.operators.Ewma.smooth(counts, Seq("event_type", "ub"), "d", "x",
-        maxLen = 100000)
+        maxLen = 3660)
       .orderBy("event_type", "ub", "d")
   }
 
@@ -8296,14 +8299,18 @@ object LlmQueries {
   // reduced affine form — h = a·(a+12345) mod p with a = (k·P₁ + s·P₂
   // + 17) mod p — because ANY affine-in-s hash makes argmax degenerate
   // (h(s) steps by a constant mod p, so one shard wins almost always;
-  // the first cut measured 64% on shard 0), and a < p keeps the
-  // product under 2⁶³ in both engines (no ANSI overflow).
+  // the first cut measured 64% on shard 0). Overflow discipline: the
+  // key PRE-REDUCES mod p before the multiply (k%p ≤ ~1e9, ×P₁ ≈
+  // 2.7e18 < 2⁶³ — a raw key would overflow under ANSI once keys pass
+  // ~3.5e9, i.e. at real warehouse scale) and a < p keeps the
+  // quadratic term under 2⁶³ in both engines.
   val q258 = Q(
     "q258_rendezvous_shards",
     """WITH k AS (SELECT o_orderkey AS k FROM orders),
       |h AS (SELECT k, s, a * (a + 12345) % 1000000007 AS h
       |      FROM (SELECT k, s,
-      |              (k * 2654435761 + s * 40503 + 17) % 1000000007 AS a
+      |              ((k % 1000000007) * 2654435761 + s * 40503 + 17)
+      |                % 1000000007 AS a
       |            FROM k CROSS JOIN (SELECT unnest(range(9)) AS s) t)),
       |m8 AS (SELECT k, max(h) AS mh FROM h WHERE s < 8 GROUP BY k),
       |a8 AS (SELECT h.k, CAST(min(s) AS BIGINT) AS s8
@@ -8320,7 +8327,8 @@ object LlmQueries {
       s"""-(array_max(transform(
          |  transform(sequence(0, ${n - 1}),
          |    s -> named_struct('a',
-         |      (o_orderkey * 2654435761L + s * 40503L + 17L) % 1000000007L,
+         |      ((o_orderkey % 1000000007L) * 2654435761L
+         |        + s * 40503L + 17L) % 1000000007L,
          |      'ns', -s)),
          |  e -> struct(e.a * (e.a + 12345L) % 1000000007L AS h,
          |       e.ns AS ns))).ns)""".stripMargin).cast("long")

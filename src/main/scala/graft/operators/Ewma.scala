@@ -22,11 +22,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: ONE key-keyed aggregate (collect_list of the per-key
   * series, bounded by contract — days of a month, minutes of an hour;
-  * the require below refuses unbounded series), then the fold runs as
-  * a codegen'd higher-order `aggregate` over the sorted array and
-  * `inline` restores rows. No window, no iteration, no UDF. An EWMA is
-  * inherently sequential per key — the parallelism is ACROSS keys,
-  * which is exactly what the aggregate gives. */
+  * an in-plan assert_true refuses series past `maxLen`), then the fold
+  * runs as a codegen'd higher-order `aggregate` over the sorted array
+  * and `inline` restores rows. No window, no iteration, no UDF. An
+  * EWMA is inherently sequential per key — the parallelism is ACROSS
+  * keys, which is exactly what the aggregate gives. Cost note: the
+  * fold appends via array concat, so a key's series costs O(n²)
+  * element copies — fine at the bounded grains this operator is FOR
+  * and the reason `maxLen` defaults low; callers must aggregate to a
+  * bounded grain first, not raise the cap. */
 object Ewma {
 
   /** (keyCols…, d, x, ewma64): `d` the order column (e.g. epoch-day),
@@ -34,7 +38,7 @@ object Ewma {
     * in 1/64 units. `maxLen` bounds the per-key series (the collected
     * array) — callers aggregate to a bounded grain first. */
   def smooth(df: DataFrame, keyCols: Seq[String], ordCol: String,
-      valCol: String, maxLen: Int = 10000): DataFrame = {
+      valCol: String, maxLen: Int = 4096): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
     val series = df
       .groupBy(keyCols.map(col): _*)

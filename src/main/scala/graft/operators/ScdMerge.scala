@@ -42,7 +42,13 @@ object ScdMerge {
       .withColumn("gen_from", col("gen_from").cast("long"))
       .withColumn("gen_to", col("gen_to").cast("long"))
     val closed = h.filter(col("gen_to").isNotNull)
+    // the g-monotonicity contract is ENFORCED, not assumed: a same-g
+    // replay (a double-run nightly load) would otherwise emit an empty
+    // [g,g) interval plus a second gen_from=g row — silent corruption
     val open = h.filter(col("gen_to").isNull)
+      .filter(assert_true(col("gen_from") < g,
+        lit(s"ScdMerge.merge: open interval with gen_from >= g=$g — " +
+          "is this a same-generation replay?")).isNull)
       .select(col(keyCol) +: col("gen_from") +:
         attrs.map(a => col(a).as(s"h_$a")): _*)
     val s = snap.select(col(keyCol) +: attrs.map(a => col(a).as(s"s_$a")): _*)

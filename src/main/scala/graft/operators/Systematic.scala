@@ -39,6 +39,11 @@ object Systematic {
       weightCol: Column, allocs: DataFrame): DataFrame = {
     val items = df.select(col(stratumCol).as("stratum"),
       col(idCol).as("id"), weightCol.cast("long").as("w"))
+      // positivity is ENFORCED, not assumed: a non-positive weight makes
+      // the cumulative line non-monotone, and one point can then satisfy
+      // TWO intervals — duplicate draws that silently break exact-k
+      .filter(assert_true(col("w") >= 1,
+        lit("Systematic.sample: weights must be positive")).isNull)
     val byLine = Window.partitionBy("stratum")
       .orderBy(pmod(col("id") * lit(48271L), lit(1000000007L)), col("id"))
     val ranked = items.withColumn("cexcl",

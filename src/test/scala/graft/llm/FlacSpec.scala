@@ -60,6 +60,10 @@ class FlacSpec extends AnyFunSuite {
       "zero sample rate is invalid for audio")
     assert(Flac.metadata(Flac.build(Seq(0 -> si(), 0 -> si()))).isEmpty,
       "a second STREAMINFO is malformed")
+    val vc1 = Flac.buildVorbisComment("v1", Seq("K" -> "a"))
+    val vc2 = Flac.buildVorbisComment("v2", Seq("K" -> "b"))
+    assert(Flac.metadata(Flac.build(Seq(0 -> si(), 4 -> vc1, 4 -> vc2)))
+      .isEmpty, "a second VORBIS_COMMENT must quarantine, not last-win")
     assert(Flac.metadata(good.dropRight(1)).isEmpty, "truncated block")
     // unterminated: clear the last flag on the only block
     val unterminated = good.clone

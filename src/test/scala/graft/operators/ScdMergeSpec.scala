@@ -54,6 +54,18 @@ class ScdMergeSpec extends SparkSpec {
       "snapshots are states, a disappearance is not a change")
   }
 
+  test("a same-generation replay is rejected, not silently applied") {
+    // double-running a nightly load would emit an empty [g,g) interval
+    // plus a duplicate gen_from=g row — the monotonicity contract is
+    // enforced in-plan
+    val hist = Seq((1L, 3L, Option.empty[Long], "a", 1L))
+      .toDF("k", "gen_from", "gen_to", "st", "v")
+    val snap = Seq((1L, "b", 2L)).toDF("k", "st", "v")
+    intercept[Exception] {
+      ScdMerge.merge(hist, snap, "k", Seq("st", "v"), 3L).collect()
+    }
+  }
+
   test("a changed attr closes at g and opens a new current interval") {
     val hist = Seq((1L, 0L, Option.empty[Long], "a", 1L))
       .toDF("k", "gen_from", "gen_to", "st", "v")

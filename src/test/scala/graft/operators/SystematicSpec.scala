@@ -43,6 +43,15 @@ class SystematicSpec extends SparkSpec {
     assert(got.count(_._3 == 99L) >= 9, s"dominant item must repeat: $got")
   }
 
+  test("non-positive weights are rejected, not silently double-drawn") {
+    // a negative weight makes the cumulative line non-monotone and one
+    // point can satisfy TWO intervals — the exact-k contract breaks
+    intercept[Exception] {
+      draw(Seq(("a", 1L, 10L), ("a", 2L, -5L), ("a", 3L, 10L)),
+        Seq(("a", 3L)))
+    }
+  }
+
   test("weight-proportional inclusion: frequencies track weights") {
     // two items, weights 1 and 3, k=40 -> 10 vs 30 picks exactly
     // (systematic sampling is exact at integer multiples)
