@@ -8485,6 +8485,78 @@ object LlmQueries {
       .orderBy("name")
   }
 
+  // ---------------------------------------------------------------- q261
+  // Content-defined chunk dedup (llm/Cdc — LBFS/rsync boundary rule,
+  // the INSERTION-ROBUST sub-document dedup q130's fixed shingles are
+  // not: one inserted byte shifts every fixed window, CDC boundaries
+  // realign after the edit so untouched chunks keep their identity
+  // across document versions — CdcSpec pins exactly that property).
+  // Boundary = 16-char polynomial window hash ≡ 0 mod 64, prime
+  // modulus BEFORE the residue test (a power-of-two modulus collapses
+  // 257^k to two classes and the rule degenerates), power constants
+  // pinned identically in both engines. Per-doc report: chunk count,
+  // length extremes, and how many of the doc's chunks appear in OTHER
+  // docs (the dedup signal — 127/500 docs share at sf0.001). Engine is
+  // position-parallel codegen'd HOFs (no UDF), one chunk-keyed
+  // exchange for the sharing counts; chunk identity is the string so
+  // the oracle replays equality — at 100 TB the key is xxhash64(chunk)
+  // (q130's measured 2.9× hash-vs-string trade).
+  val q261 = Q(
+    "q261_cdc_chunks",
+    """WITH pw(j, p) AS (VALUES (0,57526),(1,385439),(2,203835),(3,117525),
+      |  (4,731977),(5,555379),(6,126675),(7,381817),(8,709659),(9,107820),
+      |  (10,529604),(11,457315),(12,974545),(13,66049),(14,257),(15,1)),
+      |d AS (SELECT doc_id, text, len(text) AS n FROM documents
+      |      WHERE len(text) >= 1),
+      |pos AS (SELECT doc_id, text, n, CAST(i AS INT) AS i
+      |        FROM (SELECT doc_id, text, n, unnest(range(16, n + 1)) AS i
+      |              FROM d)),
+      |hb AS (SELECT doc_id, i
+      |       FROM pos JOIN pw ON true
+      |       GROUP BY doc_id, text, i
+      |       HAVING sum(ascii(substr(text, i - 15 + CAST(j AS INT), 1)) * p)
+      |              % 1000003 % 64 = 0),
+      |bnd AS (SELECT doc_id, i,
+      |          row_number() OVER (PARTITION BY doc_id ORDER BY i) AS r
+      |        FROM hb),
+      |spans AS (
+      |  SELECT b1.doc_id, coalesce(b0.i, 0) + 1 AS s, b1.i AS e
+      |  FROM bnd b1 LEFT JOIN bnd b0
+      |    ON b0.doc_id = b1.doc_id AND b0.r = b1.r - 1
+      |  UNION ALL
+      |  SELECT d.doc_id, coalesce(bl.mi, 0) + 1, d.n
+      |  FROM d LEFT JOIN (SELECT doc_id, max(i) AS mi FROM bnd
+      |                    GROUP BY doc_id) bl
+      |    ON bl.doc_id = d.doc_id
+      |  WHERE coalesce(bl.mi, 0) < d.n),
+      |ch AS (SELECT spans.doc_id,
+      |         substr(d.text, CAST(s AS INT), CAST(e - s + 1 AS INT)) AS chunk
+      |       FROM spans JOIN d ON d.doc_id = spans.doc_id),
+      |g AS (SELECT chunk, count(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk)
+      |SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(min(len(chunk)) AS BIGINT) AS min_len,
+      |  CAST(max(len(chunk)) AS BIGINT) AS max_len,
+      |  CAST(sum(CASE WHEN g.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      |FROM ch JOIN g USING (chunk)
+      |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin) { (s, dir) =>
+    // spread: HOFs evaluate interpreted (CodegenFallback), so the chunk
+    // pass is CPU-bound — a one-split parquet scan would run it serial
+    val docs = graft.operators.Parallelism.spread(
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(length(col("text")) >= 1))
+    val ch = Cdc.withChunks(docs, "text")
+      .select(col("doc_id"), explode(col("chunks")).as("chunk"))
+    val g = ch.groupBy("chunk").agg(countDistinct("doc_id").as("nd"))
+    ch.join(g, Seq("chunk"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        min(length(col("chunk"))).cast("long").as("min_len"),
+        max(length(col("chunk"))).cast("long").as("max_len"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -8501,5 +8573,5 @@ object LlmQueries {
       q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
       q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
       q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
-      q256, q257, q258, q259, q260)
+      q256, q257, q258, q259, q260, q261)
 }
