@@ -119,6 +119,7 @@ object GraftFunctions {
   val SignBandKeysName = "sign_band_keys"
   val FloorBandKeysName = "floor_band_keys"
   val NfcNormalizeName = "nfc_normalize"
+  val ContentChunksName = "content_chunks"
   val StripAccentsName = "strip_accents"
   val ScriptCountsName = "script_counts"
 
@@ -238,6 +239,12 @@ object GraftFunctions {
         FloorBandKeys(exprs.head, planesFromExpr(FloorBandKeysName, exprs(1)),
           intLit(FloorBandKeysName, exprs(2)), intLit(FloorBandKeysName, exprs(3)),
           exprs(4).eval().asInstanceOf[Number].doubleValue())
+      }),
+    (FunctionIdentifier(ContentChunksName),
+      new ExpressionInfo(classOf[ContentChunks].getName, ContentChunksName),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"$ContentChunksName takes 1 argument")
+        ContentChunks(exprs.head)
       }),
     (FunctionIdentifier(NfcNormalizeName),
       new ExpressionInfo(classOf[NfcNormalize].getName, NfcNormalizeName),

@@ -8218,7 +8218,7 @@ object LlmQueries {
       |it AS (SELECT lang AS stratum, doc_id AS id,
       |         CAST(n_chars AS BIGINT) AS w,
       |         coalesce(sum(n_chars) OVER (PARTITION BY lang
-      |           ORDER BY (doc_id * 48271) % 1000000007, doc_id
+      |           ORDER BY ((doc_id % 1000000007) * 48271) % 1000000007, doc_id
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cexcl
       |       FROM documents),
       |pts AS (SELECT stratum, j, (weight * (2 * j + 1)) // (2 * alloc) AS p
@@ -8494,13 +8494,18 @@ object LlmQueries {
   // Boundary = 16-char polynomial window hash ≡ 0 mod 64, prime
   // modulus BEFORE the residue test (a power-of-two modulus collapses
   // 257^k to two classes and the rule degenerates), power constants
-  // pinned identically in both engines. Per-doc report: chunk count,
-  // length extremes, and how many of the doc's chunks appear in OTHER
-  // docs (the dedup signal — 127/500 docs share at sf0.001). Engine is
-  // position-parallel codegen'd HOFs (no UDF), one chunk-keyed
-  // exchange for the sharing counts; chunk identity is the string so
-  // the oracle replays equality — at 100 TB the key is xxhash64(chunk)
-  // (q130's measured 2.9× hash-vs-string trade).
+  // pinned identically in both engines, all hash arithmetic 64-bit on
+  // BOTH sides (a code point can reach 0x10FFFF; INT products overflow
+  // under ANSI — the r15 advice class, closed here). Per-doc report:
+  // chunk count, length extremes, and how many of the doc's chunks
+  // appear in OTHER docs (the dedup signal — 127/500 docs share at
+  // sf0.001). Engine is ONE codegen'd Catalyst expression
+  // (functions/ContentChunks — O(len) kernel pass, whole-stage
+  // codegen; the r15 interpreted-HOF form it replaces ran 6.6 s and
+  // survives as Cdc.withChunksHof, the spec's cross-check twin), one
+  // chunk-keyed exchange for the sharing counts; chunk identity is the
+  // string so the oracle replays equality — at 100 TB the key is
+  // xxhash64(chunk) (q130's measured 2.9× hash-vs-string trade).
   val q261 = Q(
     "q261_cdc_chunks",
     """WITH pw(j, p) AS (VALUES (0,57526),(1,385439),(2,203835),(3,117525),
@@ -8514,7 +8519,8 @@ object LlmQueries {
       |hb AS (SELECT doc_id, i
       |       FROM pos JOIN pw ON true
       |       GROUP BY doc_id, text, i
-      |       HAVING sum(ascii(substr(text, i - 15 + CAST(j AS INT), 1)) * p)
+      |       HAVING sum(CAST(ascii(substr(text, i - 15 + CAST(j AS INT), 1))
+      |                       AS BIGINT) * p)
       |              % 1000003 % 64 = 0),
       |bnd AS (SELECT doc_id, i,
       |          row_number() OVER (PARTITION BY doc_id ORDER BY i) AS r
@@ -8539,8 +8545,8 @@ object LlmQueries {
       |  CAST(sum(CASE WHEN g.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
       |FROM ch JOIN g USING (chunk)
       |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin) { (s, dir) =>
-    // spread: HOFs evaluate interpreted (CodegenFallback), so the chunk
-    // pass is CPU-bound — a one-split parquet scan would run it serial
+    // spread: the chunk pass is CPU-bound (one kernel scan per doc) —
+    // a one-split parquet scan would run it serial on 32 cores
     val docs = graft.operators.Parallelism.spread(
       Tables(s, dir, "documents")
         .select(col("doc_id"), col("text"))

@@ -44,8 +44,14 @@ object Systematic {
       // TWO intervals — duplicate draws that silently break exact-k
       .filter(assert_true(col("w") >= 1,
         lit("Systematic.sample: weights must be positive")).isNull)
+    // pre-reduce the key mod p BEFORE the multiply (the q258 overflow
+    // discipline): a raw hash-derived id past ~1.9e14 would overflow
+    // LONG in id*48271 and throw under ANSI — pmod(id,p) < p keeps the
+    // product ≤ ~4.8e13. Same permutation for ids < p (the common
+    // case), and the q256 oracle mirrors the pre-reduced form.
     val byLine = Window.partitionBy("stratum")
-      .orderBy(pmod(col("id") * lit(48271L), lit(1000000007L)), col("id"))
+      .orderBy(pmod(pmod(col("id"), lit(1000000007L)) * lit(48271L),
+        lit(1000000007L)), col("id"))
     val ranked = items.withColumn("cexcl",
       coalesce(sum(col("w")).over(
         byLine.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
