@@ -120,6 +120,7 @@ object GraftFunctions {
   val FloorBandKeysName = "floor_band_keys"
   val NfcNormalizeName = "nfc_normalize"
   val ContentChunksName = "content_chunks"
+  val QsketchName = "qsketch_buckets"
   val StripAccentsName = "strip_accents"
   val ScriptCountsName = "script_counts"
 
@@ -239,6 +240,12 @@ object GraftFunctions {
         FloorBandKeys(exprs.head, planesFromExpr(FloorBandKeysName, exprs(1)),
           intLit(FloorBandKeysName, exprs(2)), intLit(FloorBandKeysName, exprs(3)),
           exprs(4).eval().asInstanceOf[Number].doubleValue())
+      }),
+    (FunctionIdentifier(QsketchName),
+      new ExpressionInfo(classOf[QuantileSketchAgg].getName, QsketchName),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"$QsketchName takes 1 argument")
+        QuantileSketchAgg(exprs.head)
       }),
     (FunctionIdentifier(ContentChunksName),
       new ExpressionInfo(classOf[ContentChunks].getName, ContentChunksName),

@@ -8563,6 +8563,97 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q262
+  // Mergeable quantile sketch (functions/QuantileSketchAgg — DDSketch
+  // lineage, Masson/Rim/Lee VLDB 2019, with DECIMAL-DIGIT buckets so
+  // every index is exact integer arithmetic both engines replay: γ-log
+  // buckets round differently across engines at bucket edges). The
+  // rank/percentile member the sketch family lacked (HLL q114 =
+  // distincts, Count-Min q207 = point frequency, Misra-Gries q120 =
+  // heavy hitters, KMV q223 = cardinality): one-pass, fixed-size
+  // (≤1000 exact + 900/decimal-scale buckets), and — the reason it
+  // exists beside q118's exact two-pass median — LOSSLESSLY mergeable:
+  // the sketch is its bucket-count array, so merge is explode + re-sum
+  // and the union's sketch equals the bucket-wise sum BIT FOR BIT
+  // under any merge tree. The engine path PROVES that: per-batch
+  // sketches (l_orderkey%4 — the per-batch persist → union-on-read
+  // incremental shape q114 established) are merged relationally, the
+  // direct single-pass sketch is computed beside, and merge_law pins
+  // the worst quantile delta to 0. Quantile rule all-integer: est(p) =
+  // min lower bound with 100·cum ≥ p·n (cum integer ⇒ ≡ cum ≥
+  // ⌈p·n/100⌉), reported as the bucket's EXACT lower bound m·10^k —
+  // ≤1% relative error from bucket width alone, merge-invariant. At
+  // 100 TB only bucket maps shuffle (map-side combine), never values;
+  // cents route through DECIMAL (the q02 discipline — double×100
+  // truncation diverges between engines).
+  val q262 = Q(
+    "q262_quantile_sketch",
+    """WITH pw(k, p) AS (VALUES (0, CAST(1 AS BIGINT)), (1, 10), (2, 100),
+      |  (3, 1000), (4, 10000), (5, 100000), (6, 1000000), (7, 10000000),
+      |  (8, 100000000), (9, 1000000000)),
+      |src AS (SELECT l_returnflag AS g,
+      |          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |        FROM lineitem),
+      |b0 AS (SELECT g, v, CASE WHEN v < 1000 THEN 0
+      |         ELSE length(CAST(v AS VARCHAR)) - 3 END AS k FROM src),
+      |bu AS (SELECT g, b0.k, CAST(v // pw.p AS BIGINT) AS m, count(*) AS c
+      |       FROM b0 JOIN pw ON pw.k = b0.k GROUP BY 1, 2, 3),
+      |cu AS (SELECT g, bu.k, m, c, m * pw.p AS lo,
+      |         sum(c) OVER (PARTITION BY g ORDER BY m * pw.p
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |         sum(c) OVER (PARTITION BY g) AS n
+      |       FROM bu JOIN pw ON pw.k = bu.k)
+      |SELECT g, CAST(max(n) AS BIGINT) AS n,
+      |  CAST(count(*) AS BIGINT) AS n_buckets,
+      |  CAST(min(CASE WHEN 100 * cum >= 50 * n THEN lo END) AS BIGINT) AS p50,
+      |  CAST(min(CASE WHEN 100 * cum >= 90 * n THEN lo END) AS BIGINT) AS p90,
+      |  CAST(min(CASE WHEN 100 * cum >= 99 * n THEN lo END) AS BIGINT) AS p99,
+      |  CAST(0 AS BIGINT) AS merge_law
+      |FROM cu GROUP BY g ORDER BY g""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val li = Tables(s, dir, "lineitem").select(
+      col("l_returnflag").as("g"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("v"),
+      pmod(col("l_orderkey"), lit(4L)).as("b"))
+    val pows = graft.functions.QuantileSketch.Pows
+      .map(p => s"${p}L").mkString("array(", ", ", ")")
+    def quantiles(buckets: org.apache.spark.sql.DataFrame) = {
+      val wCum = Window.partitionBy("g").orderBy("lo")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cu = buckets
+        .withColumn("lo", expr(s"m * element_at($pows, k + 1)"))
+        .withColumn("cum", sum("c").over(wCum))
+        .withColumn("n", sum("c").over(Window.partitionBy("g")))
+      cu.groupBy("g").agg(
+        max("n").as("n"),
+        count(lit(1)).as("n_buckets"),
+        min(when(col("cum") * 100 >= col("n") * 50, col("lo"))).as("p50"),
+        min(when(col("cum") * 100 >= col("n") * 90, col("lo"))).as("p90"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("lo"))).as("p99"))
+    }
+    def flat(sk: org.apache.spark.sql.DataFrame) = sk
+      .select(col("g"), explode(col("sk")).as("bk"))
+      .select(col("g"), col("bk.k").as("k"), col("bk.m").as("m"),
+        col("bk.c").as("c"))
+    // merged path: per-batch sketches, then the relational merge —
+    // explode + re-sum per bucket (what an incremental nightly refresh
+    // does to persisted per-batch sketch rows)
+    val merged = flat(li.groupBy("g", "b")
+        .agg(expr("qsketch_buckets(v)").as("sk")))
+      .groupBy("g", "k", "m").agg(sum(col("c")).as("c"))
+    val direct = flat(li.groupBy("g").agg(expr("qsketch_buckets(v)").as("sk")))
+    val qd = quantiles(direct).select(col("g"), col("p50").as("d50"),
+      col("p90").as("d90"), col("p99").as("d99"))
+    quantiles(merged).join(qd, Seq("g"))
+      .select(col("g"), col("n"), col("n_buckets"),
+        col("p50"), col("p90"), col("p99"),
+        greatest(abs(col("p50") - col("d50")), abs(col("p90") - col("d90")),
+          abs(col("p99") - col("d99"))).as("merge_law"))
+      .orderBy("g")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -8579,5 +8670,5 @@ object LlmQueries {
       q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
       q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
       q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
-      q256, q257, q258, q259, q260, q261)
+      q256, q257, q258, q259, q260, q261, q262)
 }

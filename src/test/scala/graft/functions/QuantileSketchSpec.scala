@@ -1,0 +1,93 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QuantileSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  test("bucket rule hand-computed: exact below 1000, top-3-digits above") {
+    // (value, k, m)
+    val cases = Seq(
+      (0L, 0, 0), (7L, 0, 7), (999L, 0, 999),
+      (1000L, 1, 100), (1234L, 1, 123), (9999L, 1, 999),
+      (10000L, 2, 100), (123456L, 3, 123),
+      (999999999999999999L, 15, 999),
+      (Long.MaxValue, 16, 922))
+    for ((v, k, m) <- cases) {
+      val key = QuantileSketch.bucketKey(v)
+      assert((key / 1000L).toInt == k && (key % 1000L).toInt == m,
+        s"v=$v -> key=$key, expected k=$k m=$m")
+      val lo = QuantileSketch.lowerBound(key)
+      assert(lo <= v, s"lower bound $lo must not exceed $v")
+      // ≤1% relative width: v < lo + 10^k and lo ≥ 100·10^k for k ≥ 1
+      if (k >= 1) assert(v - lo < QuantileSketch.Pows(k))
+    }
+  }
+
+  test("negative values are rejected, not silently bucketed") {
+    intercept[IllegalArgumentException](QuantileSketch.bucketKey(-1L))
+    val df = Seq(-5L).toDF("v")
+    intercept[Exception] {
+      df.agg(expr("qsketch_buckets(v)")).collect()
+    }
+  }
+
+  test("sketch counts are exact per bucket; nulls skipped; empty -> []") {
+    val df = Seq[java.lang.Long](5L, 5L, 1234L, 1250L, null)
+      .toDF("v")
+    val sk = df.agg(expr("qsketch_buckets(v)").as("sk"))
+      .selectExpr("inline(sk)").as[(Int, Int, Long)].collect().toSet
+    // 5 twice -> (0,5,2); 1234 and 1250 share bucket (1,12x)? no:
+    // m(1234)=123, m(1250)=125 — separate buckets
+    assert(sk == Set((0, 5, 2L), (1, 123, 1L), (1, 125, 1L)))
+    val empty = Seq.empty[Long].toDF("v")
+      .agg(expr("qsketch_buckets(v)").as("sk"))
+      .selectExpr("size(sk)").as[Int].head()
+    assert(empty == 0)
+  }
+
+  test("merge is lossless under any partitioning: sketch(union) ≡ sums") {
+    val vs = (1 to 5000).map(i => (i.toLong * i) % 77777L)
+    // one partition vs 16 vs per-batch two-level: identical bucket arrays
+    def sketchOf(parts: Int): Seq[(Int, Int, Long)] =
+      vs.toDF("v").repartition(parts)
+        .agg(expr("qsketch_buckets(v)").as("sk"))
+        .selectExpr("inline(sk)").as[(Int, Int, Long)].collect().toSeq
+    val one = sketchOf(1)
+    assert(one == sketchOf(16), "partial-aggregation merge must be exact")
+    // relational merge (explode + re-sum) of 4 batch sketches ≡ direct
+    val merged = vs.zipWithIndex.map { case (v, i) => (v, i % 4) }
+      .toDF("v", "b")
+      .groupBy("b").agg(expr("qsketch_buckets(v)").as("sk"))
+      .select(explode(col("sk")).as("bk"))
+      .groupBy(col("bk.k").as("k"), col("bk.m").as("m"))
+      .agg(sum(col("bk.c")).as("c"))
+      .orderBy("k", "m").as[(Int, Int, Long)].collect().toSeq
+    assert(one == merged, "relational explode+re-sum merge must be exact")
+  }
+
+  test("quantile from buckets is within 1% relative of the true quantile") {
+    val vs = (1 to 20000).map(i => ((i.toLong * 2654435761L) % 999983L).abs + 1L)
+    val sorted = vs.sorted
+    val sk = vs.toDF("v").agg(expr("qsketch_buckets(v)").as("sk"))
+      .selectExpr("inline(sk)").as[(Int, Int, Long)].collect()
+      .sortBy { case (k, m, _) => QuantileSketch.lowerBound(k.toLong * 1000 + m) }
+    val n = vs.size.toLong
+    for (p <- Seq(50, 90, 99)) {
+      val r = (p * n + 99) / 100 // ceil rank
+      var cum = 0L
+      val est = sk.collectFirst {
+        case (k, m, c) if { cum += c; cum >= r } =>
+          QuantileSketch.lowerBound(k.toLong * 1000 + m)
+      }.get
+      val truth = sorted((r - 1).toInt)
+      // est is the bucket lower bound of the rank-r value's bucket:
+      // est ≤ truth < est + bucket width ≤ est·1.01 (k ≥ 1)
+      assert(est <= truth && truth - est <= math.max(1L, truth / 100L),
+        s"p$p: est=$est truth=$truth")
+    }
+  }
+}
