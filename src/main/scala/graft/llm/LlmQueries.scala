@@ -8654,6 +8654,63 @@ object LlmQueries {
       .orderBy("g")
   }
 
+  // ---------------------------------------------------------------- q263
+  // Incremental aggregate maintenance (operators/AggMaintain — the
+  // materialized-view delta refresh, Gupta & Mumick 1995: the CDC
+  // plane applies changelogs to ROWS — Upsert q208 state, ScdMerge
+  // q252 history — and this is the missing AGGREGATE member). Law
+  // certified exactly the q252 way: the ENGINE maintains agg(S₀)
+  // through a changelog (cnt/sum pure deltas for every group; min/max
+  // re-checked ONLY where a delete ties the stored extremum, via a
+  // broadcast dirty-key semi-join into S₁ — the partition-pruning
+  // probe at 100 TB) while the ORACLE rebuilds agg(S₁) from scratch;
+  // the hash match IS refresh(agg(S₀), cl) ≡ agg(S₁). Fixture: orders
+  // splits by orderkey residues — %7==0 rows arrive as inserts, %11==0
+  // survivors leave as deletes — so every delete class occurs (extremum
+  // deletes → dirty=1 groups, interior deletes stay on the delta path,
+  // some custkeys vanish, insert-only custkeys appear); the dirty flag
+  // is an output column the oracle replays from S₀+deletes, proving
+  // the rescan tier actually fired (non-vacuity) and fired exactly
+  // where the self-maintainability boundary says it must.
+  val q263 = Q(
+    "q263_agg_maintain",
+    """WITH o AS (SELECT o_custkey AS k,
+      |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      |        o_orderkey AS ok FROM orders),
+      |s0 AS (SELECT * FROM o WHERE ok % 7 <> 0),
+      |s1 AS (SELECT * FROM o
+      |       WHERE ok % 7 = 0 OR (ok % 7 <> 0 AND ok % 11 <> 0)),
+      |a0 AS (SELECT k, min(v) AS mn0, max(v) AS mx0 FROM s0 GROUP BY k),
+      |dl AS (SELECT k, min(v) AS dmn, max(v) AS dmx FROM s0
+      |       WHERE ok % 11 = 0 GROUP BY k),
+      |a1 AS (SELECT k, CAST(count(*) AS BIGINT) AS cnt,
+      |         CAST(sum(v) AS BIGINT) AS sum_v,
+      |         min(v) AS mn, max(v) AS mx FROM s1 GROUP BY k)
+      |SELECT a1.k, a1.cnt, a1.sum_v, a1.mn, a1.mx,
+      |  CAST(CASE WHEN dl.k IS NOT NULL
+      |              AND (dl.dmn <= a0.mn0 OR dl.dmx >= a0.mx0)
+      |       THEN 1 ELSE 0 END AS BIGINT) AS dirty
+      |FROM a1 LEFT JOIN a0 ON a0.k = a1.k LEFT JOIN dl ON dl.k = a1.k
+      |ORDER BY a1.k""".stripMargin) { (s, dir) =>
+    val o = Tables(s, dir, "orders").select(col("o_custkey").as("k"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("v"),
+      col("o_orderkey").as("ok"))
+    val s0 = o.filter(pmod(col("ok"), lit(7L)) =!= 0)
+    val ins = o.filter(pmod(col("ok"), lit(7L)) === 0)
+      .select(col("k"), col("v"), lit("I").as("op"))
+    val del = s0.filter(pmod(col("ok"), lit(11L)) === 0)
+      .select(col("k"), col("v"), lit("D").as("op"))
+    val s1 = o.filter(pmod(col("ok"), lit(7L)) === 0 ||
+        (pmod(col("ok"), lit(7L)) =!= 0 && pmod(col("ok"), lit(11L)) =!= 0))
+      .select("k", "v")
+    val agg0 = s0.groupBy("k").agg(count(lit(1)).as("cnt"),
+      sum("v").as("sum_v"), min("v").as("mn"), max("v").as("mx"))
+    graft.operators.AggMaintain
+      .refresh(agg0, ins.unionByName(del), s1, "k")
+      .orderBy("k")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -8670,5 +8727,5 @@ object LlmQueries {
       q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
       q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
       q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
-      q256, q257, q258, q259, q260, q261, q262)
+      q256, q257, q258, q259, q260, q261, q262, q263)
 }
