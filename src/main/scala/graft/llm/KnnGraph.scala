@@ -1,0 +1,157 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Graph-based ANN — the k-NN-graph family (HNSW/Vamana lineage:
+  * Malkov & Yashunin 2016, Subramanya et al. NeurIPS 2019) completing
+  * the similarity-search matrix beside LSH (q35), IVF (q42), int8
+  * (q73), PQ (q87): production vector stores ship a navigable
+  * neighbor GRAPH because queries then touch O(beam·degree·hops)
+  * vectors regardless of corpus size, with no cell-boundary recall
+  * cliff.
+  *
+  * Everything here is DETERMINISTIC — no seeds: cells come from a
+  * pinned centroid matrix (the q42a move: first-k corpus vectors),
+  * assignment/probe ranking use the ‖c‖²−2⟨x,c⟩ strict-< lowest-index
+  * rule, and every similarity ranking is full-precision double with
+  * ties broken by node id — so the ENTIRE pipeline (graph edges AND
+  * beam search) hash-checks against a DuckDB oracle replaying the
+  * same arithmetic (q264/q265), not just a recall property. No
+  * rounded column is emitted, so no boundary_guard probe is needed:
+  * ranks are selected on exact doubles, which the q42a precedent
+  * established are bit-identical across both engines.
+  *
+  * Build (distributed, never all-pairs): each vector lands in its
+  * `nProbe` nearest cells (multi-probe — the cross-cell stitch that
+  * keeps boundary neighbors findable), candidates are same-cell
+  * pairs, and each node keeps its `degree` best candidates by cosine.
+  * At 100 TB: the probe explode is ×nProbe, the pair join is bucketed
+  * by cell (cell sizes bounded by the centroid count you fit), and
+  * the edge table writes bucketed by `src` so search hops are
+  * co-located lookups.
+  *
+  * Search (greedy beam, the DiskANN shard-entry shape): start from
+  * the per-cell MEDOIDS (each cell's member nearest its centroid —
+  * deterministic, and a beam seeded in every region cannot strand in
+  * the entry's neighborhood, the single-entry trap of flat k-NN
+  * graphs on unclustered data), then `rounds` expansion steps: score
+  * only NEW frontier nodes (visited beam rows carry their sims), keep
+  * the best `beam` per query. Per round per query the work is ≤
+  * beam·degree candidate lookups — independent of corpus size, the
+  * property the graph family exists for. */
+object KnnGraph {
+
+  /** (cell, centroid, cn) from a pinned matrix — bounded driver-side
+    * literal, exactly like Ivf's own centroid frame. */
+  private def centroidDf(spark: org.apache.spark.sql.SparkSession,
+      cs: Array[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    cs.zipWithIndex.toSeq
+      .map { case (c, i) =>
+        (i, c, c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      }
+      .toDF("cell", "centroid", "cn")
+  }
+
+  /** Multi-probe cell assignment: (vec_id, cell, d, rn) for the
+    * `nProbe` nearest cells by (‖c‖²−2⟨x,c⟩ ASC, cell ASC) — the q42a
+    * assignment rule, rn = 1 being the primary cell. */
+  def probeAssign(emb: DataFrame, cs: Array[Array[Float]],
+      nProbe: Int): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val cents = broadcast(centroidDf(emb.sparkSession, cs))
+    val w = Window.partitionBy("vec_id").orderBy(col("d"), col("cell"))
+    emb.select("vec_id", "embedding")
+      .crossJoin(cents)
+      .withColumn("d", col("cn") -
+        lit(2.0) * Similarity.dotFast(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nProbe)
+      .select("vec_id", "cell", "d", "rn")
+  }
+
+  /** Per-cell medoid entry points: within each PRIMARY cell, the
+    * member nearest the centroid (tie: lowest vec_id). One row per
+    * non-empty cell, column `node`. */
+  def entryPoints(emb: DataFrame, cs: Array[Array[Float]]): DataFrame = {
+    val primary = probeAssign(emb, cs, nProbe = 1)
+    val w = Window.partitionBy("cell").orderBy(col("d"), col("vec_id"))
+    primary.withColumn("er", row_number().over(w))
+      .filter(col("er") === 1)
+      .select(col("vec_id").as("node"))
+  }
+
+  /** Build the k-NN graph: (src, rk, dst, sim) — each node's `degree`
+    * best same-probe-cell candidates by cosine (full-precision DESC,
+    * dst ASC). */
+  def build(emb: DataFrame, cs: Array[Array[Float]], degree: Int,
+      nProbe: Int): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val pr = probeAssign(graft.operators.Parallelism.spread(emb), cs, nProbe)
+      .select("vec_id", "cell")
+    // same-cell pairs; a pair sharing two probe cells appears once
+    val pairs = pr.select(col("cell"), col("vec_id").as("src"))
+      .join(pr.select(col("cell"), col("vec_id").as("dst")), Seq("cell"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val e = emb.select(col("vec_id"), col("embedding"),
+      Similarity.dotFast(col("embedding"), col("embedding")).as("n"))
+    val scored = pairs
+      .join(e.select(col("vec_id").as("src"), col("embedding").as("sv"),
+        col("n").as("sn")), Seq("src"))
+      .join(e.select(col("vec_id").as("dst"), col("embedding").as("dv"),
+        col("n").as("dn")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        (Similarity.dotFast(col("sv"), col("dv")) /
+          sqrt(col("sn") * col("dn"))).as("sim"))
+    val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= degree)
+      .select("src", "rk", "dst", "sim")
+  }
+
+  /** Greedy beam search: from the entry set, `rounds` frontier
+    * expansions over `edges`, keeping the `beam` best (full-precision
+    * cosine DESC, node ASC) per query each round; finally the `topK`
+    * best. Queries score against themselves never (node ≠ q_id).
+    * Output: (q_id, rk, node, sim). */
+  def search(edges: DataFrame, emb: DataFrame, queries: DataFrame,
+      entries: DataFrame, topK: Int, beam: Int, rounds: Int): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("qv"),
+      Similarity.dotFast(col("embedding"), col("embedding")).as("qn")))
+    val c = emb.select(col("vec_id").as("node"), col("embedding").as("nv"),
+      Similarity.dotFast(col("embedding"), col("embedding")).as("nn"))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(q, Seq("q_id"))
+      .join(c, Seq("node"))
+      .filter(col("node") =!= col("q_id"))
+      .select(col("q_id"), col("node"),
+        (Similarity.dotFast(col("qv"), col("nv")) /
+          sqrt(col("qn") * col("nn"))).as("sim"))
+    val wB = Window.partitionBy("q_id").orderBy(col("sim").desc, col("node"))
+    def keep(df: DataFrame, b: Int): DataFrame =
+      df.withColumn("rk", row_number().over(wB)).filter(col("rk") <= b)
+    var bm = keep(score(q.select("q_id").crossJoin(entries)), beam)
+      .select("q_id", "node", "sim")
+    var r = 0
+    while (r < rounds) {
+      // score only the NEW frontier — visited beam rows carry their
+      // sims, so per round the scored set is ≤ beam·degree rows/query
+      val frontier = bm.select("q_id", "node")
+        .join(edges.select(col("src").as("node"), col("dst")), Seq("node"))
+        .select(col("q_id"), col("dst").as("node"))
+        .distinct()
+        .join(bm.select("q_id", "node"), Seq("q_id", "node"), "left_anti")
+      bm = keep(score(frontier).unionByName(bm), beam)
+        .select("q_id", "node", "sim")
+      r += 1
+    }
+    keep(bm, topK).select("q_id", "rk", "node", "sim")
+  }
+}

@@ -8711,6 +8711,149 @@ object LlmQueries {
       .orderBy("k")
   }
 
+  // shared oracle prefix for the k-NN-graph pair (q264/q265): pinned
+  // first-12 centroids, the q42a ‖c‖²−2⟨x,c⟩ strict-< lowest-index
+  // assignment, 3-probe cells, same-cell candidate pairs, cosine, and
+  // per-src top-12 ranked on FULL-PRECISION sims (ties by dst) — no
+  // rounded column is hashed, so no boundary_guard probe is needed;
+  // exact-double rank parity is the discipline q42a established.
+  private val knnOraclePrefix =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |                  list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n
+      |           FROM embeddings),
+      |cent AS (SELECT vec_id AS cell, v AS c, list_dot_product(v, v) AS cn
+      |         FROM e WHERE vec_id < 12),
+      |pr AS (SELECT vec_id, cell FROM (
+      |         SELECT e.vec_id, cent.cell,
+      |                row_number() OVER (PARTITION BY e.vec_id
+      |                  ORDER BY cent.cn - 2 * list_dot_product(e.v, cent.c),
+      |                           cent.cell) AS rn
+      |         FROM e CROSS JOIN cent) WHERE rn <= 3),
+      |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+      |         FROM pr a JOIN pr b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+      |sc AS (SELECT cand.src, cand.dst,
+      |              list_dot_product(ea.v, eb.v) / sqrt(ea.n * eb.n) AS sim
+      |       FROM cand JOIN e ea ON ea.vec_id = cand.src
+      |                 JOIN e eb ON eb.vec_id = cand.dst)""".stripMargin
+
+  // ---------------------------------------------------------------- q264
+  // k-NN graph build (llm/KnnGraph — the graph-ANN family, HNSW/Vamana
+  // lineage, closing the similarity-search matrix's one missing
+  // lineage next to LSH/IVF/int8/PQ/IVFPQ). DETERMINISTIC end to end
+  // (the q42a move: pinned first-12 centroids, strict-< lowest-index
+  // assignment, full-precision rank ties by id), so the whole
+  // distributed build — multi-probe cell explode (the cross-cell
+  // stitch), bucketed same-cell pair join (never all-pairs), per-node
+  // top-12 by cosine — hash-checks against the oracle rather than
+  // settling for a recall property (recall vs brute IS also pinned, in
+  // KnnGraphSpec: ≥85% at these exact parameters on the uniform
+  // no-cluster fixture, measured 91.7%). At 100 TB the edge table
+  // writes bucketed by src so q265's search hops are co-located
+  // lookups.
+  val q264 = Q(
+    "q264_knn_graph",
+    s"""$knnOraclePrefix
+      |SELECT src, CAST(rk AS INT) AS rk, dst FROM (
+      |  SELECT src, dst, row_number() OVER (PARTITION BY src
+      |           ORDER BY sim DESC, dst) AS rk FROM sc)
+      |WHERE rk <= 12 ORDER BY src, rk""".stripMargin) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val cs: Array[Array[Float]] = emb.filter(col("vec_id") < 12)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    KnnGraph.build(emb, cs, degree = 12, nProbe = 3)
+      .select("src", "rk", "dst").orderBy("src", "rk")
+  }
+
+  // ---------------------------------------------------------------- q265
+  // Greedy beam search over the q264 graph (the DiskANN shard-entry
+  // shape): entries are the per-cell MEDOIDS (a beam seeded in every
+  // region cannot strand in one neighborhood — the single-entry trap
+  // of flat k-NN graphs on this uniform no-cluster fixture), then 4
+  // frontier expansions keeping the best 16 per query, finally top-3.
+  // Work per query per round is ≤ beam·degree lookups — independent
+  // of corpus size, the property the graph family exists for. The
+  // oracle UNROLLS the identical 3 rounds as CTE layers (b0→b3) over
+  // brute-force sims — the oracle may be brute, the engine never is —
+  // so even the sequential search loop is hash-certified, keeping the
+  // rows-only set at exactly its frozen 17. (CTE layers b0→b4.)
+  val q265 = Q(
+    "q265_knn_beam_search",
+    s"""$knnOraclePrefix,
+      |asg AS (SELECT vec_id, cell, d FROM (
+      |          SELECT e.vec_id, cent.cell,
+      |                 cent.cn - 2 * list_dot_product(e.v, cent.c) AS d,
+      |                 row_number() OVER (PARTITION BY e.vec_id
+      |                   ORDER BY cent.cn - 2 * list_dot_product(e.v, cent.c),
+      |                            cent.cell) AS rn
+      |          FROM e CROSS JOIN cent) WHERE rn = 1),
+      |entry AS (SELECT vec_id AS node FROM (
+      |            SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+      |                     ORDER BY d, vec_id) AS er FROM asg) WHERE er = 1),
+      |edges AS (SELECT src, dst FROM (
+      |            SELECT src, dst, row_number() OVER (PARTITION BY src
+      |                     ORDER BY sim DESC, dst) AS rk FROM sc)
+      |          WHERE rk <= 12),
+      |q AS (SELECT vec_id AS q_id, v AS qv, n AS qn FROM e WHERE vec_id < 5),
+      |sims AS (SELECT q.q_id, e.vec_id AS node,
+      |                list_dot_product(q.qv, e.v) / sqrt(q.qn * e.n) AS sim
+      |         FROM q JOIN e ON e.vec_id <> q.q_id),
+      |b0 AS (SELECT q_id, node, sim FROM (
+      |         SELECT s.q_id, s.node, s.sim,
+      |                row_number() OVER (PARTITION BY s.q_id
+      |                  ORDER BY s.sim DESC, s.node) AS rn
+      |         FROM sims s JOIN entry ON entry.node = s.node) WHERE rn <= 16),
+      |x1 AS (SELECT b0.q_id, edges.dst AS node
+      |       FROM b0 JOIN edges ON edges.src = b0.node
+      |       UNION SELECT q_id, node FROM b0),
+      |b1 AS (SELECT q_id, node, sim FROM (
+      |         SELECT s.q_id, s.node, s.sim,
+      |                row_number() OVER (PARTITION BY s.q_id
+      |                  ORDER BY s.sim DESC, s.node) AS rn
+      |         FROM sims s JOIN x1 ON x1.q_id = s.q_id AND x1.node = s.node)
+      |       WHERE rn <= 16),
+      |x2 AS (SELECT b1.q_id, edges.dst AS node
+      |       FROM b1 JOIN edges ON edges.src = b1.node
+      |       UNION SELECT q_id, node FROM b1),
+      |b2 AS (SELECT q_id, node, sim FROM (
+      |         SELECT s.q_id, s.node, s.sim,
+      |                row_number() OVER (PARTITION BY s.q_id
+      |                  ORDER BY s.sim DESC, s.node) AS rn
+      |         FROM sims s JOIN x2 ON x2.q_id = s.q_id AND x2.node = s.node)
+      |       WHERE rn <= 16),
+      |x3 AS (SELECT b2.q_id, edges.dst AS node
+      |       FROM b2 JOIN edges ON edges.src = b2.node
+      |       UNION SELECT q_id, node FROM b2),
+      |b3 AS (SELECT q_id, node, sim FROM (
+      |         SELECT s.q_id, s.node, s.sim,
+      |                row_number() OVER (PARTITION BY s.q_id
+      |                  ORDER BY s.sim DESC, s.node) AS rn
+      |         FROM sims s JOIN x3 ON x3.q_id = s.q_id AND x3.node = s.node)
+      |       WHERE rn <= 16),
+      |x4 AS (SELECT b3.q_id, edges.dst AS node
+      |       FROM b3 JOIN edges ON edges.src = b3.node
+      |       UNION SELECT q_id, node FROM b3),
+      |b4 AS (SELECT q_id, node, sim FROM (
+      |         SELECT s.q_id, s.node, s.sim,
+      |                row_number() OVER (PARTITION BY s.q_id
+      |                  ORDER BY s.sim DESC, s.node) AS rn
+      |         FROM sims s JOIN x4 ON x4.q_id = s.q_id AND x4.node = s.node)
+      |       WHERE rn <= 16)
+      |SELECT q_id, CAST(rk AS INT) AS rk, node FROM (
+      |  SELECT q_id, node, row_number() OVER (PARTITION BY q_id
+      |           ORDER BY sim DESC, node) AS rk FROM b4)
+      |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val cs: Array[Array[Float]] = emb.filter(col("vec_id") < 12)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val edges = KnnGraph.build(emb, cs, degree = 12, nProbe = 3)
+    val entries = KnnGraph.entryPoints(emb, cs)
+    KnnGraph.search(edges, emb, emb.filter(col("vec_id") < 5), entries,
+        topK = 3, beam = 16, rounds = 4)
+      .select("q_id", "rk", "node").orderBy("q_id", "rk")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -8727,5 +8870,5 @@ object LlmQueries {
       q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
       q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
       q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
-      q256, q257, q258, q259, q260, q261, q262, q263)
+      q256, q257, q258, q259, q260, q261, q262, q263, q264, q265)
 }

@@ -1,0 +1,118 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class KnnGraphSpec extends SparkSpec {
+
+  private def centroids(n: Int) = Tables(spark, sf0001, "embeddings")
+    .filter(col("vec_id") < n).orderBy("vec_id").select("embedding")
+    .collect().map(_.getSeq[Float](0).toArray)
+
+  // full-precision Scala ground truth (same left-to-right double fold
+  // as the engine's VectorDot kernel) — Similarity.cosineTopK ranks on
+  // ROUNDED sims, which can swap near-tied ranks vs the engine's
+  // full-precision ranking, so it is NOT a valid exact comparator here
+  private def bruteTop3(qids: Seq[Long]): Map[Long, Seq[Long]] = {
+    val all = Tables(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    qids.map { q =>
+      q -> all.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(all(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1)
+    }.toMap
+  }
+
+  test("graph shape: ≤degree out-edges, no self-loops, ranks contiguous") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val g = KnnGraph.build(emb, centroids(12), degree = 12, nProbe = 3)
+    assert(g.filter(col("src") === col("dst")).count() == 0)
+    val per = g.groupBy("src")
+      .agg(count(lit(1)).as("c"), max("rk").as("mx"), min("rk").as("mn"))
+    assert(per.filter(col("c") > 12).count() == 0)
+    assert(per.filter(col("mn") =!= 1 || col("mx") =!= col("c")).count() == 0)
+    // every node has out-edges (nProbe=3 guarantees non-singleton cells
+    // on this fixture)
+    assert(per.count() == emb.count())
+  }
+
+  test("entry points: one medoid per non-empty cell, deterministic") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val cs = centroids(12)
+    val e1 = KnnGraph.entryPoints(emb, cs).orderBy("node").collect().map(_.getLong(0))
+    val e2 = KnnGraph.entryPoints(emb, cs).orderBy("node").collect().map(_.getLong(0))
+    assert(e1.sameElements(e2))
+    assert(e1.length <= 12 && e1.length >= 2)
+  }
+
+  test("complete graph + one round ≡ exact brute force") {
+    // with one cell every vector shares it, the candidate set is
+    // all-pairs, the graph is complete, and ONE expansion round makes
+    // the beam the global top-16 — so top-3 must equal brute top-3
+    val emb = Tables(spark, sf0001, "embeddings")
+    val cs = centroids(1)
+    val qids = (1L to 5L)
+    val queries = emb.filter(col("vec_id").between(1, 5))
+    val edges = KnnGraph.build(emb, cs, degree = 600, nProbe = 1)
+    val entries = KnnGraph.entryPoints(emb, cs)
+    // (queries exclude the medoid itself: a query equal to the single
+    // entry point starts with an empty beam by the node≠q rule)
+    val entryNode = entries.collect().map(_.getLong(0)).toSet
+    assert(!qids.exists(entryNode.contains), "fixture assumption")
+    val got = KnnGraph.search(edges, emb, queries, entries,
+        topK = 3, beam = 16, rounds = 1)
+      .select("q_id", "rk", "node").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    val truth = bruteTop3(qids)
+    for (q <- qids) assert(got(q) == truth(q), s"query $q")
+  }
+
+  test("beam recall ≥ 85% of exact top-3 at q264/q265 production params") {
+    // uniform random unit vectors — the no-cluster worst case for every
+    // ANN family (the IvfSpec caveat); the pinned bar is this exact
+    // parameter set's measured behavior (91.7%), not a general curve
+    val emb = Tables(spark, sf0001, "embeddings")
+    val cs = centroids(12)
+    val qids = (0L until 20L).toSeq
+    val queries = emb.filter(col("vec_id") < 20)
+    val edges = KnnGraph.build(emb, cs, degree = 12, nProbe = 3)
+    val entries = KnnGraph.entryPoints(emb, cs)
+    val got = KnnGraph.search(edges, emb, queries, entries,
+        topK = 3, beam = 16, rounds = 4)
+      .select("q_id", "node").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val truth = bruteTop3(qids)
+    val found = qids.map(q => (truth(q).toSet intersect got.getOrElse(q, Set())).size).sum
+    assert(found.toDouble / 60 >= 0.85,
+      s"knn-graph beam recall ${found.toDouble / 60} ($found/60)")
+  }
+
+  test("beam is monotone: more rounds never lose a found neighbor's rank-1") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val cs = centroids(12)
+    val queries = emb.filter(col("vec_id") < 5)
+    val edges = KnnGraph.build(emb, cs, degree = 12, nProbe = 3)
+    val entries = KnnGraph.entryPoints(emb, cs)
+    def best(rounds: Int): Map[Long, Double] =
+      KnnGraph.search(edges, emb, queries, entries, topK = 1, beam = 16,
+          rounds = rounds)
+        .select("q_id", "sim").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b1 = best(1); val b3 = best(4)
+    for ((q, s1) <- b1) assert(b3(q) >= s1,
+      s"query $q: rank-1 sim regressed $s1 -> ${b3(q)}")
+  }
+}
