@@ -544,4 +544,66 @@ class StreamingDocFormatsSpec extends SparkSpec {
     assert(streamed == blobs.map(decode).sortBy(_._1))
     assert(streamed == Seq((1L, 22050, 1), (2L, -1, -1)))
   }
+
+  test("streaming content-defined chunking ≡ batch (r16 codegen kernel)") {
+    import graft.llm.Cdc
+    // Cdc.withChunks is one codegen'd Column expression — row-local by
+    // construction, so the SAME call runs over a streaming frame; the
+    // fixtures cover the r16 widened-arithmetic classes (CJK + emoji)
+    val docs = Seq(
+      1L -> ("the fast query " * 30),
+      2L -> ("机器学习的数据管道需要内容分块来去重复" * 3),
+      3L -> ("emoji 😀 inside an otherwise ascii window " * 3),
+      4L -> "short")
+    val dir = stage(docs)
+    val sdf = spark.readStream.schema(docs.toDS().schema).parquet(dir)
+      .toDF("doc_id", "text")
+    run(Cdc.withChunks(sdf, "text").selectExpr("doc_id",
+      "size(chunks) AS n", "chunks[0] AS first").as[(Long, Int, String)],
+      "cdc_stream")
+    val streamed = spark.table("cdc_stream").as[(Long, Int, String)]
+      .collect().sortBy(_._1).toSeq
+    val batch = Cdc.withChunks(docs.toDF("doc_id", "text"), "text")
+      .selectExpr("doc_id", "size(chunks) AS n", "chunks[0] AS first")
+      .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    // the chunker actually cut the long docs (not one whole-doc chunk)
+    assert(streamed.head._2 > 1)
+  }
+
+  test("streaming unigram segmentation ≡ batch segmentAll (r16)") {
+    import graft.llm.Unigram
+    // Unigram.segment is the pure row-local kernel; segmentAll's
+    // distinct-word dictionary join is a BATCH optimization of the
+    // identical semantics — parity pins that a streaming per-row
+    // flatMap yields exactly the dictionary-join rows
+    val docs = Seq(1L -> "the fast join ab sort", 2L -> "winqdow value",
+      3L -> "  ")
+    val dir = stage(docs)
+    val costs = Unigram.DemoVocab.toMap
+    val maxPieceLen = costs.keysIterator.map(_.length).max
+    def rowSegment(doc: (Long, String)): Iterator[(Long, Int, Int, String)] =
+      doc._2.trim.split("\\s+").iterator.filter(_.nonEmpty).zipWithIndex
+        .flatMap { case (w, widx) =>
+          Unigram.segment(w, costs, maxPieceLen, 32) match {
+            case Some(ps) => ps.iterator.zipWithIndex
+              .map { case (t, k) => (doc._1, widx, k, t) }
+            case None => Iterator.single((doc._1, widx, 0, Unigram.Unk))
+          }
+        }
+    val sdf = spark.readStream.schema(docs.toDS().schema).parquet(dir)
+      .as[(Long, String)].flatMap(rowSegment _)
+    run(sdf, "unigram_stream")
+    val streamed = spark.table("unigram_stream")
+      .as[(Long, Int, Int, String)].collect().sortBy(r => (r._1, r._2, r._3))
+      .toSeq
+    val batch = Unigram.segmentAll(docs.toDF("doc_id", "text"))
+      .as[(Long, Int, Int, String)].collect().sortBy(r => (r._1, r._2, r._3))
+      .toSeq
+    assert(streamed == batch)
+    // the <unk> closure fired (q has no piece) and ties broke longest
+    assert(streamed.exists(_._4 == Unigram.Unk))
+    assert(streamed.exists(_._4 == "ab"))
+  }
 }
