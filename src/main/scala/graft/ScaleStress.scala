@@ -1977,12 +1977,157 @@ object ScaleStress {
     }
   }
 
+  /** k-NN-graph curve (q264/q265's engines, r16): candidate volume vs
+    * the all-pairs space as n grows WITH the centroid count scaled
+    * ∝ n (the at-scale contract: cells are something you fit to the
+    * corpus, so per-cell membership — and with it the bucketed pair
+    * join — stays bounded while brute force grows n²), and beam-search
+    * wall vs brute top-k wall. Planted near-dup structure via
+    * replicateEmbeddings (the --setsim treatment); centroids/queries
+    * are ORIGINAL base rows (rep 0) so they stay well-spread — first-k
+    * replicated ids would be near-duplicates of ~k/r directions and
+    * the cells would degenerate. Degree is 24 here, ABOVE the largest
+    * planted cluster (16 replicas): on clustered data a node's top-k
+    * neighbors are its own cluster, and degree ≤ cluster size makes
+    * the graph a union of disconnected cliques no beam can navigate —
+    * measured recall 0% at R=16/degree=12 before this was raised; the
+    * HNSW/Vamana literature's neighbor-diversification rules exist for
+    * exactly this, and the degree>cluster guidance is the documented
+    * operating contract here. */
+  def knnGraphCurve(spark: SparkSession, sfDir: String): Unit = {
+    import graft.llm.{KnnGraph, Similarity}
+    val emb = Tables(spark, sfDir, "embeddings").cache(); emb.count()
+    println("== knn graph: bucketed build + beam search vs brute top-k ==")
+    for (r <- Seq(4, 8, 16)) {
+      val rep = replicateEmbeddings(emb, r, eps = 0.12)
+        .select("vec_id", "embedding").cache()
+      val n = rep.count()
+      val nCells = math.max(16, (n / 64).toInt)
+      val cs = rep.filter(pmod(col("vec_id"), lit(r.toLong)) === 0)
+        .orderBy("vec_id").limit(nCells)
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val queries = rep.filter(pmod(col("vec_id"), lit(r.toLong)) === 0 &&
+        col("vec_id") < 20L * r).cache()
+      try {
+        val pr = KnnGraph.probeAssign(rep, cs, nProbe = 3)
+          .select("vec_id", "cell").cache()
+        val candidates = pr.select(col("cell"), col("vec_id").as("src"))
+          .join(pr.select(col("cell"), col("vec_id").as("dst")), Seq("cell"))
+          .filter(col("src") =!= col("dst"))
+          .select("src", "dst").distinct().count()
+        pr.unpersist()
+        val allPairs = n * (n - 1) / 2
+        val (edges, buildS) = time {
+          val e = KnnGraph.build(rep, cs, degree = 24, nProbe = 3)
+            .localCheckpoint(true)
+          e.count()
+          e
+        }
+        val entries = KnnGraph.entryPoints(rep, cs)
+        val (approx, searchS) = time {
+          KnnGraph.search(edges, rep, queries, entries,
+            topK = 3, beam = 16, rounds = 4).select("q_id", "node").collect()
+        }
+        val (brute, bruteS) = time {
+          Similarity.cosineTopK(rep, queries, k = 3)
+            .select("q_id", "vec_id").collect()
+        }
+        val gotSet = approx.map(x => (x.getLong(0), x.getLong(1))).toSet
+        val recall = brute.map(x => (x.getLong(0), x.getLong(1)))
+          .count(gotSet.contains).toDouble / brute.length
+        println(f"R=$r%2d n=$n%6d cells=$nCells%4d " +
+          f"candidates=$candidates%10d all_pairs=$allPairs%12d " +
+          f"(${allPairs / math.max(candidates, 1)}%4d x) build=$buildS%5.1f s " +
+          f"beam=$searchS%5.1f s brute=$bruteS%5.1f s recall=${recall * 100}%5.1f %%")
+      } finally rep.unpersist()
+    }
+    emb.unpersist()
+  }
+
+  /** Incremental-aggregate-maintenance curve (q263's operator, r16):
+    * delta refresh vs full rebuild as the base grows, CHANGELOG FIXED
+    * at ~60k rows — the nightly-refresh regime the operator exists
+    * for (churn does not grow with history size). The law (identical
+    * summary checksums) is asserted at every point. Inputs (persisted
+    * aggregate, changelog, post-change base) are cached UNTIMED — a
+    * refresh receives them, it does not derive them. The wall numbers
+    * carry a local-mode caveat printed with the row metrics: in one
+    * JVM over cached frames the dirty-group extremum re-check SCANS
+    * base1 (a semi join cannot storage-prune memory), so the local
+    * refresh wall pays one base pass just like the rebuild — the
+    * at-scale separation is the DIRTY-SLICE fraction (the only base
+    * rows a partitioned/bucketed catalog read must fetch) vs the
+    * rebuild's unconditional full scan, and cnt/sum need NO base rows
+    * at all. */
+  def aggMaintainCurve(spark: SparkSession): Unit = {
+    import graft.operators.AggMaintain
+    println("== agg maintain: delta refresh vs full rebuild (fixed ~60k-row churn) ==")
+    for (n <- Seq(2000000L, 8000000L, 32000000L)) {
+      val groups = math.max(1000L, n / 1000L)
+      val stride = n / 30000L // ~30k deletes + ~30k inserts at every n
+      def derive(ids: DataFrame): DataFrame = ids.select(
+        pmod(xxhash64(col("id")), lit(groups)).as("k"),
+        pmod(xxhash64(col("id"), lit(1)), lit(1000000L)).as("v"),
+        col("id"))
+      val base0 = derive(spark.range(n).toDF("id")).cache(); base0.count()
+      // the PERSISTED aggregate a nightly refresh starts from
+      val agg0 = base0.groupBy("k").agg(count(lit(1)).as("cnt"),
+        sum("v").as("sum_v"), min("v").as("mn"), max("v").as("mx"))
+        .cache()
+      agg0.count()
+      val ins = derive(spark.range(n, n + 30000L).toDF("id"))
+        .select(col("k"), col("v"), lit("I").as("op"))
+      val changelog = base0.filter(col("id") % stride === 0)
+        .select(col("k"), col("v"), lit("D").as("op"))
+        .unionByName(ins).cache()
+      changelog.count()
+      val base1 = base0.filter(col("id") % stride =!= 0).select("k", "v")
+        .unionByName(ins.select("k", "v")).cache()
+      base1.count()
+      def summary(df: DataFrame): org.apache.spark.sql.Row =
+        df.agg(count(lit(1)), sum("cnt"), sum("sum_v"), sum("mn"), sum("mx"))
+          .head()
+      val ((refreshed, nDirty), refreshS) = time {
+        val r = AggMaintain.refresh(agg0, changelog, base1, "k")
+          .localCheckpoint(true)
+        (summary(r), r.filter(col("dirty") === 1).count())
+      }
+      val (rebuilt, rebuildS) = time {
+        summary(base1.groupBy("k").agg(count(lit(1)).as("cnt"),
+          sum("v").as("sum_v"), min("v").as("mn"), max("v").as("mx")))
+      }
+      assert(refreshed == rebuilt,
+        s"refresh diverged from rebuild at n=$n: $refreshed vs $rebuilt")
+      // the at-scale metric: base rows a pruned rescan must actually
+      // read (the dirty groups' slice) vs the rebuild's full n
+      val dirtyRows = base1.join(
+          broadcast(AggMaintain.refresh(agg0, changelog, base1, "k")
+            .filter(col("dirty") === 1).select("k")), Seq("k"), "left_semi")
+        .count()
+      println(f"n=$n%9d groups=$groups%7d dirty_groups=$nDirty%6d " +
+        f"dirty_rows=$dirtyRows%9d (${100.0 * dirtyRows / n}%5.2f %% of base) " +
+        f"refresh=$refreshS%6.2f s rebuild=$rebuildS%6.2f s (law: checksums equal)")
+      base0.unpersist(); agg0.unpersist(); base1.unpersist()
+      changelog.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.filterNot(_.startsWith("--")).headOption
       .getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (args.contains("--knngraph")) {
+      knnGraphCurve(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.contains("--aggmaintain")) {
+      aggMaintainCurve(spark)
+      spark.stop()
+      return
+    }
     if (args.contains("--scdmerge")) {
       scdMergeCurve(spark)
       spark.stop()

@@ -34,6 +34,16 @@ import graft.functions.GraftFunctions
   * the edge table writes bucketed by `src` so search hops are
   * co-located lookups.
   *
+  * Operating contract on CLUSTERED data (measured in the --knngraph
+  * ScaleStress curve): `degree` must exceed the near-duplicate
+  * cluster size, or every node's top-k neighbors are its own cluster
+  * and the graph degenerates into disconnected cliques no beam can
+  * navigate (recall fell to 0% at degree 12 under 16-replica
+  * clusters; 24 restored navigation). The HNSW/Vamana
+  * neighbor-diversification rules (α-pruning, RNG edges) are the
+  * principled fix for unknown cluster sizes — here the contract is
+  * documented and the curve enforces it empirically.
+  *
   * Search (greedy beam, the DiskANN shard-entry shape): start from
   * the per-cell MEDOIDS (each cell's member nearest its centroid —
   * deterministic, and a beam seeded in every region cannot strand in
@@ -118,10 +128,22 @@ object KnnGraph {
     * expansions over `edges`, keeping the `beam` best (full-precision
     * cosine DESC, node ASC) per query each round; finally the `topK`
     * best. Queries score against themselves never (node ≠ q_id).
-    * Output: (q_id, rk, node, sim). */
+    * Output: (q_id, rk, node, sim).
+    *
+    * Lineage discipline: the beam state is eagerly localCheckpoint'd
+    * every round (the Ivf.fit precedent). Without the cut each round's
+    * plan embeds the previous round's THREE times (frontier join,
+    * anti-join, union) — ~3^rounds copies of the entry-scoring subtree
+    * and a fresh re-execution of the whole edge build per copy;
+    * measured 30+ s for 20 queries on a 16k corpus, vs seconds with
+    * the cut. The edges input is checkpointed once here for the same
+    * reason (each round's frontier join re-executes its plan
+    * otherwise); beam state is ≤ queries·beam rows, edges ≤ n·degree
+    * — both bounded, blocks self-release via the ContextCleaner. */
   def search(edges: DataFrame, emb: DataFrame, queries: DataFrame,
       entries: DataFrame, topK: Int, beam: Int, rounds: Int): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
+    val eg = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val q = broadcast(queries.select(col("vec_id").as("q_id"),
       col("embedding").as("qv"),
       Similarity.dotFast(col("embedding"), col("embedding")).as("qn")))
@@ -138,18 +160,18 @@ object KnnGraph {
     def keep(df: DataFrame, b: Int): DataFrame =
       df.withColumn("rk", row_number().over(wB)).filter(col("rk") <= b)
     var bm = keep(score(q.select("q_id").crossJoin(entries)), beam)
-      .select("q_id", "node", "sim")
+      .select("q_id", "node", "sim").localCheckpoint(true)
     var r = 0
     while (r < rounds) {
       // score only the NEW frontier — visited beam rows carry their
       // sims, so per round the scored set is ≤ beam·degree rows/query
       val frontier = bm.select("q_id", "node")
-        .join(edges.select(col("src").as("node"), col("dst")), Seq("node"))
+        .join(eg.select(col("src").as("node"), col("dst")), Seq("node"))
         .select(col("q_id"), col("dst").as("node"))
         .distinct()
         .join(bm.select("q_id", "node"), Seq("q_id", "node"), "left_anti")
       bm = keep(score(frontier).unionByName(bm), beam)
-        .select("q_id", "node", "sim")
+        .select("q_id", "node", "sim").localCheckpoint(true)
       r += 1
     }
     keep(bm, topK).select("q_id", "rk", "node", "sim")
