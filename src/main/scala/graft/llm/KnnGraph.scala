@@ -132,6 +132,81 @@ object KnnGraph {
       .select("src", "rk", "dst", "sim")
   }
 
+  /** Diversified k-NN graph build — [[build]] + the relative-
+    * neighborhood prune (the α=1 case of Vamana's RobustPrune,
+    * Subramanya et al. 2019; Toussaint 1980's RNG rule): walk the top
+    * `breadth` candidates in similarity order and KEEP candidate j
+    * only if no already-kept neighbor k is strictly closer to j than
+    * the source is (cos(k,j) > cos(src,j) prunes j — j stays
+    * reachable via k, so the edge budget goes to a DIFFERENT
+    * direction instead). This is the principled fix for the failure
+    * the --knngraph curve measured: under near-duplicate clusters
+    * larger than `degree`, plain top-k edges are all intra-cluster,
+    * the graph degenerates into disconnected cliques, and beam recall
+    * is 0%; the prune keeps ONE representative per direction and
+    * spends the rest of the budget on long-range edges, restoring
+    * navigability at the SAME degree (spec-pinned A/B).
+    *
+    * Deterministic like everything here: candidates walk in
+    * (full-precision sim DESC, dst ASC) order, the prune compares
+    * exact doubles with a STRICT >, ties keep the candidate; the
+    * oracle replays the walk as a recursive CTE carrying the kept
+    * list. The per-source fold is a SQL higher-order aggregate over
+    * ≤ breadth candidates (row-local after the candidate top-k; HOFs
+    * run interpreted, but the fold is O(breadth·degree·dim) on
+    * in-memory arrays — bounded, and the heavy candidate scoring
+    * stays in the codegen'd [[build]] stages).
+    *
+    * Output: (src, rk, dst) — ≤ degree rows per source, rk contiguous
+    * in kept order. */
+  def buildDiverse(emb: DataFrame, cs: Array[Array[Float]], degree: Int,
+      nProbe: Int, breadth: Int): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val pr = probeAssign(graft.operators.Parallelism.spread(emb), cs, nProbe)
+      .select("vec_id", "cell")
+    val sided = pr.join(emb.select(col("vec_id"), col("embedding"),
+      Similarity.dotFast(col("embedding"), col("embedding")).as("n")),
+      Seq("vec_id"))
+    val a = sided.select(col("cell"), col("vec_id").as("src"),
+      col("embedding").as("sv"), col("n").as("sn"))
+    val b = sided.select(col("cell"), col("vec_id").as("dst"),
+      col("embedding").as("dv"), col("n").as("dn"))
+    val scored = a.join(b, Seq("cell"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        (Similarity.dotFast(col("sv"), col("dv")) /
+          sqrt(col("sn") * col("dn"))).as("sim"))
+      .groupBy("src", "dst").agg(max("sim").as("sim"))
+    val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
+    val topC = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= breadth)
+    // unit-normalized double vectors for the kept-vs-candidate dots;
+    // DIVISION by sqrt(n) on both engines (x·(1/√n) differs in the
+    // last ulp — the arithmetic must be replayable verbatim)
+    val en = emb.select(col("vec_id").as("dst"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("dvf"),
+      Similarity.dotFast(col("embedding"), col("embedding")).as("nn"))
+      .select(col("dst"),
+        expr("transform(dvf, x -> x / sqrt(nn))").as("dv"))
+    val packed = topC.join(en, Seq("dst"))
+      .groupBy("src")
+      .agg(sort_array(collect_list(struct(col("rk"), col("dst"),
+        col("sim"), col("dv")))).as("cands"))
+    val kept = packed.withColumn("kept", expr(
+      s"""aggregate(cands,
+         |  CAST(array() AS array<struct<dst:bigint, v:array<double>>>),
+         |  (acc, c) -> CASE
+         |    WHEN size(acc) >= $degree THEN acc
+         |    WHEN exists(acc, k ->
+         |      aggregate(zip_with(k.v, c.dv, (x, y) -> x * y), 0D,
+         |        (s, p) -> s + p) > c.sim) THEN acc
+         |    ELSE array_append(acc,
+         |      named_struct('dst', c.dst, 'v', c.dv)) END)""".stripMargin))
+    kept.select(col("src"),
+        posexplode(expr("transform(kept, k -> k.dst)")).as(Seq("p", "dst")))
+      .select(col("src"), (col("p") + 1).cast("int").as("rk"), col("dst"))
+  }
+
   /** Greedy beam search: from the entry set, `rounds` frontier
     * expansions over `edges`, keeping the `beam` best (full-precision
     * cosine DESC, node ASC) per query each round; finally the `topK`

@@ -8854,6 +8854,66 @@ object LlmQueries {
       .select("q_id", "rk", "node").orderBy("q_id", "rk")
   }
 
+  // ---------------------------------------------------------------- q266
+  // Diversified k-NN graph (KnnGraph.buildDiverse — the α=1
+  // RobustPrune of Vamana / Toussaint's RNG rule, the principled fix
+  // for the operating contract the --knngraph curve measured: under
+  // near-dup clusters larger than `degree`, plain top-k edges are all
+  // intra-cluster, the graph degenerates into disconnected cliques,
+  // and beam recall is 0%): walk the top-32 candidates in similarity
+  // order, PRUNE candidate j if an already-kept neighbor k is strictly
+  // closer to j than the source is (cos(k,j) > cos(src,j) — j stays
+  // reachable via k, the edge budget buys a new DIRECTION), stop at
+  // 12 kept. Deterministic: full-precision walk order (sim DESC, dst
+  // ASC), strict-> prune, ties keep; the oracle replays the sequential
+  // walk as a recursive CTE carrying the kept list, with dominator
+  // sets precomputed per (src, candidate) and MATERIALIZED — a
+  // recursive CTE re-evaluates non-materialized inputs EVERY iteration
+  // (measured 35 s → 3 s at sf0.001). KnnGraphSpec pins the payoff
+  // A/B: at degree 12 under planted 16-replica clusters the plain
+  // graph's beam recall collapses while the diversified graph's
+  // recovers, same edge budget. Engine: candidate scoring rides the
+  // codegen'd build stages; the prune is a row-local HOF fold over ≤32
+  // in-memory candidates after the WindowGroupLimit top-k cut.
+  val q266 = Q(
+    "q266_knn_graph_diverse",
+    s"""$knnOraclePrefix,
+      |cnd AS MATERIALIZED (SELECT src, dst, sim, rk FROM (
+      |          SELECT src, dst, sim, row_number() OVER (PARTITION BY src
+      |                   ORDER BY sim DESC, dst) AS rk FROM sc)
+      |        WHERE rk <= 32),
+      |en AS (SELECT vec_id, list_transform(v, x -> x / sqrt(n)) AS vn FROM e),
+      |dom AS MATERIALIZED (SELECT a.src, b.dst AS j, list(a.dst) AS doms
+      |        FROM cnd a JOIN cnd b ON a.src = b.src AND a.dst <> b.dst
+      |        JOIN en ka ON ka.vec_id = a.dst JOIN en jb ON jb.vec_id = b.dst
+      |        WHERE list_dot_product(ka.vn, jb.vn) > b.sim
+      |        GROUP BY a.src, b.dst),
+      |rec AS (
+      |  SELECT src, 0 AS r, CAST([] AS BIGINT[]) AS kept
+      |  FROM (SELECT DISTINCT src FROM cnd)
+      |  UNION ALL
+      |  SELECT rec.src, rec.r + 1,
+      |    CASE WHEN c.dst IS NULL OR len(rec.kept) >= 12 THEN rec.kept
+      |         WHEN len(list_intersect(rec.kept, coalesce(d.doms, []))) > 0
+      |         THEN rec.kept
+      |         ELSE list_append(rec.kept, c.dst) END
+      |  FROM rec
+      |  LEFT JOIN cnd c ON c.src = rec.src AND c.rk = rec.r + 1
+      |  LEFT JOIN dom d ON d.src = rec.src AND d.j = c.dst
+      |  WHERE rec.r < 32),
+      |fin AS (SELECT src, kept FROM rec WHERE r = 32)
+      |SELECT src, CAST(p AS INT) AS rk, kept[p] AS dst
+      |FROM fin, unnest(range(1, len(kept) + 1)) AS t(p)
+      |ORDER BY src, rk""".stripMargin
+      .replace("WITH e AS", "WITH RECURSIVE e AS")) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val cs: Array[Array[Float]] = emb.filter(col("vec_id") < 12)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    KnnGraph.buildDiverse(emb, cs, degree = 12, nProbe = 3, breadth = 32)
+      .orderBy("src", "rk")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -8870,5 +8930,5 @@ object LlmQueries {
       q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
       q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
       q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
-      q256, q257, q258, q259, q260, q261, q262, q263, q264, q265)
+      q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266)
 }
