@@ -8914,6 +8914,98 @@ object LlmQueries {
       .orderBy("src", "rk")
   }
 
+  // ---------------------------------------------------------------- q267
+  // KMV sketch SET ALGEBRA (Beyer et al., SIGMOD 2007 — "On synopses
+  // for distinct-value estimation under multiset operations": the
+  // reason KMV beats HLL as a warehouse synopsis is that the SAME
+  // k-min sketch answers union AND intersection cardinalities without
+  // rescanning raw data — union = merge-and-truncate, intersection via
+  // the Jaccard of kept values: ρ = |K_∪ ∩ A ∩ B| / k, D_∩ ≈ ρ·D_∪).
+  // Sets are user-DAYS per event type (the q244 events fixture has
+  // every user touching every type, so raw user sets are degenerate
+  // Jaccard-1; user-days differentiate at ρ ≈ 0.22). The element hash
+  // is the pinned Lehmer form with the key PRE-REDUCED mod p before
+  // the multiply (the q258/q256 overflow discipline — p = 1e9+7 keeps
+  // the product ≤ ~4.8e13), day = integer epoch-µs div (no tz/date
+  // semantics to diverge on). All estimate arithmetic is exact BIGINT
+  // div; sub-k unions fall back to the exact size (the q223 rule,
+  // try_element_at under ANSI). The exact hashed-key union and
+  // intersection ride beside the estimates so the sketch error is
+  // VISIBLE in the hashed result, the q207 one-sided-error treatment.
+  // One aggregation exchange builds all 5 sketches; the pair frame is
+  // groups², tiny, row-local list algebra after a broadcast self-join.
+  val q267 = Q(
+    "q267_kmv_set_algebra",
+    """WITH m AS (SELECT DISTINCT event_type AS g,
+      |    ((user_id * 1000000 + epoch_us(ts) // 86400000000) % 1000000007)
+      |      * 48271 % 1000000007 AS h
+      |  FROM events),
+      |r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+      |      FROM m),
+      |sk AS (SELECT g, list(h ORDER BY h) AS kmv FROM r
+      |       WHERE rn <= 64 GROUP BY g),
+      |ex AS (SELECT g, count(*) AS n FROM m GROUP BY g),
+      |xint AS (SELECT a.g AS ga, b.g AS gb, count(*) AS n_int
+      |         FROM m a JOIN m b ON a.g < b.g AND a.h = b.h GROUP BY 1, 2),
+      |p AS (SELECT a.g AS ga, b.g AS gb, a.kmv AS ka, b.kmv AS kb,
+      |             ea.n AS na, eb.n AS nb
+      |      FROM sk a JOIN sk b ON a.g < b.g
+      |      JOIN ex ea ON ea.g = a.g JOIN ex eb ON eb.g = b.g),
+      |u AS (SELECT ga, gb, ka, kb, na, nb,
+      |        list_sort(list_distinct(list_concat(ka, kb)))[1:64] AS ku
+      |      FROM p),
+      |est AS (SELECT ga, gb, na, nb, len(ku) AS n_ku,
+      |         CASE WHEN len(ku) < 64 THEN len(ku)
+      |              ELSE (63 * CAST(1000000007 AS BIGINT)) // ku[64] END
+      |           AS est_union,
+      |         len(list_filter(ku, x -> list_contains(ka, x)
+      |                                  AND list_contains(kb, x))) AS k_both
+      |        FROM u)
+      |SELECT est.ga, est.gb,
+      |  CAST(est_union AS BIGINT) AS est_union,
+      |  CAST(na + nb - coalesce(x.n_int, 0) AS BIGINT) AS n_union_exact,
+      |  CAST(k_both AS BIGINT) AS k_both,
+      |  CAST(k_both * est_union // n_ku AS BIGINT) AS est_intersect,
+      |  CAST(coalesce(x.n_int, 0) AS BIGINT) AS n_intersect_exact
+      |FROM est LEFT JOIN xint x ON x.ga = est.ga AND x.gb = est.gb
+      |ORDER BY est.ga, est.gb""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val m = Tables(s, dir, "events")
+      .select(col("event_type").as("g"),
+        pmod(pmod(col("user_id") * 1000000L +
+          expr("unix_micros(ts) div 86400000000"), lit(1000000007L)) *
+          lit(48271L), lit(1000000007L)).as("h"))
+      .distinct()
+    val sk = m.groupBy("g").agg(expr("kmv_minhashes(h, 64)").as("kmv"),
+      count(lit(1)).as("n"))
+    val xint = m.select(col("g").as("ga"), col("h"))
+      .join(m.select(col("g").as("gb"), col("h")), Seq("h"))
+      .filter(col("ga") < col("gb"))
+      .groupBy("ga", "gb").agg(count(lit(1)).as("n_int"))
+    val pairs = broadcast(sk.select(col("g").as("ga"), col("kmv").as("ka"),
+        col("n").as("na")))
+      .join(broadcast(sk.select(col("g").as("gb"), col("kmv").as("kb"),
+        col("n").as("nb"))), col("ga") < col("gb"))
+      .withColumn("ku", expr("slice(array_sort(array_union(ka, kb)), 1, 64)"))
+      .withColumn("est_union",
+        when(size(col("ku")) < 64, size(col("ku")).cast("long"))
+          .otherwise(expr(s"${63L * 1000000007L}L div try_element_at(ku, 64)")))
+      .withColumn("k_both", expr(
+        "size(filter(ku, x -> array_contains(ka, x) AND array_contains(kb, x)))"))
+    pairs.join(xint, Seq("ga", "gb"), "left")
+      .select(col("ga"), col("gb"),
+        col("est_union"),
+        (col("na") + col("nb") - coalesce(col("n_int"), lit(0L)))
+          .as("n_union_exact"),
+        col("k_both").cast("long").as("k_both"),
+        // divide by the KEPT size, not k: a sub-k union sketch saw
+        // EVERYTHING, so ρ = k_both/|ku| makes the intersection exact
+        // there (k_both·|ku|/|ku|), and at |ku| = k it is Beyer's ρ·D_∪
+        expr("(k_both * est_union) div size(ku)").as("est_intersect"),
+        coalesce(col("n_int"), lit(0L)).as("n_intersect_exact"))
+      .orderBy("ga", "gb")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -8930,5 +9022,6 @@ object LlmQueries {
       q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233,
       q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
       q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
-      q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266)
+      q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266,
+      q267)
 }
