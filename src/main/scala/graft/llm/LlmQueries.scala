@@ -9006,6 +9006,107 @@ object LlmQueries {
       .orderBy("ga", "gb")
   }
 
+  // ---------------------------------------------------------------- q268
+  // Quantile-sketch MAINTENANCE under deletes (the turnstile-stream
+  // composition of q262 + q263: because q262's sketch is EXACT bucket
+  // counts, a changelog applies as bucket-count DELTAS — inserts +1,
+  // deletes −1 — with NO dirty-group rescan tier at all; count-based
+  // sketches are fully self-maintainable where min/max needed q263's
+  // re-check, and this is precisely the deletion support the
+  // rank-compaction families (KLL/GK, whose kept items are
+  // irrevocably merged) cannot offer). Law certified the q252/q263
+  // way: the ENGINE maintains sketch(S₀) through the changelog —
+  // union the base's bucket rows with ±1 bucket deltas, re-sum, drop
+  // zeroed buckets — while the ORACLE builds sketch(S₁) from scratch;
+  // the hash match IS apply(sketch(S₀), cl) ≡ sketch(S₁), per-bucket,
+  // and the quantile columns ride on the MAINTAINED buckets. Fixture:
+  // lineitem cents by returnflag, %7==0 rows arrive as inserts,
+  // %11==0 survivors leave as deletes (the q263 residue split — every
+  // bucket class occurs, some buckets zero out and must VANISH, the
+  // spec-worthy edge). Only bucket maps move; the changelog folds to
+  // ≤ |buckets| delta rows map-side.
+  val q268 = Q(
+    "q268_qsketch_maintain",
+    """WITH pw(k, p) AS (VALUES (0, CAST(1 AS BIGINT)), (1, 10), (2, 100),
+      |  (3, 1000), (4, 10000), (5, 100000), (6, 1000000), (7, 10000000),
+      |  (8, 100000000), (9, 1000000000)),
+      |src AS (SELECT l_returnflag AS g,
+      |          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      |          l_orderkey AS ok
+      |        FROM lineitem),
+      |s1 AS (SELECT g, v FROM src
+      |       WHERE ok % 7 = 0 OR (ok % 7 <> 0 AND ok % 11 <> 0)),
+      |b0 AS (SELECT g, v, CASE WHEN v < 1000 THEN 0
+      |         ELSE length(CAST(v AS VARCHAR)) - 3 END AS k FROM s1),
+      |bu AS (SELECT g, b0.k, CAST(v // pw.p AS BIGINT) AS m, count(*) AS c
+      |       FROM b0 JOIN pw ON pw.k = b0.k GROUP BY 1, 2, 3),
+      |cu AS (SELECT g, bu.k, m, c, m * pw.p AS lo,
+      |         sum(c) OVER (PARTITION BY g ORDER BY m * pw.p
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |         sum(c) OVER (PARTITION BY g) AS n
+      |       FROM bu JOIN pw ON pw.k = bu.k)
+      |SELECT g, CAST(max(n) AS BIGINT) AS n,
+      |  CAST(count(*) AS BIGINT) AS n_buckets,
+      |  CAST(min(CASE WHEN 100 * cum >= 50 * n THEN lo END) AS BIGINT) AS p50,
+      |  CAST(min(CASE WHEN 100 * cum >= 90 * n THEN lo END) AS BIGINT) AS p90,
+      |  CAST(min(CASE WHEN 100 * cum >= 99 * n THEN lo END) AS BIGINT) AS p99
+      |FROM cu GROUP BY g ORDER BY g""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val src = Tables(s, dir, "lineitem").select(
+      col("l_returnflag").as("g"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("v"),
+      col("l_orderkey").as("ok"))
+    val s0 = src.filter(pmod(col("ok"), lit(7L)) =!= 0)
+    // the changelog: inserts (+1 per value) and deletes (−1) fold to
+    // bucket deltas BEFORE touching the persisted sketch
+    val cl = src.filter(pmod(col("ok"), lit(7L)) === 0)
+        .select(col("g"), col("v"), lit(1L).as("d"))
+      .unionByName(s0.filter(pmod(col("ok"), lit(11L)) === 0)
+        .select(col("g"), col("v"), lit(-1L).as("d")))
+    // persisted sketch of S₀ as bucket rows
+    def bucketRows(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("g").agg(expr("qsketch_buckets(v)").as("sk"))
+      .select(col("g"), explode(col("sk")).as("bk"))
+      .select(col("g"), col("bk.k").as("k"), col("bk.m").as("m"),
+        col("bk.c").as("c"))
+    val sk0 = bucketRows(s0)
+    // changelog → signed bucket deltas THROUGH the same aggregate (one
+    // bucket rule, no re-derivation): sketch the inserts and the
+    // deletes separately per sign, then sign the counts — the
+    // changelog folds to ≤ 2·|buckets| delta rows map-side
+    val clB = cl.groupBy("g", "d")
+      .agg(expr("qsketch_buckets(v)").as("sk"))
+      .select(col("g"), col("d"), explode(col("sk")).as("bk"))
+      .select(col("g"), col("bk.k").as("k"), col("bk.m").as("m"),
+        (col("bk.c") * col("d")).as("c"))
+    // apply: union + re-sum, zeroed buckets VANISH (as sketch(S₁)
+    // never had them); negative survivors would mean a delete of a
+    // value the base never held — fail loudly (the q263 discipline)
+    val maintained = sk0.unionByName(clB)
+      .groupBy("g", "k", "m").agg(sum(col("c")).as("c"))
+      .filter(assert_true(col("c") >= 0,
+        lit("q268: bucket count went negative — changelog deletes a " +
+          "value the base never held")).isNull)
+      .filter(col("c") > 0)
+    val pows = graft.functions.QuantileSketch.Pows
+      .map(p => s"${p}L").mkString("array(", ", ", ")")
+    val wCum = Window.partitionBy("g").orderBy("lo")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cu = maintained
+      .withColumn("lo", expr(s"m * element_at($pows, k + 1)"))
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(Window.partitionBy("g")))
+    cu.groupBy("g").agg(
+        max("n").as("n"),
+        count(lit(1)).as("n_buckets"),
+        min(when(col("cum") * 100 >= col("n") * 50, col("lo"))).as("p50"),
+        min(when(col("cum") * 100 >= col("n") * 90, col("lo"))).as("p90"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("lo"))).as("p99"))
+      .orderBy("g")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -9023,5 +9124,5 @@ object LlmQueries {
       q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
       q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
       q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266,
-      q267)
+      q267, q268)
 }

@@ -69,6 +69,25 @@ class QuantileSketchSpec extends SparkSpec {
     assert(one == merged, "relational explode+re-sum merge must be exact")
   }
 
+  test("turnstile maintenance: deltas apply exactly, zeroed buckets vanish") {
+    // the q268 shape: sketch(S0) + signed changelog deltas ≡ sketch(S1),
+    // including a bucket whose count reaches zero and must DISAPPEAR
+    val s0 = Seq(5L, 5L, 1234L, 77L).toDF("v")
+    val s1vals = Seq(5L, 1234L, 900L) // delete one 5, delete 77, insert 900
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Int, Int, Long)] =
+      df.agg(expr("qsketch_buckets(v)").as("sk"))
+        .selectExpr("inline(sk)").as[(Int, Int, Long)].collect().toSet
+    val base = rows(s0)
+    val dels = rows(Seq(5L, 77L).toDF("v")).map { case (k, m, c) => (k, m, -c) }
+    val ins = rows(Seq(900L).toDF("v"))
+    val applied = (base ++ dels ++ ins).groupBy(x => (x._1, x._2))
+      .map { case ((k, m), cs) => (k, m, cs.map(_._3).sum) }
+      .filter(_._3 > 0).toSet
+    assert(applied == rows(s1vals.toDF("v")))
+    // the 77-bucket zeroed out and is absent from both sides
+    assert(!applied.exists { case (k, m, _) => k == 0 && m == 77 })
+  }
+
   test("quantile from buckets is within 1% relative of the true quantile") {
     val vs = (1 to 20000).map(i => ((i.toLong * 2654435761L) % 999983L).abs + 1L)
     val sorted = vs.sorted
