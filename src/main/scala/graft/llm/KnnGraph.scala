@@ -207,6 +207,68 @@ object KnnGraph {
       .select(col("src"), (col("p") + 1).cast("int").as("rk"), col("dst"))
   }
 
+  /** Incremental graph upsert — extend an EXISTING k-NN graph with new
+    * vectors without rebuilding (the FreshDiskANN shape, Singh et al.
+    * 2021: a production vector index ingests continuously; rebuilding
+    * a billion-edge graph per batch is not a plan): new nodes get
+    * their edge lists computed against base ∪ new through the same
+    * probe-cell machinery, and base nodes receive BACK-EDGE candidates
+    * (without them new nodes are unreachable) spliced into their
+    * existing lists with a re-cut to `degree`.
+    *
+    * CORRECTNESS LAW (the q252/q263 discipline, certified by q269's
+    * oracle replaying the full rebuild while the engine splices):
+    *   upsert(build(B), N) ≡ build(B ∪ N), exactly —
+    * because the rebuild keeps ≤ degree old candidates per base node,
+    * all of which lie inside the node's OLD top-degree list, so
+    * re-cutting top-degree over (old list ∪ new back-candidates)
+    * reproduces the rebuild's ranking bit for bit (standard top-k
+    * maintenance; sims don't depend on which pass computed them).
+    *
+    * Scale shape: only AFFECTED base nodes (those sharing a probe cell
+    * with a new vector) re-rank — |touched| ≈ the new batch's cell
+    * footprint, not |base|; untouched rows pass through without a
+    * window. The new-side candidate join is bucketed by cell exactly
+    * like [[build]]; nothing scores base×base again. */
+  def upsert(edges0: DataFrame, embBase: DataFrame, embNew: DataFrame,
+      cs: Array[Array[Float]], degree: Int, nProbe: Int): DataFrame = {
+    GraftFunctions.register(embBase.sparkSession)
+    val all = embBase.unionByName(embNew)
+    def sides(emb: DataFrame, as: String, idAs: String) =
+      probeAssign(emb, cs, nProbe).select("vec_id", "cell")
+        .join(emb.select(col("vec_id"), col("embedding"),
+          Similarity.dotFast(col("embedding"), col("embedding")).as("n")),
+          Seq("vec_id"))
+        .select(col("cell"), col("vec_id").as(idAs),
+          col("embedding").as(s"${as}v"), col("n").as(s"${as}n"))
+    val newSrc = sides(graft.operators.Parallelism.spread(embNew), "s", "src")
+    val allDst = sides(all, "d", "dst")
+    val baseSrc = sides(embBase, "s", "src")
+    val newDst = sides(embNew, "d", "dst")
+    def score(a: DataFrame, b: DataFrame) = a.join(b, Seq("cell"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        (Similarity.dotFast(col("sv"), col("dv")) /
+          sqrt(col("sn") * col("dn"))).as("sim"))
+      .groupBy("src", "dst").agg(max("sim").as("sim"))
+    val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
+    def cut(df: DataFrame) = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= degree).select("src", "rk", "dst", "sim")
+    // new nodes: full edge lists vs base ∪ new
+    val newEdges = cut(score(newSrc, allDst))
+    // base nodes: only back-candidates to NEW dsts; splice + re-cut
+    // for the affected sources, pass-through for everyone else
+    val back = score(baseSrc, newDst)
+    val affected = back.select("src").distinct()
+    val spliced = cut(
+      edges0.join(affected, Seq("src"), "left_semi")
+        .select("src", "dst", "sim")
+        .unionByName(back))
+    val untouched = edges0.join(affected, Seq("src"), "left_anti")
+      .select("src", "rk", "dst", "sim")
+    untouched.unionByName(spliced).unionByName(newEdges)
+  }
+
   /** Greedy beam search: from the entry set, `rounds` frontier
     * expansions over `edges`, keeping the `beam` best (full-precision
     * cosine DESC, node ASC) per query each round; finally the `topK`

@@ -9107,6 +9107,40 @@ object LlmQueries {
       .orderBy("g")
   }
 
+  // ---------------------------------------------------------------- q269
+  // Incremental k-NN-graph upsert (KnnGraph.upsert — the FreshDiskANN
+  // shape: a production vector index ingests continuously, and
+  // rebuilding a billion-edge graph per batch is not a plan). The
+  // engine starts from build(base = vec_id ≥ 40), then UPSERTS the 40
+  // newest vectors: new nodes get full edge lists via the probe-cell
+  // machinery, affected base nodes splice back-edge candidates into
+  // their existing lists and re-cut to degree, untouched base nodes
+  // pass through with no window. The ORACLE IS q264's full-rebuild
+  // oracle VERBATIM — the law upsert(build(B), N) ≡ build(B ∪ N) holds
+  // exactly (the rebuild keeps ≤ degree old candidates per node, all
+  // inside the old top-degree list, so re-cutting the spliced list
+  // reproduces the rebuild's ranking bit for bit; sims don't depend on
+  // which pass computed them), so one hash certifies the whole
+  // incremental path including the touched/untouched split.
+  val q269 = Q(
+    "q269_knn_graph_upsert",
+    s"""$knnOraclePrefix
+      |SELECT src, CAST(rk AS INT) AS rk, dst FROM (
+      |  SELECT src, dst, row_number() OVER (PARTITION BY src
+      |           ORDER BY sim DESC, dst) AS rk FROM sc)
+      |WHERE rk <= 12 ORDER BY src, rk""".stripMargin) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val cs: Array[Array[Float]] = emb.filter(col("vec_id") < 12)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val base = emb.filter(col("vec_id") >= 40)
+    val fresh = emb.filter(col("vec_id") < 40)
+    val g0 = KnnGraph.build(base, cs, degree = 12, nProbe = 3)
+      .localCheckpoint(true) // the PERSISTED index the upsert starts from
+    KnnGraph.upsert(g0, base, fresh, cs, degree = 12, nProbe = 3)
+      .select("src", "rk", "dst").orderBy("src", "rk")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -9124,5 +9158,5 @@ object LlmQueries {
       q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
       q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
       q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266,
-      q267, q268)
+      q267, q268, q269)
 }

@@ -189,6 +189,27 @@ class KnnGraphSpec extends SparkSpec {
     } finally emb.unpersist()
   }
 
+  test("upsert law: extend(build(B), N) ≡ build(B ∪ N), exactly") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val cs = centroids(12)
+    val base = emb.filter(col("vec_id") >= 60)
+    val fresh = emb.filter(col("vec_id") < 60)
+    val g0 = KnnGraph.build(base, cs, degree = 12, nProbe = 3)
+      .localCheckpoint(true)
+    val up = KnnGraph.upsert(g0, base, fresh, cs, degree = 12, nProbe = 3)
+      .select("src", "rk", "dst")
+    val full = KnnGraph.build(emb, cs, degree = 12, nProbe = 3)
+      .select("src", "rk", "dst")
+    assert(up.exceptAll(full).count() == 0 && full.exceptAll(up).count() == 0)
+    // the touched/untouched split is real: some base nodes share no
+    // probe cell with the fresh batch and pass through windowless
+    val affectedSrcs = up.select("src").except(
+      g0.select("src", "rk", "dst").intersect(up).select("src")).count()
+    assert(affectedSrcs > 0, "no node's list changed — vacuous upsert")
+    val unchangedSrcRows = g0.select("src", "rk", "dst").intersect(up).count()
+    assert(unchangedSrcRows > 0, "every edge changed — pass-through untested")
+  }
+
   test("beam is monotone: more rounds never lose a found neighbor's rank-1") {
     val emb = Tables(spark, sf0001, "embeddings")
     val cs = centroids(12)
