@@ -50,6 +50,43 @@ object CountMin {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Per-group sketches in one pass: one row per non-empty
+    * (group, j, bucket) cell — the shape [[joinSizes]] consumes. */
+  def tableBy(df: DataFrame, group: Column, key: Column, width: Int = 256,
+      seeds: Seq[(Long, Long)] = DefaultSeeds): DataFrame = {
+    require(width >= 2, s"bad width: $width")
+    require(seeds.nonEmpty, "need at least one hash row")
+    val rows = array(seeds.zipWithIndex.map { case ((a, b), j) =>
+      struct(lit(j).as("j"), bucket(key, a, b, width).as("bucket"))
+    }: _*)
+    df.select(group.as("g"), explode(rows).as("cell"))
+      .select(col("g"), col("cell.j").as("j"), col("cell.bucket").as("bucket"))
+      .groupBy("g", "j", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Equi-join SIZE estimates between every group pair from the
+    * sketches alone (Cormode & Muthukrishnan 2005 §4.2: the inner
+    * product of two CM rows estimates a₁·a₂ = Σ_k fA(k)·fB(k), which
+    * IS |A ⋈ B| on the key; min across the depth rows tightens it, and
+    * like the point estimate it NEVER underestimates — collisions only
+    * add). The estimator the join planner wants at 100 TB: cells are
+    * depth·width per group regardless of table size, so join-size
+    * ordering across many candidate joins costs no raw-data scan at
+    * all. Error ≤ ε·N_A·N_B with ε = e/width at prob 1−e^(−depth). */
+  def joinSizes(cells: DataFrame): DataFrame = {
+    val a = cells.select(col("g").as("ga"), col("j"), col("bucket"),
+      col("cnt").as("ca"))
+    val b = cells.select(col("g").as("gb"), col("j"), col("bucket"),
+      col("cnt").as("cb"))
+    a.join(b, Seq("j", "bucket"))
+      .filter(col("ga") < col("gb"))
+      .groupBy("ga", "gb", "j")
+      .agg(sum(col("ca") * col("cb")).as("ip"))
+      .groupBy("ga", "gb")
+      .agg(min(col("ip")).as("est_join"))
+  }
+
   /** Point-frequency estimates for a probe-key set: min over the key's
     * cells, 0 when a cell is empty (the sketch never underestimates). */
   def estimates(cells: DataFrame, keys: DataFrame, keyCol: String,

@@ -9141,6 +9141,59 @@ object LlmQueries {
       .select("src", "rk", "dst").orderBy("src", "rk")
   }
 
+  // ---------------------------------------------------------------- q270
+  // Join-size estimation from Count-Min inner products (Cormode &
+  // Muthukrishnan 2005 §4.2 — the sketch answer to the question a join
+  // PLANNER asks at 100 TB: how big is A ⋈ B on this key, for every
+  // candidate pair, WITHOUT scanning raw data: Σ_k fA(k)·fB(k) is
+  // exactly the equi-join size, the inner product of two CM rows
+  // estimates it, min across depth rows tightens it, and like the
+  // point estimate it NEVER underestimates — collisions only add).
+  // Sketches are per-event-type user_id frequency sketches (q207's
+  // pinned affine hashes, depth 4 × width 256 — cells independent of
+  // corpus size); the TRUE join size rides beside every estimate so
+  // the one-sided error is VISIBLE in the hash (width 256 vs ~150
+  // users at sf0.01 → near-exact; ~1500 users at sf0.1 → collision
+  // inflation the reader can see, the q207 treatment). One aggregate
+  // builds all 5 sketches; the estimate plane joins cells×cells —
+  // depth·width-bounded, no raw-data rescan.
+  val q270 = Q(
+    "q270_cm_join_size",
+    """WITH seeds(j, a, b) AS (VALUES (0, 31, 7), (1, 131, 17),
+      |  (2, 1031, 29), (3, 65537, 41)),
+      |cells AS (SELECT event_type AS g, j,
+      |            ((a*user_id + b) % 2147483647) % 256 AS bucket,
+      |            count(*) AS cnt
+      |          FROM events CROSS JOIN seeds GROUP BY 1, 2, 3),
+      |ip AS (SELECT x.g AS ga, y.g AS gb, x.j,
+      |         sum(x.cnt * y.cnt) AS ip
+      |       FROM cells x JOIN cells y
+      |         ON x.g < y.g AND x.j = y.j AND x.bucket = y.bucket
+      |       GROUP BY 1, 2, 3),
+      |est AS (SELECT ga, gb, min(ip) AS est_join FROM ip GROUP BY 1, 2),
+      |tru AS (SELECT a.event_type AS ga, b.event_type AS gb, count(*) AS n
+      |        FROM events a JOIN events b
+      |          ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |        GROUP BY 1, 2)
+      |SELECT est.ga, est.gb, CAST(est_join AS BIGINT) AS est_join,
+      |  CAST(coalesce(tru.n, 0) AS BIGINT) AS true_join
+      |FROM est LEFT JOIN tru ON tru.ga = est.ga AND tru.gb = est.gb
+      |ORDER BY est.ga, est.gb""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+      .select(col("event_type").as("g"), col("user_id"))
+    val cells = graft.functions.CountMin.tableBy(ev, col("g"),
+      col("user_id"))
+    val est = graft.functions.CountMin.joinSizes(cells)
+    val tru = ev.select(col("g").as("ga"), col("user_id"))
+      .join(ev.select(col("g").as("gb"), col("user_id")), Seq("user_id"))
+      .filter(col("ga") < col("gb"))
+      .groupBy("ga", "gb").agg(count(lit(1)).as("n"))
+    est.join(tru, Seq("ga", "gb"), "left")
+      .select(col("ga"), col("gb"), col("est_join"),
+        coalesce(col("n"), lit(0L)).as("true_join"))
+      .orderBy("ga", "gb")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -9158,5 +9211,5 @@ object LlmQueries {
       q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
       q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
       q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266,
-      q267, q268, q269)
+      q267, q268, q269, q270)
 }

@@ -41,6 +41,29 @@ class CountMinSpec extends SparkSpec {
     }
   }
 
+  test("join-size estimate: exact when collision-free, never below truth") {
+    // groups A/B over a small key set inside a 64-wide row: inner
+    // products see no collisions, so est == Σ_k fA(k)·fB(k) exactly
+    val rows = Seq.fill(4)(("A", 1L)) ++ Seq.fill(2)(("A", 2L)) ++
+      Seq(("A", 3L)) ++
+      Seq.fill(3)(("B", 1L)) ++ Seq.fill(5)(("B", 2L)) ++ Seq(("B", 7L)) ++
+      Seq.fill(2)(("C", 9L)) // C shares no key with A or B
+    val df = rows.toDF("g", "k")
+    val cells = CountMin.tableBy(df, col("g"), col("k"), width = 64)
+    val est = CountMin.joinSizes(cells).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // |A ⋈ B| = 4·3 + 2·5 = 22; C is disjoint (cells only hold
+    // non-empty buckets, so a disjoint pair has NO shared cells and
+    // simply doesn't appear — the inner join semantics)
+    assert(est(("A", "B")) == 22L)
+    assert(!est.contains(("A", "C")) && !est.contains(("B", "C")))
+    // forced collisions (width 2): still one-sided
+    val cells2 = CountMin.tableBy(df, col("g"), col("k"), width = 2)
+    val est2 = CountMin.joinSizes(cells2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(est2(("A", "B")) >= 22L)
+  }
+
   test("sketches merge by adding cells") {
     val a = (0L until 100L).map(_ % 7L).toDF("k")
     val b = (0L until 50L).map(_ % 5L).toDF("k")
