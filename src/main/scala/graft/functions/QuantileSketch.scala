@@ -6,7 +6,6 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
@@ -82,13 +81,22 @@ object QuantileSketch {
   * Domain: non-negative longs (money in cents, latencies in µs, byte
   * sizes — the warehouse percentile columns); negative input throws
   * (the enforced-contract discipline), nulls are skipped; empty input
-  * → empty array, never null. */
+  * → empty array, never null.
+  *
+  * WEIGHTED form (r16): `qsketch_buckets(v, w)` adds `w` instead of 1
+  * per row — mass-weighted quantiles, the token-budget world's
+  * percentiles ("half the corpus BYTES live in documents shorter than
+  * X" is a different number from the doc-count p50 under a long
+  * tail). Weights are non-negative longs; a zero weight is a no-op,
+  * a negative one throws, a null v OR w skips the row. The unweighted
+  * call is literally the weighted one at w = 1 (one code path). */
 case class QuantileSketchAgg(
     child: Expression,
+    weight: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.TreeMap[java.lang.Long, Array[Long]]]
-  with UnaryLike[Expression] {
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
 
   private type Buf = java.util.TreeMap[java.lang.Long, Array[Long]]
 
@@ -101,10 +109,15 @@ case class QuantileSketchAgg(
   override def nullable: Boolean = false
   override def prettyName: String = GraftFunctions.QsketchName
 
+  override def left: Expression = child
+  override def right: Expression = weight
+
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType == LongType && weight.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects a bigint child, got ${child.dataType.simpleString}")
+      s"$prettyName expects bigint (value[, weight]), got " +
+        s"(${child.dataType.simpleString}, ${weight.dataType.simpleString})")
 
   override def createAggregationBuffer(): Buf = new Buf()
 
@@ -115,7 +128,13 @@ case class QuantileSketchAgg(
 
   override def update(buffer: Buf, input: InternalRow): Buf = {
     val v = child.eval(input)
-    if (v != null) add(buffer, QuantileSketch.bucketKey(v.asInstanceOf[Long]), 1L)
+    val w = weight.eval(input)
+    if (v != null && w != null) {
+      val wl = w.asInstanceOf[Long]
+      require(wl >= 0L, s"$prettyName: negative weight $wl")
+      if (wl > 0L)
+        add(buffer, QuantileSketch.bucketKey(v.asInstanceOf[Long]), wl)
+    }
     buffer
   }
 
@@ -175,6 +194,7 @@ case class QuantileSketchAgg(
   override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketchAgg =
     copy(inputAggBufferOffset = newOffset)
 
-  override protected def withNewChildInternal(newChild: Expression): QuantileSketchAgg =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantileSketchAgg =
+    copy(child = newLeft, weight = newRight)
 }

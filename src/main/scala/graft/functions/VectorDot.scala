@@ -244,8 +244,11 @@ object GraftFunctions {
     (FunctionIdentifier(QsketchName),
       new ExpressionInfo(classOf[QuantileSketchAgg].getName, QsketchName),
       (exprs: Seq[Expression]) => {
-        require(exprs.length == 1, s"$QsketchName takes 1 argument")
-        QuantileSketchAgg(exprs.head)
+        require(exprs.length == 1 || exprs.length == 2,
+          s"$QsketchName takes (value[, weight])")
+        QuantileSketchAgg(exprs.head,
+          if (exprs.length == 2) exprs(1)
+          else org.apache.spark.sql.catalyst.expressions.Literal(1L))
       }),
     (FunctionIdentifier(ContentChunksName),
       new ExpressionInfo(classOf[ContentChunks].getName, ContentChunksName),

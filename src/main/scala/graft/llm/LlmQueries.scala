@@ -9194,6 +9194,73 @@ object LlmQueries {
       .orderBy("ga", "gb")
   }
 
+  // ---------------------------------------------------------------- q271
+  // Mass-weighted quantiles (the r16 weighted form of q262's sketch:
+  // `qsketch_buckets(v, w)` adds w per row — the token-budget world's
+  // percentiles, because "half the corpus BYTES live in docs shorter
+  // than X" is a DIFFERENT number from the doc-count p50 under a long
+  // tail; a curation dashboard reads both side by side to see where
+  // the mass actually sits). Per source, BOTH distributions come from
+  // ONE aggregate pass (two sketches per group — doc-count and
+  // char-mass, weight = v itself), then one shared window pass keyed
+  // (g, mode) extracts p50/p90/p99 with the established all-integer
+  // rule. Long-format output (no pivot): (g, mode, n, p50, p90, p99).
+  // Weight sums stay exact longs (Σ v·1[bucket] per bucket); the
+  // oracle replays both bucket tables as a UNION ALL over the same
+  // decimal-digit rule.
+  val q271 = Q(
+    "q271_weighted_quantiles",
+    """WITH pw(k, p) AS (VALUES (0, CAST(1 AS BIGINT)), (1, 10), (2, 100),
+      |  (3, 1000), (4, 10000), (5, 100000), (6, 1000000), (7, 10000000),
+      |  (8, 100000000), (9, 1000000000)),
+      |src AS (SELECT source AS g, n_chars AS v FROM documents),
+      |b0 AS (SELECT g, v, CASE WHEN v < 1000 THEN 0
+      |         ELSE length(CAST(v AS VARCHAR)) - 3 END AS k FROM src),
+      |bu AS (SELECT g, 'doc' AS mode, b0.k, CAST(v // pw.p AS BIGINT) AS m,
+      |         CAST(count(*) AS BIGINT) AS c
+      |       FROM b0 JOIN pw ON pw.k = b0.k GROUP BY 1, 2, 3, 4
+      |       UNION ALL
+      |       SELECT g, 'mass', b0.k, CAST(v // pw.p AS BIGINT),
+      |         CAST(sum(v) AS BIGINT)
+      |       FROM b0 JOIN pw ON pw.k = b0.k GROUP BY 1, 2, 3, 4),
+      |cu AS (SELECT g, mode, bu.k, m, c, m * pw.p AS lo,
+      |         sum(c) OVER (PARTITION BY g, mode ORDER BY m * pw.p
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |         sum(c) OVER (PARTITION BY g, mode) AS n
+      |       FROM bu JOIN pw ON pw.k = bu.k)
+      |SELECT g, mode, CAST(max(n) AS BIGINT) AS n,
+      |  CAST(min(CASE WHEN 100 * cum >= 50 * n THEN lo END) AS BIGINT) AS p50,
+      |  CAST(min(CASE WHEN 100 * cum >= 90 * n THEN lo END) AS BIGINT) AS p90,
+      |  CAST(min(CASE WHEN 100 * cum >= 99 * n THEN lo END) AS BIGINT) AS p99
+      |FROM cu GROUP BY g, mode ORDER BY g, mode""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val d = Tables(s, dir, "documents")
+      .select(col("source").as("g"), col("n_chars").as("v"))
+    val sk = d.groupBy("g").agg(
+      expr("qsketch_buckets(v)").as("skc"),
+      expr("qsketch_buckets(v, v)").as("skw"))
+    val b = sk.select(col("g"), lit("doc").as("mode"),
+        explode(col("skc")).as("bk"))
+      .unionByName(sk.select(col("g"), lit("mass").as("mode"),
+        explode(col("skw")).as("bk")))
+      .select(col("g"), col("mode"), col("bk.k").as("k"),
+        col("bk.m").as("m"), col("bk.c").as("c"))
+    val pows = graft.functions.QuantileSketch.Pows
+      .map(p => s"${p}L").mkString("array(", ", ", ")")
+    val wCum = Window.partitionBy("g", "mode").orderBy("lo")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cu = b.withColumn("lo", expr(s"m * element_at($pows, k + 1)"))
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(Window.partitionBy("g", "mode")))
+    cu.groupBy("g", "mode").agg(
+        max("n").as("n"),
+        min(when(col("cum") * 100 >= col("n") * 50, col("lo"))).as("p50"),
+        min(when(col("cum") * 100 >= col("n") * 90, col("lo"))).as("p90"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("lo"))).as("p99"))
+      .orderBy("g", "mode")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -9211,5 +9278,5 @@ object LlmQueries {
       q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
       q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
       q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266,
-      q267, q268, q269, q270)
+      q267, q268, q269, q270, q271)
 }

@@ -69,6 +69,38 @@ class QuantileSketchSpec extends SparkSpec {
     assert(one == merged, "relational explode+re-sum merge must be exact")
   }
 
+  test("weighted sketch ≡ sketch of w-times-replicated rows; contracts hold") {
+    val rows = Seq((10L, 3L), (1500L, 2L), (1500L, 0L), (77L, 5L))
+    val weighted = rows.toDF("v", "w")
+      .agg(expr("qsketch_buckets(v, w)").as("sk"))
+      .selectExpr("inline(sk)").as[(Int, Int, Long)].collect().toSet
+    val replicated = rows.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }
+      .toDF("v").agg(expr("qsketch_buckets(v)").as("sk"))
+      .selectExpr("inline(sk)").as[(Int, Int, Long)].collect().toSet
+    assert(weighted == replicated)
+    // zero weight was a no-op (1500 has weight 2, not 2+0-ish noise)
+    assert(weighted.contains((1, 150, 2L)))
+    intercept[Exception] {
+      Seq((5L, -1L)).toDF("v", "w")
+        .agg(expr("qsketch_buckets(v, w)")).collect()
+    }
+    // the point of the weighted form: under a long tail the mass p50
+    // sits far above the doc-count p50 (one huge value is half the mass)
+    val skew = Seq.fill(99)(10L) :+ 100000L
+    def p50(df: org.apache.spark.sql.DataFrame, agg: String): Long = {
+      val sk = df.agg(expr(agg).as("sk")).selectExpr("inline(sk)")
+        .as[(Int, Int, Long)].collect()
+        .sortBy { case (k, m, _) => QuantileSketch.lowerBound(k.toLong * 1000 + m) }
+      val n = sk.map(_._3).sum
+      var cum = 0L
+      sk.collectFirst { case (k, m, c) if { cum += c; 100 * cum >= 50 * n } =>
+        QuantileSketch.lowerBound(k.toLong * 1000 + m) }.get
+    }
+    val d = skew.toDF("v")
+    assert(p50(d, "qsketch_buckets(v)") == 10L)
+    assert(p50(d, "qsketch_buckets(v, v)") == 100000L)
+  }
+
   test("turnstile maintenance: deltas apply exactly, zeroed buckets vanish") {
     // the q268 shape: sketch(S0) + signed changelog deltas ≡ sketch(S1),
     // including a bucket whose count reaches zero and must DISAPPEAR
