@@ -74,6 +74,16 @@ REGISTRY = {
     "q38.p75": (4, """
         SELECT quantile_cont(l_quantity, 0.75) AS v FROM lineitem
         GROUP BY l_returnflag"""),
+    # q272's cosine ranks order by the ROUNDED sim over the %50 query
+    # set — a different domain from q26's vec_id<3 probe; every scorable
+    # pair is rank-relevant (no threshold filter to restrict the domain)
+    "q272.cos_sim": (4, """
+        WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+                   FROM embeddings WHERE vec_id % 50 = 0),
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS ce FROM embeddings)
+        SELECT list_dot_product(qe, ce)
+               / sqrt(list_dot_product(qe, qe) * list_dot_product(ce, ce)) AS v
+        FROM q JOIN c ON vec_id <> q_id"""),
     "q26.sim": (4, """
         WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
                    FROM embeddings WHERE vec_id < 3),

@@ -9261,6 +9261,108 @@ object LlmQueries {
       .orderBy("g", "mode")
   }
 
+  // ---------------------------------------------------------------- q272
+  // Hybrid retrieval fusion — reciprocal-rank fusion of BM25 and
+  // embedding-cosine rankings (Cormack, Clarke & Buettcher, SIGIR
+  // 2009: RRF(d) = Σ_r 1/(k₀+rank_r(d)), k₀ = 60 — the hybrid-search
+  // staple because it needs NO score calibration between rankers,
+  // only ranks). Lexical side = q142's BM25 machinery verbatim
+  // (quantized integer term scores); semantic side = q26's rounded-
+  // cosine top-k (which excludes the query itself, while BM25 ranks
+  // it #1 — the asymmetric-membership case every real fusion handles,
+  // exercised rather than hidden). The reciprocal is QUANTIZED to an
+  // integer (10⁹ div (60+rank), the q142 q4 move): RRF sums become
+  // exact BIGINTs both engines replay — no float reciprocals to
+  // diverge on — and 10⁹ div 61..70 are distinct, so single-list
+  // ranks never collide; sum ties break by doc_id. Docs absent from
+  // one list contribute 0 from it (full-outer membership). At sf0.1
+  // the embeddings table covers only the first 2000 of 5000 docs, so
+  // high-qid queries fuse from BM25 alone — the partial-coverage path
+  // rides in the hash too. Output: top-5 fused per query with both
+  // source ranks (NULL where absent).
+  val q272 = Q(
+    "q272_rrf_hybrid",
+    s"""WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      |           FROM documents),
+      |tt AS (SELECT doc_id, term FROM t WHERE term <> ''),
+      |tfq AS (SELECT doc_id, term, count(*) AS tf FROM tt GROUP BY 1, 2),
+      |dlq AS (SELECT doc_id, count(*) AS dl FROM tt GROUP BY 1),
+      |dfq AS (SELECT term, count(*) AS df
+      |        FROM (SELECT DISTINCT doc_id, term FROM tt) GROUP BY term),
+      |meta AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+      |                (SELECT CAST(sum(dl) AS DOUBLE) FROM dlq) /
+      |                  (SELECT count(*) FROM documents) AS avgdl),
+      |qraw AS (SELECT doc_id AS qid,
+      |                unnest((string_split_regex(trim(text), '\\s+'))[1:3]) AS term
+      |         FROM documents WHERE doc_id % 50 = 0),
+      |qt AS (SELECT DISTINCT qid, term FROM qraw WHERE term <> ''),
+      |flat AS (SELECT qt.qid, f.doc_id, f.tf, d.dl, g.df, m.n_docs, m.avgdl
+      |         FROM qt
+      |         JOIN tfq f ON qt.term = f.term
+      |         JOIN dlq d ON f.doc_id = d.doc_id
+      |         JOIN dfq g ON f.term = g.term
+      |         CROSS JOIN meta m),
+      |sc AS (SELECT qid, doc_id,
+      |              CAST(floor((${TextAnalysis.Bm25TermExpr}) * 10000.0 + 0.5) AS BIGINT) AS q4
+      |       FROM flat),
+      |bm AS (SELECT qid, doc_id, rk AS r_bm FROM (
+      |         SELECT qid, doc_id,
+      |                row_number() OVER (PARTITION BY qid
+      |                  ORDER BY s DESC, doc_id) AS rk
+      |         FROM (SELECT qid, doc_id, sum(q4) AS s FROM sc GROUP BY 1, 2))
+      |       WHERE rk <= 10),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |             list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n
+      |      FROM embeddings),
+      |qe AS (SELECT e.vec_id AS qid, e.v AS qv, e.n AS qn FROM e
+      |       WHERE e.vec_id % 50 = 0),
+      |cosr AS (SELECT qid, vec_id AS doc_id, rk AS r_cos FROM (
+      |           SELECT qe.qid, e.vec_id,
+      |                  row_number() OVER (PARTITION BY qe.qid
+      |                    ORDER BY round(list_dot_product(qe.qv, e.v)
+      |                            / sqrt(qe.qn * e.n), 4) DESC, e.vec_id) AS rk
+      |           FROM qe JOIN e ON e.vec_id <> qe.qid)
+      |         WHERE rk <= 10),
+      |fused AS (SELECT coalesce(bm.qid, cosr.qid) AS qid,
+      |            coalesce(bm.doc_id, cosr.doc_id) AS doc_id,
+      |            bm.r_bm, cosr.r_cos,
+      |            coalesce(1000000000 // (60 + bm.r_bm), 0)
+      |              + coalesce(1000000000 // (60 + cosr.r_cos), 0) AS s
+      |          FROM bm FULL OUTER JOIN cosr
+      |            ON bm.qid = cosr.qid AND bm.doc_id = cosr.doc_id)
+      |SELECT qid, CAST(rk AS INT) AS rk, doc_id,
+      |  CAST(r_bm AS INT) AS r_bm, CAST(r_cos AS INT) AS r_cos,
+      |  CAST(s AS BIGINT) AS rrf_q9
+      |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+      |        ORDER BY s DESC, doc_id) AS rk FROM fused)
+      |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("qid"),
+        explode(slice(split(trim(col("text")), "\\s+"), 1, 3)).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val bm = TextAnalysis.bm25TopDocs(docs, queries, k = 10)
+      .select(col("qid"), col("doc_id"), col("rk").as("r_bm"))
+    val emb = Tables(s, dir, "embeddings")
+    val cosr = Similarity.cosineTopK(emb,
+        emb.filter(col("vec_id") % 50 === 0), k = 10)
+      .select(col("q_id").as("qid"), col("vec_id").as("doc_id"),
+        col("rk").as("r_cos"))
+    val fused = bm.join(cosr, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("s",
+        coalesce(expr("1000000000L div (60 + r_bm)"), lit(0L)) +
+          coalesce(expr("1000000000L div (60 + r_cos)"), lit(0L)))
+    fused.withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("s").desc, col("doc_id"))))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("doc_id"),
+        col("r_bm").cast("int").as("r_bm"),
+        col("r_cos").cast("int").as("r_cos"),
+        col("s").as("rrf_q9"))
+      .orderBy("qid", "rk")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -9278,5 +9380,5 @@ object LlmQueries {
       q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
       q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
       q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266,
-      q267, q268, q269, q270, q271)
+      q267, q268, q269, q270, q271, q272)
 }
