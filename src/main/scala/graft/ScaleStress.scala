@@ -2112,12 +2112,83 @@ object ScaleStress {
     }
   }
 
+  /** Quantile-sketch curve (q262's aggregate, r16): the defining
+    * property of a sketch — summary size BOUNDED while the data grows
+    * — made measurable: bucket rows per group stay ~flat from 1M to
+    * 64M values (the value domain, not n, bounds them), the aggregate
+    * wall grows ~linearly (one pass, map-side combine), and the
+    * estimate stays inside the ≤1% bucket-width bar against the exact
+    * quantile at every point. */
+  def qsketchCurve(spark: SparkSession): Unit = {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    println("== quantile sketch: bounded size, linear pass, stable error ==")
+    for (n <- Seq(1000000L, 8000000L, 64000000L)) {
+      val df = spark.range(n).select(
+        pmod(col("id"), lit(8L)).as("g"),
+        pmod(xxhash64(col("id")), lit(10000000L)).as("v")).cache()
+      df.count()
+      val ((rows, p50s), t) = time {
+        val sk = df.groupBy("g").agg(expr("qsketch_buckets(v)").as("sk"))
+          .select(col("g"), explode(col("sk")).as("bk"))
+          .select(col("g"), col("bk.k").as("k"), col("bk.m").as("m"),
+            col("bk.c").as("c")).localCheckpoint(true)
+        val nb = sk.count()
+        // p50 per group from the buckets (the all-integer rule)
+        import org.apache.spark.sql.expressions.Window
+        val pows = graft.functions.QuantileSketch.Pows
+          .map(p => s"${p}L").mkString("array(", ", ", ")")
+        val wC = Window.partitionBy("g").orderBy("lo")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val p50 = sk.withColumn("lo", expr(s"m * element_at($pows, k + 1)"))
+          .withColumn("cum", sum("c").over(wC))
+          .withColumn("nn", sum("c").over(Window.partitionBy("g")))
+          .groupBy("g")
+          .agg(min(when(col("cum") * 100 >= col("nn") * 50, col("lo")))
+            .as("p50"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        (nb, p50)
+      }
+      // exact p50 per group for the error check — the COUNTING form
+      // (per-value counts + cumulative), not percentile(): Spark's
+      // exact percentile buffers every group's values in one agg
+      // buffer and OOMs at 64M rows, while value counts shuffle-scale
+      // (the value domain, 10⁷, bounds the counted rows); the same
+      // ceil-rank rule as the sketch so the comparison is lower-bound
+      // vs lower-bound
+      val exact = {
+        import org.apache.spark.sql.expressions.Window
+        val wC = Window.partitionBy("g").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        df.groupBy("g", "v").agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum("c").over(wC))
+          .withColumn("nn", sum("c").over(Window.partitionBy("g")))
+          .groupBy("g")
+          .agg(min(when(col("cum") * 100 >= col("nn") * 50, col("v")))
+            .as("p"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      val worst = exact.keys.map { g =>
+        math.abs(p50s(g) - exact(g)).toDouble / exact(g)
+      }.max
+      assert(worst <= 0.011, s"sketch p50 off by $worst at n=$n")
+      println(f"n=$n%9d bucket_rows=$rows%6d (8 groups) " +
+        f"agg+extract=$t%6.2f s worst_p50_rel_err=${worst * 100}%5.2f %%")
+      df.unpersist()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.filterNot(_.startsWith("--")).headOption
       .getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (args.contains("--qsketch")) {
+      qsketchCurve(spark)
+      spark.stop()
+      return
+    }
     if (args.contains("--knngraph")) {
       knnGraphCurve(spark, sfDir)
       spark.stop()
