@@ -2016,7 +2016,10 @@ object ScaleStress {
           .filter(col("src") =!= col("dst"))
           .select("src", "dst").distinct().count()
         pr.unpersist()
-        val allPairs = n * (n - 1) / 2
+        // candidates counts ORDERED (src, dst) pairs, so compare
+        // against the ordered-pair total n(n-1) — same convention on
+        // both sides of the compression ratio
+        val allPairs = n * (n - 1)
         val (edges, buildS) = time {
           val e = KnnGraph.build(rep, cs, degree = 24, nProbe = 3)
             .localCheckpoint(true)

@@ -79,12 +79,23 @@ object CountMin {
       col("cnt").as("ca"))
     val b = cells.select(col("g").as("gb"), col("j"), col("bucket"),
       col("cnt").as("cb"))
-    a.join(b, Seq("j", "bucket"))
+    val ips = a.join(b, Seq("j", "bucket"))
       .filter(col("ga") < col("gb"))
       .groupBy("ga", "gb", "j")
       .agg(sum(col("ca") * col("cb")).as("ip"))
+    // min over the FULL pair × depth-row domain: a depth row with zero
+    // bucket overlap has inner product 0 — the tightest possible
+    // estimate — and must participate in the min; a fully disjoint
+    // pair reports est_join = 0 instead of vanishing from the output
+    // (both frames are sketch-sized: |groups|² pairs × depth rows).
+    val gs = cells.select(col("g")).distinct()
+    val pairs = gs.select(col("g").as("ga"))
+      .crossJoin(gs.select(col("g").as("gb")))
+      .filter(col("ga") < col("gb"))
+    pairs.crossJoin(cells.select(col("j")).distinct())
+      .join(ips, Seq("ga", "gb", "j"), "left")
       .groupBy("ga", "gb")
-      .agg(min(col("ip")).as("est_join"))
+      .agg(min(coalesce(col("ip"), lit(0L))).as("est_join"))
   }
 
   /** Point-frequency estimates for a probe-key set: min over the key's

@@ -8590,7 +8590,10 @@ object LlmQueries {
     "q262_quantile_sketch",
     """WITH pw(k, p) AS (VALUES (0, CAST(1 AS BIGINT)), (1, 10), (2, 100),
       |  (3, 1000), (4, 10000), (5, 100000), (6, 1000000), (7, 10000000),
-      |  (8, 100000000), (9, 1000000000)),
+      |  (8, 100000000), (9, 1000000000), (10, 10000000000),
+      |  (11, 100000000000), (12, 1000000000000), (13, 10000000000000),
+      |  (14, 100000000000000), (15, 1000000000000000),
+      |  (16, 10000000000000000)),
       |src AS (SELECT l_returnflag AS g,
       |          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
       |        FROM lineitem),
@@ -8773,10 +8776,10 @@ object LlmQueries {
   // frontier expansions keeping the best 16 per query, finally top-3.
   // Work per query per round is ≤ beam·degree lookups — independent
   // of corpus size, the property the graph family exists for. The
-  // oracle UNROLLS the identical 3 rounds as CTE layers (b0→b3) over
+  // oracle UNROLLS the identical 4 rounds as CTE layers (b0→b4) over
   // brute-force sims — the oracle may be brute, the engine never is —
   // so even the sequential search loop is hash-certified, keeping the
-  // rows-only set at exactly its frozen 17. (CTE layers b0→b4.)
+  // rows-only set at exactly its frozen 17.
   val q265 = Q(
     "q265_knn_beam_search",
     s"""$knnOraclePrefix,
@@ -9029,7 +9032,10 @@ object LlmQueries {
     "q268_qsketch_maintain",
     """WITH pw(k, p) AS (VALUES (0, CAST(1 AS BIGINT)), (1, 10), (2, 100),
       |  (3, 1000), (4, 10000), (5, 100000), (6, 1000000), (7, 10000000),
-      |  (8, 100000000), (9, 1000000000)),
+      |  (8, 100000000), (9, 1000000000), (10, 10000000000),
+      |  (11, 100000000000), (12, 1000000000000), (13, 10000000000000),
+      |  (14, 100000000000000), (15, 1000000000000000),
+      |  (16, 10000000000000000)),
       |src AS (SELECT l_returnflag AS g,
       |          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
       |          l_orderkey AS ok
@@ -9170,7 +9176,15 @@ object LlmQueries {
       |       FROM cells x JOIN cells y
       |         ON x.g < y.g AND x.j = y.j AND x.bucket = y.bucket
       |       GROUP BY 1, 2, 3),
-      |est AS (SELECT ga, gb, min(ip) AS est_join FROM ip GROUP BY 1, 2),
+      |gs AS (SELECT DISTINCT event_type AS g FROM events),
+      |pairs AS (SELECT x.g AS ga, y.g AS gb FROM gs x JOIN gs y
+      |          ON x.g < y.g),
+      |est AS (SELECT pairs.ga, pairs.gb,
+      |          min(coalesce(ip.ip, 0)) AS est_join
+      |        FROM pairs CROSS JOIN seeds
+      |        LEFT JOIN ip ON ip.ga = pairs.ga AND ip.gb = pairs.gb
+      |          AND ip.j = seeds.j
+      |        GROUP BY 1, 2),
       |tru AS (SELECT a.event_type AS ga, b.event_type AS gb, count(*) AS n
       |        FROM events a JOIN events b
       |          ON a.user_id = b.user_id AND a.event_type < b.event_type
@@ -9212,7 +9226,10 @@ object LlmQueries {
     "q271_weighted_quantiles",
     """WITH pw(k, p) AS (VALUES (0, CAST(1 AS BIGINT)), (1, 10), (2, 100),
       |  (3, 1000), (4, 10000), (5, 100000), (6, 1000000), (7, 10000000),
-      |  (8, 100000000), (9, 1000000000)),
+      |  (8, 100000000), (9, 1000000000), (10, 10000000000),
+      |  (11, 100000000000), (12, 1000000000000), (13, 10000000000000),
+      |  (14, 100000000000000), (15, 1000000000000000),
+      |  (16, 10000000000000000)),
       |src AS (SELECT source AS g, n_chars AS v FROM documents),
       |b0 AS (SELECT g, v, CASE WHEN v < 1000 THEN 0
       |         ELSE length(CAST(v AS VARCHAR)) - 3 END AS k FROM src),

@@ -53,6 +53,14 @@ object AggMaintain {
           "the changelog must reference existing base rows")).isNull)
       .withColumn("cnt1",
         coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L)))
+      // over-deleting an EXISTING key (more deletes than base rows)
+      // would drive cnt1 negative and silently vanish the group at the
+      // cnt1 > 0 filters below — fail loudly instead (the q268 bucket
+      // discipline: a corrupted changelog is an error, not a drop)
+      .filter(assert_true(col("cnt1") >= 0,
+        lit("AggMaintain.refresh: changelog deletes exceed the group's " +
+          "maintained count — deletes must reference existing base rows"))
+        .isNull)
       .withColumn("sum1",
         coalesce(col("sum_v"), lit(0L)) + coalesce(col("dsum"), lit(0L)))
       .withColumn("is_dirty", col("del_mn").isNotNull &&

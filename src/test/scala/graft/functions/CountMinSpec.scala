@@ -52,11 +52,13 @@ class CountMinSpec extends SparkSpec {
     val cells = CountMin.tableBy(df, col("g"), col("k"), width = 64)
     val est = CountMin.joinSizes(cells).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    // |A ⋈ B| = 4·3 + 2·5 = 22; C is disjoint (cells only hold
-    // non-empty buckets, so a disjoint pair has NO shared cells and
-    // simply doesn't appear — the inner join semantics)
+    // |A ⋈ B| = 4·3 + 2·5 = 22; C is disjoint — at width 64 the pinned
+    // hashes put C's key in its own bucket in every depth row, so the
+    // zero inner products drive the min to exactly 0 (a disjoint pair
+    // REPORTS est_join = 0 rather than vanishing — the join-planner
+    // consumer gets a row for every pair)
     assert(est(("A", "B")) == 22L)
-    assert(!est.contains(("A", "C")) && !est.contains(("B", "C")))
+    assert(est(("A", "C")) == 0L && est(("B", "C")) == 0L)
     // forced collisions (width 2): still one-sided
     val cells2 = CountMin.tableBy(df, col("g"), col("k"), width = 2)
     val est2 = CountMin.joinSizes(cells2).collect()

@@ -56,6 +56,18 @@ class AggMaintainSpec extends SparkSpec {
     }
   }
 
+  test("over-deleting an existing key fails loudly, never a silent drop") {
+    // key 1 exists with ONE base row; two deletes would drive the
+    // maintained count to -1 — without the assert the cnt1 > 0 filters
+    // silently vanish the group instead of surfacing the corruption
+    val s0 = Seq((1L, 10L)).toDF("k", "v")
+    val changelog = Seq((1L, 10L, "D"), (1L, 10L, "D")).toDF("k", "v", "op")
+    val s1 = spark.emptyDataset[(Long, Long)].toDF("k", "v")
+    intercept[Exception] {
+      AggMaintain.refresh(agg(s0), changelog, s1, "k").collect()
+    }
+  }
+
   test("randomized law at scale shape: 2k rows, mixed churn") {
     val rows = (1 to 2000).map { i =>
       (i.toLong % 37, ((i.toLong * 2654435761L) % 1000L).abs)
