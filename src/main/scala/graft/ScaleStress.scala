@@ -2047,6 +2047,106 @@ object ScaleStress {
     emb.unpersist()
   }
 
+  /** Persisted-index serving curve (q273's path, r17): beam search over
+    * the [[graft.llm.KnnGraph.saveIndex]] bucketed node-record table vs
+    * the in-memory [[graft.llm.KnnGraph.search]], same parameters, with
+    * a BUCKETS-READ counter derived from each probe's id set through
+    * the exact arithmetic Spark's bucket pruning applies
+    * (pmod(murmur3(vec_id), buckets) — cross-checked once per point
+    * against the probe plan's SelectedBucketsCount). The quantity that
+    * matters at 100 TB: per-round index IO is the touched-bucket
+    * fraction of an n·degree edge table, not the corpus — the beam is
+    * queries·beam ids whatever n is, so the fraction FALLS as the
+    * corpus grows while the in-memory path has to materialize the
+    * whole edge table before the first query. Results are asserted
+    * identical to the in-memory search at every point.
+    *
+    * Local-wall caveat (the aggMaintainCurve discipline): in one JVM
+    * over warm page cache the idx wall is DOMINATED by per-round
+    * planning + driver collects (~1 s/round), so it reads higher than
+    * the in-memory search here — the at-scale separation is the
+    * records/buckets counters (measured flat in n while n×probes
+    * grows), not this machine's wall. */
+  def knnIdxCurve(spark: SparkSession, sfDir: String): Unit = {
+    import graft.llm.KnnGraph
+    val emb = Tables(spark, sfDir, "embeddings").cache(); emb.count()
+    println("== knn persisted index: bucket-pruned serving vs in-memory search ==")
+    for (r <- Seq(4, 8, 16)) {
+      val rep = replicateEmbeddings(emb, r, eps = 0.12)
+        .select("vec_id", "embedding").cache()
+      val n = rep.count()
+      val nCells = math.max(16, (n / 64).toInt)
+      // deployment shape: bucket count scales with the corpus so rows
+      // per bucket stay bounded (~31 node records each) — the quantity
+      // that then falls with n is the beam's TOUCHED-bucket fraction,
+      // because the beam footprint is queries·beam·degree ids whatever
+      // n is (the serving regime: a small query batch per request)
+      val buckets = math.max(64, (n / 31).toInt)
+      def bucketOf(id: Long): Int = {
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(id, 42)
+        ((h % buckets) + buckets) % buckets
+      }
+      val cs = rep.filter(pmod(col("vec_id"), lit(r.toLong)) === 0)
+        .orderBy("vec_id").limit(nCells)
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val queries = rep.filter(pmod(col("vec_id"), lit(r.toLong)) === 0 &&
+        col("vec_id") < 4L * r).cache()
+      try {
+        val edges = KnnGraph.build(rep, cs, degree = 24, nProbe = 3)
+          .localCheckpoint(true)
+        val (_, saveS) = time {
+          KnnGraph.saveIndex(edges, rep, cs, "stress_knnidx", buckets)
+        }
+        val entries = KnnGraph.entryPoints(rep, cs)
+        val (mem, memS) = time {
+          KnnGraph.search(edges, rep, queries, entries,
+              topK = 3, beam = 16, rounds = 4)
+            .select("q_id", "rk", "node").collect()
+            .map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+        }
+        var probes = 0
+        var read = 0L
+        var idsRead = 0L
+        var firstProbe: Seq[Long] = null
+        val (idx, idxS) = time {
+          KnnGraph.searchIndexed(spark, "stress_knnidx", queries,
+              topK = 3, beam = 16, rounds = 4,
+              onProbe = ids => {
+                probes += 1
+                read += ids.map(bucketOf).distinct.size
+                idsRead += ids.size
+                if (firstProbe == null) firstProbe = ids
+              })
+            .select("q_id", "rk", "node").collect()
+            .map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+        }
+        assert(idx == mem, s"persisted serve diverged from in-memory at R=$r")
+        // cross-check the counter's arithmetic against the planner's
+        // own pruning metric for a representative probe
+        val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        val prevAuto = spark.conf.get(autoKey)
+        spark.conf.set(autoKey, "false")
+        try {
+          val p = spark.table("stress_knnidx_nodes")
+            .filter(col("vec_id").isin(firstProbe.map(x => x: Any): _*))
+          p.count()
+          val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+          val m = sel.findFirstMatchIn(p.queryExecution.executedPlan.toString)
+            .getOrElse(sys.error("no bucket pruning in the node-record probe"))
+          val want = firstProbe.map(bucketOf).distinct.size
+          assert(m.group(1).toInt == want && m.group(2).toInt == buckets,
+            s"counter arithmetic vs planner: ${m.group(1)}/${m.group(2)} vs $want/$buckets")
+        } finally spark.conf.set(autoKey, prevAuto)
+        val total = probes.toLong * buckets
+        println(f"R=$r%2d n=$n%6d cells=$nCells%4d buckets=$buckets%4d " +
+          f"save=$saveS%5.1f s mem_search=$memS%5.1f s idx_search=$idxS%5.1f s " +
+          f"probes=$probes%2d records_read=$idsRead%5d (n x probes = ${n * probes}%7d) " +
+          f"buckets_read=$read%5d/$total%5d (${100.0 * read / total}%5.1f %% of files)")
+      } finally { rep.unpersist(); queries.unpersist() }
+    }
+    emb.unpersist()
+  }
+
   /** Incremental-aggregate-maintenance curve (q263's operator, r16):
     * delta refresh vs full rebuild as the base grows, CHANGELOG FIXED
     * at ~60k rows — the nightly-refresh regime the operator exists
@@ -2194,6 +2294,11 @@ object ScaleStress {
     }
     if (args.contains("--knngraph")) {
       knnGraphCurve(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.contains("--knnidx")) {
+      knnIdxCurve(spark, sfDir)
       spark.stop()
       return
     }

@@ -269,6 +269,137 @@ object KnnGraph {
     untouched.unionByName(spliced).unionByName(newEdges)
   }
 
+  /** Persist the graph in its SERVING layout (the DiskANN at-rest shape,
+    * via the [[Pq.saveIndex]]/[[graft.sources.Bucketing]] precedent):
+    * `<name>_nodes` is one RECORD PER NODE — (vec_id, embedding,
+    * nbrs: array of (rk, dst)) — bucketed AND sorted on `vec_id`, so a
+    * beam hop's `vec_id IN (frontier)` probe prunes unprobed buckets at
+    * the FILE level (`SelectedBucketsCount` in the plan) instead of
+    * re-materializing the full edge table per search
+    * ([[search]] localCheckpoints it — right for one-shot analytics,
+    * wrong for a serving path that answers queries all day);
+    * `<name>_entries` is the small per-cell medoid table. Nodes with no
+    * out-edges keep their vector row (null nbrs) — they can still be
+    * scored as candidates. One shuffle at index build, amortized over
+    * every later search. */
+  def saveIndex(edges: DataFrame, emb: DataFrame, cs: Array[Array[Float]],
+      name: String, buckets: Int = 16): Unit = {
+    // a fresh JVM's catalog doesn't know a prior run's table, but its
+    // warehouse LOCATION persists and fails the create — drop both (the
+    // registry calls this every Verify/Bench run, so overwrite must be
+    // crash-proof, not just catalog-aware)
+    val spark = emb.sparkSession
+    for (t <- Seq(s"${name}_nodes", s"${name}_entries")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    val adj = edges.groupBy(col("src").as("vec_id"))
+      .agg(sort_array(collect_list(struct(col("rk"), col("dst"))))
+        .as("nbrs"))
+    val nodes = emb.select("vec_id", "embedding").join(adj, Seq("vec_id"), "left")
+    graft.sources.Bucketing.writeBucketed(nodes, s"${name}_nodes", "vec_id", buckets)
+    entryPoints(emb, cs).write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${name}_entries")
+  }
+
+  /** Search a [[saveIndex]]-persisted graph — [[search]]'s exact
+    * algorithm (same arithmetic, same tie rules; q273 hash-certifies the
+    * equivalence against q265's oracle verbatim) with every per-round
+    * state read replaced by a BUCKET-PRUNED probe of the node-record
+    * table: the beam ids select their records (neighbor lists), the
+    * frontier ids select the candidate records (vectors) — per round the
+    * index IO is proportional to the buckets the ≤ queries·beam frontier
+    * touches, never the corpus.
+    *
+    * Beam state is bounded (≤ queries·beam rows), so the per-round id
+    * collects are bounded driver-side by design — the [[Pq.searchIndexed]]
+    * serving contract, enforced the same way: collect through a limit
+    * ONE ROW past the cap and raise, never degrade.
+    *
+    * `onProbe` (optional) observes each node-record probe's id set —
+    * the ScaleStress --knnidx curve derives its buckets-read counter
+    * from it (bucket id = pmod(murmur3(vec_id), buckets), the exact
+    * arithmetic Spark's bucket pruning applies). */
+  def searchIndexed(spark: org.apache.spark.sql.SparkSession, name: String,
+      queries: DataFrame, topK: Int, beam: Int, rounds: Int,
+      onProbe: Seq[Long] => Unit = null): DataFrame = {
+    GraftFunctions.register(spark)
+    // DisableUnnecessaryBucketedScan turns the bucketed read OFF for
+    // scan-shaped plans (no "interesting partition" downstream), which
+    // silently discards bucket pruning and reads EVERY bucket file —
+    // measured: `Bucketed: false (disabled by query planner)`, no
+    // SelectedBucketsCount, for exactly the probe shape records()
+    // builds. Pruned IO is the point of the serving path, so pin the
+    // rule off for the duration (every probe plans inside this call;
+    // the returned frame reads checkpointed state, not scans).
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAuto = spark.conf.get(autoKey)
+    spark.conf.set(autoKey, "false")
+    try searchIndexedBody(spark, name, queries, topK, beam, rounds, onProbe)
+    finally spark.conf.set(autoKey, prevAuto)
+  }
+
+  private def searchIndexedBody(spark: org.apache.spark.sql.SparkSession,
+      name: String, queries: DataFrame, topK: Int, beam: Int, rounds: Int,
+      onProbe: Seq[Long] => Unit): DataFrame = {
+    val nodesT = spark.table(s"${name}_nodes")
+    val cap = 65536
+    def boundedIds(df: DataFrame, c: String, what: String): Seq[Long] = {
+      val ids = df.select(col(c)).distinct().limit(cap + 1)
+        .collect().map(_.getLong(0)).toSeq
+      require(ids.length <= cap,
+        s"searchIndexed $what id set exceeds the $cap bounded-collect " +
+          "contract - lower beam x queries or chunk the query batch")
+      ids
+    }
+    // the pruned node-record probe: IN over the bucket column reaches
+    // the scan as file-level bucket pruning (SelectedBucketsCount)
+    def records(ids: Seq[Long]): DataFrame = {
+      if (onProbe != null) onProbe(ids)
+      if (ids.isEmpty) nodesT.filter(lit(false))
+      else nodesT.filter(col("vec_id").isin(ids.map(x => x: Any): _*))
+    }
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("qv"),
+      Similarity.dotFast(col("embedding"), col("embedding")).as("qn")))
+    def score(cand: DataFrame, recs: DataFrame): DataFrame = cand
+      .join(q, Seq("q_id"))
+      .join(recs.select(col("vec_id").as("node"), col("embedding").as("nv"),
+        Similarity.dotFast(col("embedding"), col("embedding")).as("nn")),
+        Seq("node"))
+      .filter(col("node") =!= col("q_id"))
+      .select(col("q_id"), col("node"),
+        (Similarity.dotFast(col("qv"), col("nv")) /
+          sqrt(col("qn") * col("nn"))).as("sim"))
+    val wB = Window.partitionBy("q_id").orderBy(col("sim").desc, col("node"))
+    def keep(df: DataFrame, b: Int): DataFrame =
+      df.withColumn("rk", row_number().over(wB)).filter(col("rk") <= b)
+    val entries = spark.table(s"${name}_entries")
+    val entryIds = boundedIds(entries, "node", "entry")
+    var bm = keep(score(q.select("q_id").crossJoin(entries),
+        records(entryIds)), beam)
+      .select("q_id", "node", "sim").localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val hop = records(boundedIds(bm, "node", "beam"))
+        .select(col("vec_id").as("node"),
+          explode(expr("transform(nbrs, x -> x.dst)")).as("dst"))
+      val frontier = bm.select("q_id", "node").join(hop, Seq("node"))
+        .select(col("q_id"), col("dst").as("node"))
+        .distinct()
+        .join(bm.select("q_id", "node"), Seq("q_id", "node"), "left_anti")
+      bm = keep(score(frontier,
+          records(boundedIds(frontier, "node", "frontier")))
+          .unionByName(bm), beam)
+        .select("q_id", "node", "sim").localCheckpoint(true)
+      r += 1
+    }
+    keep(bm, topK).select("q_id", "rk", "node", "sim")
+  }
+
   /** Greedy beam search: from the entry set, `rounds` frontier
     * expansions over `edges`, keeping the `beam` best (full-precision
     * cosine DESC, node ASC) per query each round; finally the `topK`

@@ -9380,6 +9380,40 @@ object LlmQueries {
       .orderBy("qid", "rk")
   }
 
+  // ---------------------------------------------------------------- q273
+  // Persisted-index beam search (KnnGraph.saveIndex/searchIndexed —
+  // the Pq.saveIndex treatment for the graph family, closing the r16
+  // verdict's flagged serving seam: q265's search localCheckpoints the
+  // full edge table, right for one-shot analytics, wrong for a serving
+  // path answering queries all day). At rest the index is the DiskANN
+  // record shape: one row per node — (vec_id, embedding, neighbor
+  // list) — bucketed AND sorted on vec_id, so each beam round's two
+  // probes (beam ids → neighbor lists, frontier ids → candidate
+  // vectors) reach the scan as `vec_id IN (…)` file-level bucket
+  // pruning (SelectedBucketsCount in the plan, asserted in
+  // KnnGraphSpec and measured in the --knnidx ScaleStress curve);
+  // per-round index IO is proportional to the buckets the bounded
+  // beam touches, never the corpus. The ORACLE IS q265's VERBATIM —
+  // one hash certifies save → bucket-pruned serve ≡ the in-memory
+  // search bit for bit (same arithmetic, same tie rules, vectors
+  // round-tripped through parquet floats exactly).
+  val q273 = Q(
+    "q273_knn_search_indexed",
+    q265.oracle.get) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val cs: Array[Array[Float]] = emb.filter(col("vec_id") < 12)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    // per-sf catalog names (overwritten per run — bounded warehouse
+    // growth; the ScaleStress fixed-name concurrency stance)
+    val name = "knnidx_" + java.lang.Integer.toHexString(dir.hashCode)
+    val edges = KnnGraph.build(emb, cs, degree = 12, nProbe = 3)
+    KnnGraph.saveIndex(edges, emb, cs, name, buckets = 8)
+    KnnGraph.searchIndexed(s, name, emb.filter(col("vec_id") < 5),
+        topK = 3, beam = 16, rounds = 4)
+      .select("q_id", "rk", "node").orderBy("q_id", "rk")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -9397,5 +9431,5 @@ object LlmQueries {
       q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
       q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
       q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266,
-      q267, q268, q269, q270, q271, q272)
+      q267, q268, q269, q270, q271, q272, q273)
 }

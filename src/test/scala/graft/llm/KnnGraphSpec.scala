@@ -210,6 +210,50 @@ class KnnGraphSpec extends SparkSpec {
     assert(unchangedSrcRows > 0, "every edge changed — pass-through untested")
   }
 
+  test("persisted index: searchIndexed ≡ search bit for bit, probes pruned") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val cs = centroids(12)
+    val queries = emb.filter(col("vec_id") < 5)
+    val edges = KnnGraph.build(emb, cs, degree = 12, nProbe = 3)
+    KnnGraph.saveIndex(edges, emb, cs, "knn_spec_idx", buckets = 8)
+    val entries = KnnGraph.entryPoints(emb, cs)
+    val mem = KnnGraph.search(edges, emb, queries, entries,
+        topK = 3, beam = 16, rounds = 4)
+      .select("q_id", "rk", "node", "sim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val probeSizes = scala.collection.mutable.ArrayBuffer[Int]()
+    val idx = KnnGraph.searchIndexed(spark, "knn_spec_idx", queries,
+        topK = 3, beam = 16, rounds = 4, onProbe = ids => probeSizes += ids.size)
+      .select("q_id", "rk", "node", "sim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // bit-for-bit including the exact-double sims: persisted floats
+    // round-trip, and the arithmetic/tie rules are the same
+    assert(idx == mem)
+    // 1 entry probe + 2 per round (beam-record + frontier-candidate),
+    // every one id-bounded, never corpus-sized
+    assert(probeSizes.size == 1 + 2 * 4, s"probes: $probeSizes")
+    assert(probeSizes.head <= 12, "entry probe exceeds the cell count")
+    // the node-record probe shape reaches the scan as FILE-level bucket
+    // pruning (the expression records() builds: IN over the bucket col,
+    // with autoBucketedScan pinned off — the planner rule otherwise
+    // drops the bucketed read for scan-only plans and reads all files)
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAuto = spark.conf.get(autoKey)
+    spark.conf.set(autoKey, "false")
+    try {
+      val probe = spark.table("knn_spec_idx_nodes")
+        .filter(col("vec_id").isin(1L, 2L, 3L))
+      probe.count()
+      val plan = probe.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      val m = sel.findFirstMatchIn(plan)
+      assert(m.isDefined, s"no bucket pruning in the node-record probe:\n$plan")
+      assert(m.get.group(1).toInt < m.get.group(2).toInt, plan)
+    } finally spark.conf.set(autoKey, prevAuto)
+  }
+
   test("beam is monotone: more rounds never lose a found neighbor's rank-1") {
     val emb = Tables(spark, sf0001, "embeddings")
     val cs = centroids(12)
