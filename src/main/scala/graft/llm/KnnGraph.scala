@@ -234,39 +234,105 @@ object KnnGraph {
       cs: Array[Array[Float]], degree: Int, nProbe: Int): DataFrame = {
     GraftFunctions.register(embBase.sparkSession)
     val all = embBase.unionByName(embNew)
-    def sides(emb: DataFrame, as: String, idAs: String) =
-      probeAssign(emb, cs, nProbe).select("vec_id", "cell")
-        .join(emb.select(col("vec_id"), col("embedding"),
-          Similarity.dotFast(col("embedding"), col("embedding")).as("n")),
-          Seq("vec_id"))
-        .select(col("cell"), col("vec_id").as(idAs),
-          col("embedding").as(s"${as}v"), col("n").as(s"${as}n"))
-    val newSrc = sides(graft.operators.Parallelism.spread(embNew), "s", "src")
-    val allDst = sides(all, "d", "dst")
-    val baseSrc = sides(embBase, "s", "src")
-    val newDst = sides(embNew, "d", "dst")
-    def score(a: DataFrame, b: DataFrame) = a.join(b, Seq("cell"))
+    val newSrc = sided(graft.operators.Parallelism.spread(embNew),
+      cs, nProbe, "src", "s")
+    val allDst = sided(all, cs, nProbe, "dst", "d")
+    val baseSrc = sided(embBase, cs, nProbe, "src", "s")
+    val newDst = sided(embNew, cs, nProbe, "dst", "d")
+    // new nodes: full edge lists vs base ∪ new
+    val newEdges = cutDegree(scorePairs(newSrc, allDst), degree)
+    // base nodes: only back-candidates to NEW dsts; splice + re-cut
+    // for the affected sources, pass-through for everyone else
+    val back = scorePairs(baseSrc, newDst)
+    val affected = back.select("src").distinct()
+    val spliced = cutDegree(
+      edges0.join(affected, Seq("src"), "left_semi")
+        .select("src", "dst", "sim")
+        .unionByName(back), degree)
+    val untouched = edges0.join(affected, Seq("src"), "left_anti")
+      .select("src", "rk", "dst", "sim")
+    untouched.unionByName(spliced).unionByName(newEdges)
+  }
+
+  /** Delete vectors from an EXISTING k-NN graph without rebuilding —
+    * the other half of the FreshDiskANN maintenance story [[upsert]]
+    * started (Singh et al. 2021: a production index sustains deletes
+    * as well as inserts; their consolidation repairs the neighborhoods
+    * deletes punched through). Deleted nodes' own edge lists drop;
+    * survivor lists that referenced a deleted node RE-FILL from their
+    * probe-cell candidates — a splice can't work here, because the
+    * replacement candidates lie BELOW the old top-`degree` cut, which
+    * is exactly the information the old list never kept.
+    *
+    * CORRECTNESS LAW, EXACT (certified by q274's oracle replaying the
+    * full rebuild over B∖D while the engine repairs):
+    *   delete(build(B), D) ≡ build(B ∖ D)
+    * for every node: a TOUCHED survivor (some edge pointed into D)
+    * re-scores against surviving same-cell candidates — by definition
+    * the rebuild's candidate set; an UNTOUCHED survivor's old top-degree
+    * list contains no deleted node, and removing candidates never
+    * promotes anything new into a top-k that already excluded them
+    * (the same top-k-maintenance argument as upsert, in reverse), so
+    * its rows pass through windowless, ranks still contiguous. Cell
+    * assignment never changes — centroids are pinned parameters,
+    * independent of membership.
+    *
+    * Scale shape: tombstoning is two anti-joins on the skinny edge
+    * table; only the |touched| sources — bounded by D's in-degree
+    * footprint, not |B| — pay the re-score, and their candidate join
+    * is bucketed by cell exactly like [[build]]. Nothing rescores
+    * base×base. */
+  def delete(edges0: DataFrame, embBase: DataFrame, deleted: DataFrame,
+      cs: Array[Array[Float]], degree: Int, nProbe: Int): DataFrame = {
+    GraftFunctions.register(embBase.sparkSession)
+    val dIds = deleted.select("vec_id")
+    val survivors = embBase.join(dIds, Seq("vec_id"), "left_anti")
+    // tombstone: deleted sources' lists drop entirely
+    val keptLists = edges0
+      .join(dIds.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+    val touched = keptLists
+      .join(dIds.select(col("vec_id").as("dst")), Seq("dst"), "left_semi")
+      .select("src").distinct()
+    val untouched = keptLists.join(touched, Seq("src"), "left_anti")
+      .select("src", "rk", "dst", "sim")
+    // repair tier: re-score ONLY the touched sources against surviving
+    // same-cell candidates (the rebuild's exact candidate set)
+    val repairEmb = survivors.join(
+      touched.select(col("src").as("vec_id")), Seq("vec_id"), "left_semi")
+    val repaired = cutDegree(scorePairs(
+      sided(graft.operators.Parallelism.spread(repairEmb),
+        cs, nProbe, "src", "s"),
+      sided(survivors, cs, nProbe, "dst", "d")), degree)
+    untouched.unionByName(repaired)
+  }
+
+  /** One probe-exploded, norm-carrying side of the cell-bucketed
+    * candidate join ([[build]]'s shape, shared by [[upsert]] and
+    * [[delete]]): (cell, <idAs>, <pfx>v, <pfx>n). */
+  private def sided(emb: DataFrame, cs: Array[Array[Float]], nProbe: Int,
+      idAs: String, pfx: String): DataFrame =
+    probeAssign(emb, cs, nProbe).select("vec_id", "cell")
+      .join(emb.select(col("vec_id"), col("embedding"),
+        Similarity.dotFast(col("embedding"), col("embedding")).as("n")),
+        Seq("vec_id"))
+      .select(col("cell"), col("vec_id").as(idAs),
+        col("embedding").as(s"${pfx}v"), col("n").as(s"${pfx}n"))
+
+  /** Same-cell candidate scoring over two [[sided]] frames: skinny
+    * (src, dst, sim) rows, multi-cell duplicates folded map-side. */
+  private def scorePairs(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b, Seq("cell"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         (Similarity.dotFast(col("sv"), col("dv")) /
           sqrt(col("sn") * col("dn"))).as("sim"))
       .groupBy("src", "dst").agg(max("sim").as("sim"))
+
+  /** Per-source top-`degree` cut on (full-precision sim DESC, dst ASC). */
+  private def cutDegree(df: DataFrame, degree: Int): DataFrame = {
     val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
-    def cut(df: DataFrame) = df.withColumn("rk", row_number().over(w))
+    df.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= degree).select("src", "rk", "dst", "sim")
-    // new nodes: full edge lists vs base ∪ new
-    val newEdges = cut(score(newSrc, allDst))
-    // base nodes: only back-candidates to NEW dsts; splice + re-cut
-    // for the affected sources, pass-through for everyone else
-    val back = score(baseSrc, newDst)
-    val affected = back.select("src").distinct()
-    val spliced = cut(
-      edges0.join(affected, Seq("src"), "left_semi")
-        .select("src", "dst", "sim")
-        .unionByName(back))
-    val untouched = edges0.join(affected, Seq("src"), "left_anti")
-      .select("src", "rk", "dst", "sim")
-    untouched.unionByName(spliced).unionByName(newEdges)
   }
 
   /** Persist the graph in its SERVING layout (the DiskANN at-rest shape,

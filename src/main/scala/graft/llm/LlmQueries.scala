@@ -9414,6 +9414,44 @@ object LlmQueries {
       .select("q_id", "rk", "node").orderBy("q_id", "rk")
   }
 
+  // ---------------------------------------------------------------- q274
+  // Graph-ANN delete (KnnGraph.delete — the other half of the
+  // FreshDiskANN maintenance story q269's upsert started, Singh et al.
+  // 2021): deleted nodes tombstone out (their lists drop, two
+  // anti-joins on the skinny edge table), survivors whose lists
+  // referenced a deleted node RE-FILL from their probe-cell candidates
+  // — a splice can't work for deletes, the replacements live BELOW the
+  // old top-degree cut, exactly the rows the old list never kept — and
+  // untouched survivors pass through windowless (removing candidates
+  // never promotes into a top-k that already excluded them: the upsert
+  // top-k-maintenance argument in reverse, so the law is EXACT, no
+  // approximation tier). The ORACLE IS q264's rebuild oracle with the
+  // survivor filter spliced into the e CTE — one hash certifies
+  // delete(build(B), D) ≡ build(B ∖ D) including the touched/untouched
+  // split. Fixture: D = vec_id ≥ 12 with vec_id % 9 = 4 (~11% of
+  // nodes, disjoint from the pinned centroids; ~76% of survivor lists
+  // reference some deleted node, so both repair tiers are exercised —
+  // non-vacuity of each is additionally spec-pinned in KnnGraphSpec).
+  val q274 = Q(
+    "q274_knn_graph_delete",
+    s"""${knnOraclePrefix.replace("FROM embeddings)",
+        "FROM embeddings WHERE vec_id < 12 OR vec_id % 9 <> 4)")}
+      |SELECT src, CAST(rk AS INT) AS rk, dst FROM (
+      |  SELECT src, dst, row_number() OVER (PARTITION BY src
+      |           ORDER BY sim DESC, dst) AS rk FROM sc)
+      |WHERE rk <= 12 ORDER BY src, rk""".stripMargin) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val cs: Array[Array[Float]] = emb.filter(col("vec_id") < 12)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val deleted = emb.filter(col("vec_id") >= 12 &&
+      pmod(col("vec_id"), lit(9L)) === 4)
+    val g0 = KnnGraph.build(emb, cs, degree = 12, nProbe = 3)
+      .localCheckpoint(true) // the PERSISTED index the delete starts from
+    KnnGraph.delete(g0, emb, deleted, cs, degree = 12, nProbe = 3)
+      .select("src", "rk", "dst").orderBy("src", "rk")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -9431,5 +9469,5 @@ object LlmQueries {
       q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
       q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
       q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266,
-      q267, q268, q269, q270, q271, q272, q273)
+      q267, q268, q269, q270, q271, q272, q273, q274)
 }

@@ -210,6 +210,37 @@ class KnnGraphSpec extends SparkSpec {
     assert(unchangedSrcRows > 0, "every edge changed — pass-through untested")
   }
 
+  test("delete law: delete(build(B), D) ≡ build(B ∖ D), exactly") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val cs = centroids(12)
+    // D avoids the pinned centroid ids so the oracle-side replay can
+    // derive centroids from the survivor set too (q274's fixture)
+    val deleted = emb.filter(col("vec_id") >= 12 &&
+      pmod(col("vec_id"), lit(9L)) === 4)
+    val survivors = emb.join(deleted.select("vec_id"), Seq("vec_id"), "left_anti")
+    val g0 = KnnGraph.build(emb, cs, degree = 12, nProbe = 3)
+      .localCheckpoint(true)
+    val del = KnnGraph.delete(g0, emb, deleted, cs, degree = 12, nProbe = 3)
+      .select("src", "rk", "dst")
+    val fresh = KnnGraph.build(survivors, cs, degree = 12, nProbe = 3)
+      .select("src", "rk", "dst")
+    assert(del.exceptAll(fresh).count() == 0 &&
+      fresh.exceptAll(del).count() == 0)
+    // both tiers fired: some survivors re-filled (an edge pointed into
+    // D), some passed through windowless
+    val repairedSrcs = del.except(g0.select("src", "rk", "dst").intersect(del))
+      .select("src").distinct().count()
+    assert(repairedSrcs > 0, "no list changed — vacuous delete")
+    val passThroughRows = g0.select("src", "rk", "dst").intersect(del).count()
+    assert(passThroughRows > 0, "every edge changed — pass-through untested")
+    // tombstones are real: no deleted node survives as src or dst
+    val dIds = deleted.select("vec_id")
+    assert(del.join(dIds.withColumnRenamed("vec_id", "src"),
+      Seq("src"), "left_semi").count() == 0)
+    assert(del.join(dIds.withColumnRenamed("vec_id", "dst"),
+      Seq("dst"), "left_semi").count() == 0)
+  }
+
   test("persisted index: searchIndexed ≡ search bit for bit, probes pruned") {
     val emb = Tables(spark, sf0001, "embeddings")
     val cs = centroids(12)
