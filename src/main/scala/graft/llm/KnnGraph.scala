@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -483,7 +483,33 @@ object KnnGraph {
     * otherwise); beam state is ≤ queries·beam rows, edges ≤ n·degree
     * — both bounded, blocks self-release via the ContextCleaner. */
   def search(edges: DataFrame, emb: DataFrame, queries: DataFrame,
-      entries: DataFrame, topK: Int, beam: Int, rounds: Int): DataFrame = {
+      entries: DataFrame, topK: Int, beam: Int, rounds: Int): DataFrame =
+    searchImpl(edges, emb, queries, entries, topK, beam, rounds, None)
+
+  /** Predicate-aware beam search — filtered ANN done IN the traversal,
+    * not after it: the predicate's extension (allowed node ids) gates
+    * every admission, so entries and frontier candidates that fail it
+    * never enter the beam and the whole budget ranks ADMISSIBLE nodes.
+    * Post-filtering an unfiltered top-k is the classic filtered-ANN
+    * recall bug (Filtered-DiskANN, Gollapudi et al. WWW 2023 measure
+    * it): at predicate selectivity s, an unfiltered top-k keeps ~s·k
+    * admissible rows — the beam spent its budget ranking nodes the
+    * query can't use. The A/B is spec-pinned in KnnGraphSpec; the
+    * sequential filtered traversal itself is hash-certified by q275's
+    * unrolled oracle (q265's CTE ladder with the predicate on the sims
+    * plane — one filter placement, the engine mirrors it exactly).
+    *
+    * The filter arrives as a Column over `emb`'s schema — at 100 TB it
+    * pushes into the embedding scan (partition/file pruning), and the
+    * per-round admission is a semi-join against ids, never vectors. */
+  def searchFiltered(edges: DataFrame, emb: DataFrame, queries: DataFrame,
+      entries: DataFrame, pred: Column, topK: Int, beam: Int,
+      rounds: Int): DataFrame =
+    searchImpl(edges, emb, queries, entries, topK, beam, rounds, Some(pred))
+
+  private def searchImpl(edges: DataFrame, emb: DataFrame,
+      queries: DataFrame, entries: DataFrame, topK: Int, beam: Int,
+      rounds: Int, pred: Option[Column]): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     val eg = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val q = broadcast(queries.select(col("vec_id").as("q_id"),
@@ -491,6 +517,13 @@ object KnnGraph {
       Similarity.dotFast(col("embedding"), col("embedding")).as("qn")))
     val c = emb.select(col("vec_id").as("node"), col("embedding").as("nv"),
       Similarity.dotFast(col("embedding"), col("embedding")).as("nn"))
+    // admission gate: beam state stays inside the allowed set, so each
+    // round's semi-join input is already admissible — only NEW frontier
+    // candidates pay the check (bm is checkpointed per round, so the
+    // allowed subtree appears once per plan, no lineage growth)
+    val allowed = pred.map(p => emb.filter(p).select(col("vec_id").as("node")))
+    def admit(df: DataFrame): DataFrame =
+      allowed.fold(df)(a => df.join(a, Seq("node"), "left_semi"))
     def score(cand: DataFrame): DataFrame = cand
       .join(q, Seq("q_id"))
       .join(c, Seq("node"))
@@ -501,16 +534,16 @@ object KnnGraph {
     val wB = Window.partitionBy("q_id").orderBy(col("sim").desc, col("node"))
     def keep(df: DataFrame, b: Int): DataFrame =
       df.withColumn("rk", row_number().over(wB)).filter(col("rk") <= b)
-    var bm = keep(score(q.select("q_id").crossJoin(entries)), beam)
+    var bm = keep(score(admit(q.select("q_id").crossJoin(entries))), beam)
       .select("q_id", "node", "sim").localCheckpoint(true)
     var r = 0
     while (r < rounds) {
       // score only the NEW frontier — visited beam rows carry their
       // sims, so per round the scored set is ≤ beam·degree rows/query
-      val frontier = bm.select("q_id", "node")
+      val frontier = admit(bm.select("q_id", "node")
         .join(eg.select(col("src").as("node"), col("dst")), Seq("node"))
         .select(col("q_id"), col("dst").as("node"))
-        .distinct()
+        .distinct())
         .join(bm.select("q_id", "node"), Seq("q_id", "node"), "left_anti")
       bm = keep(score(frontier).unionByName(bm), beam)
         .select("q_id", "node", "sim").localCheckpoint(true)

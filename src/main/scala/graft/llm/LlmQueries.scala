@@ -9452,6 +9452,39 @@ object LlmQueries {
       .select("src", "rk", "dst").orderBy("src", "rk")
   }
 
+  // ---------------------------------------------------------------- q275
+  // Filtered ANN search (KnnGraph.searchFiltered — predicate-aware
+  // beam, the Filtered-DiskANN question, Gollapudi et al. WWW 2023):
+  // the predicate gates every admission, so entries and frontier
+  // candidates that fail it never enter the beam and the whole budget
+  // ranks ADMISSIBLE nodes. Post-filtering an unfiltered top-k is the
+  // classic recall bug — at selectivity s it keeps ~s·k usable rows —
+  // and KnnGraphSpec pins the A/B at these exact parameters (measured
+  // 0.700 in-filter vs 0.367 post-filter against brute filtered
+  // top-3, with the connectivity-tax contract documented: effective
+  // degree ≈ degree·s, size the graph accordingly). The ORACLE IS
+  // q265's unrolled CTE ladder with the predicate applied ONCE, on the
+  // sims plane — entries and every expansion layer join through sims,
+  // so one filter placement gates all five beam states exactly as the
+  // engine's semi-join admission does; the sequential FILTERED
+  // traversal is hash-certified end to end.
+  val q275 = Q(
+    "q275_knn_filtered_search",
+    q265.oracle.get.replace(
+      "FROM q JOIN e ON e.vec_id <> q.q_id),",
+      "FROM q JOIN e ON e.vec_id <> q.q_id AND e.vec_id % 3 = 0),")) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val cs: Array[Array[Float]] = emb.filter(col("vec_id") < 12)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val edges = KnnGraph.build(emb, cs, degree = 12, nProbe = 3)
+    val entries = KnnGraph.entryPoints(emb, cs)
+    KnnGraph.searchFiltered(edges, emb, emb.filter(col("vec_id") < 5),
+        entries, pmod(col("vec_id"), lit(3L)) === 0,
+        topK = 3, beam = 16, rounds = 4)
+      .select("q_id", "rk", "node").orderBy("q_id", "rk")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -9469,5 +9502,5 @@ object LlmQueries {
       q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
       q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
       q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266,
-      q267, q268, q269, q270, q271, q272, q273, q274)
+      q267, q268, q269, q270, q271, q272, q273, q274, q275)
 }

@@ -285,6 +285,64 @@ class KnnGraphSpec extends SparkSpec {
     } finally spark.conf.set(autoKey, prevAuto)
   }
 
+  test("filtered search: in-filter beats post-filter (the classic recall bug)") {
+    // predicate vec_id % 3 == 0 (selectivity 1/3), q264/q265 production
+    // params. Post-filtering the unfiltered top-3 keeps only the global
+    // winners that happen to be admissible — measured 0.367; the
+    // predicate-aware beam spends its whole budget ranking admissible
+    // nodes — measured 0.700 against the brute-force FILTERED top-3.
+    // The in-filter traversal pays a connectivity tax (hops through
+    // inadmissible nodes are blocked, effective degree ≈ degree/3 — the
+    // documented contract: size degree·selectivity like the
+    // degree>cluster rule), which is why the bar is 0.65, not 0.85.
+    val emb = Tables(spark, sf0001, "embeddings")
+    val cs = centroids(12)
+    val qids = (0L until 20L).toSeq
+    val queries = emb.filter(col("vec_id") < 20)
+    val edges = KnnGraph.build(emb, cs, degree = 12, nProbe = 3)
+      .localCheckpoint(true)
+    val entries = KnnGraph.entryPoints(emb, cs)
+    val all = Tables(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    val truth = qids.map { q =>
+      q -> all.toSeq.filter { case (id, _) => id != q && id % 3 == 0 }
+        .map { case (id, v) => (id, cos(all(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1).toSet
+    }.toMap
+    def recall(got: Map[Long, Set[Long]]): Double =
+      qids.map(q => (truth(q) intersect got.getOrElse(q, Set())).size)
+        .sum / (3.0 * qids.size)
+    val post = recall(KnnGraph.search(edges, emb, queries, entries,
+        topK = 3, beam = 16, rounds = 4)
+      .filter(pmod(col("node"), lit(3L)) === 0)
+      .select("q_id", "node").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap)
+    val inf = recall(KnnGraph.searchFiltered(edges, emb, queries, entries,
+        pmod(col("vec_id"), lit(3L)) === 0, topK = 3, beam = 16, rounds = 4)
+      .select("q_id", "node").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap)
+    assert(post <= 0.45, s"post-filter recall $post — fixture drifted")
+    assert(inf >= 0.65, s"in-filter recall $inf below the measured bar")
+    assert(inf > post, s"in-filter ($inf) must beat post-filter ($post)")
+    // every in-filter result is admissible (post-filter can't even
+    // return 3 rows for most queries — that's the bug)
+    val infRows = KnnGraph.searchFiltered(edges, emb, queries, entries,
+      pmod(col("vec_id"), lit(3L)) === 0, topK = 3, beam = 16, rounds = 4)
+    assert(infRows.filter(pmod(col("node"), lit(3L)) =!= 0).count() == 0)
+    assert(infRows.count() == 3L * qids.size)
+  }
+
   test("beam is monotone: more rounds never lose a found neighbor's rank-1") {
     val emb = Tables(spark, sf0001, "embeddings")
     val cs = centroids(12)
