@@ -362,8 +362,10 @@ object KnnGraph {
       val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(loc)) fs.delete(loc, true)
     }
+    // sim rides in the record so maintenance (upsert splice / delete
+    // re-cut) can reload the index without rescoring surviving edges
     val adj = edges.groupBy(col("src").as("vec_id"))
-      .agg(sort_array(collect_list(struct(col("rk"), col("dst"))))
+      .agg(sort_array(collect_list(struct(col("rk"), col("dst"), col("sim"))))
         .as("nbrs"))
     val nodes = emb.select("vec_id", "embedding").join(adj, Seq("vec_id"), "left")
     graft.sources.Bucketing.writeBucketed(nodes, s"${name}_nodes", "vec_id", buckets)

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.llm.KnnGraph
+
+/** Streaming maintenance of the persisted k-NN graph index — the
+  * [[StreamingDedup]]/[[StreamingNearDup]] foreachBatch loop applied to
+  * [[graft.llm.KnnGraph.upsert]]: each micro-batch of new vectors
+  * extends the [[graft.llm.KnnGraph.saveIndex]] node-record table (new
+  * nodes get full edge lists, touched base nodes splice back-edges and
+  * re-cut, untouched nodes pass through) and refreshes the medoid entry
+  * table, so [[graft.llm.KnnGraph.searchIndexed]] always serves the
+  * current corpus. Because the upsert law is exact
+  * (upsert(build(B), N) ≡ build(B ∪ N), q269), the maintained index
+  * after ANY batch split equals the full rebuild — q276 hash-certifies
+  * the two-batch composition against q264's rebuild oracle, and
+  * StreamingKnnIndexSpec pins streaming ≡ the same batch-sequential
+  * composition (the q67/q81/q91/q116 convention).
+  *
+  * Ordering/failure semantics: batches commute into the same final
+  * graph (each is exact vs the rebuild), and a replayed batch is a
+  * no-op by the same law (its vectors are already nodes, upsert
+  * re-derives identical rows) — but the table overwrite is not atomic
+  * under concurrent readers, so the single-writer contract of the
+  * other ingest loops applies to the index name.
+  *
+  * Scale note, stated honestly: the upsert COMPUTES only
+  * touched + new rows (|batch|'s cell footprint, never |base|), but
+  * this simple rendering REWRITES the whole bucketed table per batch —
+  * the production variant writes only the buckets whose rows changed
+  * (they're known: the touched/new ids hash to them) under a
+  * merge-on-read or partition-overwrite layout. The q273 serving path
+  * is unchanged either way. */
+object StreamingKnnIndex {
+
+  /** Reload a persisted index into [[graft.llm.KnnGraph.upsert]]'s
+    * input shape: (embeddings, edges with sims). */
+  def load(spark: SparkSession, name: String): (DataFrame, DataFrame) = {
+    val nodes = spark.table(s"${name}_nodes")
+    val emb = nodes.select("vec_id", "embedding")
+    val edges = nodes
+      .select(col("vec_id").as("src"), explode(col("nbrs")).as("e"))
+      .select(col("src"), col("e.rk").as("rk"), col("e.dst").as("dst"),
+        col("e.sim").as("sim"))
+    (emb, edges)
+  }
+
+  /** One micro-batch of index maintenance — exposed so the
+    * batch-sequential rendering is the SAME code (parity spec, q276).
+    * `batch` needs (vec_id, embedding); ids must be new to the index. */
+  def ingestBatch(batch: DataFrame, name: String, cs: Array[Array[Float]],
+      degree: Int, nProbe: Int, buckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val (embBase, edges0) = load(spark, name)
+    val fresh = batch.select("vec_id", "embedding")
+    // materialize BEFORE the overwrite: the upsert result and the new
+    // embedding set must be cut from the table they're about to replace
+    // (the StreamingDedup survivors-persist discipline)
+    val g1 = KnnGraph.upsert(edges0, embBase, fresh, cs, degree, nProbe)
+      .localCheckpoint(true)
+    val emb1 = embBase.unionByName(fresh).localCheckpoint(true)
+    KnnGraph.saveIndex(g1, emb1, cs, name, buckets)
+  }
+
+  /** The streaming maintenance sink: call `.start()` to run. */
+  def ingest(stream: DataFrame, name: String, cs: Array[Array[Float]],
+      degree: Int, nProbe: Int, buckets: Int,
+      checkpointDir: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        ingestBatch(b.toDF(), name, cs, degree, nProbe, buckets)
+      }
+}

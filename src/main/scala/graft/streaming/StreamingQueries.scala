@@ -310,7 +310,44 @@ object StreamingQueries {
     s.read.parquet(acc).select("doc_id").orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q23, q24, q25, q50, q59, q67, q81, q91, q116, q117)
+  // --------------------------------------------------------------- Q276
+  // Streaming maintenance of the persisted k-NN graph index
+  // ([[StreamingKnnIndex]] — the q116 foreachBatch loop applied to
+  // KnnGraph.upsert), run as its batch-sequential rendering: the SAME
+  // ingestBatch code the streaming sink executes per micro-batch
+  // (StreamingKnnIndexSpec pins streaming ≡ this composition AND the
+  // maintained medoid entry table AND the serving composition with
+  // q273's bucket-pruned searchIndexed). Two batches of new vectors
+  // extend a base index; because the upsert law is exact per batch,
+  // the maintained index equals the full rebuild — so the ORACLE IS
+  // q264's rebuild oracle VERBATIM, and one hash certifies the whole
+  // incremental ingest chain including the per-batch index
+  // round-trips through parquet. offBench: index writes under the
+  // Verify single-writer protocol (the q49/q116 stance).
+  val q276 = Q.offBench(
+    "q276_streaming_knn_index",
+    graft.llm.LlmQueries.q264.oracle.get) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+    val cs: Array[Array[Float]] = emb.filter(col("vec_id") < 12)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val name = "knnstream_" + java.lang.Integer.toHexString(dir.hashCode)
+    val base = emb.filter(col("vec_id") >= 40)
+    graft.llm.KnnGraph.saveIndex(
+      graft.llm.KnnGraph.build(base, cs, degree = 12, nProbe = 3),
+      base, cs, name, buckets = 8)
+    StreamingKnnIndex.ingestBatch(
+      emb.filter(col("vec_id") >= 20 && col("vec_id") < 40),
+      name, cs, degree = 12, nProbe = 3, buckets = 8)
+    StreamingKnnIndex.ingestBatch(
+      emb.filter(col("vec_id") < 20),
+      name, cs, degree = 12, nProbe = 3, buckets = 8)
+    StreamingKnnIndex.load(s, name)._2
+      .select("src", "rk", "dst").orderBy("src", "rk")
+  }
+
+  val all: Seq[Q] = Seq(q23, q24, q25, q50, q59, q67, q81, q91, q116, q117,
+    q276)
 
   // ------------------------------------------------------------------------
   // Streaming runners (exercised by StreamingParitySpec; Trigger.AvailableNow
