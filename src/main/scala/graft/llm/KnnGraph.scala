@@ -406,13 +406,35 @@ object KnnGraph {
     val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prevAuto = spark.conf.get(autoKey)
     spark.conf.set(autoKey, "false")
-    try searchIndexedBody(spark, name, queries, topK, beam, rounds, onProbe)
+    try searchIndexedBody(spark, name, queries, topK, beam, rounds, onProbe,
+      None)
+    finally spark.conf.set(autoKey, prevAuto)
+  }
+
+  /** [[searchFiltered]] over a [[saveIndex]]-persisted index: the same
+    * predicate-aware admission (entries and frontier gated BEFORE
+    * scoring — q278 hash-certifies it against q275's oracle verbatim)
+    * composed with the bucket-pruned probes of [[searchIndexed]]. The
+    * predicate evaluates on the PROBED RECORDS (the node-record schema
+    * carries everything a filter needs), so every read stays
+    * bucket-pruned — a global allowed-id semi-join would full-scan the
+    * index table per round, which is exactly what this path exists to
+    * avoid. */
+  def searchIndexedFiltered(spark: org.apache.spark.sql.SparkSession,
+      name: String, queries: DataFrame, pred: Column, topK: Int, beam: Int,
+      rounds: Int, onProbe: Seq[Long] => Unit = null): DataFrame = {
+    GraftFunctions.register(spark)
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAuto = spark.conf.get(autoKey)
+    spark.conf.set(autoKey, "false")
+    try searchIndexedBody(spark, name, queries, topK, beam, rounds, onProbe,
+      Some(pred))
     finally spark.conf.set(autoKey, prevAuto)
   }
 
   private def searchIndexedBody(spark: org.apache.spark.sql.SparkSession,
       name: String, queries: DataFrame, topK: Int, beam: Int, rounds: Int,
-      onProbe: Seq[Long] => Unit): DataFrame = {
+      onProbe: Seq[Long] => Unit, pred: Option[Column]): DataFrame = {
     val nodesT = spark.table(s"${name}_nodes")
     val cap = 65536
     def boundedIds(df: DataFrame, c: String, what: String): Seq[Long] = {
@@ -445,10 +467,17 @@ object KnnGraph {
     val wB = Window.partitionBy("q_id").orderBy(col("sim").desc, col("node"))
     def keep(df: DataFrame, b: Int): DataFrame =
       df.withColumn("rk", row_number().over(wB)).filter(col("rk") <= b)
+    // admission gate: the predicate evaluates ON THE PROBED RECORDS
+    // (scoring's inner join then drops inadmissible candidates, so the
+    // beam never holds them — the searchImpl semantics) rather than as
+    // a global allowed-id semi-join, which would full-scan the index
+    // table every round and defeat the pruning this path exists for
+    def admitRecs(recs: DataFrame): DataFrame =
+      pred.fold(recs)(p => recs.filter(p))
     val entries = spark.table(s"${name}_entries")
     val entryIds = boundedIds(entries, "node", "entry")
     var bm = keep(score(q.select("q_id").crossJoin(entries),
-        records(entryIds)), beam)
+        admitRecs(records(entryIds))), beam)
       .select("q_id", "node", "sim").localCheckpoint(true)
     var r = 0
     while (r < rounds) {
@@ -460,7 +489,7 @@ object KnnGraph {
         .distinct()
         .join(bm.select("q_id", "node"), Seq("q_id", "node"), "left_anti")
       bm = keep(score(frontier,
-          records(boundedIds(frontier, "node", "frontier")))
+          admitRecs(records(boundedIds(frontier, "node", "frontier"))))
           .unionByName(bm), beam)
         .select("q_id", "node", "sim").localCheckpoint(true)
       r += 1

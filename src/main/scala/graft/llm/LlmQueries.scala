@@ -9485,6 +9485,32 @@ object LlmQueries {
       .select("q_id", "rk", "node").orderBy("q_id", "rk")
   }
 
+  // ---------------------------------------------------------------- q278
+  // Filtered search over the PERSISTED index
+  // (KnnGraph.searchIndexedFiltered — q275's predicate-aware admission
+  // composed with q273's bucket-pruned serving): the predicate
+  // evaluates on the probed node records, so scoring's inner join
+  // drops inadmissible candidates before the beam keep and every read
+  // stays bucket-pruned (a global allowed-id semi-join would full-scan
+  // the index per round — the design note on the operator). The ORACLE
+  // IS q275's VERBATIM: one hash certifies that the persisted filtered
+  // path equals the in-memory filtered path bit for bit, completing
+  // the serving matrix (plain/filtered × in-memory/persisted).
+  val q278 = Q(
+    "q278_knn_filtered_indexed",
+    q275.oracle.get) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val cs: Array[Array[Float]] = emb.filter(col("vec_id") < 12)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val name = "knnidxf_" + java.lang.Integer.toHexString(dir.hashCode)
+    KnnGraph.saveIndex(KnnGraph.build(emb, cs, degree = 12, nProbe = 3),
+      emb, cs, name, buckets = 8)
+    KnnGraph.searchIndexedFiltered(s, name, emb.filter(col("vec_id") < 5),
+        pmod(col("vec_id"), lit(3L)) === 0, topK = 3, beam = 16, rounds = 4)
+      .select("q_id", "rk", "node").orderBy("q_id", "rk")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -9502,5 +9528,5 @@ object LlmQueries {
       q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
       q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
       q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266,
-      q267, q268, q269, q270, q271, q272, q273, q274, q275)
+      q267, q268, q269, q270, q271, q272, q273, q274, q275, q278)
 }

@@ -65,6 +65,34 @@ object StreamingKnnIndex {
     KnnGraph.saveIndex(g1, emb1, cs, name, buckets)
   }
 
+  /** Apply one CDC micro-batch to the persisted index — the full
+    * changelog shape the warehouse plane's maintainers take
+    * ([[graft.operators.Upsert]] rows, [[graft.operators.AggMaintain]]
+    * aggregates; this is the ANN-index member): `changelog` carries
+    * (vec_id, embedding, op) with op "I"/"D" (embedding unused for
+    * "D"). Deletes apply first (tombstone + probe-cell re-fill,
+    * [[graft.llm.KnnGraph.delete]]), then inserts splice
+    * ([[graft.llm.KnnGraph.upsert]]) — composing the two EXACT laws
+    * gives apply(build(B), cl) ≡ build((B ∖ D) ∪ N) exactly, which is
+    * how q277 hash-certifies it (rebuild-side oracle). An id in both
+    * D and N is a vector REPLACEMENT: it leaves with its old edges and
+    * re-enters through the insert path with the new embedding. */
+  def applyChangelog(changelog: DataFrame, name: String,
+      cs: Array[Array[Float]], degree: Int, nProbe: Int,
+      buckets: Int): Unit = {
+    val spark = changelog.sparkSession
+    val (emb0, edges0) = load(spark, name)
+    val dels = changelog.filter(col("op") === "D").select("vec_id")
+    val ins = changelog.filter(col("op") === "I")
+      .select("vec_id", "embedding")
+    val g1 = KnnGraph.delete(edges0, emb0, dels, cs, degree, nProbe)
+    val emb1 = emb0.join(dels, Seq("vec_id"), "left_anti")
+    val g2 = KnnGraph.upsert(g1, emb1, ins, cs, degree, nProbe)
+      .localCheckpoint(true)
+    val emb2 = emb1.unionByName(ins).localCheckpoint(true)
+    KnnGraph.saveIndex(g2, emb2, cs, name, buckets)
+  }
+
   /** The streaming maintenance sink: call `.start()` to run. */
   def ingest(stream: DataFrame, name: String, cs: Array[Array[Float]],
       degree: Int, nProbe: Int, buckets: Int,

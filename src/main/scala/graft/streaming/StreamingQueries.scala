@@ -346,8 +346,45 @@ object StreamingQueries {
       .select("src", "rk", "dst").orderBy("src", "rk")
   }
 
+  // --------------------------------------------------------------- Q277
+  // CDC changelog applied to the persisted k-NN index
+  // ([[StreamingKnnIndex.applyChangelog]] — the ANN-index member of
+  // the changelog-maintainer family: Upsert q208 row state, ScdMerge
+  // q252 history, AggMaintain q263 aggregates, q268 sketch buckets).
+  // One changelog carries deletes AND inserts, including the id-in-both
+  // REPLACEMENT path: D = vec_id ≥ 12 with %9 = 4 (q274's delete
+  // class), N re-inserts the even half of D (%18 = 4) with their
+  // original vectors — so the final membership is expressible, the
+  // delete tier's probe-cell re-fill, the insert tier's back-edge
+  // splice, AND the replace path all fire in one apply. Composing the
+  // two exact laws gives apply(build(B), cl) ≡ build((B ∖ D) ∪ N), so
+  // the ORACLE IS q264's rebuild oracle over the surviving membership
+  // (vec_id < 12 OR vec_id % 18 ≠ 13) — one hash certifies the whole
+  // chain including both index round-trips through parquet.
+  val q277 = Q.offBench(
+    "q277_knn_index_changelog",
+    graft.llm.LlmQueries.q264.oracle.get.replace("FROM embeddings)",
+      "FROM embeddings WHERE vec_id < 12 OR vec_id % 18 <> 13)")) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+    val cs: Array[Array[Float]] = emb.filter(col("vec_id") < 12)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val name = "knncdc_" + java.lang.Integer.toHexString(dir.hashCode)
+    graft.llm.KnnGraph.saveIndex(
+      graft.llm.KnnGraph.build(emb, cs, degree = 12, nProbe = 3),
+      emb, cs, name, buckets = 8)
+    val d = emb.filter(col("vec_id") >= 12 && pmod(col("vec_id"), lit(9L)) === 4)
+      .withColumn("op", lit("D"))
+    val n = emb.filter(col("vec_id") >= 12 && pmod(col("vec_id"), lit(18L)) === 4)
+      .withColumn("op", lit("I"))
+    StreamingKnnIndex.applyChangelog(d.unionByName(n), name, cs,
+      degree = 12, nProbe = 3, buckets = 8)
+    StreamingKnnIndex.load(s, name)._2
+      .select("src", "rk", "dst").orderBy("src", "rk")
+  }
+
   val all: Seq[Q] = Seq(q23, q24, q25, q50, q59, q67, q81, q91, q116, q117,
-    q276)
+    q276, q277)
 
   // ------------------------------------------------------------------------
   // Streaming runners (exercised by StreamingParitySpec; Trigger.AvailableNow

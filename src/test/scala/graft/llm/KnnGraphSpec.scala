@@ -343,6 +343,33 @@ class KnnGraphSpec extends SparkSpec {
     assert(infRows.count() == 3L * qids.size)
   }
 
+  test("filtered persisted search ≡ filtered in-memory search, bit for bit") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val cs = centroids(12)
+    val queries = emb.filter(col("vec_id") < 20)
+    val edges = KnnGraph.build(emb, cs, degree = 12, nProbe = 3)
+    KnnGraph.saveIndex(edges, emb, cs, "knn_specf_idx", buckets = 8)
+    try {
+      val pred = pmod(col("vec_id"), lit(3L)) === 0
+      val mem = KnnGraph.searchFiltered(edges, emb, queries,
+          KnnGraph.entryPoints(emb, cs), pred,
+          topK = 3, beam = 16, rounds = 4)
+        .select("q_id", "rk", "node", "sim").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val idx = KnnGraph.searchIndexedFiltered(spark, "knn_specf_idx",
+          queries, pred, topK = 3, beam = 16, rounds = 4)
+        .select("q_id", "rk", "node", "sim").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(idx == mem)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS knn_specf_idx_nodes")
+      spark.sql("DROP TABLE IF EXISTS knn_specf_idx_entries")
+      ()
+    }
+  }
+
   test("beam is monotone: more rounds never lose a found neighbor's rank-1") {
     val emb = Tables(spark, sf0001, "embeddings")
     val cs = centroids(12)

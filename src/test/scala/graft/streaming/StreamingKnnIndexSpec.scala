@@ -78,4 +78,40 @@ class StreamingKnnIndexSpec extends SparkSpec {
         spark.sql(s"DROP TABLE IF EXISTS $t")
     }
   }
+
+  test("changelog apply ≡ rebuild over (B∖D)∪N; replacement path fires") {
+    val emb = Tables(spark, sf0001, "embeddings").select("vec_id", "embedding")
+    val cs = emb.filter(col("vec_id") < 12).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    try {
+      KnnGraph.saveIndex(KnnGraph.build(emb, cs, degree = 12, nProbe = 3),
+        emb, cs, "knn_cdc_idx", buckets = 8)
+      // D = vec_id ≥ 12, %9 = 4; N re-inserts D's even half (%18 = 4)
+      // with the original vectors — the id-in-both REPLACEMENT path
+      val d = emb.filter(col("vec_id") >= 12 &&
+        pmod(col("vec_id"), lit(9L)) === 4).withColumn("op", lit("D"))
+      val n = emb.filter(col("vec_id") >= 12 &&
+        pmod(col("vec_id"), lit(18L)) === 4).withColumn("op", lit("I"))
+      assert(d.count() > n.count() && n.count() > 0, "fixture sanity")
+      StreamingKnnIndex.applyChangelog(d.unionByName(n), "knn_cdc_idx", cs,
+        degree = 12, nProbe = 3, buckets = 8)
+      val got = StreamingKnnIndex.load(spark, "knn_cdc_idx")._2
+        .select("src", "rk", "dst")
+      val survivors = emb.filter(col("vec_id") < 12 ||
+        pmod(col("vec_id"), lit(18L)) =!= 13)
+      val want = KnnGraph.build(survivors, cs, degree = 12, nProbe = 3)
+        .select("src", "rk", "dst")
+      assert(got.exceptAll(want).count() == 0 &&
+        want.exceptAll(got).count() == 0)
+      // replacement non-vacuity: every re-inserted id is back as a
+      // source with a full edge list
+      val reIds = n.select("vec_id").withColumnRenamed("vec_id", "src")
+      assert(got.join(reIds, Seq("src"), "left_semi")
+        .select("src").distinct().count() == n.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS knn_cdc_idx_nodes")
+      spark.sql("DROP TABLE IF EXISTS knn_cdc_idx_entries")
+      ()
+    }
+  }
 }
