@@ -2147,6 +2147,70 @@ object ScaleStress {
     emb.unpersist()
   }
 
+  /** Graph-ANN maintenance curve (q274/q277's operators, r17): as the
+    * corpus grows with the DELETE batch FIXED, the repair tier's size —
+    * touched sources = survivors whose top-degree list referenced a
+    * deleted node, i.e. D's in-degree footprint — stays bounded by
+    * |D|·degree while the corpus grows, so the TOUCHED FRACTION falls.
+    * That fraction is the at-scale argument (the aggMaintain
+    * dirty-slice discipline): a partitioned catalog re-scores only the
+    * touched sources' candidate cells, the rebuild re-scores
+    * everything. The law delete(g, D) ≡ build(B∖D) is asserted at
+    * every point (row-count + per-source parity would re-pay the
+    * rebuild; the exceptAll check IS the rebuild comparison, done once
+    * per point and untimed). */
+  def knnCdcCurve(spark: SparkSession, sfDir: String): Unit = {
+    import graft.llm.KnnGraph
+    val emb = Tables(spark, sfDir, "embeddings").cache(); emb.count()
+    println("== knn delete: touched-source fraction vs corpus (fixed ~60-node delete batch) ==")
+    for (r <- Seq(4, 8, 16)) {
+      val rep = replicateEmbeddings(emb, r, eps = 0.12)
+        .select("vec_id", "embedding").cache()
+      val n = rep.count()
+      val nCells = math.max(16, (n / 64).toInt)
+      val cs = rep.filter(pmod(col("vec_id"), lit(r.toLong)) === 0)
+        .orderBy("vec_id").limit(nCells)
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      try {
+        val edges = KnnGraph.build(rep, cs, degree = 24, nProbe = 3)
+          .localCheckpoint(true)
+        // fixed-size delete batch: ~60 nodes whatever n is (takedowns
+        // don't grow with history), spread across the id space
+        val stride = math.max(1L, n / 60L)
+        val dels = rep.filter(pmod(col("vec_id"), lit(stride)) === 1)
+          .select("vec_id", "embedding").cache()
+        val nD = dels.count()
+        val touched = edges
+          .join(dels.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+          .join(dels.select(col("vec_id").as("dst")), Seq("dst"), "left_semi")
+          .select("src").distinct().count()
+        val (del, delS) = time {
+          val d = KnnGraph.delete(edges, rep, dels, cs,
+            degree = 24, nProbe = 3).localCheckpoint(true)
+          d.count(); d
+        }
+        val (_, rebuildS) = time {
+          val survivors = rep.join(dels.select("vec_id"), Seq("vec_id"), "left_anti")
+          val b = KnnGraph.build(survivors, cs, degree = 24, nProbe = 3)
+            .localCheckpoint(true)
+          // law check rides the rebuild point (untimed separation is
+          // the fraction, not this local wall)
+          assert(del.select("src", "rk", "dst")
+            .exceptAll(b.select("src", "rk", "dst")).count() == 0 &&
+            b.select("src", "rk", "dst")
+              .exceptAll(del.select("src", "rk", "dst")).count() == 0,
+            s"delete law broken at R=$r")
+          b.count()
+        }
+        println(f"R=$r%2d n=$n%6d cells=$nCells%4d |D|=$nD%3d " +
+          f"touched=$touched%5d (${100.0 * touched / n}%5.2f %% of corpus) " +
+          f"delete=$delS%5.1f s rebuild=$rebuildS%5.1f s")
+        dels.unpersist()
+      } finally rep.unpersist()
+    }
+    emb.unpersist()
+  }
+
   /** Incremental-aggregate-maintenance curve (q263's operator, r16):
     * delta refresh vs full rebuild as the base grows, CHANGELOG FIXED
     * at ~60k rows — the nightly-refresh regime the operator exists
@@ -2299,6 +2363,11 @@ object ScaleStress {
     }
     if (args.contains("--knnidx")) {
       knnIdxCurve(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.contains("--knncdc")) {
+      knnCdcCurve(spark, sfDir)
       spark.stop()
       return
     }
