@@ -350,28 +350,36 @@ object KnnGraph {
     * every later search. */
   def saveIndex(edges: DataFrame, emb: DataFrame, cs: Array[Array[Float]],
       name: String, buckets: Int = 16): Unit = {
-    // a fresh JVM's catalog doesn't know a prior run's table, but its
-    // warehouse LOCATION persists and fails the create — drop both (the
-    // registry calls this every Verify/Bench run, so overwrite must be
-    // crash-proof, not just catalog-aware)
     val spark = emb.sparkSession
-    for (t <- Seq(s"${name}_nodes", s"${name}_entries")) {
+    dropStale(spark, Seq(s"${name}_nodes", s"${name}_entries"))
+    val nodes = emb.select("vec_id", "embedding")
+      .join(adjacency(edges), Seq("vec_id"), "left")
+    graft.sources.Bucketing.writeBucketed(nodes, s"${name}_nodes", "vec_id", buckets)
+    entryPoints(emb, cs).write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${name}_entries")
+  }
+
+  /** Edge lists → the per-node record column; sim rides in the record
+    * so maintenance (upsert splice / delete re-cut) can reload the
+    * index without rescoring surviving edges. */
+  private def adjacency(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src").as("vec_id"))
+      .agg(sort_array(collect_list(struct(col("rk"), col("dst"), col("sim"))))
+        .as("nbrs"))
+
+  /** A fresh JVM's catalog doesn't know a prior run's table, but its
+    * warehouse LOCATION persists and fails the create — drop both (the
+    * registry calls saveIndex every Verify/Bench run, so overwrite must
+    * be crash-proof, not just catalog-aware). */
+  private def dropStale(spark: org.apache.spark.sql.SparkSession,
+      tables: Seq[String]): Unit =
+    for (t <- tables) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
       val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(loc)) fs.delete(loc, true)
     }
-    // sim rides in the record so maintenance (upsert splice / delete
-    // re-cut) can reload the index without rescoring surviving edges
-    val adj = edges.groupBy(col("src").as("vec_id"))
-      .agg(sort_array(collect_list(struct(col("rk"), col("dst"), col("sim"))))
-        .as("nbrs"))
-    val nodes = emb.select("vec_id", "embedding").join(adj, Seq("vec_id"), "left")
-    graft.sources.Bucketing.writeBucketed(nodes, s"${name}_nodes", "vec_id", buckets)
-    entryPoints(emb, cs).write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${name}_entries")
-  }
 
   /** Search a [[saveIndex]]-persisted graph — [[search]]'s exact
     * algorithm (same arithmetic, same tie rules; q273 hash-certifies the
@@ -432,26 +440,188 @@ object KnnGraph {
     finally spark.conf.set(autoKey, prevAuto)
   }
 
+  /** [[saveIndex]] augmented with PQ codes — the DiskANN at-rest layout
+    * PROPER (Subramanya et al. 2019 store exactly this per node: the
+    * adjacency list, the full vector, and an M-byte PQ code; the beam
+    * ranks on code distances held in memory and the full vectors are
+    * touched only to rerank): node records gain a `codes` column
+    * encoded through PINNED grid-row sub-codebooks (rows
+    * [cbStart, cbStart+nCodebook) of [[Pq.grid]] — the q183/q189
+    * fixed-parameter discipline, kept DISJOINT from the graph's
+    * centroid rows), and the codebook persists as `<name>_cb` in
+    * [[Pq.saveIndex]]'s shape. Because the record is columnar parquet,
+    * a beam hop reads ONLY (vec_id, codes, nbrs) — the ReadSchema
+    * never includes the embedding until the rerank probe, which is the
+    * PQ memory story realized at the storage layer. */
+  def saveIndexPq(edges: DataFrame, emb: DataFrame, cs: Array[Array[Float]],
+      m: Int, dimsPer: Int, nCodebook: Int, cbStart: Int, name: String,
+      buckets: Int = 16): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val g = Pq.grid(emb)
+    val cbRows: Map[Long, Array[Long]] = g
+      .filter(col("vec_id") >= cbStart &&
+        col("vec_id") < cbStart + nCodebook)
+      .as[(Long, Seq[Long])].collect()
+      .map { case (id, v) => id -> v.toArray }.toMap
+    require(cbRows.size == nCodebook,
+      s"PQ pinned-parameter contract: corpus must contain vec_ids " +
+        s"$cbStart..${cbStart + nCodebook - 1} to seed the sub-codebooks; " +
+        s"found ${cbRows.size}")
+    val cb: Array[Array[Array[Long]]] = Array.tabulate(m, nCodebook) { (mm, j) =>
+      java.util.Arrays.copyOfRange(
+        cbRows((cbStart + j).toLong), mm * dimsPer, (mm + 1) * dimsPer)
+    }
+    val codes = g.as[(Long, Seq[Long])].mapPartitions(_.map { case (vid, gv) =>
+      (vid, Pq.encode(gv.toIndexedSeq, m, dimsPer, cb).toSeq)
+    }).toDF("vec_id", "codes")
+    dropStale(spark, Seq(s"${name}_nodes", s"${name}_entries", s"${name}_cb"))
+    val nodes = emb.select("vec_id", "embedding")
+      .join(codes, Seq("vec_id"))
+      .join(adjacency(edges), Seq("vec_id"), "left")
+    graft.sources.Bucketing.writeBucketed(nodes, s"${name}_nodes", "vec_id",
+      buckets)
+    entryPoints(emb, cs).write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${name}_entries")
+    (for (mm <- 0 until m; j <- 0 until nCodebook)
+      yield (mm, j, cb(mm)(j).toSeq)).toDF("m", "j", "sub")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_cb")
+  }
+
+  /** Memory-bounded beam search over a [[saveIndexPq]] index — DiskANN's
+    * actual serving loop: the beam ranks candidates on INTEGER PQ
+    * distances (per-query SDC tables over the persisted codebook — M
+    * lookups per candidate, no float vector anywhere in the loop, and
+    * the hop probes read only (vec_id, codes, nbrs) thanks to parquet
+    * column pruning), then the final `rerank` best by code distance are
+    * re-scored with exact full-precision cosine from a LAST bucket-pruned
+    * probe that is the only read touching the embedding column. Every
+    * plane is deterministic (grid/encode/tables integer-exact with
+    * lowest-index ties, beam ties by node, rerank ties by node), so the
+    * whole loop — approximate ranking INCLUDING its mistakes, then the
+    * rerank correcting them — hash-certifies against q279's oracle. */
+  def searchIndexedPq(spark: org.apache.spark.sql.SparkSession, name: String,
+      queries: DataFrame, topK: Int, beam: Int, rounds: Int, rerank: Int,
+      onProbe: Seq[Long] => Unit = null): DataFrame = {
+    GraftFunctions.register(spark)
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAuto = spark.conf.get(autoKey)
+    spark.conf.set(autoKey, "false")
+    try searchIndexedPqBody(spark, name, queries, topK, beam, rounds,
+      rerank, onProbe)
+    finally spark.conf.set(autoKey, prevAuto)
+  }
+
+  private def searchIndexedPqBody(spark: org.apache.spark.sql.SparkSession,
+      name: String, queries: DataFrame, topK: Int, beam: Int, rounds: Int,
+      rerank: Int, onProbe: Seq[Long] => Unit): DataFrame = {
+    import spark.implicits._
+    val nodesT = spark.table(s"${name}_nodes")
+    def records(ids: Seq[Long]): DataFrame =
+      probeRecords(nodesT, ids, onProbe)
+    // persisted codebook → per-query SDC tables (bounded: queries are a
+    // serving batch, tables are m·K ints each — the Pq.searchIndexed
+    // shape, but emitted as a broadcast FRAME so the per-candidate
+    // M-lookup sum is the same relational plan the oracle replays)
+    val cbRows = spark.table(s"${name}_cb")
+      .as[(Int, Int, Seq[Long])].collect()
+    val m = cbRows.map(_._1).max + 1
+    val nCodebook = cbRows.map(_._2).max + 1
+    val cb: Array[Array[Array[Long]]] = Array.ofDim(m, nCodebook)
+    cbRows.foreach { case (mm, j, sub) => cb(mm)(j) = sub.toArray }
+    val dimsPer = cb(0)(0).length
+    val qs: Array[(Long, Array[Long])] = Pq.grid(queries).limit(IdCap + 1)
+      .as[(Long, Seq[Long])].collect().map { case (id, v) => id -> v.toArray }
+    require(qs.length <= IdCap,
+      s"searchIndexedPq query batch exceeds the $IdCap bounded-collect " +
+        "contract - chunk the query set")
+    val qt = qs.toSeq.flatMap { case (qid, qg) =>
+      val qCodes = Pq.encode(qg.toIndexedSeq, m, dimsPer, cb)
+      for (mm <- 0 until m; j <- 0 until nCodebook)
+        yield (qid, mm, j, Pq.d2(cb(mm)(qCodes(mm)).toIndexedSeq, 0, cb(mm)(j)))
+    }
+    val qtDf = broadcast(qt.toDF("q_id", "m", "code", "td"))
+    // the PQ scorer: M table lookups per candidate, as a join the
+    // oracle replays verbatim (candidate volume is beam-bounded, so the
+    // explode is ≤ queries·beam·degree·M tiny rows per round)
+    def scorePq(cand: DataFrame, recs: DataFrame): DataFrame = cand
+      .join(recs.select(col("vec_id").as("node"), col("codes")), Seq("node"))
+      .filter(col("node") =!= col("q_id"))
+      .select(col("q_id"), col("node"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+      .join(qtDf, Seq("q_id", "m", "code"))
+      .groupBy("q_id", "node").agg(sum("td").as("dist"))
+    val wB = Window.partitionBy("q_id").orderBy(col("dist"), col("node"))
+    def keep(df: DataFrame, b: Int): DataFrame =
+      df.withColumn("rk", row_number().over(wB)).filter(col("rk") <= b)
+    val entries = spark.table(s"${name}_entries")
+    val entryIds = boundedIds(entries, "node", "entry")
+    var bm = keep(scorePq(
+        broadcast(qs.map(_._1).toSeq.toDF("q_id")).crossJoin(entries),
+        records(entryIds)), beam)
+      .select("q_id", "node", "dist").localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val hop = records(boundedIds(bm, "node", "beam"))
+        .select(col("vec_id").as("node"),
+          explode(expr("transform(nbrs, x -> x.dst)")).as("dst"))
+      val frontier = bm.select("q_id", "node").join(hop, Seq("node"))
+        .select(col("q_id"), col("dst").as("node"))
+        .distinct()
+        .join(bm.select("q_id", "node"), Seq("q_id", "node"), "left_anti")
+      bm = keep(scorePq(frontier,
+          records(boundedIds(frontier, "node", "frontier")))
+          .unionByName(bm), beam)
+        .select("q_id", "node", "dist").localCheckpoint(true)
+      r += 1
+    }
+    // rerank tier: the ONLY read touching the embedding column — exact
+    // full-precision cosine over the `rerank` best code distances
+    val rr = keep(bm, rerank).select("q_id", "node")
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("qv"),
+      Similarity.dotFast(col("embedding"), col("embedding")).as("qn")))
+    val vecs = records(boundedIds(rr, "node", "rerank"))
+      .select(col("vec_id").as("node"), col("embedding").as("nv"),
+        Similarity.dotFast(col("embedding"), col("embedding")).as("nn"))
+    val rescored = rr.join(q, Seq("q_id")).join(vecs, Seq("node"))
+      .select(col("q_id"), col("node"),
+        (Similarity.dotFast(col("qv"), col("nv")) /
+          sqrt(col("qn") * col("nn"))).as("sim"))
+    val wS = Window.partitionBy("q_id").orderBy(col("sim").desc, col("node"))
+    rescored.withColumn("rk", row_number().over(wS))
+      .filter(col("rk") <= topK)
+      .select("q_id", "rk", "node", "sim")
+  }
+
+  /** Bounded driver-side id collect — the [[Pq.searchIndexed]] serving
+    * contract: collect through a limit ONE ROW past the cap; raise,
+    * never degrade. */
+  private val IdCap = 65536
+  private def boundedIds(df: DataFrame, c: String, what: String): Seq[Long] = {
+    val ids = df.select(col(c)).distinct().limit(IdCap + 1)
+      .collect().map(_.getLong(0)).toSeq
+    require(ids.length <= IdCap,
+      s"searchIndexed $what id set exceeds the $IdCap bounded-collect " +
+        "contract - lower beam x queries or chunk the query batch")
+    ids
+  }
+
+  /** The pruned node-record probe: IN over the bucket column reaches
+    * the scan as file-level bucket pruning (SelectedBucketsCount). */
+  private def probeRecords(nodesT: DataFrame, ids: Seq[Long],
+      onProbe: Seq[Long] => Unit): DataFrame = {
+    if (onProbe != null) onProbe(ids)
+    if (ids.isEmpty) nodesT.filter(lit(false))
+    else nodesT.filter(col("vec_id").isin(ids.map(x => x: Any): _*))
+  }
+
   private def searchIndexedBody(spark: org.apache.spark.sql.SparkSession,
       name: String, queries: DataFrame, topK: Int, beam: Int, rounds: Int,
       onProbe: Seq[Long] => Unit, pred: Option[Column]): DataFrame = {
     val nodesT = spark.table(s"${name}_nodes")
-    val cap = 65536
-    def boundedIds(df: DataFrame, c: String, what: String): Seq[Long] = {
-      val ids = df.select(col(c)).distinct().limit(cap + 1)
-        .collect().map(_.getLong(0)).toSeq
-      require(ids.length <= cap,
-        s"searchIndexed $what id set exceeds the $cap bounded-collect " +
-          "contract - lower beam x queries or chunk the query batch")
-      ids
-    }
-    // the pruned node-record probe: IN over the bucket column reaches
-    // the scan as file-level bucket pruning (SelectedBucketsCount)
-    def records(ids: Seq[Long]): DataFrame = {
-      if (onProbe != null) onProbe(ids)
-      if (ids.isEmpty) nodesT.filter(lit(false))
-      else nodesT.filter(col("vec_id").isin(ids.map(x => x: Any): _*))
-    }
+    def records(ids: Seq[Long]): DataFrame =
+      probeRecords(nodesT, ids, onProbe)
     val q = broadcast(queries.select(col("vec_id").as("q_id"),
       col("embedding").as("qv"),
       Similarity.dotFast(col("embedding"), col("embedding")).as("qn")))

@@ -9511,6 +9511,151 @@ object LlmQueries {
       .select("q_id", "rk", "node").orderBy("q_id", "rk")
   }
 
+  // ---------------------------------------------------------------- q279
+  // PQ-scored beam search over the persisted graph — DiskANN's ACTUAL
+  // serving loop (Subramanya et al. 2019 store per node: adjacency +
+  // full vector + an M-byte PQ code; the beam ranks on code distances,
+  // full vectors are touched only to RERANK the final candidates):
+  // saveIndexPq writes the three-part record (q273's node shape + a
+  // codes column from q183's pinned-grid-row sub-codebooks, rows 12-19
+  // — disjoint from the graph's centroid rows 0-11, the q189
+  // discipline), the beam ranks on INTEGER SDC distances (per-query
+  // M×K tables over the persisted codebook, the per-candidate M-lookup
+  // sum emitted as a relational join the oracle replays verbatim), and
+  // only the last probe reads the embedding column — parquet column
+  // pruning makes the hop probes (vec_id, codes, nbrs)-only, the PQ
+  // memory story realized at the storage layer (ReadSchema asserted in
+  // KnnGraphSpec). Every plane is deterministic (grid/encode/tables
+  // integer-exact with lowest-index ties, beam ties by node, rerank
+  // exact-double with node ties), so the oracle certifies the whole
+  // loop INCLUDING the approximate ranking's mistakes and the rerank
+  // correcting them: graph ladder from q264/q265, PQ planes from q183,
+  // b0→b4 ranked on pqd ASC, top-8 rerank by exact cosine, top-3 out.
+  val q279 = Q(
+    "q279_knn_pq_beam",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |             list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n,
+      |             list_transform(embedding::DOUBLE[],
+      |               x -> CAST(least(127, greatest(-127, round(x * 64)))
+      |                    AS BIGINT)) AS g
+      |           FROM embeddings),
+      |cent AS (SELECT vec_id AS cell, v AS c, list_dot_product(v, v) AS cn
+      |         FROM e WHERE vec_id < 12),
+      |pr AS (SELECT vec_id, cell FROM (
+      |         SELECT e.vec_id, cent.cell,
+      |                row_number() OVER (PARTITION BY e.vec_id
+      |                  ORDER BY cent.cn - 2 * list_dot_product(e.v, cent.c),
+      |                           cent.cell) AS rn
+      |         FROM e CROSS JOIN cent) WHERE rn <= 3),
+      |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+      |         FROM pr a JOIN pr b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+      |sc AS (SELECT cand.src, cand.dst,
+      |              list_dot_product(ea.v, eb.v) / sqrt(ea.n * eb.n) AS sim
+      |       FROM cand JOIN e ea ON ea.vec_id = cand.src
+      |                 JOIN e eb ON eb.vec_id = cand.dst),
+      |edges AS (SELECT src, dst FROM (
+      |            SELECT src, dst, row_number() OVER (PARTITION BY src
+      |                     ORDER BY sim DESC, dst) AS rk FROM sc)
+      |          WHERE rk <= 12),
+      |asg AS (SELECT vec_id, cell, d FROM (
+      |          SELECT e.vec_id, cent.cell,
+      |                 cent.cn - 2 * list_dot_product(e.v, cent.c) AS d,
+      |                 row_number() OVER (PARTITION BY e.vec_id
+      |                   ORDER BY cent.cn - 2 * list_dot_product(e.v, cent.c),
+      |                            cent.cell) AS rn
+      |          FROM e CROSS JOIN cent) WHERE rn = 1),
+      |entry AS (SELECT vec_id AS node FROM (
+      |            SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+      |                     ORDER BY d, vec_id) AS er FROM asg) WHERE er = 1),
+      |cb AS (SELECT vec_id - 12 AS j, g FROM e
+      |       WHERE vec_id >= 12 AND vec_id < 20),
+      |ms AS (SELECT unnest(range(8)) AS m),
+      |sub AS (SELECT e.vec_id, ms.m, cb.j,
+      |          list_sum(list_transform(range(1, 9),
+      |            i -> (e.g[8*ms.m + i] - cb.g[8*ms.m + i])
+      |               * (e.g[8*ms.m + i] - cb.g[8*ms.m + i]))) AS d2
+      |        FROM e CROSS JOIN ms CROSS JOIN cb),
+      |codes AS (SELECT vec_id, m, j AS code FROM (
+      |            SELECT vec_id, m, j,
+      |                   row_number() OVER (PARTITION BY vec_id, m
+      |                                      ORDER BY d2, j) AS rn
+      |            FROM sub) WHERE rn = 1),
+      |qc AS (SELECT vec_id AS q_id, m, code FROM codes WHERE vec_id < 5),
+      |qt AS (SELECT qc.q_id, qc.m, cj.j,
+      |         list_sum(list_transform(range(1, 9),
+      |           i -> (cq.g[8*qc.m + i] - cj.g[8*qc.m + i])
+      |              * (cq.g[8*qc.m + i] - cj.g[8*qc.m + i]))) AS td
+      |       FROM qc JOIN cb cq ON cq.j = qc.code CROSS JOIN cb cj),
+      |pqd AS (SELECT qt.q_id, codes.vec_id AS node,
+      |          CAST(sum(qt.td) AS BIGINT) AS dist
+      |        FROM codes JOIN qt ON qt.m = codes.m AND qt.j = codes.code
+      |        WHERE codes.vec_id <> qt.q_id
+      |        GROUP BY 1, 2),
+      |b0 AS (SELECT q_id, node, dist FROM (
+      |         SELECT p.q_id, p.node, p.dist,
+      |                row_number() OVER (PARTITION BY p.q_id
+      |                  ORDER BY p.dist, p.node) AS rn
+      |         FROM pqd p JOIN entry ON entry.node = p.node) WHERE rn <= 16),
+      |x1 AS (SELECT b0.q_id, edges.dst AS node
+      |       FROM b0 JOIN edges ON edges.src = b0.node
+      |       UNION SELECT q_id, node FROM b0),
+      |b1 AS (SELECT q_id, node, dist FROM (
+      |         SELECT p.q_id, p.node, p.dist,
+      |                row_number() OVER (PARTITION BY p.q_id
+      |                  ORDER BY p.dist, p.node) AS rn
+      |         FROM pqd p JOIN x1 ON x1.q_id = p.q_id AND x1.node = p.node)
+      |       WHERE rn <= 16),
+      |x2 AS (SELECT b1.q_id, edges.dst AS node
+      |       FROM b1 JOIN edges ON edges.src = b1.node
+      |       UNION SELECT q_id, node FROM b1),
+      |b2 AS (SELECT q_id, node, dist FROM (
+      |         SELECT p.q_id, p.node, p.dist,
+      |                row_number() OVER (PARTITION BY p.q_id
+      |                  ORDER BY p.dist, p.node) AS rn
+      |         FROM pqd p JOIN x2 ON x2.q_id = p.q_id AND x2.node = p.node)
+      |       WHERE rn <= 16),
+      |x3 AS (SELECT b2.q_id, edges.dst AS node
+      |       FROM b2 JOIN edges ON edges.src = b2.node
+      |       UNION SELECT q_id, node FROM b2),
+      |b3 AS (SELECT q_id, node, dist FROM (
+      |         SELECT p.q_id, p.node, p.dist,
+      |                row_number() OVER (PARTITION BY p.q_id
+      |                  ORDER BY p.dist, p.node) AS rn
+      |         FROM pqd p JOIN x3 ON x3.q_id = p.q_id AND x3.node = p.node)
+      |       WHERE rn <= 16),
+      |x4 AS (SELECT b3.q_id, edges.dst AS node
+      |       FROM b3 JOIN edges ON edges.src = b3.node
+      |       UNION SELECT q_id, node FROM b3),
+      |b4 AS (SELECT q_id, node, dist FROM (
+      |         SELECT p.q_id, p.node, p.dist,
+      |                row_number() OVER (PARTITION BY p.q_id
+      |                  ORDER BY p.dist, p.node) AS rn
+      |         FROM pqd p JOIN x4 ON x4.q_id = p.q_id AND x4.node = p.node)
+      |       WHERE rn <= 16),
+      |rr AS (SELECT q_id, node FROM (
+      |         SELECT q_id, node, row_number() OVER (PARTITION BY q_id
+      |                  ORDER BY dist, node) AS rn FROM b4) WHERE rn <= 8),
+      |re AS (SELECT rr.q_id, rr.node,
+      |         list_dot_product(q.v, e2.v) / sqrt(q.n * e2.n) AS sim
+      |       FROM rr JOIN e q ON q.vec_id = rr.q_id
+      |                JOIN e e2 ON e2.vec_id = rr.node)
+      |SELECT q_id, CAST(rk AS INT) AS rk, node FROM (
+      |  SELECT q_id, node, row_number() OVER (PARTITION BY q_id
+      |           ORDER BY sim DESC, node) AS rk FROM re)
+      |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val cs: Array[Array[Float]] = emb.filter(col("vec_id") < 12)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val name = "knnpq_" + java.lang.Integer.toHexString(dir.hashCode)
+    KnnGraph.saveIndexPq(KnnGraph.build(emb, cs, degree = 12, nProbe = 3),
+      emb, cs, m = 8, dimsPer = 8, nCodebook = 8, cbStart = 12, name,
+      buckets = 8)
+    KnnGraph.searchIndexedPq(s, name, emb.filter(col("vec_id") < 5),
+        topK = 3, beam = 16, rounds = 4, rerank = 8)
+      .select("q_id", "rk", "node").orderBy("q_id", "rk")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -9528,5 +9673,5 @@ object LlmQueries {
       q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
       q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
       q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266,
-      q267, q268, q269, q270, q271, q272, q273, q274, q275, q278)
+      q267, q268, q269, q270, q271, q272, q273, q274, q275, q278, q279)
 }

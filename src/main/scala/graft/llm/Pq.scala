@@ -40,7 +40,7 @@ object Pq extends Serializable {
         least(lit(127d), greatest(lit(-127d), round(x.cast("double") * 64)))
           .cast("long")).as("g"))
 
-  private def d2(a: IndexedSeq[Long], aOff: Int, b: Array[Long]): Long = {
+  private[llm] def d2(a: IndexedSeq[Long], aOff: Int, b: Array[Long]): Long = {
     var s = 0L
     var i = 0
     while (i < b.length) {

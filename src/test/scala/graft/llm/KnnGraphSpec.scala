@@ -370,6 +370,119 @@ class KnnGraphSpec extends SparkSpec {
     }
   }
 
+  test("PQ beam: hop probes never read vectors; rerank tier is real") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val cs = centroids(12)
+    val edges = KnnGraph.build(emb, cs, degree = 12, nProbe = 3)
+      .localCheckpoint(true)
+    KnnGraph.saveIndexPq(edges, emb, cs, m = 8, dimsPer = 8, nCodebook = 8,
+      cbStart = 12, "knn_pq_spec", buckets = 8)
+    try {
+      val queries = emb.filter(col("vec_id") < 20)
+      def run(rr: Int) = KnnGraph.searchIndexedPq(spark, "knn_pq_spec",
+          queries, topK = 3, beam = 16, rounds = 4, rerank = rr)
+        .select("q_id", "node").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      // rerank non-vacuity: rerank = topK degenerates to the raw PQ
+      // top-3; widening to 8 must actually change results somewhere
+      // (measured: all 20 queries differ on this fixture — PQ order
+      // and exact order disagree, which is the tier's reason to exist)
+      val r8 = run(8); val r3 = run(3)
+      assert((0L until 20L).count(q =>
+        r8.getOrElse(q, Set()) != r3.getOrElse(q, Set())) >= 5,
+        "rerank tier is vacuous: widening rerank changed nothing")
+      // the PQ memory story at the storage layer: a hop probe's scan
+      // reads (vec_id, codes, nbrs) ONLY — parquet column pruning keeps
+      // the embedding out of the ReadSchema until the rerank probe
+      val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val prevAuto = spark.conf.get(autoKey)
+      spark.conf.set(autoKey, "false")
+      try {
+        val hop = spark.table("knn_pq_spec_nodes")
+          .filter(col("vec_id").isin(1L, 2L, 3L))
+          .select(col("vec_id"), col("codes"),
+            explode(expr("transform(nbrs, x -> x.dst)")).as("dst"))
+        hop.count()
+        val plan = hop.queryExecution.executedPlan.toString
+        val scan = plan.linesIterator.find(_.contains("FileScan"))
+          .getOrElse(sys.error(s"no FileScan in hop plan:\n$plan"))
+        assert(!scan.contains("embedding"),
+          s"hop probe reads the embedding column:\n$scan")
+        assert("SelectedBucketsCount: (\\d+) out of (\\d+)".r
+          .findFirstIn(scan).isDefined, s"hop probe not bucket-pruned:\n$scan")
+      } finally spark.conf.set(autoKey, prevAuto)
+    } finally {
+      for (t <- Seq("knn_pq_spec_nodes", "knn_pq_spec_entries", "knn_pq_spec_cb"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
+  test("PQ beam recall: code resolution separates structure, noise on uniform") {
+    // the q183 codebooks are PINNED grid rows (determinism over
+    // training); on the UNIFORM fixture PQ distances are then
+    // quantization noise and guided recall is low by construction
+    // (measured 0.20 at K=8 — the IvfSpec no-structure caveat, stated
+    // not hidden). Where data HAS structure — planted 8-replica
+    // clusters — code distances separate clusters and recall returns:
+    // measured 0.28 at K=8 vs 0.88 at K=64/rerank=16. The pinned A/B
+    // is the codebook-RESOLUTION contract, the PQ analog of the
+    // degree>cluster rule.
+    val r = 8
+    val emb = graft.ScaleStress.replicateEmbeddings(
+      Tables(spark, sf0001, "embeddings"), r, eps = 0.12)
+      .select("vec_id", "embedding").cache()
+    try {
+      val n = emb.count()
+      val nCells = (n / 64).toInt
+      val cs = emb.filter(pmod(col("vec_id"), lit(r.toLong)) === 0)
+        .orderBy("vec_id").limit(nCells)
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val queries = emb.filter(pmod(col("vec_id"), lit(r.toLong)) === 0 &&
+        col("vec_id") < 20L * r)
+      val qids = queries.select("vec_id").collect().map(_.getLong(0)).toSeq
+      val all = emb.collect()
+        .map(x => x.getLong(0) -> x.getSeq[Float](1).toArray).toMap
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          d += a(i).toDouble * b(i).toDouble
+          na += a(i).toDouble * a(i).toDouble
+          nb += b(i).toDouble * b(i).toDouble
+          i += 1
+        }
+        d / math.sqrt(na * nb)
+      }
+      val truth = qids.map { q =>
+        q -> all.toSeq.filter(_._1 != q)
+          .map { case (id, v) => (id, cos(all(q), v)) }
+          .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1).toSet
+      }.toMap
+      val edges = KnnGraph.build(emb, cs, degree = 24, nProbe = 3)
+        .localCheckpoint(true)
+      def recallAt(k: Int, rr: Int): Double = {
+        KnnGraph.saveIndexPq(edges, emb, cs, m = 8, dimsPer = 8,
+          nCodebook = k, cbStart = 0, "knn_pq_spec2", buckets = 8)
+        val got = KnnGraph.searchIndexedPq(spark, "knn_pq_spec2", queries,
+            topK = 3, beam = 16, rounds = 4, rerank = rr)
+          .select("q_id", "node").collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        qids.map(q => (truth(q) intersect got.getOrElse(q, Set())).size)
+          .sum / (3.0 * qids.size)
+      }
+      try {
+        val coarse = recallAt(8, 8)
+        val fine = recallAt(64, 16)
+        assert(coarse <= 0.45, s"coarse-codebook recall $coarse — fixture drifted")
+        assert(fine >= 0.75, s"fine-codebook recall $fine below the measured bar")
+        assert(fine > coarse + 0.2, s"resolution A/B collapsed: $coarse vs $fine")
+      } finally {
+        for (t <- Seq("knn_pq_spec2_nodes", "knn_pq_spec2_entries",
+            "knn_pq_spec2_cb"))
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+      }
+    } finally emb.unpersist()
+  }
+
   test("beam is monotone: more rounds never lose a found neighbor's rank-1") {
     val emb = Tables(spark, sf0001, "embeddings")
     val cs = centroids(12)
