@@ -472,9 +472,25 @@ object KnnGraph {
       java.util.Arrays.copyOfRange(
         cbRows((cbStart + j).toLong), mm * dimsPer, (mm + 1) * dimsPer)
     }
-    val codes = g.as[(Long, Seq[Long])].mapPartitions(_.map { case (vid, gv) =>
-      (vid, Pq.encode(gv.toIndexedSeq, m, dimsPer, cb).toSeq)
-    }).toDF("vec_id", "codes")
+    saveIndexPqWith(edges, emb, cs, cb, m, dimsPer, name, buckets)
+  }
+
+  /** [[saveIndexPq]] with an explicit codebook — the maintenance path
+    * ([[graft.streaming.StreamingKnnIndex]]) reloads the PERSISTED
+    * `<name>_cb` and re-saves through here, so a maintained index keeps
+    * the exact codebook it was built with (codes must stay comparable
+    * across batches — re-deriving from pinned rows would silently
+    * change them if the pinned rows themselves were deleted). */
+  private[graft] def saveIndexPqWith(edges: DataFrame, emb: DataFrame,
+      cs: Array[Array[Float]], cb: Array[Array[Array[Long]]], m: Int,
+      dimsPer: Int, name: String, buckets: Int): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val nCodebook = cb(0).length
+    val codes = Pq.grid(emb).as[(Long, Seq[Long])]
+      .mapPartitions(_.map { case (vid, gv) =>
+        (vid, Pq.encode(gv.toIndexedSeq, m, dimsPer, cb).toSeq)
+      }).toDF("vec_id", "codes")
     dropStale(spark, Seq(s"${name}_nodes", s"${name}_entries", s"${name}_cb"))
     val nodes = emb.select("vec_id", "embedding")
       .join(codes, Seq("vec_id"))
@@ -486,6 +502,20 @@ object KnnGraph {
     (for (mm <- 0 until m; j <- 0 until nCodebook)
       yield (mm, j, cb(mm)(j).toSeq)).toDF("m", "j", "sub")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_cb")
+  }
+
+  /** Reload a [[saveIndexPq]] codebook from its persisted table:
+    * (cb, m, dimsPer). */
+  private[graft] def loadCodebook(spark: org.apache.spark.sql.SparkSession,
+      name: String): (Array[Array[Array[Long]]], Int, Int) = {
+    import spark.implicits._
+    val cbRows = spark.table(s"${name}_cb")
+      .as[(Int, Int, Seq[Long])].collect()
+    val m = cbRows.map(_._1).max + 1
+    val nCodebook = cbRows.map(_._2).max + 1
+    val cb: Array[Array[Array[Long]]] = Array.ofDim(m, nCodebook)
+    cbRows.foreach { case (mm, j, sub) => cb(mm)(j) = sub.toArray }
+    (cb, m, cb(0)(0).length)
   }
 
   /** Memory-bounded beam search over a [[saveIndexPq]] index — DiskANN's
@@ -523,13 +553,8 @@ object KnnGraph {
     // serving batch, tables are m·K ints each — the Pq.searchIndexed
     // shape, but emitted as a broadcast FRAME so the per-candidate
     // M-lookup sum is the same relational plan the oracle replays)
-    val cbRows = spark.table(s"${name}_cb")
-      .as[(Int, Int, Seq[Long])].collect()
-    val m = cbRows.map(_._1).max + 1
-    val nCodebook = cbRows.map(_._2).max + 1
-    val cb: Array[Array[Array[Long]]] = Array.ofDim(m, nCodebook)
-    cbRows.foreach { case (mm, j, sub) => cb(mm)(j) = sub.toArray }
-    val dimsPer = cb(0)(0).length
+    val (cb, m, dimsPer) = loadCodebook(spark, name)
+    val nCodebook = cb(0).length
     val qs: Array[(Long, Array[Long])] = Pq.grid(queries).limit(IdCap + 1)
       .as[(Long, Seq[Long])].collect().map { case (id, v) => id -> v.toArray }
     require(qs.length <= IdCap,

@@ -62,8 +62,23 @@ object StreamingKnnIndex {
     val g1 = KnnGraph.upsert(edges0, embBase, fresh, cs, degree, nProbe)
       .localCheckpoint(true)
     val emb1 = embBase.unionByName(fresh).localCheckpoint(true)
-    KnnGraph.saveIndex(g1, emb1, cs, name, buckets)
+    save(spark, name, g1, emb1, cs, buckets)
   }
+
+  /** Re-save a maintained index in ITS OWN layout: a PQ index (the
+    * node records carry a `codes` column) keeps the EXACT codebook it
+    * was built with — reloaded from `<name>_cb`, never re-derived from
+    * pinned rows, which a changelog may have deleted — so codes stay
+    * comparable across batches; a plain index round-trips through
+    * [[graft.llm.KnnGraph.saveIndex]]. Silently dropping the codes
+    * column (what a plain re-save would do) would break every later
+    * [[graft.llm.KnnGraph.searchIndexedPq]]. */
+  private def save(spark: SparkSession, name: String, edges: DataFrame,
+      emb: DataFrame, cs: Array[Array[Float]], buckets: Int): Unit =
+    if (spark.table(s"${name}_nodes").columns.contains("codes")) {
+      val (cb, m, dimsPer) = KnnGraph.loadCodebook(spark, name)
+      KnnGraph.saveIndexPqWith(edges, emb, cs, cb, m, dimsPer, name, buckets)
+    } else KnnGraph.saveIndex(edges, emb, cs, name, buckets)
 
   /** Apply one CDC micro-batch to the persisted index — the full
     * changelog shape the warehouse plane's maintainers take
@@ -90,7 +105,7 @@ object StreamingKnnIndex {
     val g2 = KnnGraph.upsert(g1, emb1, ins, cs, degree, nProbe)
       .localCheckpoint(true)
     val emb2 = emb1.unionByName(ins).localCheckpoint(true)
-    KnnGraph.saveIndex(g2, emb2, cs, name, buckets)
+    save(spark, name, g2, emb2, cs, buckets)
   }
 
   /** The streaming maintenance sink: call `.start()` to run. */

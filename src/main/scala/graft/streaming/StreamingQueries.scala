@@ -383,8 +383,46 @@ object StreamingQueries {
       .select("src", "rk", "dst").orderBy("src", "rk")
   }
 
+  // --------------------------------------------------------------- Q280
+  // CDC changelog applied to the PQ-augmented index (q277's apply over
+  // q279's layout): the maintainer detects the codes column, reloads
+  // the PERSISTED codebook, and re-saves through it — codes stay
+  // comparable across batches by construction (re-deriving from pinned
+  // rows would be a silent corruption if the changelog deleted them;
+  // dropping the column, what a plain re-save would do, would break
+  // every later searchIndexedPq). D/N mirror q277 shifted past the
+  // codebook rows (D = vec_id ≥ 20 with %9 = 4, N re-inserts the even
+  // half), and the final state is SERVED: the ORACLE IS q279's
+  // PQ-beam oracle over the surviving membership, so one hash
+  // certifies maintain → re-encode → code-distance beam → exact rerank
+  // end to end.
+  val q280 = Q.offBench(
+    "q280_knn_pq_changelog",
+    graft.llm.LlmQueries.q279.oracle.get.replace("FROM embeddings)",
+      "FROM embeddings WHERE vec_id < 20 OR vec_id % 18 <> 13)")) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+    val cs: Array[Array[Float]] = emb.filter(col("vec_id") < 12)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val name = "knnpqcdc_" + java.lang.Integer.toHexString(dir.hashCode)
+    graft.llm.KnnGraph.saveIndexPq(
+      graft.llm.KnnGraph.build(emb, cs, degree = 12, nProbe = 3),
+      emb, cs, m = 8, dimsPer = 8, nCodebook = 8, cbStart = 12, name,
+      buckets = 8)
+    val d = emb.filter(col("vec_id") >= 20 && pmod(col("vec_id"), lit(9L)) === 4)
+      .withColumn("op", lit("D"))
+    val n = emb.filter(col("vec_id") >= 20 && pmod(col("vec_id"), lit(18L)) === 4)
+      .withColumn("op", lit("I"))
+    StreamingKnnIndex.applyChangelog(d.unionByName(n), name, cs,
+      degree = 12, nProbe = 3, buckets = 8)
+    graft.llm.KnnGraph.searchIndexedPq(s, name,
+        emb.filter(col("vec_id") < 5),
+        topK = 3, beam = 16, rounds = 4, rerank = 8)
+      .select("q_id", "rk", "node").orderBy("q_id", "rk")
+  }
+
   val all: Seq[Q] = Seq(q23, q24, q25, q50, q59, q67, q81, q91, q116, q117,
-    q276, q277)
+    q276, q277, q280)
 
   // ------------------------------------------------------------------------
   // Streaming runners (exercised by StreamingParitySpec; Trigger.AvailableNow
