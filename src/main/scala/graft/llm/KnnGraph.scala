@@ -614,9 +614,19 @@ object KnnGraph {
         (Similarity.dotFast(col("qv"), col("nv")) /
           sqrt(col("qn") * col("nn"))).as("sim"))
     val wS = Window.partitionBy("q_id").orderBy(col("sim").desc, col("node"))
+    // materialize INSIDE the pinned-conf scope: the rerank probe is the
+    // only read touching the embedding column, and a lazily-returned
+    // frame would plan its vecs scan after the caller's finally restored
+    // autoBucketedScan — DisableUnnecessaryBucketedScan would then drop
+    // the bucketed read and scan every bucket file for exactly the probe
+    // whose pruned IO matters most (results stay correct; the IO
+    // contract and the onProbe bucket accounting would not). The
+    // checkpoint is ≤ queries·topK rows — the non-PQ path's
+    // checkpoint-backed-return contract, applied here.
     rescored.withColumn("rk", row_number().over(wS))
       .filter(col("rk") <= topK)
       .select("q_id", "rk", "node", "sim")
+      .localCheckpoint(true)
   }
 
   /** Bounded driver-side id collect — the [[Pq.searchIndexed]] serving

@@ -21,9 +21,14 @@ import graft.llm.KnnGraph
   * composition (the q67/q81/q91/q116 convention).
   *
   * Ordering/failure semantics: batches commute into the same final
-  * graph (each is exact vs the rebuild), and a replayed batch is a
-  * no-op by the same law (its vectors are already nodes, upsert
-  * re-derives identical rows) — but the table overwrite is not atomic
+  * graph (each is exact vs the rebuild), and a replayed micro-batch is
+  * a TRUE no-op because [[ingestBatch]] anti-joins the batch against
+  * the loaded index's vec_ids before upserting — foreachBatch is
+  * at-least-once, and without the gate a replayed source's rows would
+  * enter twice (once through the upsert's new-edge tier, once through
+  * the rows already in the table) and the embedding union would
+  * duplicate its node record. An already-fully-replayed batch skips
+  * the table write entirely. The table overwrite is still not atomic
   * under concurrent readers, so the single-writer contract of the
   * other ingest loops applies to the index name.
   *
@@ -50,12 +55,22 @@ object StreamingKnnIndex {
 
   /** One micro-batch of index maintenance — exposed so the
     * batch-sequential rendering is the SAME code (parity spec, q276).
-    * `batch` needs (vec_id, embedding); ids must be new to the index. */
+    * `batch` needs (vec_id, embedding); ids already in the index are
+    * dropped (the at-least-once replay gate — see the object doc), so
+    * only genuinely-new vectors reach the upsert. */
   def ingestBatch(batch: DataFrame, name: String, cs: Array[Array[Float]],
       degree: Int, nProbe: Int, buckets: Int): Unit = {
     val spark = batch.sparkSession
     val (embBase, edges0) = load(spark, name)
+    // replay gate: foreachBatch is at-least-once, and upsert's contract
+    // is ids-new-to-the-index — a replayed source would otherwise enter
+    // twice (its table rows AND the upsert's new-edge tier). The
+    // anti-join makes a replayed batch a true no-op; a fully-replayed
+    // batch also skips the table write below.
     val fresh = batch.select("vec_id", "embedding")
+      .join(embBase.select("vec_id"), Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    if (fresh.isEmpty) return
     // materialize BEFORE the overwrite: the upsert result and the new
     // embedding set must be cut from the table they're about to replace
     // (the StreamingDedup survivors-persist discipline)

@@ -247,6 +247,7 @@ class KnnGraphSpec extends SparkSpec {
     val queries = emb.filter(col("vec_id") < 5)
     val edges = KnnGraph.build(emb, cs, degree = 12, nProbe = 3)
     KnnGraph.saveIndex(edges, emb, cs, "knn_spec_idx", buckets = 8)
+    try {
     val entries = KnnGraph.entryPoints(emb, cs)
     val mem = KnnGraph.search(edges, emb, queries, entries,
         topK = 3, beam = 16, rounds = 4)
@@ -283,6 +284,13 @@ class KnnGraphSpec extends SparkSpec {
       assert(m.isDefined, s"no bucket pruning in the node-record probe:\n$plan")
       assert(m.get.group(1).toInt < m.get.group(2).toInt, plan)
     } finally spark.conf.set(autoKey, prevAuto)
+    } finally {
+      // don't leak the index tables into the shared warehouse across
+      // suite runs (the knn_specf_idx / knn_pq_spec convention)
+      spark.sql("DROP TABLE IF EXISTS knn_spec_idx_nodes")
+      spark.sql("DROP TABLE IF EXISTS knn_spec_idx_entries")
+      ()
+    }
   }
 
   test("filtered search: in-filter beats post-filter (the classic recall bug)") {

@@ -79,6 +79,51 @@ class StreamingKnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("at-least-once replay is a true no-op (full and partial)") {
+    // foreachBatch replays a whole micro-batch on failure recovery;
+    // ingestBatch's anti-join gate must make the replay a no-op instead
+    // of duplicating node records / doubling neighbor lists
+    val emb = Tables(spark, sf0001, "embeddings").select("vec_id", "embedding")
+    val cs = emb.filter(col("vec_id") < 12).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val base = emb.filter(col("vec_id") >= 40)
+    val b1 = emb.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+    val b2 = emb.filter(col("vec_id") < 20)
+    try {
+      KnnGraph.saveIndex(KnnGraph.build(base, cs, degree = 12, nProbe = 3),
+        base, cs, "knn_replay_idx", buckets = 8)
+      StreamingKnnIndex.ingestBatch(b1, "knn_replay_idx", cs, 12, 3, 8)
+      def state() = {
+        val nodes = spark.table("knn_replay_idx_nodes")
+        (nodes.count(),
+          StreamingKnnIndex.load(spark, "knn_replay_idx")._2
+            .select("src", "rk", "dst").collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
+      }
+      val (rows0, edges0) = state()
+      // FULL replay of b1: node count and edge set must be unchanged
+      StreamingKnnIndex.ingestBatch(b1, "knn_replay_idx", cs, 12, 3, 8)
+      val (rows1, edges1) = state()
+      assert(rows1 == rows0, s"replay duplicated node records: $rows0 -> $rows1")
+      assert(edges1 == edges0, "replay changed the edge set")
+      // PARTIAL replay: b1 ∪ b2 after b1 already landed — only b2's
+      // vectors enter, and the result equals the full rebuild
+      StreamingKnnIndex.ingestBatch(b1.unionByName(b2), "knn_replay_idx",
+        cs, 12, 3, 8)
+      val got = StreamingKnnIndex.load(spark, "knn_replay_idx")._2
+        .select("src", "rk", "dst")
+      val want = KnnGraph.build(emb, cs, degree = 12, nProbe = 3)
+        .select("src", "rk", "dst")
+      assert(got.exceptAll(want).count() == 0 &&
+        want.exceptAll(got).count() == 0, "partial replay diverged from rebuild")
+      assert(spark.table("knn_replay_idx_nodes").count() == emb.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS knn_replay_idx_nodes")
+      spark.sql("DROP TABLE IF EXISTS knn_replay_idx_entries")
+      ()
+    }
+  }
+
   test("changelog apply ≡ rebuild over (B∖D)∪N; replacement path fires") {
     val emb = Tables(spark, sf0001, "embeddings").select("vec_id", "embedding")
     val cs = emb.filter(col("vec_id") < 12).orderBy("vec_id")
