@@ -2147,6 +2147,89 @@ object ScaleStress {
     emb.unpersist()
   }
 
+  /** Index-maintenance WRITE-amplification curve (r18, the r17 verdict's
+    * top item): the maintainers compute only a batch's delta, and with
+    * the bucket-partitioned node layout
+    * ([[graft.sources.Bucketing.writeBucketedPartitioned]] +
+    * [[graft.llm.KnnGraph.saveIndexDelta]]) the WRITE is bounded the
+    * same way — per batch, only the bkt partitions the touched/new/
+    * deleted ids hash to are dynamic-partition-overwritten. This curve
+    * measures it directly from the write receipts: with the batch
+    * FIXED (~60 vectors) while the corpus grows, bytes written per
+    * batch track the touched-bucket footprint, so the REWRITTEN
+    * FRACTION of the index falls with n — the old full-table re-save
+    * held it pinned at 100%. Insert batches are bounded by the batch's
+    * probe-CELL footprint (cells grow ∝ n, a fixed batch covers a
+    * falling share); delete changelogs by D's in-degree footprint
+    * (≤ |D|·degree, independent of n — the tighter bound, same as the
+    * --knncdc repair tier; it crosses below the bucket count in-sample,
+    * so the delete fraction visibly FALLS here, while the insert bound
+    * ≈ 576·|batch| ids still exceeds local bucket counts — its fall
+    * needs n ≳ 100k·|batch|/31, printed honestly rather than staged).
+    * Every point asserts the maintained index still equals the full
+    * rebuild, so the cheap write is never traded against the exact
+    * law. */
+  def knnWriteCurve(spark: SparkSession, sfDir: String): Unit = {
+    import graft.llm.KnnGraph
+    import graft.streaming.StreamingKnnIndex
+    import graft.sources.Bucketing
+    val emb = Tables(spark, sfDir, "embeddings").cache(); emb.count()
+    println("== knn index maintenance: bytes written per batch vs index size (fixed 8-vector batch) ==")
+    for (r <- Seq(4, 8, 16, 32)) {
+      val rep = replicateEmbeddings(emb, r, eps = 0.12)
+        .select("vec_id", "embedding").cache()
+      val n = rep.count()
+      val nCells = math.max(16, (n / 64).toInt)
+      val buckets = math.max(64, (n / 31).toInt)
+      val cs = rep.filter(pmod(col("vec_id"), lit(r.toLong)) === 0)
+        .orderBy("vec_id").limit(nCells)
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val stride = math.max(1L, n / 8L)
+      val batch = rep.filter(pmod(col("vec_id"), lit(stride)) === 1)
+        .cache()
+      val nB = batch.count()
+      try {
+        // ---- insert side: base = rep ∖ batch, then ingest the batch
+        val base = rep.join(batch.select("vec_id"), Seq("vec_id"), "left_anti")
+          .localCheckpoint(true)
+        KnnGraph.saveIndex(KnnGraph.build(base, cs, degree = 12, nProbe = 3),
+          base, cs, "stress_knnwrite", buckets)
+        val totalI = Bucketing.partitionBytes(spark, "stress_knnwrite_nodes")
+        val ((bkI, byI), insS) = time {
+          StreamingKnnIndex.ingestBatch(batch, "stress_knnwrite", cs,
+            degree = 12, nProbe = 3, buckets = buckets)
+        }
+        val gotI = StreamingKnnIndex.load(spark, "stress_knnwrite")._2
+          .select("src", "rk", "dst")
+        val wantI = KnnGraph.build(rep, cs, degree = 12, nProbe = 3)
+          .localCheckpoint(true)
+        assert(gotI.exceptAll(wantI.select("src", "rk", "dst")).count() == 0 &&
+          wantI.select("src", "rk", "dst").exceptAll(gotI).count() == 0,
+          s"ingest law broken at R=$r")
+        // ---- delete side: full index, then a delete-only changelog
+        KnnGraph.saveIndex(wantI, rep, cs, "stress_knnwrite", buckets)
+        val totalD = Bucketing.partitionBytes(spark, "stress_knnwrite_nodes")
+        val ((bkD, byD), delS) = time {
+          StreamingKnnIndex.applyChangelog(
+            batch.withColumn("op", lit("D")), "stress_knnwrite", cs,
+            degree = 12, nProbe = 3, buckets = buckets)
+        }
+        val gotD = StreamingKnnIndex.load(spark, "stress_knnwrite")._2
+          .select("src", "rk", "dst")
+        val wantD = KnnGraph.build(base, cs, degree = 12, nProbe = 3)
+          .select("src", "rk", "dst").localCheckpoint(true)
+        assert(gotD.exceptAll(wantD).count() == 0 &&
+          wantD.exceptAll(gotD).count() == 0, s"delete law broken at R=$r")
+        println(f"R=$r%2d n=$n%6d cells=$nCells%4d buckets=$buckets%4d |batch|=$nB%3d " +
+          f"ins: wrote ${bkI.size}%4d bkts ${byI / 1024}%7d KiB of ${totalI / 1024}%7d " +
+          f"(${100.0 * byI / totalI}%5.1f %%) in $insS%5.1f s | " +
+          f"del: wrote ${bkD.size}%4d bkts ${byD / 1024}%7d KiB of ${totalD / 1024}%7d " +
+          f"(${100.0 * byD / totalD}%5.1f %%) in $delS%5.1f s (laws: ≡ rebuild)")
+      } finally { rep.unpersist(); batch.unpersist() }
+    }
+    emb.unpersist()
+  }
+
   /** Graph-ANN maintenance curve (q274/q277's operators, r17): as the
     * corpus grows with the DELETE batch FIXED, the repair tier's size —
     * touched sources = survivors whose top-degree list referenced a
@@ -2368,6 +2451,11 @@ object ScaleStress {
     }
     if (args.contains("--knncdc")) {
       knnCdcCurve(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.contains("--knnwrite")) {
+      knnWriteCurve(spark, sfDir)
       spark.stop()
       return
     }

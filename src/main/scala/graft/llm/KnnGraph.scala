@@ -231,7 +231,18 @@ object KnnGraph {
     * window. The new-side candidate join is bucketed by cell exactly
     * like [[build]]; nothing scores base×base again. */
   def upsert(edges0: DataFrame, embBase: DataFrame, embNew: DataFrame,
-      cs: Array[Array[Float]], degree: Int, nProbe: Int): DataFrame = {
+      cs: Array[Array[Float]], degree: Int, nProbe: Int): DataFrame =
+    upsertTouched(edges0, embBase, embNew, cs, degree, nProbe)._1
+
+  /** [[upsert]] plus the TOUCHED base sources (those whose lists were
+    * spliced + re-cut) as a (vec_id) frame — the bucket-targeted
+    * maintainer ([[graft.streaming.StreamingKnnIndex]]) needs exactly
+    * this set (∪ the new ids) to know which node-record buckets its
+    * write must rewrite; everything else passes through untouched and
+    * stays on disk as-is. */
+  private[graft] def upsertTouched(edges0: DataFrame, embBase: DataFrame,
+      embNew: DataFrame, cs: Array[Array[Float]], degree: Int,
+      nProbe: Int): (DataFrame, DataFrame) = {
     GraftFunctions.register(embBase.sparkSession)
     val all = embBase.unionByName(embNew)
     val newSrc = sided(graft.operators.Parallelism.spread(embNew),
@@ -251,7 +262,8 @@ object KnnGraph {
         .unionByName(back), degree)
     val untouched = edges0.join(affected, Seq("src"), "left_anti")
       .select("src", "rk", "dst", "sim")
-    untouched.unionByName(spliced).unionByName(newEdges)
+    (untouched.unionByName(spliced).unionByName(newEdges),
+      affected.select(col("src").as("vec_id")))
   }
 
   /** Delete vectors from an EXISTING k-NN graph without rebuilding —
@@ -283,7 +295,16 @@ object KnnGraph {
     * is bucketed by cell exactly like [[build]]. Nothing rescores
     * base×base. */
   def delete(edges0: DataFrame, embBase: DataFrame, deleted: DataFrame,
-      cs: Array[Array[Float]], degree: Int, nProbe: Int): DataFrame = {
+      cs: Array[Array[Float]], degree: Int, nProbe: Int): DataFrame =
+    deleteTouched(edges0, embBase, deleted, cs, degree, nProbe)._1
+
+  /** [[delete]] plus the TOUCHED survivor sources (those whose lists
+    * re-filled) as a (vec_id) frame — with the deleted ids themselves,
+    * exactly the node records a bucket-targeted maintainer must
+    * rewrite (the [[upsertTouched]] counterpart). */
+  private[graft] def deleteTouched(edges0: DataFrame, embBase: DataFrame,
+      deleted: DataFrame, cs: Array[Array[Float]], degree: Int,
+      nProbe: Int): (DataFrame, DataFrame) = {
     GraftFunctions.register(embBase.sparkSession)
     val dIds = deleted.select("vec_id")
     val survivors = embBase.join(dIds, Seq("vec_id"), "left_anti")
@@ -303,7 +324,8 @@ object KnnGraph {
       sided(graft.operators.Parallelism.spread(repairEmb),
         cs, nProbe, "src", "s"),
       sided(survivors, cs, nProbe, "dst", "d")), degree)
-    untouched.unionByName(repaired)
+    (untouched.unionByName(repaired),
+      touched.select(col("src").as("vec_id")))
   }
 
   /** One probe-exploded, norm-carrying side of the cell-bucketed
@@ -347,17 +369,27 @@ object KnnGraph {
     * `<name>_entries` is the small per-cell medoid table. Nodes with no
     * out-edges keep their vector row (null nbrs) — they can still be
     * scored as candidates. One shuffle at index build, amortized over
-    * every later search. */
+    * every later search.
+    *
+    * The table is ADDITIONALLY partitioned on the bucket id itself
+    * ([[graft.sources.Bucketing.writeBucketedPartitioned]] — partition
+    * `bkt=k` holds exactly bucket k's rows, probe plans unchanged), so
+    * the streaming maintainer can rewrite only the buckets a batch
+    * touched ([[saveIndexDelta]]) instead of the whole table. */
   def saveIndex(edges: DataFrame, emb: DataFrame, cs: Array[Array[Float]],
       name: String, buckets: Int = 16): Unit = {
     val spark = emb.sparkSession
     dropStale(spark, Seq(s"${name}_nodes", s"${name}_entries"))
-    val nodes = emb.select("vec_id", "embedding")
-      .join(adjacency(edges), Seq("vec_id"), "left")
-    graft.sources.Bucketing.writeBucketed(nodes, s"${name}_nodes", "vec_id", buckets)
+    graft.sources.Bucketing.writeBucketedPartitioned(
+      nodesFrame(edges, emb), s"${name}_nodes", "vec_id", buckets)
     entryPoints(emb, cs).write.mode("overwrite").format("parquet")
       .saveAsTable(s"${name}_entries")
   }
+
+  /** The per-node serving record: (vec_id, embedding, nbrs). */
+  private def nodesFrame(edges: DataFrame, emb: DataFrame): DataFrame =
+    emb.select("vec_id", "embedding")
+      .join(adjacency(edges), Seq("vec_id"), "left")
 
   /** Edge lists → the per-node record column; sim rides in the record
     * so maintenance (upsert splice / delete re-cut) can reload the
@@ -487,21 +519,89 @@ object KnnGraph {
     val spark = emb.sparkSession
     import spark.implicits._
     val nCodebook = cb(0).length
-    val codes = Pq.grid(emb).as[(Long, Seq[Long])]
-      .mapPartitions(_.map { case (vid, gv) =>
-        (vid, Pq.encode(gv.toIndexedSeq, m, dimsPer, cb).toSeq)
-      }).toDF("vec_id", "codes")
     dropStale(spark, Seq(s"${name}_nodes", s"${name}_entries", s"${name}_cb"))
-    val nodes = emb.select("vec_id", "embedding")
-      .join(codes, Seq("vec_id"))
-      .join(adjacency(edges), Seq("vec_id"), "left")
-    graft.sources.Bucketing.writeBucketed(nodes, s"${name}_nodes", "vec_id",
+    graft.sources.Bucketing.writeBucketedPartitioned(
+      pqNodesFrame(edges, emb, cb, m, dimsPer), s"${name}_nodes", "vec_id",
       buckets)
     entryPoints(emb, cs).write.mode("overwrite").format("parquet")
       .saveAsTable(s"${name}_entries")
     (for (mm <- 0 until m; j <- 0 until nCodebook)
       yield (mm, j, cb(mm)(j).toSeq)).toDF("m", "j", "sub")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_cb")
+  }
+
+  /** The PQ-augmented serving record: (vec_id, embedding, codes, nbrs) —
+    * codes through the explicit codebook ([[Pq.encode]]'s kernel). */
+  private def pqNodesFrame(edges: DataFrame, emb: DataFrame,
+      cb: Array[Array[Array[Long]]], m: Int, dimsPer: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val codes = Pq.grid(emb).as[(Long, Seq[Long])]
+      .mapPartitions(_.map { case (vid, gv) =>
+        (vid, Pq.encode(gv.toIndexedSeq, m, dimsPer, cb).toSeq)
+      }).toDF("vec_id", "codes")
+    emb.select("vec_id", "embedding")
+      .join(codes, Seq("vec_id"))
+      .join(adjacency(edges), Seq("vec_id"), "left")
+  }
+
+  /** Bucket-targeted incremental index write — the maintenance half of
+    * the [[saveIndex]] layout's reason to exist: the maintainers
+    * ([[graft.streaming.StreamingKnnIndex]]) COMPUTE only a batch's
+    * delta (the exact upsert/delete laws bound it), and this write
+    * keeps the IO proportional to the same delta: `touchedIds` (the
+    * batch's new ∪ touched ∪ deleted ids) map to their bucket ids by
+    * the bucketing arithmetic itself, the fresh node records for
+    * exactly those `bkt` partitions are cut from the maintained state,
+    * and a dynamic partition overwrite replaces those partitions only
+    * — every other node record stays on disk untouched (spec-pinned
+    * byte-identical). At a 100 TB index a micro-batch then rewrites
+    * O(|batch|·cell-footprint) bytes, not O(index).
+    *
+    * Deletes need no tombstones: a deleted id's bucket is in the
+    * touched set, and the rewritten partition simply no longer
+    * contains its row. Returns (touched bkt ids, bytes written). The
+    * overwrite commits per partition — NOT atomically across them — so
+    * the index-name single-writer contract applies (the caller's
+    * foreachBatch loop serializes batches by construction). */
+  private[graft] def saveIndexDelta(spark: org.apache.spark.sql.SparkSession,
+      name: String, edges: DataFrame, emb: DataFrame,
+      cs: Array[Array[Float]], buckets: Int,
+      touchedIds: DataFrame): (Seq[Int], Long) = {
+    import graft.sources.Bucketing
+    val bkts = touchedIds
+      .select(Bucketing.bucketId(col("vec_id"), buckets).as("bkt"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    def inBkts(c: Column): Column =
+      Bucketing.bucketId(c, buckets).isin(bkts.map(b => b: Any): _*)
+    // prune INPUTS to the affected buckets, not just the write: the
+    // adjacency aggregate and (for PQ) the per-row encode kernel then
+    // cost O(affected rows), never O(index)
+    val embAff = emb.filter(inBkts(col("vec_id")))
+    val edgesAff = edges.filter(inBkts(col("src")))
+    val full =
+      if (spark.table(s"${name}_nodes").columns.contains("codes")) {
+        val (cb, m, dimsPer) = loadCodebook(spark, name)
+        // re-encode only the rows being rewritten (same pinned codebook,
+        // so codes stay comparable across batches — the q280 contract)
+        pqNodesFrame(edgesAff, embAff, cb, m, dimsPer)
+      } else nodesFrame(edgesAff, embAff)
+    val nodes = full
+      .withColumn("bkt", Bucketing.bucketId(col("vec_id"), buckets))
+    Bucketing.overwriteBuckets(nodes, s"${name}_nodes")
+    // dynamic overwrite skips partitions ABSENT from the frame, so a
+    // bucket whose every row was deleted must be dropped explicitly or
+    // its stale records would survive the batch (spec-pinned)
+    val liveBkts = embAff
+      .select(Bucketing.bucketId(col("vec_id"), buckets).as("bkt"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    for (k <- bkts if !liveBkts(k))
+      spark.sql(s"ALTER TABLE ${name}_nodes DROP IF EXISTS PARTITION (bkt=$k)")
+    // the medoid entry table is O(cells) — rewritten whole, like the
+    // codebook it never changes incrementally
+    entryPoints(emb, cs).write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${name}_entries")
+    (bkts, Bucketing.partitionBytes(spark, s"${name}_nodes", Some(bkts)))
   }
 
   /** Reload a [[saveIndexPq]] codebook from its persisted table:

@@ -32,13 +32,20 @@ import graft.llm.KnnGraph
   * under concurrent readers, so the single-writer contract of the
   * other ingest loops applies to the index name.
   *
-  * Scale note, stated honestly: the upsert COMPUTES only
-  * touched + new rows (|batch|'s cell footprint, never |base|), but
-  * this simple rendering REWRITES the whole bucketed table per batch —
-  * the production variant writes only the buckets whose rows changed
-  * (they're known: the touched/new ids hash to them) under a
-  * merge-on-read or partition-overwrite layout. The q273 serving path
-  * is unchanged either way. */
+  * Scale note: the upsert COMPUTES only touched + new rows (|batch|'s
+  * cell footprint, never |base|) and the WRITE is bounded the same way
+  * — the node table is partitioned on its own bucket id
+  * ([[graft.llm.KnnGraph.saveIndex]]'s layout), the touched/new/deleted
+  * ids name the buckets they hash to, and
+  * [[graft.llm.KnnGraph.saveIndexDelta]] dynamic-partition-overwrites
+  * exactly those `bkt` partitions; every other node record stays on
+  * disk byte-identical (spec-pinned). Per micro-batch the index IO is
+  * O(touched buckets), never O(index); the `--knnwrite` ScaleStress
+  * curve measures the written fraction falling as the corpus grows.
+  * The q273 serving path is unchanged (same probe plans, same bucket
+  * pruning). Each batch's write commits per partition — not atomically
+  * across partitions — which the single-writer contract (above)
+  * already covers. */
 object StreamingKnnIndex {
 
   /** Reload a persisted index into [[graft.llm.KnnGraph.upsert]]'s
@@ -57,9 +64,12 @@ object StreamingKnnIndex {
     * batch-sequential rendering is the SAME code (parity spec, q276).
     * `batch` needs (vec_id, embedding); ids already in the index are
     * dropped (the at-least-once replay gate — see the object doc), so
-    * only genuinely-new vectors reach the upsert. */
+    * only genuinely-new vectors reach the upsert. Returns the write
+    * receipt — (bkt partitions rewritten, bytes written) — that the
+    * `--knnwrite` ScaleStress curve turns into the write-amplification
+    * measurement; (empty, 0) for a fully-replayed batch. */
   def ingestBatch(batch: DataFrame, name: String, cs: Array[Array[Float]],
-      degree: Int, nProbe: Int, buckets: Int): Unit = {
+      degree: Int, nProbe: Int, buckets: Int): (Seq[Int], Long) = {
     val spark = batch.sparkSession
     val (embBase, edges0) = load(spark, name)
     // replay gate: foreachBatch is at-least-once, and upsert's contract
@@ -70,30 +80,26 @@ object StreamingKnnIndex {
     val fresh = batch.select("vec_id", "embedding")
       .join(embBase.select("vec_id"), Seq("vec_id"), "left_anti")
       .localCheckpoint(true)
-    if (fresh.isEmpty) return
-    // materialize BEFORE the overwrite: the upsert result and the new
-    // embedding set must be cut from the table they're about to replace
-    // (the StreamingDedup survivors-persist discipline)
-    val g1 = KnnGraph.upsert(edges0, embBase, fresh, cs, degree, nProbe)
+    if (fresh.isEmpty) return (Seq.empty, 0L)
+    // materialize BEFORE the overwrite: the upsert result, the touched
+    // set, and the new embedding set must be cut from the table they're
+    // about to partially replace (the StreamingDedup survivors-persist
+    // discipline)
+    val (g1raw, touched) = KnnGraph.upsertTouched(
+      edges0, embBase, fresh, cs, degree, nProbe)
+    val g1 = g1raw.localCheckpoint(true)
+    val affected = touched.unionByName(fresh.select("vec_id"))
       .localCheckpoint(true)
     val emb1 = embBase.unionByName(fresh).localCheckpoint(true)
-    save(spark, name, g1, emb1, cs, buckets)
+    // write ONLY the buckets the batch touched (new node records +
+    // spliced base lists); the maintained index keeps its own layout —
+    // saveIndexDelta re-encodes PQ codes for the rewritten rows through
+    // the PERSISTED codebook (never re-derived from pinned rows, which
+    // a changelog may have deleted), so codes stay comparable across
+    // batches; dropping the column would break every later
+    // searchIndexedPq.
+    KnnGraph.saveIndexDelta(spark, name, g1, emb1, cs, buckets, affected)
   }
-
-  /** Re-save a maintained index in ITS OWN layout: a PQ index (the
-    * node records carry a `codes` column) keeps the EXACT codebook it
-    * was built with — reloaded from `<name>_cb`, never re-derived from
-    * pinned rows, which a changelog may have deleted — so codes stay
-    * comparable across batches; a plain index round-trips through
-    * [[graft.llm.KnnGraph.saveIndex]]. Silently dropping the codes
-    * column (what a plain re-save would do) would break every later
-    * [[graft.llm.KnnGraph.searchIndexedPq]]. */
-  private def save(spark: SparkSession, name: String, edges: DataFrame,
-      emb: DataFrame, cs: Array[Array[Float]], buckets: Int): Unit =
-    if (spark.table(s"${name}_nodes").columns.contains("codes")) {
-      val (cb, m, dimsPer) = KnnGraph.loadCodebook(spark, name)
-      KnnGraph.saveIndexPqWith(edges, emb, cs, cb, m, dimsPer, name, buckets)
-    } else KnnGraph.saveIndex(edges, emb, cs, name, buckets)
 
   /** Apply one CDC micro-batch to the persisted index — the full
     * changelog shape the warehouse plane's maintainers take
@@ -109,18 +115,28 @@ object StreamingKnnIndex {
     * re-enters through the insert path with the new embedding. */
   def applyChangelog(changelog: DataFrame, name: String,
       cs: Array[Array[Float]], degree: Int, nProbe: Int,
-      buckets: Int): Unit = {
+      buckets: Int): (Seq[Int], Long) = {
     val spark = changelog.sparkSession
     val (emb0, edges0) = load(spark, name)
     val dels = changelog.filter(col("op") === "D").select("vec_id")
-    val ins = changelog.filter(col("op") === "I")
-      .select("vec_id", "embedding")
-    val g1 = KnnGraph.delete(edges0, emb0, dels, cs, degree, nProbe)
-    val emb1 = emb0.join(dels, Seq("vec_id"), "left_anti")
-    val g2 = KnnGraph.upsert(g1, emb1, ins, cs, degree, nProbe)
       .localCheckpoint(true)
+    val ins = changelog.filter(col("op") === "I")
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val (g1raw, touchedD) = KnnGraph.deleteTouched(
+      edges0, emb0, dels, cs, degree, nProbe)
+    val g1 = g1raw.localCheckpoint(true)
+    val emb1 = emb0.join(dels, Seq("vec_id"), "left_anti")
+    val (g2raw, touchedI) = KnnGraph.upsertTouched(
+      g1, emb1, ins, cs, degree, nProbe)
+    val g2 = g2raw.localCheckpoint(true)
     val emb2 = emb1.unionByName(ins).localCheckpoint(true)
-    save(spark, name, g2, emb2, cs, buckets)
+    // the buckets to rewrite: deleted rows leave them, re-filled and
+    // spliced survivor lists change in them, inserted rows enter them
+    val affected = dels
+      .unionByName(touchedD).unionByName(touchedI)
+      .unionByName(ins.select("vec_id"))
+      .localCheckpoint(true)
+    KnnGraph.saveIndexDelta(spark, name, g2, emb2, cs, buckets, affected)
   }
 
   /** The streaming maintenance sink: call `.start()` to run. */
@@ -131,5 +147,6 @@ object StreamingKnnIndex {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: Dataset[Row], _: Long) =>
         ingestBatch(b.toDF(), name, cs, degree, nProbe, buckets)
+        ()
       }
 }

@@ -124,6 +124,109 @@ class StreamingKnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("maintenance rewrites ONLY touched buckets; untouched files identical") {
+    // the bucket-targeted write contract (saveIndexDelta): a micro-batch
+    // must rewrite exactly the bkt partitions its touched/new/deleted
+    // ids hash to — every other node-record FILE stays on disk with the
+    // same path, length, and mtime. Fixture sized so the touched set
+    // hashes into a proper subset of buckets: 600 nodes, 64 cells,
+    // 256 buckets, a ONE-vector batch — a base src is touched when its
+    // 3 probe cells intersect the batch's 3, ≈13% of the corpus here.
+    val emb = Tables(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").filter(col("vec_id") < 600)
+    val cs = emb.filter(col("vec_id") < 64).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val base = emb.filter(col("vec_id") >= 1)
+    val batch = emb.filter(col("vec_id") < 1)
+    def fileMap(): Map[String, (Long, Long)] = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), "knn_delta_idx_nodes")
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      val it = fs.listFiles(loc, true)
+      val b = Map.newBuilder[String, (Long, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.startsWith("part-"))
+          b += f.getPath.toString -> ((f.getLen, f.getModificationTime))
+      }
+      b.result()
+    }
+    def bktOf(path: String): Int =
+      "bkt=(\\d+)".r.findFirstMatchIn(path).get.group(1).toInt
+    try {
+      KnnGraph.saveIndex(KnnGraph.build(base, cs, degree = 12, nProbe = 3),
+        base, cs, "knn_delta_idx", buckets = 256)
+      val before = fileMap()
+      StreamingKnnIndex.ingestBatch(batch, "knn_delta_idx", cs, 12, 3, 256)
+      val after = fileMap()
+      // buckets whose files changed in ANY way (path set, length, mtime)
+      val changedBkts = ((before.keySet diff after.keySet) ++
+        (after.keySet diff before.keySet) ++
+        before.keySet.intersect(after.keySet)
+          .filter(p => before(p) != after(p))).map(bktOf)
+      val untouchedBkts = before.keySet.map(bktOf) diff changedBkts
+      assert(untouchedBkts.size >= 128,
+        s"only ${untouchedBkts.size} of ~256 buckets untouched — the " +
+          "write is not delta-bounded")
+      // every node record that actually CHANGED lives in a rewritten
+      // bucket (the delta covers the diff)...
+      val bId = graft.sources.Bucketing.bucketId(col("vec_id"), 256)
+      val full = KnnGraph.build(emb, cs, degree = 12, nProbe = 3)
+      // ...and the maintained index equals the rebuild (the law, on the
+      // partially-rewritten table)
+      val got = StreamingKnnIndex.load(spark, "knn_delta_idx")._2
+        .select("src", "rk", "dst")
+      val want = full.select("src", "rk", "dst")
+      assert(got.exceptAll(want).count() == 0 &&
+        want.exceptAll(got).count() == 0, "delta write diverged from rebuild")
+      val changedIds = spark.table("knn_delta_idx_nodes")
+        .select(col("vec_id"), bId.as("bkt"))
+        .filter(col("vec_id") < 1) // the new row, at minimum
+        .collect().map(r => r.getInt(1))
+      assert(changedIds.toSet.subsetOf(changedBkts),
+        "a new node's bucket was not rewritten")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS knn_delta_idx_nodes")
+      spark.sql("DROP TABLE IF EXISTS knn_delta_idx_entries")
+      ()
+    }
+  }
+
+  test("a bucket emptied by deletes is dropped, not left stale") {
+    // dynamic partition overwrite skips partitions absent from the
+    // replacement frame — saveIndexDelta must DROP a bkt partition whose
+    // every row the changelog deleted, or its stale records survive
+    val emb = Tables(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").filter(col("vec_id") < 600)
+    val cs = emb.filter(col("vec_id") < 64).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val bId = graft.sources.Bucketing.bucketId(col("vec_id"), 256)
+    // the delete set: EVERY id hashing to one specific bucket
+    val victim = emb.select(bId.as("b")).head().getInt(0)
+    val dels = emb.filter(bId === victim)
+    assert(dels.count() >= 1)
+    try {
+      KnnGraph.saveIndex(KnnGraph.build(emb, cs, degree = 12, nProbe = 3),
+        emb, cs, "knn_empty_idx", buckets = 256)
+      StreamingKnnIndex.applyChangelog(dels.withColumn("op", lit("D")),
+        "knn_empty_idx", cs, degree = 12, nProbe = 3, buckets = 256)
+      val left = spark.table("knn_empty_idx_nodes")
+      assert(left.filter(col("bkt") === victim).count() == 0,
+        "stale records survived in the emptied bucket")
+      val survivors = emb.filter(bId =!= victim)
+      val got = StreamingKnnIndex.load(spark, "knn_empty_idx")._2
+        .select("src", "rk", "dst")
+      val want = KnnGraph.build(survivors, cs, degree = 12, nProbe = 3)
+        .select("src", "rk", "dst")
+      assert(got.exceptAll(want).count() == 0 &&
+        want.exceptAll(got).count() == 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS knn_empty_idx_nodes")
+      spark.sql("DROP TABLE IF EXISTS knn_empty_idx_entries")
+      ()
+    }
+  }
+
   test("changelog apply ≡ rebuild over (B∖D)∪N; replacement path fires") {
     val emb = Tables(spark, sf0001, "embeddings").select("vec_id", "embedding")
     val cs = emb.filter(col("vec_id") < 12).orderBy("vec_id")
