@@ -638,13 +638,41 @@ object KnnGraph {
     val prevAuto = spark.conf.get(autoKey)
     spark.conf.set(autoKey, "false")
     try searchIndexedPqBody(spark, name, queries, topK, beam, rounds,
-      rerank, onProbe)
+      rerank, onProbe, None)
+    finally spark.conf.set(autoKey, prevAuto)
+  }
+
+  /** Predicate-aware [[searchIndexedPq]] — the production serving
+    * combination (Filtered-DiskANN, Gollapudi et al. WWW 2023: "top-k
+    * WHERE lang = 'en'" over the PQ-coded index): the predicate
+    * evaluates on the PROBED RECORDS exactly as in
+    * [[searchIndexedFiltered]] — entry and frontier candidates that
+    * fail it never enter the code-distance beam, so the whole integer
+    * budget ranks ADMISSIBLE nodes, and the rerank tier (already
+    * admissible by construction) re-scores them exactly. Every read
+    * stays bucket-pruned and (until the rerank) embedding-free; a
+    * global allowed-id semi-join would full-scan the index per round,
+    * which this path exists to avoid. Certified by q281's oracle —
+    * q279's CTE ladder with the predicate applied once on the
+    * code-distance plane — and the post-filter recall A/B is
+    * spec-pinned on the PQ path too. */
+  def searchIndexedPqFiltered(spark: org.apache.spark.sql.SparkSession,
+      name: String, queries: DataFrame, pred: Column, topK: Int, beam: Int,
+      rounds: Int, rerank: Int,
+      onProbe: Seq[Long] => Unit = null): DataFrame = {
+    GraftFunctions.register(spark)
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAuto = spark.conf.get(autoKey)
+    spark.conf.set(autoKey, "false")
+    try searchIndexedPqBody(spark, name, queries, topK, beam, rounds,
+      rerank, onProbe, Some(pred))
     finally spark.conf.set(autoKey, prevAuto)
   }
 
   private def searchIndexedPqBody(spark: org.apache.spark.sql.SparkSession,
       name: String, queries: DataFrame, topK: Int, beam: Int, rounds: Int,
-      rerank: Int, onProbe: Seq[Long] => Unit): DataFrame = {
+      rerank: Int, onProbe: Seq[Long] => Unit,
+      pred: Option[Column]): DataFrame = {
     import spark.implicits._
     val nodesT = spark.table(s"${name}_nodes")
     def records(ids: Seq[Long]): DataFrame =
@@ -679,11 +707,17 @@ object KnnGraph {
     val wB = Window.partitionBy("q_id").orderBy(col("dist"), col("node"))
     def keep(df: DataFrame, b: Int): DataFrame =
       df.withColumn("rk", row_number().over(wB)).filter(col("rk") <= b)
+    // admission gate (the searchIndexedFiltered semantics): the
+    // predicate evaluates on the probed records, so scorePq's inner
+    // join drops inadmissible candidates before the beam keep — every
+    // read stays bucket-pruned, no global allowed-id semi-join
+    def admitRecs(recs: DataFrame): DataFrame =
+      pred.fold(recs)(p => recs.filter(p))
     val entries = spark.table(s"${name}_entries")
     val entryIds = boundedIds(entries, "node", "entry")
     var bm = keep(scorePq(
         broadcast(qs.map(_._1).toSeq.toDF("q_id")).crossJoin(entries),
-        records(entryIds)), beam)
+        admitRecs(records(entryIds))), beam)
       .select("q_id", "node", "dist").localCheckpoint(true)
     var r = 0
     while (r < rounds) {
@@ -695,7 +729,7 @@ object KnnGraph {
         .distinct()
         .join(bm.select("q_id", "node"), Seq("q_id", "node"), "left_anti")
       bm = keep(scorePq(frontier,
-          records(boundedIds(frontier, "node", "frontier")))
+          admitRecs(records(boundedIds(frontier, "node", "frontier"))))
           .unionByName(bm), beam)
         .select("q_id", "node", "dist").localCheckpoint(true)
       r += 1

@@ -9656,6 +9656,41 @@ object LlmQueries {
       .select("q_id", "rk", "node").orderBy("q_id", "rk")
   }
 
+  // ---------------------------------------------------------------- q281
+  // Filtered PQ serving (KnnGraph.searchIndexedPqFiltered — q275's
+  // predicate-aware admission composed with q279's code-distance beam:
+  // the production serving combination, "top-k WHERE lang='en'" over
+  // the PQ-coded index, Filtered-DiskANN, Gollapudi et al. WWW 2023).
+  // The predicate evaluates on the probed node records, so scoring's
+  // inner join drops inadmissible candidates before the beam keep —
+  // the integer budget ranks ADMISSIBLE nodes only, hop reads stay
+  // (vec_id, codes, nbrs)-pruned and bucket-pruned, and the rerank
+  // tier (admissible by construction) re-scores with exact cosine.
+  // The ORACLE IS q279's CTE ladder with the predicate applied ONCE,
+  // on the code-distance plane (pqd) — every beam state b0..b4 joins
+  // through pqd, so one filter placement gates entries and all four
+  // expansions exactly as the engine's record gate does, and the
+  // rerank inherits admissibility from b4 (the q275/q278 splice, on
+  // the PQ path). One hash certifies the whole filtered serving loop.
+  val q281 = Q(
+    "q281_knn_pq_filtered",
+    q279.oracle.get.replace(
+      "WHERE codes.vec_id <> qt.q_id",
+      "WHERE codes.vec_id <> qt.q_id AND codes.vec_id % 3 = 0")) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val cs: Array[Array[Float]] = emb.filter(col("vec_id") < 12)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val name = "knnpqf_" + java.lang.Integer.toHexString(dir.hashCode)
+    KnnGraph.saveIndexPq(KnnGraph.build(emb, cs, degree = 12, nProbe = 3),
+      emb, cs, m = 8, dimsPer = 8, nCodebook = 8, cbStart = 12, name,
+      buckets = 8)
+    KnnGraph.searchIndexedPqFiltered(s, name, emb.filter(col("vec_id") < 5),
+        pmod(col("vec_id"), lit(3L)) === 0,
+        topK = 3, beam = 16, rounds = 4, rerank = 8)
+      .select("q_id", "rk", "node").orderBy("q_id", "rk")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -9673,5 +9708,6 @@ object LlmQueries {
       q234, q235, q236, q237, q238, q239, q240, q241, q242, q243, q244,
       q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
       q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266,
-      q267, q268, q269, q270, q271, q272, q273, q274, q275, q278, q279)
+      q267, q268, q269, q270, q271, q272, q273, q274, q275, q278, q279,
+      q281)
 }
