@@ -2230,6 +2230,110 @@ object ScaleStress {
     emb.unpersist()
   }
 
+  /** Codebook-drift A/B (q282/q283's operators, r18): WHEN to fire the
+    * O(index) [[graft.llm.KnnGraph.refreshCodebook]] — the
+    * [[graft.llm.KnnGraph.pqDistortion]] signal made measurable. Three
+    * stages on the planted-cluster fixture (where code distances carry
+    * signal — the K=64 resolution contract): (1) BASE: index built and
+    * encoded on the same corpus; (2) FROZEN: the corpus drifts (every
+    * vector rescaled ×0.25 — a stand-in for any distribution shift;
+    * cosine is scale-invariant so the TRUE neighbor structure is
+    * unchanged, isolating code quality) while maintenance keeps the
+    * build codebook, exactly what [[graft.llm.KnnGraph.saveIndexDelta]]
+    * correctly does per batch — mean distortion jumps and PQ-guided
+    * recall collapses toward noise; (3) REFRESHED: retrain + re-encode
+    * + swap from the current corpus — distortion returns to the base
+    * scale and recall recovers. The drift RULE this curve calibrates:
+    * refresh when fresh-vector mean distortion pulls several× away
+    * from the build-time mean (here the jump is unambiguous; the
+    * directional asserts pin it). */
+  def pqDriftCurve(spark: SparkSession, sfDir: String): Unit = {
+    import graft.llm.KnnGraph
+    val r = 8
+    val emb0 = Tables(spark, sfDir, "embeddings").cache(); emb0.count()
+    println("== pq codebook drift: frozen codebook on drifted corpus vs refresh ==")
+    val corpus0 = replicateEmbeddings(emb0, r, eps = 0.12)
+      .select("vec_id", "embedding").localCheckpoint(true)
+    val drifted = corpus0.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x / 4 AS FLOAT))").as("embedding"))
+      .localCheckpoint(true)
+    val n = corpus0.count()
+    val nCells = (n / 64).toInt
+    def csOf(c: DataFrame): Array[Array[Float]] =
+      c.filter(pmod(col("vec_id"), lit(r.toLong)) === 0)
+        .orderBy("vec_id").limit(nCells)
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    def stats(corpus: DataFrame): (Double, Double) = {
+      // the RELATIVE error — absolute distortion is scale-confounded
+      // (the ×0.25 drift LOWERS it while the codes turn to noise);
+      // distortion/energy is the signal that actually moves with code
+      // quality, which is why pqDistortion emits both (q283)
+      val dist = KnnGraph.pqDistortion(spark, "stress_pqdrift", corpus)
+        .agg(avg(col("distortion") / col("energy"))).head().getDouble(0)
+      val queries = corpus.filter(pmod(col("vec_id"), lit(r.toLong)) === 0 &&
+        col("vec_id") < 20L * r)
+      val qids = queries.select("vec_id").collect().map(_.getLong(0)).toSeq
+      val all = corpus.collect()
+        .map(x => x.getLong(0) -> x.getSeq[Float](1).toArray).toMap
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          d += a(i).toDouble * b(i).toDouble
+          na += a(i).toDouble * a(i).toDouble
+          nb += b(i).toDouble * b(i).toDouble
+          i += 1
+        }
+        d / math.sqrt(na * nb)
+      }
+      val truth = qids.map { q =>
+        q -> all.toSeq.filter(_._1 != q)
+          .map { case (id, v) => (id, cos(all(q), v)) }
+          .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1).toSet
+      }.toMap
+      val got = KnnGraph.searchIndexedPq(spark, "stress_pqdrift", queries,
+          topK = 3, beam = 16, rounds = 4, rerank = 16)
+        .select("q_id", "node").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val recall = qids.map(q =>
+        (truth(q) intersect got.getOrElse(q, Set())).size)
+        .sum / (3.0 * qids.size)
+      (dist, recall)
+    }
+    try {
+      // (1) BASE
+      val cs0 = csOf(corpus0)
+      KnnGraph.saveIndexPq(
+        KnnGraph.build(corpus0, cs0, degree = 24, nProbe = 3),
+        corpus0, cs0, m = 8, dimsPer = 8, nCodebook = 64, cbStart = 0,
+        "stress_pqdrift", buckets = 8)
+      val (d0, r0) = stats(corpus0)
+      // (2) FROZEN codebook, drifted corpus (what per-batch maintenance
+      // correctly preserves — shown here at full-drift steady state)
+      val cs1 = csOf(drifted)
+      val (cbOld, m, dimsPer) = KnnGraph.loadCodebook(spark, "stress_pqdrift")
+      KnnGraph.saveIndexPqWith(
+        KnnGraph.build(drifted, cs1, degree = 24, nProbe = 3),
+        drifted, cs1, cbOld, m, dimsPer, "stress_pqdrift", buckets = 8)
+      val (d1, r1) = stats(drifted)
+      // (3) REFRESH: retrain from the CURRENT corpus, re-encode, swap
+      KnnGraph.refreshCodebook(spark, "stress_pqdrift", cs1,
+        m = 8, dimsPer = 8, nCodebook = 64, cbStart = 0, buckets = 8)
+      val (d2, r2) = stats(drifted)
+      println(f"base:      rel_distortion=$d0%8.4f recall=$r0%5.3f")
+      println(f"frozen:    rel_distortion=$d1%8.4f recall=$r1%5.3f " +
+        f"(x${d1 / d0}%6.1f vs base - the refresh trigger)")
+      println(f"refreshed: rel_distortion=$d2%8.4f recall=$r2%5.3f")
+      assert(d1 > 3 * d0, s"drift did not raise relative distortion: $d0 -> $d1")
+      assert(d2 < d1 / 2, s"refresh did not cut relative distortion: $d1 -> $d2")
+      assert(r2 > r1, s"refresh did not recover recall: $r1 -> $r2")
+    } finally {
+      for (t <- Seq("stress_pqdrift_nodes", "stress_pqdrift_entries",
+          "stress_pqdrift_cb"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      emb0.unpersist()
+    }
+  }
+
   /** Graph-ANN maintenance curve (q274/q277's operators, r17): as the
     * corpus grows with the DELETE batch FIXED, the repair tier's size —
     * touched sources = survivors whose top-degree list referenced a
@@ -2456,6 +2560,11 @@ object ScaleStress {
     }
     if (args.contains("--knnwrite")) {
       knnWriteCurve(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.contains("--pqdrift")) {
+      pqDriftCurve(spark, sfDir)
       spark.stop()
       return
     }

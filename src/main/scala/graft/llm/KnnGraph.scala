@@ -487,11 +487,19 @@ object KnnGraph {
     * PQ memory story realized at the storage layer. */
   def saveIndexPq(edges: DataFrame, emb: DataFrame, cs: Array[Array[Float]],
       m: Int, dimsPer: Int, nCodebook: Int, cbStart: Int, name: String,
-      buckets: Int = 16): Unit = {
+      buckets: Int = 16): Unit =
+    saveIndexPqWith(edges, emb, cs,
+      pinnedCodebook(emb, m, dimsPer, nCodebook, cbStart), m, dimsPer,
+      name, buckets)
+
+  /** Sub-codebooks from PINNED grid rows [cbStart, cbStart+nCodebook) —
+    * the q183/q189 fixed-parameter discipline (determinism over
+    * training); raises if the corpus is missing any pinned row. */
+  private[graft] def pinnedCodebook(emb: DataFrame, m: Int, dimsPer: Int,
+      nCodebook: Int, cbStart: Int): Array[Array[Array[Long]]] = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val g = Pq.grid(emb)
-    val cbRows: Map[Long, Array[Long]] = g
+    val cbRows: Map[Long, Array[Long]] = Pq.grid(emb)
       .filter(col("vec_id") >= cbStart &&
         col("vec_id") < cbStart + nCodebook)
       .as[(Long, Seq[Long])].collect()
@@ -500,11 +508,10 @@ object KnnGraph {
       s"PQ pinned-parameter contract: corpus must contain vec_ids " +
         s"$cbStart..${cbStart + nCodebook - 1} to seed the sub-codebooks; " +
         s"found ${cbRows.size}")
-    val cb: Array[Array[Array[Long]]] = Array.tabulate(m, nCodebook) { (mm, j) =>
+    Array.tabulate(m, nCodebook) { (mm, j) =>
       java.util.Arrays.copyOfRange(
         cbRows((cbStart + j).toLong), mm * dimsPer, (mm + 1) * dimsPer)
     }
-    saveIndexPqWith(edges, emb, cs, cb, m, dimsPer, name, buckets)
   }
 
   /** [[saveIndexPq]] with an explicit codebook — the maintenance path
@@ -616,6 +623,82 @@ object KnnGraph {
     val cb: Array[Array[Array[Long]]] = Array.ofDim(m, nCodebook)
     cbRows.foreach { case (mm, j, sub) => cb(mm)(j) = sub.toArray }
     (cb, m, cb(0)(0).length)
+  }
+
+  /** Reload a persisted index into the maintenance shape: (embeddings,
+    * edges with sims) — the inverse of [[saveIndex]]'s record packing. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String): (DataFrame, DataFrame) = {
+    val nodes = spark.table(s"${name}_nodes")
+    val emb = nodes.select("vec_id", "embedding")
+    val edges = nodes
+      .select(col("vec_id").as("src"), explode(col("nbrs")).as("e"))
+      .select(col("src"), col("e.rk").as("rk"), col("e.dst").as("dst"),
+        col("e.sim").as("sim"))
+    (emb, edges)
+  }
+
+  /** Retrain-and-re-encode codebook refresh — the missing half of the
+    * codebook-PRESERVATION story ([[saveIndexDelta]] keeps the build
+    * codebook forever so codes stay comparable across batches; on a
+    * drifting corpus a frozen codebook eventually degrades into
+    * quantization noise — the uniform-fixture lesson, recall 0.20 when
+    * codes carry no signal). This op retrains the sub-codebooks from
+    * the CURRENT corpus (pinned grid rows [cbStart, cbStart+nCodebook),
+    * which must all be present — raising, not silently reusing stale
+    * parameters, if a changelog deleted them), re-encodes EVERY node's
+    * codes, and swaps `<name>_cb` + codes + entries in one overwrite
+    * pass. By design this is the rare O(index) heavyweight op — every
+    * code changes, so no delta write exists; fire it on the
+    * [[pqDistortion]] drift signal (--pqdrift curve), not per batch.
+    * The law (q282's oracle): refresh(maintained index) ≡ saveIndexPq
+    * over the current corpus with the new pinned rows — graph edges
+    * pass through unchanged, so the exact maintenance laws compose
+    * with the refresh and one rebuild-side hash certifies the chain. */
+  def refreshCodebook(spark: org.apache.spark.sql.SparkSession, name: String,
+      cs: Array[Array[Float]], m: Int, dimsPer: Int, nCodebook: Int,
+      cbStart: Int, buckets: Int): Unit = {
+    val (embT, edgesT) = loadIndex(spark, name)
+    // materialize BEFORE the overwrite: saveIndexPqWith drops the very
+    // tables these frames read (the StreamingDedup persist discipline)
+    val emb = embT.localCheckpoint(true)
+    val edges = edgesT.localCheckpoint(true)
+    saveIndexPqWith(edges, emb, cs,
+      pinnedCodebook(emb, m, dimsPer, nCodebook, cbStart), m, dimsPer,
+      name, buckets)
+  }
+
+  /** Per-vector quantization distortion under a persisted index's
+    * codebook — (vec_id, distortion, energy): distortion = Σ_m min_j d2
+    * of the grid sub-vectors ([[Pq.encodeDistortion]]), energy = ‖g‖²
+    * (the vector's own grid mass). Both integer-exact (oracle: q283).
+    * THE refresh trigger is the RELATIVE error distortion/energy —
+    * absolute distortion is scale-confounded (a corpus drifting toward
+    * smaller norms LOWERS absolute error even as the codes turn to
+    * noise, measured in the --pqdrift curve); when fresh vectors' mean
+    * ratio pulls several× from the build-time mean, the frozen codebook
+    * no longer spans the corpus and [[refreshCodebook]] should fire.
+    * Distributed one-pass kernel, no index reads beyond `<name>_cb`. */
+  def pqDistortion(spark: org.apache.spark.sql.SparkSession, name: String,
+      emb: DataFrame): DataFrame = {
+    val (cb, m, dimsPer) = loadCodebook(spark, name)
+    pqDistortionWith(emb, cb, m, dimsPer)
+  }
+
+  /** [[pqDistortion]] under an explicit codebook (no index needed) —
+    * the q283 oracle-certified kernel. */
+  def pqDistortionWith(emb: DataFrame,
+      cb: Array[Array[Array[Long]]], m: Int, dimsPer: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    Pq.grid(emb).as[(Long, Seq[Long])]
+      .mapPartitions(_.map { case (vid, gv) =>
+        val v = gv.toIndexedSeq
+        var e = 0L
+        var i = 0
+        while (i < v.length) { e += v(i) * v(i); i += 1 }
+        (vid, Pq.encodeDistortion(v, m, dimsPer, cb), e)
+      }).toDF("vec_id", "distortion", "energy")
   }
 
   /** Memory-bounded beam search over a [[saveIndexPq]] index — DiskANN's

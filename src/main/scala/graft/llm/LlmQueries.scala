@@ -9691,6 +9691,48 @@ object LlmQueries {
       .select("q_id", "rk", "node").orderBy("q_id", "rk")
   }
 
+  // ---------------------------------------------------------------- q283
+  // PQ quantization-distortion profile (KnnGraph.pqDistortionWith —
+  // the codebook DRIFT SIGNAL): per vector, Σ_m min_j d2 of its grid
+  // sub-vectors against the codebook — the error the encode loses by
+  // construction — beside the vector's own grid energy ‖g‖², because
+  // the actionable signal is the RELATIVE error distortion/energy
+  // (absolute distortion is scale-confounded: a corpus drifting toward
+  // smaller norms LOWERS it even as codes turn to noise — measured in
+  // the --pqdrift curve, which fires q282's refresh on the ratio).
+  // Integer-exact end to end (grid, d2, min — distortion needs no tie
+  // rule at all: it keeps the MIN, not the argmin), so the whole
+  // kernel hash-certifies. One distributed pass, M·K d2 evaluations
+  // per row, no shuffle at all before the dump.
+  val q283 = Q(
+    "q283_pq_drift",
+    """WITH e AS (SELECT vec_id,
+      |             list_transform(embedding::DOUBLE[],
+      |               x -> CAST(least(127, greatest(-127, round(x * 64)))
+      |                    AS BIGINT)) AS g
+      |           FROM embeddings),
+      |cb AS (SELECT vec_id - 12 AS j, g FROM e
+      |       WHERE vec_id >= 12 AND vec_id < 20),
+      |ms AS (SELECT unnest(range(8)) AS m),
+      |sub AS (SELECT e.vec_id, ms.m, cb.j,
+      |          list_sum(list_transform(range(1, 9),
+      |            i -> (e.g[8*ms.m + i] - cb.g[8*ms.m + i])
+      |               * (e.g[8*ms.m + i] - cb.g[8*ms.m + i]))) AS d2
+      |        FROM e CROSS JOIN ms CROSS JOIN cb),
+      |d AS (SELECT vec_id, CAST(sum(md) AS BIGINT) AS distortion FROM (
+      |        SELECT vec_id, m, min(d2) AS md FROM sub GROUP BY 1, 2)
+      |      GROUP BY 1)
+      |SELECT d.vec_id, d.distortion,
+      |       CAST(list_sum(list_transform(e.g, x -> x * x)) AS BIGINT)
+      |         AS energy
+      |FROM d JOIN e ON e.vec_id = d.vec_id ORDER BY d.vec_id""".stripMargin) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val cb = KnnGraph.pinnedCodebook(emb, m = 8, dimsPer = 8,
+      nCodebook = 8, cbStart = 12)
+    KnnGraph.pqDistortionWith(emb, cb, m = 8, dimsPer = 8)
+      .orderBy("vec_id")
+  }
+
   def all: Seq[Q] =
     Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q35a, q42, q42a, q43, q43a, q44,
       q47, q47a, q52, q54, q60, q61, q62, q63, q64, q65, q66, q69, q70, q71, q72,
@@ -9709,5 +9751,5 @@ object LlmQueries {
       q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
       q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266,
       q267, q268, q269, q270, q271, q272, q273, q274, q275, q278, q279,
-      q281)
+      q281, q283)
 }

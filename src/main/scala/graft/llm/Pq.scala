@@ -343,4 +343,29 @@ object Pq extends Serializable {
       }
       best
     }
+
+  /** Total squared quantization error of one grid vector under a
+    * codebook — Σ_m min_j d2(sub_m, cb(m)(j)), i.e. the distance the
+    * encode loses by construction. Integer-exact, so it oracle-replays;
+    * the DRIFT SIGNAL for codebook refresh: when fresh vectors'
+    * distortion pulls away from the build-time distribution, the frozen
+    * codebook has become quantization noise and
+    * [[KnnGraph.refreshCodebook]] should fire (the --pqdrift curve). */
+  private[llm] def encodeDistortion(v: IndexedSeq[Long], m: Int,
+      dimsPer: Int, cb: Array[Array[Array[Long]]]): Long = {
+    var s = 0L
+    var mm = 0
+    while (mm < m) {
+      var bestD = Long.MaxValue
+      var j = 0
+      while (j < cb(mm).length) {
+        val d = d2(v, mm * dimsPer, cb(mm)(j))
+        if (d < bestD) bestD = d
+        j += 1
+      }
+      s += bestD
+      mm += 1
+    }
+    s
+  }
 }

@@ -50,15 +50,8 @@ object StreamingKnnIndex {
 
   /** Reload a persisted index into [[graft.llm.KnnGraph.upsert]]'s
     * input shape: (embeddings, edges with sims). */
-  def load(spark: SparkSession, name: String): (DataFrame, DataFrame) = {
-    val nodes = spark.table(s"${name}_nodes")
-    val emb = nodes.select("vec_id", "embedding")
-    val edges = nodes
-      .select(col("vec_id").as("src"), explode(col("nbrs")).as("e"))
-      .select(col("src"), col("e.rk").as("rk"), col("e.dst").as("dst"),
-        col("e.sim").as("sim"))
-    (emb, edges)
-  }
+  def load(spark: SparkSession, name: String): (DataFrame, DataFrame) =
+    KnnGraph.loadIndex(spark, name)
 
   /** One micro-batch of index maintenance — exposed so the
     * batch-sequential rendering is the SAME code (parity spec, q276).

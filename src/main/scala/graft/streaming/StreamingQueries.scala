@@ -421,8 +421,54 @@ object StreamingQueries {
       .select("q_id", "rk", "node").orderBy("q_id", "rk")
   }
 
+  // --------------------------------------------------------------- Q282
+  // PQ codebook refresh (KnnGraph.refreshCodebook — the missing half
+  // of q280's codebook-PRESERVATION story: maintenance keeps the build
+  // codebook so codes stay comparable, but on a drifting corpus a
+  // frozen codebook degrades into quantization noise — the
+  // uniform-fixture lesson). The refresh retrains the sub-codebooks
+  // from the CURRENT corpus (new pinned rows 20-27, disjoint from the
+  // original 12-19), re-encodes EVERY node's codes, and swaps cb +
+  // codes + entries — by design the rare O(index) op, fired on the
+  // q283 drift signal, never per batch. Chain under test: build
+  // (cbStart=12) → changelog deletes (D = vec_id ≥ 28 with %9 = 4,
+  // disjoint from BOTH codebooks' rows; the delta write + old-codebook
+  // preservation path) → refresh (cbStart=20) → PQ-beam serve. The
+  // law: refresh(maintained) ≡ saveIndexPq(current corpus, new rows) —
+  // graph edges pass through, so the ORACLE IS q279's ladder over the
+  // surviving membership with the cb CTE moved to rows 20-27; one hash
+  // certifies maintain → retrain → re-encode → serve end to end.
+  val q282 = Q.offBench(
+    "q282_pq_codebook_refresh",
+    graft.llm.LlmQueries.q279.oracle.get
+      .replace("FROM embeddings)",
+        "FROM embeddings WHERE vec_id < 28 OR vec_id % 9 <> 4)")
+      .replace("SELECT vec_id - 12 AS j", "SELECT vec_id - 20 AS j")
+      .replace("vec_id >= 12 AND vec_id < 20",
+        "vec_id >= 20 AND vec_id < 28")) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+    val cs: Array[Array[Float]] = emb.filter(col("vec_id") < 12)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val name = "knnpqrf_" + java.lang.Integer.toHexString(dir.hashCode)
+    graft.llm.KnnGraph.saveIndexPq(
+      graft.llm.KnnGraph.build(emb, cs, degree = 12, nProbe = 3),
+      emb, cs, m = 8, dimsPer = 8, nCodebook = 8, cbStart = 12, name,
+      buckets = 8)
+    val d = emb.filter(col("vec_id") >= 28 && pmod(col("vec_id"), lit(9L)) === 4)
+      .withColumn("op", lit("D"))
+    StreamingKnnIndex.applyChangelog(d, name, cs,
+      degree = 12, nProbe = 3, buckets = 8)
+    graft.llm.KnnGraph.refreshCodebook(s, name, cs,
+      m = 8, dimsPer = 8, nCodebook = 8, cbStart = 20, buckets = 8)
+    graft.llm.KnnGraph.searchIndexedPq(s, name,
+        emb.filter(col("vec_id") < 5),
+        topK = 3, beam = 16, rounds = 4, rerank = 8)
+      .select("q_id", "rk", "node").orderBy("q_id", "rk")
+  }
+
   val all: Seq[Q] = Seq(q23, q24, q25, q50, q59, q67, q81, q91, q116, q117,
-    q276, q277, q280)
+    q276, q277, q280, q282)
 
   // ------------------------------------------------------------------------
   // Streaming runners (exercised by StreamingParitySpec; Trigger.AvailableNow

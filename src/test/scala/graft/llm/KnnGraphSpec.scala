@@ -568,6 +568,42 @@ class KnnGraphSpec extends SparkSpec {
     } finally emb.unpersist()
   }
 
+  test("pqDistortion persisted ≡ explicit kernel; refresh guards pinned rows") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val cs = centroids(12)
+    KnnGraph.saveIndexPq(
+      KnnGraph.build(emb, cs, degree = 12, nProbe = 3), emb, cs,
+      m = 8, dimsPer = 8, nCodebook = 8, cbStart = 12, "knn_drift_spec",
+      buckets = 8)
+    try {
+      // the persisted-codebook path (what a drift monitor runs) equals
+      // the explicit-codebook kernel (what q283's oracle certifies)
+      val viaIndex = KnnGraph.pqDistortion(spark, "knn_drift_spec", emb)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val cb = KnnGraph.pinnedCodebook(emb, 8, 8, 8, 12)
+      val viaCb = KnnGraph.pqDistortionWith(emb, cb, 8, 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(viaIndex == viaCb)
+      // distortion is a true lower-bound error: zero only if a vector's
+      // every sub-vector IS a codeword — the pinned rows themselves
+      val zeros = KnnGraph.pqDistortion(spark, "knn_drift_spec", emb)
+        .filter(col("distortion") === 0).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(zeros == (12L until 20L).toSet, s"zero-distortion set: $zeros")
+      // refresh raises — never silently reuses stale parameters — when
+      // a changelog deleted the new pinned rows
+      val ex = intercept[IllegalArgumentException] {
+        KnnGraph.refreshCodebook(spark, "knn_drift_spec", cs,
+          m = 8, dimsPer = 8, nCodebook = 8, cbStart = 100000, buckets = 8)
+      }
+      assert(ex.getMessage.contains("pinned-parameter contract"))
+    } finally {
+      for (t <- Seq("knn_drift_spec_nodes", "knn_drift_spec_entries",
+          "knn_drift_spec_cb"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("beam is monotone: more rounds never lose a found neighbor's rank-1") {
     val emb = Tables(spark, sf0001, "embeddings")
     val cs = centroids(12)
