@@ -538,7 +538,14 @@ object KnnGraph {
   }
 
   /** The PQ-augmented serving record: (vec_id, embedding, codes, nbrs) —
-    * codes through the explicit codebook ([[Pq.encode]]'s kernel). */
+    * codes through the explicit codebook ([[Pq.encode]]'s kernel). The
+    * encode is a per-row mapPartitions kernel, NOT a codegen
+    * Expression: it runs only at index build, at [[refreshCodebook]]
+    * (rare by design), and on [[saveIndexDelta]]'s touched rows — each
+    * bounded at O(rows·M·K·dimsPer) integer ops off the serving path.
+    * If maintenance batches ever make it hot, the ContentChunks
+    * precedent (static-object kernel behind a codegen Expression) is
+    * the upgrade; until then the simpler kernel wins on clarity. */
   private def pqNodesFrame(edges: DataFrame, emb: DataFrame,
       cb: Array[Array[Array[Long]]], m: Int, dimsPer: Int): DataFrame = {
     val spark = emb.sparkSession
@@ -576,6 +583,16 @@ object KnnGraph {
       cs: Array[Array[Float]], buckets: Int,
       touchedIds: DataFrame): (Seq[Int], Long) = {
     import graft.sources.Bucketing
+    // the bucket count is a property of the TABLE, not the call: a
+    // mismatched arg would compute bkt partitions that don't align with
+    // the on-disk layout and strand stale rows — fail loudly instead
+    // (matters after a rebucket changed the count under a maintainer)
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_nodes"))
+      .bucketSpec
+    require(spec.exists(_.numBuckets == buckets),
+      s"saveIndexDelta: caller passed buckets=$buckets but ${name}_nodes " +
+        s"is bucketed as $spec - pass the table's actual bucket count")
     val bkts = touchedIds
       .select(Bucketing.bucketId(col("vec_id"), buckets).as("bkt"))
       .distinct().collect().map(_.getInt(0)).toSeq
@@ -666,6 +683,30 @@ object KnnGraph {
     saveIndexPqWith(edges, emb, cs,
       pinnedCodebook(emb, m, dimsPer, nCodebook, cbStart), m, dimsPer,
       name, buckets)
+  }
+
+  /** Re-bucket a persisted index — the capacity half of the index
+    * lifecycle ([[refreshCodebook]] is the quality half): the bucket
+    * count is fixed at build time, so a corpus that keeps growing
+    * through [[graft.streaming.StreamingKnnIndex]] ingest fattens every
+    * bucket and the probes' per-file IO with it (the --knnidx curves
+    * size buckets ≈ n/31 for a reason). This op re-saves the index
+    * under a new bucket count — graph, codes (PQ indexes keep their
+    * exact codebook), and entries all pass through unchanged, so
+    * serving results are bit-identical before and after (spec-pinned;
+    * q284's oracle is the plain serving oracle verbatim) and only the
+    * id→file mapping changes. O(index) by nature — like refresh, an
+    * occasional op fired when rows/bucket drifts past the deployment
+    * target, never per batch. */
+  def rebucket(spark: org.apache.spark.sql.SparkSession, name: String,
+      cs: Array[Array[Float]], buckets: Int): Unit = {
+    val (embT, edgesT) = loadIndex(spark, name)
+    val emb = embT.localCheckpoint(true)
+    val edges = edgesT.localCheckpoint(true)
+    if (spark.table(s"${name}_nodes").columns.contains("codes")) {
+      val (cb, m, dimsPer) = loadCodebook(spark, name)
+      saveIndexPqWith(edges, emb, cs, cb, m, dimsPer, name, buckets)
+    } else saveIndex(edges, emb, cs, name, buckets)
   }
 
   /** Per-vector quantization distortion under a persisted index's

@@ -9691,6 +9691,39 @@ object LlmQueries {
       .select("q_id", "rk", "node").orderBy("q_id", "rk")
   }
 
+  // ---------------------------------------------------------------- q284
+  // Index re-bucketing (KnnGraph.rebucket — the CAPACITY half of the
+  // index lifecycle; q282's refresh is the quality half): bucket count
+  // is pinned at build time, so a corpus that keeps growing through
+  // streaming ingest fattens every bucket and the probes' per-file IO
+  // with it. Rebucket re-saves under a new count; graph, vectors, and
+  // entries pass through unchanged, so serving is BIT-IDENTICAL before
+  // and after — which is exactly what the oracle certifies: the chain
+  // under test is build+save at 4 buckets → ingest a batch through the
+  // delta-write maintainer (exercising maintenance at the old count) →
+  // rebucket to 16 → bucket-pruned serve, and the ORACLE IS q265's
+  // in-memory search oracle VERBATIM (the q273 equivalence, surviving
+  // an ingest and a re-layout). Only the id→file mapping changes.
+  val q284 = Q(
+    "q284_knn_rebucket",
+    q265.oracle.get) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val cs: Array[Array[Float]] = emb.filter(col("vec_id") < 12)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val name = "knnrb_" + java.lang.Integer.toHexString(dir.hashCode)
+    val base = emb.filter(col("vec_id") >= 30).select("vec_id", "embedding")
+    KnnGraph.saveIndex(KnnGraph.build(base, cs, degree = 12, nProbe = 3),
+      base, cs, name, buckets = 4)
+    graft.streaming.StreamingKnnIndex.ingestBatch(
+      emb.filter(col("vec_id") < 30).select("vec_id", "embedding"),
+      name, cs, degree = 12, nProbe = 3, buckets = 4)
+    KnnGraph.rebucket(s, name, cs, buckets = 16)
+    KnnGraph.searchIndexed(s, name, emb.filter(col("vec_id") < 5),
+        topK = 3, beam = 16, rounds = 4)
+      .select("q_id", "rk", "node").orderBy("q_id", "rk")
+  }
+
   // ---------------------------------------------------------------- q283
   // PQ quantization-distortion profile (KnnGraph.pqDistortionWith —
   // the codebook DRIFT SIGNAL): per vector, Σ_m min_j d2 of its grid
@@ -9751,5 +9784,5 @@ object LlmQueries {
       q245, q246, q247, q248, q249, q250, q251, q252, q253, q254, q255,
       q256, q257, q258, q259, q260, q261, q262, q263, q264, q265, q266,
       q267, q268, q269, q270, q271, q272, q273, q274, q275, q278, q279,
-      q281, q283)
+      q281, q283, q284)
 }

@@ -604,6 +604,49 @@ class KnnGraphSpec extends SparkSpec {
     }
   }
 
+  test("rebucket: serving bit-identical, new layout pruned, stale count rejected") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val cs = centroids(12)
+    val queries = emb.filter(col("vec_id") < 5)
+    KnnGraph.saveIndex(KnnGraph.build(emb, cs, degree = 12, nProbe = 3),
+      emb, cs, "knn_rb_spec", buckets = 4)
+    try {
+      def serve() = KnnGraph.searchIndexed(spark, "knn_rb_spec", queries,
+          topK = 3, beam = 16, rounds = 4)
+        .select("q_id", "rk", "node", "sim").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val before = serve()
+      KnnGraph.rebucket(spark, "knn_rb_spec", cs, buckets = 16)
+      assert(serve() == before, "rebucket changed serving results")
+      // the new layout really is 16 buckets, and probes prune against it
+      val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val prevAuto = spark.conf.get(autoKey)
+      spark.conf.set(autoKey, "false")
+      try {
+        val p = spark.table("knn_rb_spec_nodes")
+          .filter(col("vec_id").isin(1L, 2L, 3L))
+        p.count()
+        val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+          .findFirstMatchIn(p.queryExecution.executedPlan.toString)
+        assert(m.exists(_.group(2).toInt == 16), s"plan not on 16 buckets: $m")
+      } finally spark.conf.set(autoKey, prevAuto)
+      // a maintainer still holding the OLD count must fail loudly, not
+      // strand stale rows in misaligned partitions
+      val ex = intercept[IllegalArgumentException] {
+        graft.streaming.StreamingKnnIndex.applyChangelog(
+          emb.filter(col("vec_id") === 7L)
+            .select("vec_id", "embedding").withColumn("op", lit("D")),
+          "knn_rb_spec", cs, degree = 12, nProbe = 3, buckets = 4)
+      }
+      assert(ex.getMessage.contains("bucket count"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS knn_rb_spec_nodes")
+      spark.sql("DROP TABLE IF EXISTS knn_rb_spec_entries")
+      ()
+    }
+  }
+
   test("beam is monotone: more rounds never lose a found neighbor's rank-1") {
     val emb = Tables(spark, sf0001, "embeddings")
     val cs = centroids(12)
