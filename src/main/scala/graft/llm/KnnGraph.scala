@@ -799,8 +799,13 @@ object KnnGraph {
       pred: Option[Column]): DataFrame = {
     import spark.implicits._
     val nodesT = spark.table(s"${name}_nodes")
+    // partition-filtered probes need the bkt partition column (the r18
+    // layout); a pre-r18 plain-bucketed table still serves, probes just
+    // carry the vec_id filter alone
+    val nBuckets =
+      if (nodesT.columns.contains("bkt")) numBucketsOf(spark, name) else -1
     def records(ids: Seq[Long]): DataFrame =
-      probeRecords(nodesT, ids, onProbe)
+      probeRecords(nodesT, ids, onProbe, nBuckets)
     // persisted codebook → per-query SDC tables (bounded: queries are a
     // serving batch, tables are m·K ints each — the Pq.searchIndexed
     // shape, but emitted as a broadcast FRAME so the per-candidate
@@ -901,20 +906,52 @@ object KnnGraph {
   }
 
   /** The pruned node-record probe: IN over the bucket column reaches
-    * the scan as file-level bucket pruning (SelectedBucketsCount). */
+    * the scan as file-level bucket pruning (SelectedBucketsCount), and
+    * — because the serving layout also PARTITIONS on the bucket id —
+    * the same ids name their `bkt` partitions driver-side
+    * (pmod(murmur3), the bucketing arithmetic), so the probe carries an
+    * explicit partition filter too: catalog partition pruning then
+    * lists only the probed buckets' directories instead of every
+    * partition per probe plan. */
   private def probeRecords(nodesT: DataFrame, ids: Seq[Long],
-      onProbe: Seq[Long] => Unit): DataFrame = {
+      onProbe: Seq[Long] => Unit, buckets: Int): DataFrame = {
     if (onProbe != null) onProbe(ids)
     if (ids.isEmpty) nodesT.filter(lit(false))
-    else nodesT.filter(col("vec_id").isin(ids.map(x => x: Any): _*))
+    else if (buckets > 0) {
+      val bkts = ids.map(bucketOfId(_, buckets)).distinct
+      nodesT.filter(col("bkt").isin(bkts.map(x => x: Any): _*) &&
+        col("vec_id").isin(ids.map(x => x: Any): _*))
+    } else nodesT.filter(col("vec_id").isin(ids.map(x => x: Any): _*))
   }
+
+  /** Spark's bucket id for a long key — Murmur3(seed 42) pmod buckets,
+    * the exact arithmetic `Bucketing.bucketId` computes column-side. */
+  private def bucketOfId(id: Long, buckets: Int): Int = {
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(id, 42)
+    ((h % buckets) + buckets) % buckets
+  }
+
+  /** The serving table's bucket count, from the catalog's bucket spec —
+    * a property of the table, never a caller argument (the
+    * [[saveIndexDelta]] contract). */
+  private def numBucketsOf(spark: org.apache.spark.sql.SparkSession,
+      name: String): Int =
+    spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_nodes"))
+      .bucketSpec.map(_.numBuckets).getOrElse(
+        sys.error(s"${name}_nodes is not a bucketed serving table"))
 
   private def searchIndexedBody(spark: org.apache.spark.sql.SparkSession,
       name: String, queries: DataFrame, topK: Int, beam: Int, rounds: Int,
       onProbe: Seq[Long] => Unit, pred: Option[Column]): DataFrame = {
     val nodesT = spark.table(s"${name}_nodes")
+    // partition-filtered probes need the bkt partition column (the r18
+    // layout); a pre-r18 plain-bucketed table still serves, probes just
+    // carry the vec_id filter alone
+    val nBuckets =
+      if (nodesT.columns.contains("bkt")) numBucketsOf(spark, name) else -1
     def records(ids: Seq[Long]): DataFrame =
-      probeRecords(nodesT, ids, onProbe)
+      probeRecords(nodesT, ids, onProbe, nBuckets)
     val q = broadcast(queries.select(col("vec_id").as("q_id"),
       col("embedding").as("qv"),
       Similarity.dotFast(col("embedding"), col("embedding")).as("qn")))
