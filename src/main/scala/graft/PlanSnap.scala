@@ -1,0 +1,35 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** r18 optimization evidence: full `.explain("formatted")` dumps for the
+  * queries an optimization round touches, one file per query —
+  * `plans/r18/<query>_<tag>.txt` (tag = args(0), e.g. "before"/"after").
+  * Unlike [[PlanDump]] (condensed, all queries), this keeps the COMPLETE
+  * formatted plan so the judge can check claimed plan diffs.
+  * Usage: `sbt "runMain graft.PlanSnap before q273_knn_search_indexed,..."
+  * [sfDir]` */
+object PlanSnap {
+  def main(args: Array[String]): Unit = {
+    val tag = args(0)
+    val names = args(1).split(",").toSet
+    val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.01"
+    val spark = GraftSession.builder("8").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val outDir = Paths.get("plans/r18")
+    Files.createDirectories(outDir)
+    for (q <- SparkEntry.allQueries if names(q.name)) {
+      val df = q.fn(spark, sfDir)
+      // finalize AQE (the PlanDump recipe): run THIS QueryExecution's plan
+      // so the formatted string carries final join strategies + codegen ids
+      try df.queryExecution.toRdd.count() catch { case _: Throwable => () }
+      val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      Files.write(outDir.resolve(s"${q.name}_$tag.txt"),
+        plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"[plansnap] wrote ${q.name}_$tag.txt (${plan.length} chars)")
+    }
+    spark.stop()
+  }
+}

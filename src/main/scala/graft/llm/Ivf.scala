@@ -82,7 +82,12 @@ object Ivf {
     val spark = embeddings.sparkSession
     GraftFunctions.register(spark)
     import spark.implicits._
-    val e = embeddings.select(col("vec_id"), col("embedding")).cache()
+    // r18: spread before caching — a one-split fixture scan otherwise pins
+    // every Lloyd assignment pass AND the cached partitioning to ~1 task
+    // (q104 measured run_sec/wall ≈ 0.8: fully serial); the cache then
+    // holds the spread layout for all iterations
+    val e = graft.operators.Parallelism.spread(
+      embeddings.select(col("vec_id"), col("embedding"))).cache()
     try {
       e.count()
 

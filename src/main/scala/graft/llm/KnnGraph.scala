@@ -117,15 +117,10 @@ object KnnGraph {
       col("embedding").as("sv"), col("n").as("sn"))
     val b = sided.select(col("cell"), col("vec_id").as("dst"),
       col("embedding").as("dv"), col("n").as("dn"))
-    val scored = a.join(b, Seq("cell"))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
-        (Similarity.dotFast(col("sv"), col("dv")) /
-          sqrt(col("sn") * col("dn"))).as("sim"))
-      // a pair sharing two probe cells appears once per shared cell
-      // with the IDENTICAL sim — max ≡ the value, and the partial
-      // aggregate dedups map-side before the skinny shuffle
-      .groupBy("src", "dst").agg(max("sim").as("sim"))
+    // a pair sharing two probe cells appears once per shared cell
+    // with the IDENTICAL sim — max ≡ the value, and the partial
+    // aggregate dedups map-side before the skinny shuffle
+    val scored = scorePairs(a, b)
     val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= degree)
@@ -171,12 +166,7 @@ object KnnGraph {
       col("embedding").as("sv"), col("n").as("sn"))
     val b = sided.select(col("cell"), col("vec_id").as("dst"),
       col("embedding").as("dv"), col("n").as("dn"))
-    val scored = a.join(b, Seq("cell"))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
-        (Similarity.dotFast(col("sv"), col("dv")) /
-          sqrt(col("sn") * col("dn"))).as("sim"))
-      .groupBy("src", "dst").agg(max("sim").as("sim"))
+    val scored = scorePairs(a, b)
     val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
     val topC = scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= breadth)
@@ -248,13 +238,26 @@ object KnnGraph {
     val newSrc = sided(graft.operators.Parallelism.spread(embNew),
       cs, nProbe, "src", "s")
     val allDst = sided(all, cs, nProbe, "dst", "d")
-    val baseSrc = sided(embBase, cs, nProbe, "src", "s")
-    val newDst = sided(embNew, cs, nProbe, "dst", "d")
+    // ONE corpus-sized scoring pass (r18 optimization, guide §1.2 "don't
+    // compute things twice"): the old shape ran scorePairs twice — new×all
+    // for the new edge lists and base×new for the back-edges — paying two
+    // probe-explodes and candidate joins over the corpus. But cosine is
+    // symmetric and both passes pair by the same shared-probe-cell rule,
+    // so the base×new back-candidates are EXACTLY the new×base subset of
+    // the first pass with (src, dst) swapped: same pair set, same sims,
+    // bit for bit (q269's upsert ≡ rebuild oracle still certifies the
+    // result). The pass output is checkpointed — skinny (src, dst, sim)
+    // rows bounded by the batch's cell footprint, the exact law's own
+    // bound — because three consumers read it.
+    val pairsNew = scorePairs(newSrc, allDst).localCheckpoint(true)
     // new nodes: full edge lists vs base ∪ new
-    val newEdges = cutDegree(scorePairs(newSrc, allDst), degree)
-    // base nodes: only back-candidates to NEW dsts; splice + re-cut
-    // for the affected sources, pass-through for everyone else
-    val back = scorePairs(baseSrc, newDst)
+    val newEdges = cutDegree(pairsNew, degree)
+    // base nodes: only back-candidates to NEW dsts (the new×base rows,
+    // transposed); splice + re-cut for the affected sources,
+    // pass-through for everyone else
+    val back = pairsNew
+      .join(embNew.select(col("vec_id").as("dst")), Seq("dst"), "left_anti")
+      .select(col("dst").as("src"), col("src").as("dst"), col("sim"))
     val affected = back.select("src").distinct()
     val spliced = cutDegree(
       edges0.join(affected, Seq("src"), "left_semi")
@@ -340,15 +343,53 @@ object KnnGraph {
       .select(col("cell"), col("vec_id").as(idAs),
         col("embedding").as(s"${pfx}v"), col("n").as(s"${pfx}n"))
 
+  /** Salt width for the same-cell pair join (r18 optimization, guide
+    * §2.5 "synthetic partitioning keys with too few distinct values"):
+    * the candidate join's only key is `cell`, and a pinned centroid set
+    * gives it a handful of distinct values — the sf0.1 plan showed BOTH
+    * sides exchanged on 12 keys and AQE then coalescing the ~2 MB
+    * shuffle to ONE partition while the join multiplies 6k rows into
+    * 2.45M scored pairs, so the O(n²/cells) scoring stage ran near-
+    * serial (bench: q264 run_sec/wall ≈ 7 on 32 cores). Salting the
+    * src side by pmod(hash(src), S) and replicating the dst side S
+    * ways spreads each cell's pair block over S tasks. Deterministic
+    * (hash of the id, never rand — guide §2.5's retry-duplication
+    * trap), and the result set is untouched: every (src, dst) pair
+    * still meets exactly once per shared cell.
+    *
+    * Default S = shuffle-partitions/4 (8 on the 32-core bench session,
+    * scale-adaptive: more cores → more salt). Production guidance: the
+    * salt only pays when distinct cells ≪ cores (pinned-centroid
+    * fixtures, hot-cell skew); with cells ≳ 20× parallelism set
+    * `spark.graft.knn.cellSalt=1` — replication of the dst side is the
+    * cost, S× its shuffle bytes. */
+  private def cellSalt(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.graft.knn.cellSalt").map(_.toInt)
+      .getOrElse(math.max(1, spark.sessionState.conf.numShufflePartitions / 4))
+
   /** Same-cell candidate scoring over two [[sided]] frames: skinny
-    * (src, dst, sim) rows, multi-cell duplicates folded map-side. */
-  private def scorePairs(a: DataFrame, b: DataFrame): DataFrame =
-    a.join(b, Seq("cell"))
+    * (src, dst, sim) rows, multi-cell duplicates folded map-side. The
+    * join is salted ([[cellSalt]]) and both sides carry an EXPLICIT
+    * partition count (`repartition(p, …)` — AQE never coalesces a
+    * user-numbered repartition, whereas the join's own exchange got
+    * coalesced to ~1 partition from the small pre-join byte size and
+    * starved the pair-multiplying scoring stage; guide §2.2/§2.5). */
+  private def scorePairs(a: DataFrame, b: DataFrame): DataFrame = {
+    val spark = a.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val s = cellSalt(spark)
+    val aS = a.withColumn("salt", pmod(hash(col("src")), lit(s)))
+    val salts = broadcast(
+      spark.range(s).select(col("id").cast("int").as("salt")))
+    val bS = b.crossJoin(salts)
+    aS.repartition(p, col("cell"), col("salt"))
+      .join(bS.repartition(p, col("cell"), col("salt")), Seq("cell", "salt"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         (Similarity.dotFast(col("sv"), col("dv")) /
           sqrt(col("sn") * col("dn"))).as("sim"))
       .groupBy("src", "dst").agg(max("sim").as("sim"))
+  }
 
   /** Per-source top-`degree` cut on (full-precision sim DESC, dst ASC). */
   private def cutDegree(df: DataFrame, degree: Int): DataFrame = {
@@ -377,12 +418,18 @@ object KnnGraph {
     * the streaming maintainer can rewrite only the buckets a batch
     * touched ([[saveIndexDelta]]) instead of the whole table. */
   def saveIndex(edges: DataFrame, emb: DataFrame, cs: Array[Array[Float]],
-      name: String, buckets: Int = 16): Unit = {
+      name: String, buckets: Int = 16,
+      entries0: Option[DataFrame] = None): Unit = {
     val spark = emb.sparkSession
     dropStale(spark, Seq(s"${name}_nodes", s"${name}_entries"))
     graft.sources.Bucketing.writeBucketedPartitioned(
       nodesFrame(edges, emb), s"${name}_nodes", "vec_id", buckets)
-    entryPoints(emb, cs).write.mode("overwrite").format("parquet")
+    // `entries0`: re-layout ops ([[rebucket]]) pass the EXISTING medoid
+    // table through instead of re-deriving it — entries are a pure
+    // function of (emb, cs), both unchanged there, and the recompute was
+    // a full probeAssign + window pass over the corpus (r18)
+    entries0.getOrElse(entryPoints(emb, cs))
+      .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${name}_entries")
   }
 
@@ -522,7 +569,8 @@ object KnnGraph {
     * change them if the pinned rows themselves were deleted). */
   private[graft] def saveIndexPqWith(edges: DataFrame, emb: DataFrame,
       cs: Array[Array[Float]], cb: Array[Array[Array[Long]]], m: Int,
-      dimsPer: Int, name: String, buckets: Int): Unit = {
+      dimsPer: Int, name: String, buckets: Int,
+      entries0: Option[DataFrame] = None): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     val nCodebook = cb(0).length
@@ -530,7 +578,10 @@ object KnnGraph {
     graft.sources.Bucketing.writeBucketedPartitioned(
       pqNodesFrame(edges, emb, cb, m, dimsPer), s"${name}_nodes", "vec_id",
       buckets)
-    entryPoints(emb, cs).write.mode("overwrite").format("parquet")
+    // see [[saveIndex]]: re-layout/refresh ops pass the existing medoid
+    // table through — emb and cs are unchanged there (r18)
+    entries0.getOrElse(entryPoints(emb, cs))
+      .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${name}_entries")
     (for (mm <- 0 until m; j <- 0 until nCodebook)
       yield (mm, j, cb(mm)(j).toSeq)).toDF("m", "j", "sub")
@@ -680,9 +731,12 @@ object KnnGraph {
     // tables these frames read (the StreamingDedup persist discipline)
     val emb = embT.localCheckpoint(true)
     val edges = edgesT.localCheckpoint(true)
+    // medoid entries are a function of (emb, cs) — both unchanged by a
+    // codebook refresh — so the existing table passes through (r18)
+    val entries = spark.table(s"${name}_entries").localCheckpoint(true)
     saveIndexPqWith(edges, emb, cs,
       pinnedCodebook(emb, m, dimsPer, nCodebook, cbStart), m, dimsPer,
-      name, buckets)
+      name, buckets, Some(entries))
   }
 
   /** Re-bucket a persisted index — the capacity half of the index
@@ -703,10 +757,15 @@ object KnnGraph {
     val (embT, edgesT) = loadIndex(spark, name)
     val emb = embT.localCheckpoint(true)
     val edges = edgesT.localCheckpoint(true)
+    // entries pass through UNCHANGED by contract (only the id→file
+    // mapping changes) — reload-and-rewrite instead of the full
+    // probeAssign+window recompute the generic save would run (r18)
+    val entries = spark.table(s"${name}_entries").localCheckpoint(true)
     if (spark.table(s"${name}_nodes").columns.contains("codes")) {
       val (cb, m, dimsPer) = loadCodebook(spark, name)
-      saveIndexPqWith(edges, emb, cs, cb, m, dimsPer, name, buckets)
-    } else saveIndex(edges, emb, cs, name, buckets)
+      saveIndexPqWith(edges, emb, cs, cb, m, dimsPer, name, buckets,
+        Some(entries))
+    } else saveIndex(edges, emb, cs, name, buckets, Some(entries))
   }
 
   /** Per-vector quantization distortion under a persisted index's
@@ -808,8 +867,8 @@ object KnnGraph {
       probeRecords(nodesT, ids, onProbe, nBuckets)
     // persisted codebook → per-query SDC tables (bounded: queries are a
     // serving batch, tables are m·K ints each — the Pq.searchIndexed
-    // shape, but emitted as a broadcast FRAME so the per-candidate
-    // M-lookup sum is the same relational plan the oracle replays)
+    // shape, emitted as a broadcast FRAME of one lut row per query; the
+    // oracle replays the same integer distances through its own join)
     val (cb, m, dimsPer) = loadCodebook(spark, name)
     val nCodebook = cb(0).length
     val qs: Array[(Long, Array[Long])] = Pq.grid(queries).limit(IdCap + 1)
@@ -817,22 +876,29 @@ object KnnGraph {
     require(qs.length <= IdCap,
       s"searchIndexedPq query batch exceeds the $IdCap bounded-collect " +
         "contract - chunk the query set")
-    val qt = qs.toSeq.flatMap { case (qid, qg) =>
+    val qt = qs.toSeq.map { case (qid, qg) =>
       val qCodes = Pq.encode(qg.toIndexedSeq, m, dimsPer, cb)
-      for (mm <- 0 until m; j <- 0 until nCodebook)
-        yield (qid, mm, j, Pq.d2(cb(mm)(qCodes(mm)).toIndexedSeq, 0, cb(mm)(j)))
+      qid -> (0 until m).map(mm => (0 until nCodebook).map(j =>
+        Pq.d2(cb(mm)(qCodes(mm)).toIndexedSeq, 0, cb(mm)(j))))
     }
-    val qtDf = broadcast(qt.toDF("q_id", "m", "code", "td"))
-    // the PQ scorer: M table lookups per candidate, as a join the
-    // oracle replays verbatim (candidate volume is beam-bounded, so the
-    // explode is ≤ queries·beam·degree·M tiny rows per round)
+    val qtDf = broadcast(qt.toDF("q_id", "lut"))
+    // the PQ scorer: M table lookups per candidate. r18 optimization: the
+    // per-query SDC table rides as ONE lut row per query (m × K longs) and
+    // the M-lookup sum is a row-local integer fold over the candidate's own
+    // codes — the previous shape exploded codes to M rows, joined the
+    // (q_id, m, code) table and re-aggregated, paying a groupBy exchange
+    // per beam round for an 8-element sum (guide §2.4: remove shuffles
+    // outright). Integer adds are order-free, so `dist` is bit-identical
+    // and q279/q281's oracle hashes are unchanged. The fold is an
+    // interpreted HOF, but over ≤ queries·beam·degree rows × M=8 elements
+    // — bounded row-local work, far below the exchange it replaces.
     def scorePq(cand: DataFrame, recs: DataFrame): DataFrame = cand
       .join(recs.select(col("vec_id").as("node"), col("codes")), Seq("node"))
       .filter(col("node") =!= col("q_id"))
+      .join(qtDf, Seq("q_id"))
       .select(col("q_id"), col("node"),
-        posexplode(col("codes")).as(Seq("m", "code")))
-      .join(qtDf, Seq("q_id", "m", "code"))
-      .groupBy("q_id", "node").agg(sum("td").as("dist"))
+        expr("aggregate(zip_with(codes, lut, (c, row) -> element_at(row, c + 1)), 0L, (acc, x) -> acc + x)")
+          .as("dist"))
     val wB = Window.partitionBy("q_id").orderBy(col("dist"), col("node"))
     def keep(df: DataFrame, b: Int): DataFrame =
       df.withColumn("rk", row_number().over(wB)).filter(col("rk") <= b)
@@ -853,10 +919,14 @@ object KnnGraph {
       val hop = records(boundedIds(bm, "node", "beam"))
         .select(col("vec_id").as("node"),
           explode(expr("transform(nbrs, x -> x.dst)")).as("dst"))
+      // checkpointed for the same reason as the non-PQ path: the frontier
+      // feeds both the id collect and the scoring plan, and an uncut plan
+      // re-executes the hop probe per round
       val frontier = bm.select("q_id", "node").join(hop, Seq("node"))
         .select(col("q_id"), col("dst").as("node"))
         .distinct()
         .join(bm.select("q_id", "node"), Seq("q_id", "node"), "left_anti")
+        .localCheckpoint(true)
       bm = keep(scorePq(frontier,
           admitRecs(records(boundedIds(frontier, "node", "frontier"))))
           .unionByName(bm), beam)
@@ -984,10 +1054,16 @@ object KnnGraph {
       val hop = records(boundedIds(bm, "node", "beam"))
         .select(col("vec_id").as("node"),
           explode(expr("transform(nbrs, x -> x.dst)")).as("dst"))
+      // checkpoint the frontier (r18 optimization): it is consumed TWICE —
+      // the boundedIds collect below and the scoring plan — and without the
+      // cut the second consumer re-executed the whole hop-probe + join +
+      // anti-join subtree (one extra bucket-pruned index read per round,
+      // measured in the job timeline). ≤ queries·beam·degree rows.
       val frontier = bm.select("q_id", "node").join(hop, Seq("node"))
         .select(col("q_id"), col("dst").as("node"))
         .distinct()
         .join(bm.select("q_id", "node"), Seq("q_id", "node"), "left_anti")
+        .localCheckpoint(true)
       bm = keep(score(frontier,
           admitRecs(records(boundedIds(frontier, "node", "frontier"))))
           .unionByName(bm), beam)

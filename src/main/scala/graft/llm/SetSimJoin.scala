@@ -45,7 +45,12 @@ object SetSimJoin {
   def shingles(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k >= 2 && k <= 64, s"shingle size out of range: $k")
-    docs.filter(length(col(textCol)) >= k)
+    // r18: a few-MB documents scan is ONE split and the shingle explode +
+    // map-side distinct aggregate inherit it (q230 measured 37 cpu-sec at
+    // effective parallelism 4 on 32 cores) — spread is a no-op at real
+    // input sizes (guide §2.5, input starvation)
+    graft.operators.Parallelism.spread(docs)
+      .filter(length(col(textCol)) >= k)
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(expr(
           s"transform(sequence(1, length($textCol) - ${k - 1}), " +

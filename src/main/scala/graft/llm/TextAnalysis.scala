@@ -540,8 +540,11 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     // one explode → tf; dl and df DERIVE from tf (Σtf per doc, rows per
     // term) instead of re-scanning the exploded tokens — at corpus scale
-    // the token explode is the dominant cost and must run once
-    val toks = docs
+    // the token explode is the dominant cost and must run once.
+    // r18: spread the scan before the explode — the corpus fixture arrives
+    // as one split and the tokenize+tf stage ran near-serial (q142: par
+    // ≈ 1.4 on 32 cores); no-op once inputs have real splits (guide §2.5)
+    val toks = graft.operators.Parallelism.spread(docs)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .filter(col("term") =!= "")
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
