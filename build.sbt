@@ -53,3 +53,56 @@ run / javaOptions ++= Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:+AlwaysPreTouch",
 )
+
+// r19 (VERDICT r18 #1: `tests_ok: false` — the suite outgrew the driver's
+// test budget, not a failure: run at round open, all 800 tests PASS but
+// take 13m42s wall, because 148 suites run SEQUENTIALLY in one forked JVM
+// whose shared session is local[4] — most of the host's 32 cores idle).
+// Suites are independent by construction (suite-distinct warehouse table
+// names, createTempDirectory checkpoint/output dirs, per-JVM fixture
+// memos), so partition them into forked JVM GROUPS run concurrently.
+// MEASURED CAVEAT (this round): a first cut with 8 groups and default JVM
+// sizing was SLOWER than sequential (20m24) — each forked JVM sized its
+// GC/JIT/netty pools for all 32 host cores (23 G1 GC threads, 680+
+// threads, C2 alone 185s CPU per JVM) and 8 such JVMs thrashed the box at
+// ~60% idle. Hence: FOUR groups, each JVM pinned to 8 logical cores via
+// ActiveProcessorCount (4×8 = the host) and a 6g heap, with the suites
+// LPT-packed by their measured sequential durations (the two heavyweights
+// — KnnGraphSpec 136s, StreamingKnnIndexSpec 103s of the 566s total —
+// anchor two groups). No test, fixture, or assertion changes.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value.sortBy(_.name)
+  val opts = (Test / javaOptions).value.toVector ++
+    Seq("-XX:ActiveProcessorCount=8", "-Xmx6g")
+  // measured suite walls (sequential baseline, r19 round open); suites
+  // absent here are small — LPT with a 1s default balances them fine
+  val weight = Map(
+    "graft.llm.KnnGraphSpec" -> 136, "graft.streaming.StreamingKnnIndexSpec" -> 103,
+    "graft.llm.CorpusPrepSpec" -> 33, "graft.llm.DedupSpec" -> 17,
+    "graft.operators.RangeJoinSpec" -> 15, "graft.llm.LshSpec" -> 13,
+    "graft.streaming.StreamingParitySpec" -> 13,
+    "graft.streaming.StreamingDocFormatsSpec" -> 13, "graft.llm.RpSpec" -> 12,
+    "graft.llm.IvfSpec" -> 11, "graft.llm.BpeSpec" -> 10,
+    "graft.streaming.StreamingNearDupSpec" -> 10,
+    "graft.operators.ResampleSpec" -> 10, "graft.llm.WarcSpec" -> 9,
+    "graft.llm.SemDedupSpec" -> 8, "graft.llm.ComponentsSpec" -> 8,
+    "graft.pipeline.MlpRegressorSpec" -> 7,
+    "graft.streaming.StreamingDedupSpec" -> 7, "graft.PlanContractSpec" -> 7,
+    "graft.PropertySpec" -> 7, "graft.streaming.StatefulSpec" -> 6)
+  val nGroups = 4
+  val load = Array.fill(nGroups)(0L)
+  val buckets = Array.fill(nGroups)(Vector.newBuilder[sbt.TestDefinition])
+  for (t <- tests.sortBy(t => -weight.getOrElse(t.name, 1))) {
+    val g = load.indexOf(load.min)
+    load(g) += weight.getOrElse(t.name, 1)
+    buckets(g) += t
+  }
+  (0 until nGroups).map { g =>
+    Tests.Group(s"g$g", buckets(g).result(),
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
+  }
+}
+// sbt's default caps ForkedTestGroup at 1 — lift it so the groups
+// actually run side by side
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(16), Tags.limit(Tags.ForkedTestGroup, 4))

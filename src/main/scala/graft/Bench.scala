@@ -407,7 +407,12 @@ object Bench {
       s""""baseline_file":"$baselinePath","baseline_known":${baselines.size},""" +
       s""""codegen_errors":${CodegenGuard.count},""" +
       s""""calib":$calibJson,"sf":"$sfDir"}"""
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    // default artifact name carries the core count (r18 verdict #8: the
+    // driver's low-core scaling pass OVERWROTE the 32-core bench_full.json
+    // — the full per-query artifact behind the headline totals was lost);
+    // SPARK_GRAFT_BENCH_OUT still overrides for callers that pin a path
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"bench_full_c$cpus.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 

