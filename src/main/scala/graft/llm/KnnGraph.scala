@@ -87,12 +87,23 @@ object KnnGraph {
   /** Per-cell medoid entry points: within each PRIMARY cell, the
     * member nearest the centroid (tie: lowest vec_id). One row per
     * non-empty cell, column `node`. */
-  def entryPoints(emb: DataFrame, cs: Array[Array[Float]]): DataFrame = {
+  def entryPoints(emb: DataFrame, cs: Array[Array[Float]]): DataFrame =
+    entryMedoids(emb, cs).select("node")
+
+  /** [[entryPoints]] WITH the ranking key: (node, cell, d). Persisted as
+    * the `<name>_entries` schema since r19 — keeping the exact (d, node)
+    * minimum key beside each medoid is what lets [[saveIndexDelta]] merge
+    * a batch against the STORED medoids (min of mins, bit-exact: d is a
+    * deterministic function of the pinned centroids and the row's
+    * embedding, and parquet round-trips doubles exactly) instead of
+    * re-deriving the whole table from the corpus every micro-batch. */
+  private[graft] def entryMedoids(emb: DataFrame,
+      cs: Array[Array[Float]]): DataFrame = {
     val primary = probeAssign(emb, cs, nProbe = 1)
     val w = Window.partitionBy("cell").orderBy(col("d"), col("vec_id"))
     primary.withColumn("er", row_number().over(w))
       .filter(col("er") === 1)
-      .select(col("vec_id").as("node"))
+      .select(col("vec_id").as("node"), col("cell"), col("d"))
   }
 
   /** Build the k-NN graph: (src, rk, dst, sim) — each node's `degree`
@@ -449,7 +460,7 @@ object KnnGraph {
     // table through instead of re-deriving it — entries are a pure
     // function of (emb, cs), both unchanged there, and the recompute was
     // a full probeAssign + window pass over the corpus (r18)
-    entries0.getOrElse(entryPoints(emb, cs))
+    entries0.getOrElse(entryMedoids(emb, cs))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${name}_entries")
   }
@@ -601,7 +612,7 @@ object KnnGraph {
       buckets)
     // see [[saveIndex]]: re-layout/refresh ops pass the existing medoid
     // table through — emb and cs are unchanged there (r18)
-    entries0.getOrElse(entryPoints(emb, cs))
+    entries0.getOrElse(entryMedoids(emb, cs))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${name}_entries")
     (for (mm <- 0 until m; j <- 0 until nCodebook)
@@ -653,7 +664,7 @@ object KnnGraph {
   private[graft] def saveIndexDelta(spark: org.apache.spark.sql.SparkSession,
       name: String, edges: DataFrame, emb: DataFrame,
       cs: Array[Array[Float]], buckets: Int,
-      touchedIds: DataFrame): (Seq[Int], Long) = {
+      touchedIds: DataFrame, deletedIds: Option[DataFrame] = None): (Seq[Int], Long) = {
     import graft.sources.Bucketing
     // the bucket count is a property of the TABLE, not the call: a
     // mismatched arg would compute bkt partitions that don't align with
@@ -693,9 +704,43 @@ object KnnGraph {
       .distinct().collect().map(_.getInt(0)).toSet
     for (k <- bkts if !liveBkts(k))
       spark.sql(s"ALTER TABLE ${name}_nodes DROP IF EXISTS PARTITION (bkt=$k)")
-    // the medoid entry table is O(cells) — rewritten whole, like the
-    // codebook it never changes incrementally
-    entryPoints(emb, cs).write.mode("overwrite").format("parquet")
+    // the medoid entry table: a pure per-cell minimum by (d, node). r19
+    // (guide §2.4/§6 — maintenance compute ∝ delta): the old path re-ran
+    // probeAssign + a window over the WHOLE corpus every micro-batch to
+    // rewrite this O(cells) table. A batch that deleted or replaced no
+    // stored medoid cannot move any cell's minimum except by ADDING
+    // candidates, so the new table is exactly
+    //   min(stored medoid, touched rows' primary assignments) per cell
+    // — min-of-mins over the same (d ASC, node ASC) key, bit-exact
+    // because d is a deterministic function of the pinned centroids and
+    // the row's embedding and parquet round-trips doubles exactly.
+    // (Touched BASE rows re-entering the merge are harmless: they were
+    // already inside the stored minimum.) Batches that deleted a stored
+    // medoid (including D+I replacements, whose re-inserted embedding
+    // invalidates the stored d), and legacy node-only entry tables, fall
+    // back to the full recompute — correctness first, the fallback is
+    // the rare case by construction (medoids are O(cells) of the corpus).
+    val entT = spark.table(s"${name}_entries")
+    val medoidInvalid = deletedIds.exists(d =>
+      !entT.join(d.select(col("vec_id").as("node")), Seq("node"),
+        "left_semi").isEmpty)
+    val newEntries =
+      if (!entT.columns.contains("cell") || medoidInvalid)
+        entryMedoids(emb, cs)
+      else {
+        val cand = probeAssign(
+            emb.join(touchedIds.select("vec_id"), Seq("vec_id"), "left_semi"),
+            cs, nProbe = 1)
+          .select(col("vec_id").as("node"), col("cell"), col("d"))
+        val w = Window.partitionBy("cell").orderBy(col("d"), col("node"))
+        entT.select("node", "cell", "d").unionByName(cand)
+          .withColumn("er", row_number().over(w))
+          .filter(col("er") === 1).drop("er")
+      }
+    // materialize BEFORE the overwrite: the merge reads the very table
+    // it replaces (the refreshCodebook discipline); O(cells) rows
+    val entOut = newEntries.localCheckpoint(true)
+    entOut.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${name}_entries")
     (bkts, Bucketing.partitionBytes(spark, s"${name}_nodes", Some(bkts)))
   }
@@ -937,16 +982,8 @@ object KnnGraph {
     // r19: the scorer also carries each candidate's OWN neighbor ids out
     // of the SAME probe (parquet still never reads the embedding column),
     // so the next round's hop needs no separate beam-record probe.
-    def scorePq(cand: DataFrame, recs: DataFrame): DataFrame = cand
-      .join(recs.select(col("vec_id").as("node"), col("codes"), col("nbrs")),
-        Seq("node"))
-      .filter(col("node") =!= col("q_id"))
-      .join(qtDf, Seq("q_id"))
-      .select(col("q_id"), col("node"),
-        expr("aggregate(zip_with(codes, lut, (c, row) -> element_at(row, c + 1)), 0L, (acc, x) -> acc + x)")
-          .as("dist"),
-        coalesce(expr("transform(nbrs, x -> x.dst)"),
-          expr("CAST(array() AS ARRAY<BIGINT>)")).as("nbr_ids"))
+    def scorePq(cand: DataFrame, recs: DataFrame): DataFrame =
+      scorePqFrame(cand, recs, qtDf)
     val wB = Window.partitionBy("q_id").orderBy(col("dist"), col("node"))
     def keep(df: DataFrame, b: Int): DataFrame =
       df.withColumn("rk", row_number().over(wB)).filter(col("rk") <= b)
@@ -983,7 +1020,8 @@ object KnnGraph {
     def beamDf(bm: Seq[(Long, Long, Long, Seq[Long])]): DataFrame =
       bm.toDF("q_id", "node", "dist", "nbr_ids")
     var bm = collectBeam(keep(scorePq(
-        broadcast(qs.map(_._1).toSeq.toDF("q_id")).crossJoin(entries),
+        broadcast(qs.map(_._1).toSeq.toDF("q_id"))
+          .crossJoin(entries.select("node")),
         admitRecs(records(entryIds))), beam))
     var r = 0
     while (r < rounds) {
@@ -1034,6 +1072,53 @@ object KnnGraph {
     * contract: collect through a limit ONE ROW past the cap; raise,
     * never degrade. */
   private val IdCap = 65536
+
+  /** The PQ beam scorer, one round's frame: candidates join their probed
+    * records for (codes, nbrs), the SDC distance is the row-local integer
+    * zip_with/aggregate fold against the query's broadcast lut row (the
+    * r18 LUT-fold shape — no exchange between the probe scan and the beam
+    * window), and the candidate's own neighbor ids ride out of the same
+    * probe (r19 — no separate hop probe). Lifted out of the serving body
+    * so PlanDump can publish the per-round plan verbatim. */
+  private[graft] def scorePqFrame(cand: DataFrame, recs: DataFrame,
+      qtDf: DataFrame): DataFrame = cand
+    .join(recs.select(col("vec_id").as("node"), col("codes"), col("nbrs")),
+      Seq("node"))
+    .filter(col("node") =!= col("q_id"))
+    .join(qtDf, Seq("q_id"))
+    .select(col("q_id"), col("node"),
+      expr("aggregate(zip_with(codes, lut, (c, row) -> element_at(row, c + 1)), 0L, (acc, x) -> acc + x)")
+        .as("dist"),
+      coalesce(expr("transform(nbrs, x -> x.dst)"),
+        expr("CAST(array() AS ARRAY<BIGINT>)")).as("nbr_ids"))
+
+  /** Measurement scaffolding (PlanDump/PlanSnap only, never the serving
+    * path): ONE PQ serving round's scored frame, lazily — the exact
+    * [[scorePqFrame]] over a [[probeRecords]] probe of `ids` with a
+    * single-query lut — so the round plan (partition+bucket-pruned scan,
+    * (vec_id, codes, nbrs) ReadSchema with NO embedding, row-local LUT
+    * fold, no exchange before the beam window) is auditable in PLANS.md. */
+  private[graft] def pqRoundPlanForAudit(
+      spark: org.apache.spark.sql.SparkSession, name: String,
+      queries: DataFrame, ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    val nodesT = spark.table(s"${name}_nodes")
+    val nBuckets =
+      if (nodesT.columns.contains("bkt")) numBucketsOf(spark, name) else -1
+    val (cb, m, dimsPer) = loadCodebook(spark, name)
+    val nCodebook = cb(0).length
+    val qs = Pq.grid(queries).limit(2).as[(Long, Seq[Long])].collect()
+      .map { case (id, v) => id -> v.toArray }
+    val qt = qs.toSeq.map { case (qid, qg) =>
+      val qCodes = Pq.encode(qg.toIndexedSeq, m, dimsPer, cb)
+      qid -> (0 until m).map(mm => (0 until nCodebook).map(j =>
+        Pq.d2(cb(mm)(qCodes(mm)).toIndexedSeq, 0, cb(mm)(j))))
+    }
+    val cand = qs.map(_._1).toSeq.flatMap(q => ids.map(i => (q, i)))
+      .toDF("q_id", "node")
+    scorePqFrame(cand, probeRecords(nodesT, ids, null, nBuckets),
+      broadcast(qt.toDF("q_id", "lut")))
+  }
 
   /** Frontier of a driver-held beam (r19): for each query, the union of
     * its beam rows' carried neighbor ids minus the beam's own nodes —
@@ -1158,8 +1243,9 @@ object KnnGraph {
     }
     def beamDf(bm: Seq[(Long, Long, Double, Seq[Long])]): DataFrame =
       bm.toDF("q_id", "node", "sim", "nbr_ids")
-    var bm = collectBeam(keep(score(q.select("q_id").crossJoin(entries),
-      admitRecs(records(entryIds))), beam))
+    var bm = collectBeam(keep(
+      score(q.select("q_id").crossJoin(entries.select("node")),
+        admitRecs(records(entryIds))), beam))
     var r = 0
     while (r < rounds) {
       val (pairs, fIds) = frontierOf(bm.map(t => (t._1, t._2, t._4)))

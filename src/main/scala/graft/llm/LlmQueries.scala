@@ -7904,6 +7904,14 @@ object LlmQueries {
       |FROM l GROUP BY g ORDER BY gen""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.DataFrame
     import graft.operators.{Drift, Scd, Upsert}
+    // r19 measured A/B, then reverted (guide §1.1's empirical loop): the
+    // ~15 consumers re-reading this 3-column projection LOOK like a
+    // checkpoint-once candidate, but materializing it is a net LOSS here —
+    // localCheckpoint 5.6 → 8.7 s (an RDD leaf loses size stats, demoting
+    // every downstream broadcast join to sort-merge) and cache() 5.6 →
+    // 6.9 s (columnar round-trip + barrier with no scan savings: the
+    // 15k-row parquet re-scan was never the cost; the wall is the
+    // composite's planning + many small stages). Plain re-scan stands.
     val o = Tables(s, dir, "orders").select(
       col("o_orderkey").as("k"), col("o_orderstatus").as("st0"),
       col("o_totalprice").as("price0"))

@@ -129,7 +129,12 @@ object StreamingKnnIndex {
       .unionByName(touchedD).unionByName(touchedI)
       .unionByName(ins.select("vec_id"))
       .localCheckpoint(true)
-    KnnGraph.saveIndexDelta(spark, name, g2, emb2, cs, buckets, affected)
+    // dels rides along so the entry-medoid merge knows whether a stored
+    // medoid left (or was replaced) — only then does the O(corpus) entry
+    // recompute fire; insert-only batches (and delete batches missing
+    // every medoid) merge against the stored medoids instead
+    KnnGraph.saveIndexDelta(spark, name, g2, emb2, cs, buckets, affected,
+      Some(dels))
   }
 
   /** The streaming maintenance sink: call `.start()` to run. */
