@@ -169,6 +169,9 @@ object Bpe {
       textCol: String = "text",
       idCol: String = "doc_id",
       rulesPerStage: Int = 32): DataFrame =
+    // r19 A/B, reverted: spreading the corpus scan raised par 1.3 → 5
+    // but walls rose ~15% (q193 1.97 → 2.30 s, three passes) — the
+    // dict-join/reassembly exchanges dominate, not the scan stage
     assemble(docs, wordDict(docs, merges, textCol, rulesPerStage)
         .withColumnRenamed("syms", "value"),
       "string", "tokens", textCol, idCol)

@@ -753,7 +753,9 @@ object LlmQueries {
       |            ELSE 0.0 END AS dup_frac
       |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val g = TextAnalysis.positionalNgrams(col("text"), 2)
-    Tables(s, dir, "documents")
+    // r19: spread — the n-gram HOF projection ran serial on the one-split
+    // scan (guide §2.5, par ≈ 0.9); orderBy pins the output order
+    graft.operators.Parallelism.spread(Tables(s, dir, "documents"))
       .select(
         col("doc_id"),
         size(g).cast("long").as("n_grams"),
@@ -2378,6 +2380,8 @@ object LlmQueries {
       |  ON a.id < b.id AND abs(length(a.text) - length(b.text)) <= 2
       |WHERE levenshtein(a.text, b.text) <= 2
       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    // r19 A/B, reverted: spreading the base scan read 1.91 → 2.37 s
+    // across three passes — passJoin's band joins dominate, not the scan
     val base = Tables(s, dir, "documents")
       .selectExpr("doc_id", "substr(text, 1, 64) AS t")
     val corpus = base.selectExpr("doc_id * 3 AS id", "t AS text")
@@ -8340,7 +8344,9 @@ object LlmQueries {
          |      'ns', -s)),
          |  e -> struct(e.a * (e.a + 12345L) % 1000000007L AS h,
          |       e.ns AS ns))).ns)""".stripMargin).cast("long")
-    Tables(s, dir, "orders")
+    // r19: spread — the 17-hash-per-row rendezvous projection ran serial
+    // on the one-split orders scan (guide §2.5, par ≈ 0.9)
+    graft.operators.Parallelism.spread(Tables(s, dir, "orders"))
       .select(shard(8).as("s8"), shard(9).as("s9"))
       .groupBy("s9")
       .agg(count(lit(1)).as("n_keys"),

@@ -212,6 +212,10 @@ object TextAnalysis {
       docs: org.apache.spark.sql.DataFrame,
       k: Int = 5): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r19 measured A/B, then reverted: spreading this scan raised par
+    // 1.1 → 9 but the wall went 1.16 → 1.42 s across three passes — the
+    // exchange + lost scan locality cost more than the serial stage here
+    // (unlike bm25TopDocs, whose tf checkpoint amortizes the spread)
     val toks = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .filter(col("term") =!= "")
@@ -354,6 +358,8 @@ object TextAnalysis {
             element_at(arr, i + 2).as("tb"))))
         .otherwise(array().cast("array<struct<ta:string,tb:string>>"))
     }
+    // r19 A/B, reverted: spread read 1.36 → 1.49 s (three passes) — the
+    // bigram explode feeds two self-joins whose exchanges dominate
     val bg = docs
       .select(col("doc_id"), explode(bigramsExpr).as("bg"))
       .select(col("doc_id"), col("bg.ta").as("ta"), col("bg.tb").as("tb"))

@@ -30,7 +30,11 @@ object TrigramIndex {
 
   /** (tri, doc_id) — distinct trigrams per document. */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.filter(length(col(textCol)) >= 3)
+    // r19: spread the scan before the trigram explode (guide §2.5 input
+    // starvation — the r18 q142/q230 precedent: a few-MB fixture arrives
+    // as ONE split and this codegen-heavy stage ran serial, q226 par ≈
+    // 1.4 on 32 cores; no-op once inputs have real splits)
+    graft.operators.Parallelism.spread(docs).filter(length(col(textCol)) >= 3)
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(expr(
           s"transform(sequence(1, length($textCol) - 2), i -> substring($textCol, i, 3))")))

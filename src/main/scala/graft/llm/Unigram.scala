@@ -109,7 +109,9 @@ object Unigram {
     val costs = vocab.toMap
     require(costs.size == vocab.size, "duplicate piece in vocab")
     val maxPieceLen = costs.keysIterator.map(_.length).max
-    val words = docs.select(col("doc_id"),
+    // r19: spread the scan before the word explode (guide §2.5, q250
+    // par ≈ 1.3 on the one-split fixture; no-op at real split counts)
+    val words = graft.operators.Parallelism.spread(docs).select(col("doc_id"),
         posexplode(split(trim(col("text")), "\\s+")).as(Seq("widx", "word")))
       .filter(col("word") =!= "")
     val pieces = words.select("word").distinct().as[String]

@@ -73,6 +73,9 @@ object WordPiece {
     val conts = vocab.filter(_.startsWith("##")).map(_.drop(2)).toSet
     val maxPieceLen = (starts.iterator.map(_.length) ++
       conts.iterator.map(_.length)).max
+    // r19 A/B, reverted: the sibling Unigram.segmentAll keeps its spread
+    // (1.05 → 0.81 s) but here it read 1.04 → 1.16 s across three passes
+    // — the distinct-word kernel dominates and the spread only taxes it
     val words = docs.select(col("doc_id"),
         posexplode(split(trim(col("text")), "\\s+")).as(Seq("widx", "word")))
       .filter(col("word") =!= "")
