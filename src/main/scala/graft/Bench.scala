@@ -7,7 +7,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  "healed_total","queries","full","sf"}
   * — deliberately small because the consumer keeps only the tail of stdout;
   * the full per-query wall-time / storage-byte / executor-metric maps are
-  * written to SPARK_GRAFT_BENCH_OUT (default ./bench_full.json).
+  * written to SPARK_GRAFT_BENCH_OUT (default ./bench_full_c<cpus>.json —
+  * per-core-count since r19, so a low-core scaling pass can't overwrite
+  * the main pass's artifact).
   *
   * Env knobs: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_ONLY (csv of query
   * names, for iteration), SPARK_GRAFT_WARMUP (default 1 — run a small
