@@ -420,6 +420,21 @@ object KnnGraph {
       .select(col("src"), col("dst"),
         (Similarity.dotFast(col("sv"), col("dv")) /
           sqrt(col("sn") * col("dn"))).as("sim"))
+      // r19.2 (guide §2.4): ONE exchange on src replaces TWO — the
+      // groupBy(src, dst) hash exchange AND the consumer window's
+      // partitionBy(src) exchange. HashPartitioning(src) satisfies the
+      // dedup agg's ClusteredDistribution(src, dst) (same-key rows
+      // co-locate under the coarser key), and every consumer
+      // ([[cutDegree]], [[build]]'s window, [[adjacency]]'s groupBy(src))
+      // clusters on src — the partitioning flows through agg and window
+      // untouched, so none of them re-exchange. Bytes shuffled stay ~the
+      // same (the old first exchange didn't map-side-dedup multi-cell
+      // pairs either — duplicates live in DIFFERENT cell partitions by
+      // construction); the stage count drops by one per build/upsert/
+      // delete/save chain. p is the session's shuffle-partition conf
+      // (the deployment knob), pinned so AQE can't starve the
+      // pair-multiplying stage — the scorePairs precedent above.
+      .repartition(p, col("src"))
       .groupBy("src", "dst").agg(max("sim").as("sim"))
   }
 
@@ -1019,6 +1034,31 @@ object KnnGraph {
     }
     def beamDf(bm: Seq[(Long, Long, Long, Seq[Long])]): DataFrame =
       bm.toDF("q_id", "node", "dist", "nbr_ids")
+    // r19.2: driver-side per-round keep — see [[searchIndexedBody]]'s
+    // rationale verbatim; the PQ ordering is (dist ASC, node ASC), all
+    // integers, so the replay needs no double-comparison care at all.
+    // Entry round keeps its Spark window (queries×entries candidates are
+    // not driver-bounded pre-keep).
+    val ordB = new Ordering[(Long, Long, Long, Seq[Long])] {
+      def compare(a: (Long, Long, Long, Seq[Long]),
+          b: (Long, Long, Long, Seq[Long])): Int = {
+        val c = java.lang.Long.compare(a._3, b._3)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    def keepLocal(rows: Seq[(Long, Long, Long, Seq[Long])],
+        b: Int): Seq[(Long, Long, Long, Seq[Long])] = {
+      val out = rows.groupBy(_._1).toSeq
+        .flatMap { case (_, rs) => rs.sorted(ordB).take(b) }
+        .sortBy(t => (t._1, t._2))
+      require(out.length <= IdCap,
+        s"searchIndexedPq beam state exceeds the $IdCap bounded-collect " +
+          "contract - lower beam x queries or chunk the query batch")
+      out
+    }
+    def collectScored(df: DataFrame): Seq[(Long, Long, Long, Seq[Long])] =
+      df.select("q_id", "node", "dist", "nbr_ids")
+        .as[(Long, Long, Long, Seq[Long])].collect().toSeq
     var bm = collectBeam(keep(scorePq(
         broadcast(qs.map(_._1).toSeq.toDF("q_id"))
           .crossJoin(entries.select("node")),
@@ -1028,9 +1068,9 @@ object KnnGraph {
       val (pairs, fIds) = frontierOf(bm.map(t => (t._1, t._2, t._4)))
       if (fIds.isEmpty) r = rounds
       else {
-        bm = collectBeam(keep(
-          scorePq(pairs.toDF("q_id", "node"), admitRecs(records(fIds)))
-            .unionByName(beamDf(bm)), beam))
+        bm = keepLocal(collectScored(
+          scorePq(pairs.toDF("q_id", "node"), admitRecs(records(fIds)))) ++ bm,
+          beam)
         r += 1
       }
     }
@@ -1072,6 +1112,22 @@ object KnnGraph {
     * contract: collect through a limit ONE ROW past the cap; raise,
     * never degrade. */
   private val IdCap = 65536
+
+  /** Spark SQL's double comparison, verbatim (Utils.nanSafeCompareDoubles
+    * — the function codegen emits for every DoubleType SortOrder): NaN
+    * sorts greatest, and ±0.0 compare EQUAL (x == y short-circuits),
+    * unlike java.lang.Double.compare. The driver-held beam's keep must
+    * replay the window's ordering bit for bit, so it uses THIS, never
+    * Ordering.Double. */
+  private def nanSafeCmpDouble(x: Double, y: Double): Int = {
+    val xn = java.lang.Double.isNaN(x)
+    val yn = java.lang.Double.isNaN(y)
+    if ((xn && yn) || (x == y)) 0
+    else if (xn) 1
+    else if (yn) -1
+    else if (x > y) 1
+    else -1
+  }
 
   /** The PQ beam scorer, one round's frame: candidates join their probed
     * records for (codes, nbrs), the SDC distance is the row-local integer
@@ -1243,6 +1299,36 @@ object KnnGraph {
     }
     def beamDf(bm: Seq[(Long, Long, Double, Seq[Long])]): DataFrame =
       bm.toDF("q_id", "node", "sim", "nbr_ids")
+    // r19.2: the per-round keep runs DRIVER-SIDE. The round's scored rows
+    // are bounded by `pairs` — a list the driver already holds under the
+    // IdCap contract — so collecting them raw adds no new driver exposure,
+    // and the merge∪top-b replays the window's exact ordering
+    // ([[nanSafeCmpDouble]] DESC, node ASC — row_number ≤ b ≡ take b of a
+    // strict total order, (q_id, node) unique). Each round's Spark job is
+    // then the probe scan + broadcast joins ONLY — the per-round
+    // Exchange+Sort the window paid (one shuffle per round) is gone. The
+    // ENTRY round keeps its Spark window: its candidate set is
+    // queries×entries, NOT driver-bounded pre-keep.
+    val ordB = new Ordering[(Long, Long, Double, Seq[Long])] {
+      def compare(a: (Long, Long, Double, Seq[Long]),
+          b: (Long, Long, Double, Seq[Long])): Int = {
+        val c = nanSafeCmpDouble(b._3, a._3)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    def keepLocal(rows: Seq[(Long, Long, Double, Seq[Long])],
+        b: Int): Seq[(Long, Long, Double, Seq[Long])] = {
+      val out = rows.groupBy(_._1).toSeq
+        .flatMap { case (_, rs) => rs.sorted(ordB).take(b) }
+        .sortBy(t => (t._1, t._2))
+      require(out.length <= IdCap,
+        s"searchIndexed beam state exceeds the $IdCap bounded-collect " +
+          "contract - lower beam x queries or chunk the query batch")
+      out
+    }
+    def collectScored(df: DataFrame): Seq[(Long, Long, Double, Seq[Long])] =
+      df.select("q_id", "node", "sim", "nbr_ids")
+        .as[(Long, Long, Double, Seq[Long])].collect().toSeq
     var bm = collectBeam(keep(
       score(q.select("q_id").crossJoin(entries.select("node")),
         admitRecs(records(entryIds))), beam))
@@ -1251,9 +1337,9 @@ object KnnGraph {
       val (pairs, fIds) = frontierOf(bm.map(t => (t._1, t._2, t._4)))
       if (fIds.isEmpty) r = rounds
       else {
-        bm = collectBeam(keep(
-          score(pairs.toDF("q_id", "node"), admitRecs(records(fIds)))
-            .unionByName(beamDf(bm)), beam))
+        bm = keepLocal(collectScored(
+          score(pairs.toDF("q_id", "node"), admitRecs(records(fIds)))) ++ bm,
+          beam)
         r += 1
       }
     }
